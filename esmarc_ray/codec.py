@@ -1,0 +1,160 @@
+"""Span codec: interleaved text+media document rows ↔ nested MARC21-JSON.
+
+The engine's physical input is a table of interleaved documents
+(BASELINE.json ``input_hint``)::
+
+    doc_id : string
+    spans  : list<struct<kind:string, text:string, media_ref:string, offset:int32>>
+
+One span per leader / control-value / subfield occurrence, in record order.
+``kind`` grammar (FIXTURES.md §1, extended with an occurrence ordinal so that
+consecutive same-tag occurrences stay distinguishable)::
+
+    ldr                          MARC leader (_LEADER)
+    meta:<key>                   other top-level string metadata (_FORMAT, _TYPE, ...)
+    ctl:<tag>                    control field 001-009; one span per value
+    sub:<tag>:<ind>:<code>:<occ> one data-subfield occurrence; <ind> is the
+                                 2-char indicator pair (blank → "_"); <occ> is
+                                 the 0-based occurrence ordinal of <tag>
+    media                        interleaved media reference derived from the
+                                 immediately preceding sub:856:<ind>:u span
+
+The decoded form is exactly the reference's nested record dict (hardcoded
+traversal in reference esmarc/marc.py:17-37; live shape e.g.
+reference tests/in/1405783028)::
+
+    {"001": "...",                       # bare string
+     "003": ["DE-627"],                  # control fields: list of strings
+     "264": [{"_1": [{"a": "..."}, ...]}],  # data: list of {ind: [{code: val}]}
+     "_LEADER": "...", "_FORMAT": "MarcXchange"}
+
+Per-row invariant (the north rule's span-sequence equality): for every row,
+``encode_record(decode_spans(spans)) == spans`` on (kind, text, media_ref,
+order) — media spans are derived deterministically from 856$u so the
+round-trip reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pyarrow as pa
+
+SPAN_STRUCT = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+
+DOCUMENT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("spans", pa.list_(SPAN_STRUCT)),
+    ]
+)
+
+
+def _is_control_tag(tag: str) -> bool:
+    return len(tag) == 3 and tag.isdigit() and tag < "010"
+
+
+def encode_record(record: dict[str, Any]) -> list[dict[str, Any]]:
+    """Encode one nested MARC21-JSON record into an ordered span list."""
+    spans: list[dict[str, Any]] = []
+
+    def emit(kind: str, text: str = "", media_ref: str = "") -> None:
+        spans.append(
+            {"kind": kind, "text": text, "media_ref": media_ref, "offset": len(spans)}
+        )
+
+    tag_occurrences: dict[str, int] = {}
+    for key, value in record.items():
+        if key == "_LEADER":
+            emit("ldr", value)
+        elif key.startswith("_"):
+            emit(f"meta:{key}", value)
+        elif _is_control_tag(key):
+            if isinstance(value, str):
+                emit(f"ctl:{key}", value)
+            else:
+                for item in value:
+                    emit(f"ctl:{key}", item)
+        else:
+            # data field: list of single-key {indicator: [ {code: value}, ... ]}
+            for occurrence in value:
+                occ = tag_occurrences.get(key, 0)
+                tag_occurrences[key] = occ + 1
+                for indicator, subfields in occurrence.items():
+                    for subfield in subfields:
+                        for code, text in subfield.items():
+                            for scalar in text if isinstance(text, list) else [text]:
+                                emit(f"sub:{key}:{indicator}:{code}:{occ}", scalar)
+                                if key == "856" and code == "u":
+                                    emit("media", "", scalar)
+    return spans
+
+
+def decode_spans(spans: Iterable[dict[str, Any]]) -> dict[str, Any]:
+    """Decode an ordered span list back into the nested record dict.
+
+    ``media`` spans are dropped (they are derived from 856$u on encode).
+    """
+    record: dict[str, Any] = {}
+    # (tag, occ) -> (indicator, subfield list); insertion-ordered
+    occurrences: dict[tuple[str, int], tuple[str, list]] = {}
+
+    for span in sorted(spans, key=lambda s: s["offset"]):
+        kind = span["kind"]
+        text = span["text"]
+        if kind == "ldr":
+            record["_LEADER"] = text
+        elif kind == "media":
+            continue
+        elif kind.startswith("meta:"):
+            record[kind[5:]] = text
+        elif kind.startswith("ctl:"):
+            tag = kind[4:]
+            if tag == "001":
+                # 001 is the one bare-string control field in the source shape
+                record["001"] = text
+            else:
+                record.setdefault(tag, []).append(text)
+        elif kind.startswith("sub:"):
+            _, tag, indicator, code, occ_str = kind.split(":")
+            occ_key = (tag, int(occ_str))
+            if occ_key not in occurrences:
+                sublist: list = []
+                occurrences[occ_key] = (indicator, sublist)
+                record.setdefault(tag, []).append({indicator: sublist})
+            occurrences[occ_key][1].append({code: text})
+        else:  # pragma: no cover - unknown kinds are a data error
+            raise ValueError(f"unknown span kind: {kind!r}")
+    return record
+
+
+def records_to_table(docs: Iterable[tuple[str, dict[str, Any]]]) -> pa.Table:
+    """Build a document Arrow table from (doc_id, record) pairs."""
+    ids: list[str] = []
+    span_lists: list[list[dict[str, Any]]] = []
+    for doc_id, record in docs:
+        ids.append(doc_id)
+        span_lists.append(encode_record(record))
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.string()), pa.array(span_lists, pa.list_(SPAN_STRUCT))],
+        schema=DOCUMENT_SCHEMA,
+    )
+
+
+def batch_to_records(batch: pa.Table | pa.RecordBatch) -> list[tuple[str, dict[str, Any]]]:
+    """Decode a pyarrow batch of (doc_id, spans) into (doc_id, record) pairs.
+
+    Hot path of the parse stage: uses ``to_pylist`` on the two needed columns
+    only; the span structs arrive zero-copy from the object store and are
+    materialized once per batch.
+    """
+    doc_ids = batch.column("doc_id").to_pylist()
+    span_col = batch.column("spans").to_pylist()
+    return [(doc_id, decode_spans(spans)) for doc_id, spans in zip(doc_ids, span_col)]

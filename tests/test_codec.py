@@ -1,0 +1,61 @@
+"""Span codec invariants (FIXTURES.md §1, north-rule span-sequence equality)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from esmarc_ray.codec import (
+    DOCUMENT_SCHEMA,
+    batch_to_records,
+    decode_spans,
+    encode_record,
+    records_to_table,
+)
+
+
+def test_roundtrip_all_reference_fixtures(reference_records):
+    """decode(encode(record)) == record and encode(decode(spans)) == spans."""
+    for rid, record in reference_records.items():
+        spans = encode_record(record)
+        # offsets strictly increasing from 0
+        assert [s["offset"] for s in spans] == list(range(len(spans)))
+        decoded = decode_spans(spans)
+        assert decoded == record, f"record round-trip failed for {rid}"
+        respans = encode_record(decoded)
+        assert respans == spans, f"span-sequence equality failed for {rid}"
+
+
+def test_media_spans_derived_from_856(reference_records):
+    rec = reference_records["1405783028"]
+    spans = encode_record(rec)
+    media = [s for s in spans if s["kind"] == "media"]
+    urls = {
+        sf["u"]
+        for occ in rec.get("856", [])
+        for sfs in occ.values()
+        for sf in sfs
+        if "u" in sf
+    }
+    assert {m["media_ref"] for m in media} == urls
+    assert all(m["text"] == "" for m in media)
+    # each media span directly follows its source 856$u span
+    for m in media:
+        prev = spans[m["offset"] - 1]
+        assert prev["kind"].startswith("sub:856:") and prev["kind"].split(":")[3] == "u"
+        assert prev["text"] == m["media_ref"]
+
+
+def test_arrow_table_roundtrip(reference_records):
+    table = records_to_table(sorted(reference_records.items()))
+    assert table.schema.equals(DOCUMENT_SCHEMA)
+    decoded = dict(batch_to_records(table))
+    assert decoded == reference_records
+
+
+def test_repeated_tag_occurrences_stay_separate():
+    record = {
+        "001": "x1",
+        "035": [{"__": [{"a": "(DE-627)1"}]}, {"__": [{"a": "(DE-576)2"}]}],
+        "024": [{"7_": [{"a": "urn:foo"}, {"2": "urn"}]}],
+    }
+    assert decode_spans(encode_record(record)) == record
