@@ -1,0 +1,91 @@
+"""Deterministic date parsing.
+
+The reference shells out to the ``dateparser`` library
+(reference esmarc/dates.py:2,94,167) whose behavior is locale- and
+wall-clock-dependent.  This module reimplements the subset of formats the
+MARC corpus actually exercises (bare years, DD.MM.YYYY, German/English month
+names, YYYY-MM[-DD]) deterministically; everything else parses to None, which
+the P/R tolerance of the parity gate absorbs (SURVEY.md §7.3).
+
+API mirrors what the reference consumes: :func:`parse_date_data` returns
+``(datetime, period)`` with period ∈ {"year", "month", "day"} or
+``(None, None)``.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+
+_MONTHS = {
+    # English
+    "january": 1, "february": 2, "march": 3, "april": 4, "may": 5, "june": 6,
+    "july": 7, "august": 8, "september": 9, "october": 10, "november": 11,
+    "december": 12,
+    # German
+    "januar": 1, "februar": 2, "märz": 3, "maerz": 3, "mai": 5, "juni": 6,
+    "juli": 7, "oktober": 10, "dezember": 12,
+    # common abbreviations
+    "jan": 1, "feb": 2, "mar": 3, "mär": 3, "apr": 4, "jun": 6, "jul": 7,
+    "aug": 8, "sep": 9, "sept": 9, "okt": 10, "oct": 10, "nov": 11,
+    "dez": 12, "dec": 12,
+}
+
+_RE_YEAR = re.compile(r"^(\d{3,4})$")
+_RE_ISO = re.compile(r"^(\d{4})-(\d{1,2})(?:-(\d{1,2}))?$")
+_RE_DOTTED = re.compile(r"^(?:(\d{1,2})\.)?(\d{1,2})\.(\d{4})$")
+_RE_MONTHNAME = re.compile(r"^(?:(\d{1,2})\.?\s+)?([a-zäöü]+)\.?\s+(\d{4})$")
+
+
+def parse_date_data(text: str) -> tuple[datetime.datetime | None, str | None]:
+    """Parse ``text`` to (datetime, precision period); (None, None) on failure."""
+    if not isinstance(text, str):
+        return None, None
+    text = text.strip().strip(".").strip().lower()
+    if not text:
+        return None, None
+
+    m = _RE_YEAR.match(text)
+    if m:
+        return _mk(int(m.group(1)), 1, 1), "year"
+
+    m = _RE_ISO.match(text)
+    if m:
+        year, month, day = int(m.group(1)), int(m.group(2)), m.group(3)
+        if day is not None:
+            return _mk(year, month, int(day)), "day"
+        return _mk(year, month, 1), "month"
+
+    m = _RE_DOTTED.match(text)
+    if m:
+        day, month, year = m.group(1), int(m.group(2)), int(m.group(3))
+        if day is not None:
+            return _mk(year, month, int(day)), "day"
+        return _mk(year, month, 1), "month"
+
+    m = _RE_MONTHNAME.match(text)
+    if m:
+        day, monthname, year = m.group(1), m.group(2), int(m.group(3))
+        month = _MONTHS.get(monthname)
+        if month:
+            if day is not None:
+                return _mk(year, month, int(day)), "day"
+            return _mk(year, month, 1), "month"
+
+    return None, None
+
+
+def _mk(year: int, month: int, day: int) -> datetime.datetime | None:
+    try:
+        return datetime.datetime(year, month, day)
+    except ValueError:
+        return None
+
+
+def format_by_period(parsed: datetime.datetime, period: str) -> str:
+    """Precision-dependent ISO formatting (reference dates.py:115-126)."""
+    if period == "year":
+        return parsed.strftime("%Y")
+    if period in ("month", "week"):
+        return parsed.strftime("%Y-%m")
+    return parsed.strftime("%Y-%m-%d")
