@@ -1,0 +1,317 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale notes (100 TB framing):
+
+* exact: hash-partitioned groupby on the key; per-group keep-first — one
+  shuffle of (key, doc_id) width, not of the payload;
+* MinHash+LSH: signatures computed batch-local (numpy), then only the tiny
+  (band, band_hash, doc_id) rows shuffle; candidate verification re-reads
+  just the candidate docs (broadcast id-set filter);
+* SimHash: 64-bit signatures bucketed by 16-bit chunks (hamming ≤ 3 within
+  4 chunks guarantees one exact chunk match);
+* embedding: random-hyperplane LSH buckets, exact cosine verify per bucket.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# -- exact ---------------------------------------------------------------------
+
+
+def exact_dedup(
+    docs: ray.data.Dataset, key_column: str = "text", id_column: str = "doc_id"
+) -> ray.data.Dataset:
+    """Keep the smallest ``id_column`` row per distinct ``key_column`` value."""
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nsmallest(1, id_column)
+
+    return docs.groupby(key_column).map_groups(keep_first, batch_format="pandas")
+
+
+# -- shingles + MinHash ----------------------------------------------------------
+
+
+def _shingle_hashes(text: str, width: int = 3) -> np.ndarray:
+    """Hashes of word ``width``-grams (the Jaccard universe of a doc)."""
+    words = text.split()
+    if len(words) < width:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [" ".join(words[i : i + width]) for i in range(len(words) - width + 1)]
+    return np.unique(
+        np.array([zlib.crc32(s.encode()) for s in shingles], dtype=np.uint64)
+    )
+
+
+class _MinHasher:
+    """Stateful per-actor minhash parameters (seeded once, reused per batch)."""
+
+    def __init__(self, num_perm: int, bands: int, shingle_width: int, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_width = shingle_width
+
+    def signature(self, text: str) -> np.ndarray:
+        hashes = _shingle_hashes(text, self.shingle_width)
+        # (shingles × perms) universal hashing, column-min
+        projected = (hashes[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        return projected.min(axis=0)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        """flat_map-style: one output row per (doc, band)."""
+        out = {"doc_id": [], "band": [], "band_hash": []}
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            sig = self.signature(text)
+            for band in range(self.bands):
+                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
+                out["doc_id"].append(doc_id)
+                out["band"].append(band)
+                out["band_hash"].append(int(zlib.crc32(chunk.tobytes())))
+        return pd.DataFrame(out)
+
+
+def minhash_candidates(
+    docs: ray.data.Dataset,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_width: int = 3,
+    concurrency: int | tuple[int, int] = 2,
+) -> ray.data.Dataset:
+    """LSH candidate pairs: docs sharing any (band, band_hash) bucket.
+
+    Returns a dataset of (doc_a, doc_b) with doc_a < doc_b, deduplicated.
+    """
+    bands_ds = docs.map_batches(
+        _MinHasher,
+        fn_constructor_kwargs={
+            "num_perm": num_perm, "bands": bands, "shingle_width": shingle_width,
+        },
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+    pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+    def first_per_pair(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(first_per_pair, batch_format="pandas")
+
+
+def verify_jaccard(
+    docs: ray.data.Dataset,
+    candidate_pairs: list[tuple],
+    *,
+    threshold: float = 0.8,
+    shingle_width: int = 3,
+) -> list[tuple]:
+    """Exact n-gram-Jaccard verification of LSH candidates.
+
+    The candidate id-set is broadcast; only candidate docs leave the scan.
+    Returns [(doc_a, doc_b, jaccard)] with jaccard ≥ threshold.
+    """
+    needed = {d for pair in candidate_pairs for d in pair}
+    shingle_sets: dict = {}
+    filtered = docs.map_batches(
+        lambda b: b[b["doc_id"].isin(needed)], batch_format="pandas"
+    )
+    for batch in filtered.iter_batches(batch_format="pandas"):
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            shingle_sets[doc_id] = set(_shingle_hashes(text, shingle_width).tolist())
+    confirmed = []
+    for a, b in candidate_pairs:
+        sa, sb = shingle_sets.get(a), shingle_sets.get(b)
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            confirmed.append((a, b, j))
+    return confirmed
+
+
+def minhash_dedup(
+    docs: ray.data.Dataset, *, threshold: float = 0.8, **lsh_kwargs
+) -> tuple[ray.data.Dataset, list[tuple]]:
+    """Full near-dup pipeline: LSH candidates → exact verify → keep-smallest.
+
+    Returns (deduped docs dataset, confirmed duplicate pairs).
+    """
+    pairs = [
+        (row["doc_a"], row["doc_b"])
+        for row in minhash_candidates(docs, **lsh_kwargs).take_all()
+    ]
+    confirmed = verify_jaccard(docs, pairs, threshold=threshold)
+    # union-find over confirmed pairs → drop all but the smallest id per cluster
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in confirmed:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = {x for x in parent if find(x) != x}
+    deduped = docs.map_batches(
+        lambda b: b[~b["doc_id"].isin(drop)], batch_format="pandas"
+    )
+    return deduped, confirmed
+
+
+# -- SimHash ---------------------------------------------------------------------
+
+
+def _simhash(text: str) -> int:
+    words = text.split()
+    if not words:
+        return 0
+    hashes = np.array([zlib.crc32(w.encode()) for w in words], dtype=np.uint64)
+    bits = ((hashes[:, None] >> np.arange(32, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    weights = (2 * bits - 1).sum(axis=0)
+    high = np.array([zlib.crc32((w + "#").encode()) for w in words], dtype=np.uint64)
+    bits_hi = ((high[:, None] >> np.arange(32, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    weights_hi = (2 * bits_hi - 1).sum(axis=0)
+    sig = 0
+    for i in range(32):
+        if weights[i] > 0:
+            sig |= 1 << i
+        if weights_hi[i] > 0:
+            sig |= 1 << (32 + i)
+    return sig
+
+
+def simhash_signatures(docs: ray.data.Dataset, **kwargs) -> ray.data.Dataset:
+    def add_sig(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["simhash"] = batch["text"].fillna("").map(_simhash).astype("uint64")
+        return batch
+
+    return docs.map_batches(add_sig, batch_format="pandas", **kwargs)
+
+
+def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> list[tuple]:
+    """Candidate generation by 16-bit chunk buckets + exact hamming verify."""
+    sigs = simhash_signatures(docs).select_columns(["doc_id", "simhash"])
+
+    def chunk_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": [], "chunk": [], "chunk_val": [], "simhash": []}
+        for doc_id, sig in zip(batch["doc_id"], batch["simhash"]):
+            for c in range(4):
+                out["doc_id"].append(doc_id)
+                out["chunk"].append(c)
+                out["chunk_val"].append(int((int(sig) >> (16 * c)) & 0xFFFF))
+                out["simhash"].append(int(sig))
+        return pd.DataFrame(out)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = rows["doc_id"].tolist()
+        hs = rows["simhash"].tolist()
+        out = {"doc_a": [], "doc_b": [], "hamming": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = bin(int(hs[i]) ^ int(hs[j])).count("1")
+                if d <= max_hamming:
+                    out["doc_a"].append(ids[i])
+                    out["doc_b"].append(ids[j])
+                    out["hamming"].append(d)
+        return pd.DataFrame(out)
+
+    pairs = (
+        sigs.map_batches(chunk_rows, batch_format="pandas")
+        .groupby(["chunk", "chunk_val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    seen = set()
+    out = []
+    for row in pairs.take_all():
+        key = (row["doc_a"], row["doc_b"])
+        if key not in seen:
+            seen.add(key)
+            out.append((row["doc_a"], row["doc_b"], row["hamming"]))
+    return out
+
+
+# -- embedding near-dup -----------------------------------------------------------
+
+
+def embedding_near_dups(
+    embeddings: ray.data.Dataset,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 11,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> list[tuple]:
+    """Cosine near-dup via random-hyperplane LSH buckets + exact verify."""
+    rng = np.random.RandomState(seed)
+    planes: np.ndarray | None = None
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        nonlocal planes
+        mat = np.stack(batch[vector_column].to_numpy())
+        if planes is None:
+            planes = rng.randn(mat.shape[1], n_planes)
+        signs = (mat @ planes) > 0
+        keys = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        normalized = mat / np.clip(norms, 1e-9, None)
+        return pd.DataFrame(
+            {
+                id_column: batch[id_column],
+                "bucket": keys.astype("int64"),
+                "vec": list(normalized),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(group["vec"].to_numpy())
+        ids = group[id_column].to_numpy()
+        sims = mat @ mat.T
+        ii, jj = np.where(np.triu(sims, 1) >= threshold)
+        return pd.DataFrame(
+            {"vec_a": ids[ii], "vec_b": ids[jj], "cosine": sims[ii, jj]}
+        )
+
+    pairs_ds = (
+        embeddings.map_batches(bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    seen = set()
+    out = []
+    for row in pairs_ds.take_all():
+        key = tuple(sorted((row["vec_a"], row["vec_b"])))
+        if key not in seen:
+            seen.add(key)
+            out.append((key[0], key[1], float(row["cosine"])))
+    return out

@@ -1,0 +1,111 @@
+"""Similarity search over an embedding column (list<float>).
+
+* :func:`brute_force_topk` — exact cosine top-k: the query matrix is tiny and
+  broadcast (closure-captured once per worker); each batch does one numpy
+  matmul and keeps its local top-k, the driver merges per-batch tops (k ×
+  n_batches rows, not the dataset).
+* :func:`IvfIndex` — the scale path: k-means coarse quantizer trained on a
+  sample, assignments batch-local, searches probe only the ``n_probe``
+  nearest cells.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-9, None)
+
+
+def brute_force_topk(
+    embeddings: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine top-k per query row; returns (query_id, vec_id, score)."""
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _normalize(np.stack(batch[vector_column].to_numpy()).astype(np.float32))
+        scores = mat @ q.T  # (batch, n_queries)
+        n = min(k, scores.shape[0])
+        idx = np.argpartition(-scores, n - 1, axis=0)[:n]  # (n, n_queries)
+        out = {"query_id": [], id_column: [], "score": []}
+        ids = batch[id_column].to_numpy()
+        for qi in range(q.shape[0]):
+            for row in idx[:, qi]:
+                out["query_id"].append(qi)
+                out[id_column].append(ids[row])
+                out["score"].append(float(scores[row, qi]))
+        return pd.DataFrame(out)
+
+    partials = embeddings.map_batches(local_topk, batch_format="pandas")
+    best: dict[int, list] = {}
+    for batch in partials.iter_batches(batch_format="pandas"):
+        for qi, vid, score in zip(batch["query_id"], batch[id_column], batch["score"]):
+            heap = best.setdefault(int(qi), [])
+            item = (float(score), int(vid))
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    rows = []
+    for qi, heap in sorted(best.items()):
+        for score, vid in sorted(heap, reverse=True):
+            rows.append({"query_id": qi, id_column: vid, "score": score})
+    return pd.DataFrame(rows)
+
+
+class IvfIndex:
+    """IVF(flat) coarse index: k-means cells over a sample, probe-limited search."""
+
+    def __init__(self, n_cells: int = 16, n_iter: int = 8, seed: int = 5):
+        self.n_cells = n_cells
+        self.n_iter = n_iter
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+
+    def train(self, embeddings: ray.data.Dataset, *, sample_limit: int = 20000,
+              vector_column: str = "embedding") -> "IvfIndex":
+        sample_rows = embeddings.limit(sample_limit).take_all()
+        sample = _normalize(np.stack([r[vector_column] for r in sample_rows]).astype(np.float32))
+        rng = np.random.RandomState(self.seed)
+        centroids = sample[rng.choice(len(sample), self.n_cells, replace=False)]
+        for _ in range(self.n_iter):  # Lloyd iterations, cosine metric
+            assign = (sample @ centroids.T).argmax(axis=1)
+            for c in range(self.n_cells):
+                members = sample[assign == c]
+                if len(members):
+                    centroids[c] = members.mean(axis=0)
+            centroids = _normalize(centroids)
+        self.centroids = centroids
+        return self
+
+    def assign(self, embeddings: ray.data.Dataset, *, id_column: str = "vec_id",
+               vector_column: str = "embedding") -> ray.data.Dataset:
+        centroids = self.centroids
+
+        def add_cell(batch: pd.DataFrame) -> pd.DataFrame:
+            mat = _normalize(np.stack(batch[vector_column].to_numpy()).astype(np.float32))
+            batch["cell"] = (mat @ centroids.T).argmax(axis=1).astype("int32")
+            return batch
+
+        return embeddings.map_batches(add_cell, batch_format="pandas")
+
+    def search(self, assigned: ray.data.Dataset, queries: np.ndarray, k: int = 10,
+               n_probe: int = 4, *, id_column: str = "vec_id",
+               vector_column: str = "embedding") -> pd.DataFrame:
+        """Probe the n_probe closest cells per query; exact cosine inside."""
+        q = _normalize(np.asarray(queries, dtype=np.float32))
+        cells = np.argsort(-(q @ self.centroids.T), axis=1)[:, :n_probe]
+        wanted = sorted({int(c) for row in cells for c in row})
+        subset = assigned.filter(expr=f"cell in {list(wanted)}")
+        return brute_force_topk(subset, q, k, id_column=id_column, vector_column=vector_column)

@@ -1,0 +1,118 @@
+"""Text-analysis operators over a generic ``documents(doc_id, text, …)`` table.
+
+Core training-data-pipeline stages, each a vectorized ``map_batches`` over
+pandas batches (string kernels) — no per-row Python in the hot path beyond
+what the string ops require:
+
+* token counting (whitespace + a BPE-ish regex)
+* quality scoring (length / punctuation / stopword / word-length signals)
+* language ID (stopword-profile n-gram heuristic)
+* document fingerprinting (winnowing over rolling k-gram hashes)
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+# GPT-2-style pre-tokenizer regex, simplified (public knowledge)
+_BPE_RE = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?\d+| ?[^\sA-Za-z\d]+|\s+(?!\S)|\s+")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+_STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "that", "for", "on", "with", "as"},
+    "de": {"der", "die", "das", "und", "zu", "in", "ist", "den", "von", "mit", "für", "auf"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "dans", "pour", "que", "sur"},
+    "es": {"el", "la", "los", "de", "y", "un", "una", "es", "en", "por", "que", "con"},
+}
+_ALL_STOPWORDS = set().union(*_STOPWORDS.values())
+
+
+def _token_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    text = batch["text"].fillna("")
+    batch["n_tokens_ws"] = text.str.split().str.len().fillna(0).astype("int64")
+    batch["n_tokens_bpe"] = text.str.count(_BPE_RE).astype("int64")
+    batch["n_chars_actual"] = text.str.len().astype("int64")
+    return batch
+
+
+def token_stats(docs: ray.data.Dataset, **kwargs) -> ray.data.Dataset:
+    return docs.map_batches(_token_stats_batch, batch_format="pandas", **kwargs)
+
+
+def _quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    text = batch["text"].fillna("")
+    n_chars = text.str.len().clip(lower=1)
+    tokens = text.str.split()
+    n_tokens = tokens.str.len().clip(lower=1)
+    punct_ratio = text.str.count(_PUNCT_RE) / n_chars
+    stop_counts = tokens.map(lambda ts: sum(1 for t in ts if t.lower() in _ALL_STOPWORDS))
+    stopword_ratio = stop_counts / n_tokens
+    mean_word_len = (n_chars - n_tokens + 1) / n_tokens
+    batch["punct_ratio"] = punct_ratio
+    batch["stopword_ratio"] = stopword_ratio
+    batch["mean_word_len"] = mean_word_len
+    # simple composite: long-enough, low-punct, some stopwords, sane word length
+    batch["quality_score"] = (
+        (n_chars.clip(upper=2000) / 2000.0) * 0.25
+        + (1.0 - punct_ratio.clip(upper=1.0)) * 0.25
+        + stopword_ratio.clip(upper=0.5) * 2 * 0.25
+        + (1.0 - (mean_word_len - 5.0).abs().clip(upper=5.0) / 5.0) * 0.25
+    )
+    return batch
+
+
+def quality_score(docs: ray.data.Dataset, **kwargs) -> ray.data.Dataset:
+    return docs.map_batches(_quality_batch, batch_format="pandas", **kwargs)
+
+
+def _langid_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    langs = sorted(_STOPWORDS)
+    text = batch["text"].fillna("")
+    tokens = text.str.lower().str.split()
+    scores = np.zeros((len(batch), len(langs)))
+    for j, lang in enumerate(langs):
+        profile = _STOPWORDS[lang]
+        scores[:, j] = tokens.map(lambda ts: sum(1 for t in ts if t in profile)).to_numpy()
+    best = scores.argmax(axis=1)
+    batch["lang_pred"] = [langs[j] if scores[i, j] > 0 else "und" for i, j in enumerate(best)]
+    batch["lang_score"] = scores.max(axis=1) / tokens.str.len().clip(lower=1).to_numpy()
+    return batch
+
+
+def lang_id(docs: ray.data.Dataset, **kwargs) -> ray.data.Dataset:
+    return docs.map_batches(_langid_batch, batch_format="pandas", **kwargs)
+
+
+def _winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> int:
+    """Winnowing fingerprint: XOR of windowed-min rolling k-gram hashes
+    (Schleimer/Wilkerson/Aiken-style document fingerprinting)."""
+    data = text.encode("utf-8", "ignore")
+    if len(data) < k:
+        return zlib.crc32(data)
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    # polynomial rolling hash of every k-gram, vectorized
+    weights = np.power(np.uint64(257), np.arange(k, dtype=np.uint64)[::-1], dtype=np.uint64)
+    n = len(arr) - k + 1
+    grams = np.lib.stride_tricks.sliding_window_view(arr, k)
+    hashes = (grams * weights).sum(axis=1)
+    if n <= window:
+        return int(hashes.min())
+    mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)
+    out = np.uint64(0)
+    for value in np.unique(mins):
+        out ^= value
+    return int(out)
+
+
+def _fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    batch["fingerprint"] = batch["text"].fillna("").map(_winnow_fingerprint).astype("uint64")
+    return batch
+
+
+def fingerprint(docs: ray.data.Dataset, **kwargs) -> ray.data.Dataset:
+    return docs.map_batches(_fingerprint_batch, batch_format="pandas", **kwargs)
