@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line::
+
+    {"metric": "kg_end_to_end", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ..., "triples_per_sec": ...}
+
+``--scaling``: run the headline KG pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and report both throughputs plus
+scaling efficiency = (T_8 / T_32) / 4 — the sandbox stand-in for the north
+rule's N vs 4N cluster sizes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCRATCH = pathlib.Path("/tmp/esmarc_ray_bench")
+
+
+def corpus_for(sf_dir: str) -> tuple[str, int]:
+    """Deterministic span corpus sized from the sf's documents table (cached)."""
+    import pyarrow.parquet as pq
+
+    from esmarc_ray.corpus import CorpusSpec, write_corpus
+
+    # documents.parquet is fixed-size across sf; lineitem scales with sf,
+    # so it sizes the span corpus (sf0.001→6k, sf0.01→60k, sf0.1→600k docs)
+    n_docs = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    out = SCRATCH / f"corpus-n{n_docs}"
+    marker = out / "_COMPLETE"
+    if not marker.exists():
+        write_corpus(str(out), CorpusSpec(n_docs=n_docs, seed=42), rows_per_file=20000)
+        marker.write_text("ok")
+    return str(out), n_docs
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="error", log_to_driver=False)
+    import __ray_entry__ as entrymod
+    from esmarc_ray.corpus import CorpusSpec, link_tables
+    from esmarc_ray.io import read_documents
+    from esmarc_ray.stages.canonicalize import canonicalize
+    from esmarc_ray.stages.extract import docs_to_triples, extract_docs
+    from esmarc_ray.stages.link import build_link_indexes, link_entities
+
+    corpus, n_docs = corpus_for(SF_DIR)
+    spec = CorpusSpec(n_docs=n_docs, seed=42)
+    indexes_ref = ray.put(build_link_indexes(link_tables(spec)))
+    out_dir = SCRATCH / f"triples-{NUM_CPUS}"
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+
+    timings: dict[str, float] = {}
+
+    # headline: full KG pipeline, consumed by a partitioned write
+    t0 = time.perf_counter()
+    docs = extract_docs(read_documents(corpus))
+    linked = link_entities(docs, indexes_ref, concurrency=(2, max(2, NUM_CPUS // 2)))
+    canonical = canonicalize(linked, n_salts=16)
+    triples = docs_to_triples(canonical)
+    triples.write_parquet(str(out_dir), partition_cols=["entity_class"])
+    kg_seconds = time.perf_counter() - t0
+    timings["kg_end_to_end"] = round(kg_seconds, 3)
+
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    n_triples = pads.dataset(str(out_dir), format="parquet", partitioning="hive").count_rows()
+
+    # secondary pipelines over the driver's generic tables
+    queries = entrymod.queries()
+    for name in ("lineitem_agg", "dedup_exact", "token_stats", "ann_topk",
+                 "minhash_dups", "events_daily"):
+        t0 = time.perf_counter()
+        result = queries[name](SF_DIR)
+        if hasattr(result, "count"):
+            result.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "kg_end_to_end",
+        "value": timings["kg_end_to_end"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "n_triples": n_triples,
+        "docs_per_sec": round(n_docs / kg_seconds, 1),
+        "triples_per_sec": round(n_triples / kg_seconds, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 vs 32; efficiency = (T8/T32)/4."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        proc = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True, timeout=3600
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8, t32 = results[8]["value"], results[32]["value"]
+    efficiency = (t8 / t32) / 4
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "t_8cpus_sec": t8,
+        "t_32cpus_sec": t32,
+        "throughput_8": results[8]["triples_per_sec"],
+        "throughput_32": results[32]["triples_per_sec"],
+        "sf": SF_DIR,
+        "criterion": "efficiency >= 0.8 between N and 4N parallelism",
+        "pass": efficiency >= 0.8,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))
