@@ -232,6 +232,79 @@ def q_events_daily(sf_dir: str):
     return out
 
 
+def q_topk_events_per_type(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import topk_per_group
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    out = topk_per_group(
+        events, ["event_type"], ["value", "event_id"], k=3, descending=True
+    ).to_pandas()
+    return out[["event_type", "event_id", "value"]]
+
+
+def q_users_per_type(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import distinct_count
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return distinct_count(events, ["event_type"], "user_id", out_name="n_users")
+
+
+def q_customers_no_urgent(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import broadcast_semi_join
+
+    custkeys = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+        )
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .unique("o_custkey")
+    )
+    customers = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return broadcast_semi_join(customers, custkeys, on="c_custkey", anti=True)
+
+
+def q_purchase_last_click(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import broadcast_asof_join
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    purchases = events.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "ts", "user_id"]
+    )
+    clicks = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    clicks = clicks[clicks["event_type"] == "click"][["event_id", "ts", "user_id"]]
+    clicks = clicks.rename(columns={"event_id": "click_id"})
+    out = broadcast_asof_join(purchases, clicks, on="ts", by="user_id").to_pandas()
+    out["click_id"] = out["click_id"].fillna(-1).astype("int64")
+    return out[["event_id", "click_id"]]
+
+
+def q_sessions_per_user(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import sessionize
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = sessionize(events, gap=1800.0).to_pandas()
+    return out[["user_id", "n_sessions", "n_events"]]
+
+
 def q_ann_topk(sf_dir: str):
     import numpy as np
     import ray.data
@@ -322,6 +395,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "lang_counts": q_lang_counts,
         "events_daily": q_events_daily,
+        "topk_events_per_type": q_topk_events_per_type,
+        "users_per_type": q_users_per_type,
+        "customers_no_urgent": q_customers_no_urgent,
+        "purchase_last_click": q_purchase_last_click,
+        "sessions_per_user": q_sessions_per_user,
         "ann_topk": q_ann_topk,
         "quality": q_quality,
         # rows-only (heuristic / sketch / stub ops)
@@ -376,6 +454,43 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "topk_events_per_type": """
+            SELECT event_type, event_id, value FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type ORDER BY value DESC, event_id
+            ) <= 3
+        """,
+        "users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "customers_no_urgent": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+            )
+        """,
+        "purchase_last_click": """
+            SELECT l.event_id, coalesce(r.event_id, -1) AS click_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "sessions_per_user": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id,
+                   sum(new_session)::BIGINT AS n_sessions,
+                   count(*) AS n_events
+            FROM gaps GROUP BY user_id
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1)

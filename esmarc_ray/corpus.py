@@ -295,13 +295,19 @@ _MAKERS = {
 _MIX = [None] * 6 + ["p", "p", "s", "b", "g", "u", "f"]
 
 
+def make_record(idx: int, spec: CorpusSpec) -> tuple[str, dict]:
+    """One (doc_id, record), a pure function of (seed, index) — the unit of
+    parallelism for the distributed generator."""
+    rng = random.Random(f"{spec.seed}:{idx}")
+    code = _MIX[idx % len(_MIX)]
+    record = _MAKERS[code](idx, rng, spec)
+    return record["001"], record
+
+
 def generate_records(spec: CorpusSpec) -> Iterator[tuple[str, dict]]:
     """Yield (doc_id, record) deterministically from (seed, index)."""
     for idx in range(spec.n_docs):
-        rng = random.Random(f"{spec.seed}:{idx}")
-        code = _MIX[idx % len(_MIX)]
-        record = _MAKERS[code](idx, rng, spec)
-        yield record["001"], record
+        yield make_record(idx, spec)
 
 
 def corpus_table(spec: CorpusSpec) -> pa.Table:
@@ -309,30 +315,47 @@ def corpus_table(spec: CorpusSpec) -> pa.Table:
 
 
 def write_corpus(path: str, spec: CorpusSpec, rows_per_file: int = 20000) -> list[str]:
-    """Write the span-document corpus as one-or-more parquet files."""
-    import pyarrow.parquet as pq
+    """Write the span-document corpus as one-or-more parquet files.
+
+    Generation is a pure function of (seed, index), so when a Ray session is
+    live the work fans out as Ray tasks over index-range shards — one task and
+    one output file per shard (content identical to the serial path, which
+    remains as the no-Ray fallback)."""
     import pathlib
+
+    import pyarrow.parquet as pq
 
     out_dir = pathlib.Path(path)
     out_dir.mkdir(parents=True, exist_ok=True)
-    files = []
-    buffer: list[tuple[str, dict]] = []
-    shard = 0
+    shards = [
+        (s, start, min(start + rows_per_file, spec.n_docs))
+        for s, start in enumerate(range(0, spec.n_docs, rows_per_file))
+    ]
 
-    def flush():
-        nonlocal shard, buffer
-        if buffer:
+    try:
+        import ray
+
+        use_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover - ray is always present here
+        use_ray = False
+
+    if use_ray:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def write_shard(shard: int, start: int, stop: int) -> str:
             file_path = out_dir / f"part-{shard:05d}.parquet"
-            pq.write_table(records_to_table(buffer), file_path)
-            files.append(str(file_path))
-            shard += 1
-            buffer = []
+            table = records_to_table(make_record(i, spec) for i in range(start, stop))
+            pq.write_table(table, file_path)
+            return str(file_path)
 
-    for item in generate_records(spec):
-        buffer.append(item)
-        if len(buffer) >= rows_per_file:
-            flush()
-    flush()
+        return ray.get([write_shard.remote(s, a, b) for s, a, b in shards])
+
+    files = []
+    for s, start, stop in shards:
+        file_path = out_dir / f"part-{s:05d}.parquet"
+        pq.write_table(records_to_table(make_record(i, spec) for i in range(start, stop)), file_path)
+        files.append(str(file_path))
     return files
 
 

@@ -177,3 +177,98 @@ def test_multimodal_plumbing(ray_session):
     assert (videos["frame_idx"] >= 0).all() and len(videos) >= 10
     with pytest.raises(NotImplementedError):
         multimodal.MediaDecoder(decoder="pil")
+
+
+def test_topk_per_group_matches_duckdb(ray_session):
+    import duckdb
+
+    events = ray.data.read_parquet(f"{SF_DIR}/events.parquet")
+    got = (
+        relational.topk_per_group(events, ["event_type"], ["value", "event_id"], k=3)
+        .to_pandas()
+        .sort_values(["event_type", "value", "event_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    expected = duckdb.connect().execute(
+        f"""
+        select * from read_parquet('{SF_DIR}/events.parquet')
+        qualify row_number() over (partition by event_type order by value desc, event_id) <= 3
+        order by event_type, value desc, event_id
+        """
+    ).df()
+    assert (got["event_id"].to_numpy() == expected["event_id"].to_numpy()).all()
+
+
+def test_distinct_count_matches_duckdb(ray_session):
+    import duckdb
+
+    events = ray.data.read_parquet(f"{SF_DIR}/events.parquet")
+    got = (
+        relational.distinct_count(events, ["event_type"], "user_id", out_name="n_users")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    expected = duckdb.connect().execute(
+        f"""
+        select event_type, count(distinct user_id) n_users
+        from read_parquet('{SF_DIR}/events.parquet') group by 1 order by 1
+        """
+    ).df()
+    assert (got["n_users"].to_numpy() == expected["n_users"].to_numpy()).all()
+
+
+def test_broadcast_semi_anti_join(ray_session):
+    customers = ray.data.read_parquet(f"{SF_DIR}/customer.parquet")
+    keys = [1, 2, 3]
+    semi = relational.broadcast_semi_join(customers, keys, on="c_custkey").to_pandas()
+    anti = relational.broadcast_semi_join(customers, keys, on="c_custkey", anti=True).to_pandas()
+    assert set(semi["c_custkey"]) <= set(keys)
+    assert len(semi) + len(anti) == customers.count()
+    assert not (set(anti["c_custkey"]) & set(keys))
+
+
+def test_broadcast_asof_join_matches_merge_asof(ray_session):
+    events_df = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    left_df = events_df[events_df["event_type"] == "purchase"][["event_id", "ts", "user_id"]]
+    right_df = events_df[events_df["event_type"] == "click"][["event_id", "ts", "user_id"]] \
+        .rename(columns={"event_id": "click_id"})
+    left = ray.data.from_pandas(left_df.reset_index(drop=True))
+    got = (
+        relational.broadcast_asof_join(left, right_df, on="ts", by="user_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    expected = pd.merge_asof(
+        left_df.sort_values("ts"),
+        right_df.sort_values("ts"),
+        on="ts", by="user_id", direction="backward",
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["event_id", "click_id"]], expected[["event_id", "click_id"]])
+
+
+def test_sessionize(ray_session):
+    # user 1: two sessions (gap 3600 > 1800); user 2: one session
+    base = pd.Timestamp("2024-01-01")
+    rows = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": [
+                base,
+                base + pd.Timedelta(seconds=60),
+                base + pd.Timedelta(seconds=60 + 3600),
+                base,
+                base + pd.Timedelta(seconds=100),
+            ],
+        }
+    )
+    got = (
+        relational.sessionize(ray.data.from_pandas(rows), gap=1800.0)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_sessions"].tolist() == [2, 1]
+    assert got["n_events"].tolist() == [3, 2]
+    assert got["longest_session_events"].tolist() == [2, 2]
