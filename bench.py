@@ -70,7 +70,9 @@ def run_bench() -> dict:
 
     # headline: full KG pipeline, consumed by a partitioned write
     t0 = time.perf_counter()
-    docs = extract_docs(read_documents(corpus))
+    # split the read into ~3 blocks per CPU so every stage upstream of the
+    # canonicalize shuffle runs wide (files carry 2048-row groups to allow it)
+    docs = extract_docs(read_documents(corpus, override_num_blocks=NUM_CPUS * 3))
     linked = link_entities(docs, indexes_ref, concurrency=(2, max(2, NUM_CPUS // 2)))
     canonical = canonicalize(linked, n_salts=16)
     triples = docs_to_triples(canonical)

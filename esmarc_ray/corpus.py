@@ -346,7 +346,7 @@ def write_corpus(path: str, spec: CorpusSpec, rows_per_file: int = 20000) -> lis
         def write_shard(shard: int, start: int, stop: int) -> str:
             file_path = out_dir / f"part-{shard:05d}.parquet"
             table = records_to_table(make_record(i, spec) for i in range(start, stop))
-            pq.write_table(table, file_path)
+            pq.write_table(table, file_path, row_group_size=2048)
             return str(file_path)
 
         return ray.get([write_shard.remote(s, a, b) for s, a, b in shards])
@@ -354,7 +354,11 @@ def write_corpus(path: str, spec: CorpusSpec, rows_per_file: int = 20000) -> lis
     files = []
     for s, start, stop in shards:
         file_path = out_dir / f"part-{s:05d}.parquet"
-        pq.write_table(records_to_table(make_record(i, spec) for i in range(start, stop)), file_path)
+        pq.write_table(
+            records_to_table(make_record(i, spec) for i in range(start, stop)),
+            file_path,
+            row_group_size=2048,
+        )
         files.append(str(file_path))
     return files
 

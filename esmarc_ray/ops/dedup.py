@@ -29,14 +29,38 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def exact_dedup(
-    docs: ray.data.Dataset, key_column: str = "text", id_column: str = "doc_id"
+    docs: ray.data.Dataset,
+    key_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    num_partitions: int = 128,
 ) -> ray.data.Dataset:
-    """Keep the smallest ``id_column`` row per distinct ``key_column`` value."""
+    """Keep the smallest ``id_column`` row per distinct ``key_column`` value.
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, id_column)
+    Hash-partitioned on the key (one reducer call per PARTITION, not per
+    key — a per-key ``map_groups`` pays one UDF task per distinct value,
+    which is nearly one per row on mostly-unique corpora)."""
 
-    return docs.groupby(key_column).map_groups(keep_first, batch_format="pandas")
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["part"] = (
+            batch[key_column]
+            .map(lambda k: zlib.crc32(str(k).encode()) % num_partitions)
+            .astype("int32")
+        )
+        return batch
+
+    def keep_first(part: pd.DataFrame) -> pd.DataFrame:
+        return (
+            part.sort_values([key_column, id_column])
+            .drop_duplicates(key_column)
+            .drop(columns=["part"])
+        )
+
+    return (
+        docs.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(keep_first, batch_format="pandas")
+    )
 
 
 # -- shingles + MinHash ----------------------------------------------------------
@@ -106,21 +130,45 @@ def minhash_candidates(
         concurrency=concurrency,
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+    num_partitions = 64
 
-    pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["part"] = (
+            (batch["band"].astype("int64") * 2654435761 + batch["band_hash"])
+            % num_partitions
+        ).astype("int32")
+        return batch
+
+    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        out_a: list = []
+        out_b: list = []
+        for _, group in part.groupby(["band", "band_hash"], sort=False):
+            ids = sorted(group["doc_id"].unique())
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 :]:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    pairs = (
+        bands_ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(partition_pairs, batch_format="pandas")
     )
 
-    def first_per_pair(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    def add_pair_part(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["doc_a"].astype(str) + "\x1f" + batch["doc_b"].astype(str)
+        batch["part"] = key.map(lambda k: zlib.crc32(k.encode()) % num_partitions).astype("int32")
+        return batch
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(first_per_pair, batch_format="pandas")
+    def distinct_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["part"])
+
+    return (
+        pairs.map_batches(add_pair_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(distinct_pairs, batch_format="pandas")
+    )
 
 
 def verify_jaccard(
@@ -231,24 +279,35 @@ def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> list[tupl
                 out["simhash"].append(int(sig))
         return pd.DataFrame(out)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].tolist()
-        hs = rows["simhash"].tolist()
+    num_partitions = 64
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["part"] = (
+            (batch["chunk"].astype("int64") * 2654435761 + batch["chunk_val"])
+            % num_partitions
+        ).astype("int32")
+        return batch
+
+    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
         out = {"doc_a": [], "doc_b": [], "hamming": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(int(hs[i]) ^ int(hs[j])).count("1")
-                if d <= max_hamming:
-                    out["doc_a"].append(ids[i])
-                    out["doc_b"].append(ids[j])
-                    out["hamming"].append(d)
+        for _, group in part.groupby(["chunk", "chunk_val"], sort=False):
+            rows = group.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = rows["doc_id"].tolist()
+            hs = rows["simhash"].tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = bin(int(hs[i]) ^ int(hs[j])).count("1")
+                    if d <= max_hamming:
+                        out["doc_a"].append(ids[i])
+                        out["doc_b"].append(ids[j])
+                        out["hamming"].append(d)
         return pd.DataFrame(out)
 
     pairs = (
         sigs.map_batches(chunk_rows, batch_format="pandas")
-        .groupby(["chunk", "chunk_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(partition_pairs, batch_format="pandas")
     )
     seen = set()
     out = []

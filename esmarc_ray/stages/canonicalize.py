@@ -14,8 +14,15 @@ the north rule's addition.  Design:
   predicates union with order-stable dedup; the merged doc records its
   members under ``_merged_from``.
 
-At cluster scale both groupbys are hash shuffles; the partial phase bounds
-the biggest reduce task at ~|head|/n_salts rows.
+Physical plan: the natural ``groupby(canon_key).map_groups(merge)`` spends
+one UDF task + one Arrow table per group — ruinous with ~1 group per input
+row (millions of one-doc entities).  Instead the merge hash-partitions on
+``hash(key) % num_partitions`` (a column added batch-side), groups on the
+PARTITION id — so the shuffle moves the same bytes but the reducer runs once
+per partition — and merges all key-runs inside a partition in plain Python.
+``num_partitions`` bounds reducer memory at ~|input|/P rows; at cluster
+scale raise it with the data (it is the analogue of Spark's
+``spark.sql.shuffle.partitions``).
 """
 
 from __future__ import annotations
@@ -24,7 +31,6 @@ import json
 import zlib
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 
 from esmarc_ray.values import merge_value
@@ -63,31 +69,93 @@ def _salt(doc_id: str, n_salts: int) -> int:
     return zlib.crc32(doc_id.encode()) % n_salts
 
 
-def _merge_group(batch: pa.Table) -> pa.Table:
-    """map_groups body: merge all rows of one (salted) key into one row."""
+def _part_of(key: str, num_partitions: int) -> int:
+    return zlib.crc32(key.encode()) % num_partitions
+
+
+def _make_add_part(num_partitions: int, n_salts: int | None):
+    """Stateless batch fn adding the hash-partition id over (canon_key[, salt])."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = batch.column("canon_key").to_pylist()
+        if n_salts:
+            doc_ids = batch.column("doc_id").to_pylist()
+            salts = [_salt(d, n_salts) for d in doc_ids]
+            parts = [
+                _part_of(f"{k}#{s}", num_partitions) for k, s in zip(keys, salts)
+            ]
+            batch = batch.append_column("salt", pa.array(salts, pa.int32()))
+        else:
+            parts = [_part_of(k, num_partitions) for k in keys]
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    return add_part
+
+
+def _merge_partition(batch: pa.Table) -> pa.Table:
+    """One reducer call per hash partition: merge every (canon_key[, salt])
+    run inside it.  Plain-Python grouping — no per-group Arrow overhead."""
+    names = batch.schema.names
+    keys = batch.column("canon_key").to_pylist()
+    salts = batch.column("salt").to_pylist() if "salt" in names else None
     doc_ids = batch.column("doc_id").to_pylist()
     doc_jsons = batch.column("doc_json").to_pylist()
     gnd_lists = batch.column("gnd_ids").to_pylist()
-    pairs = [(doc_id, json.loads(doc_json)) for doc_id, doc_json in zip(doc_ids, doc_jsons)]
-    rep_id, merged = merge_docs(pairs)
-    gnd_union: list[str] = []
-    for ids in gnd_lists:
-        gnd_union = merge_value(gnd_union, list(ids or []))
-    from esmarc_ray.stages.extract import DOC_SCHEMA
+    classes = batch.column("entity_class").to_pylist()
+    has_links = "n_links_added" in names
+    links = batch.column("n_links_added").to_pylist() if has_links else None
+
+    groups: dict = {}
+    for i, key in enumerate(keys):
+        groups.setdefault((key, salts[i]) if salts else key, []).append(i)
 
     out = {
-        "doc_id": [rep_id],
-        "entity_class": [batch.column("entity_class")[0].as_py()],
-        "canon_key": [batch.column("canon_key")[0].as_py()],
-        "doc_json": [json.dumps(merged, sort_keys=True, ensure_ascii=False)],
-        "gnd_ids": [list(gnd_union)],
-        "error": [""],
+        "doc_id": [], "entity_class": [], "canon_key": [],
+        "doc_json": [], "gnd_ids": [], "error": [],
     }
+    if has_links:
+        out["n_links_added"] = []
+    for group_key, idxs in groups.items():
+        canon = group_key[0] if salts else group_key
+        if len(idxs) == 1:
+            i = idxs[0]
+            rep_id, doc_json, gnd_union = doc_ids[i], doc_jsons[i], list(gnd_lists[i] or [])
+            n_links = links[i] if has_links else 0
+        else:
+            pairs = [(doc_ids[i], json.loads(doc_jsons[i])) for i in idxs]
+            rep_id, merged = merge_docs(pairs)
+            doc_json = json.dumps(merged, sort_keys=True, ensure_ascii=False)
+            gnd_union: list = []
+            for i in idxs:
+                gnd_union = merge_value(gnd_union, list(gnd_lists[i] or []))
+            gnd_union = gnd_union if isinstance(gnd_union, list) else [gnd_union]
+            n_links = sum(links[i] or 0 for i in idxs) if has_links else 0
+        out["doc_id"].append(rep_id)
+        out["entity_class"].append(classes[idxs[0]])
+        out["canon_key"].append(canon)
+        out["doc_json"].append(doc_json)
+        out["gnd_ids"].append(gnd_union)
+        out["error"].append("")
+        if has_links:
+            out["n_links_added"].append(int(n_links))
+
+    from esmarc_ray.stages.extract import DOC_SCHEMA
+
     schema = DOC_SCHEMA
-    if "n_links_added" in batch.schema.names:
-        out["n_links_added"] = [int(pc.sum(batch.column("n_links_added")).as_py() or 0)]
+    if has_links:
         schema = schema.append(pa.field("n_links_added", pa.int64()))
     return pa.Table.from_pydict(out, schema=schema)
+
+
+def _partition_merge(
+    docs: ray.data.Dataset, *, num_partitions: int, n_salts: int | None
+) -> ray.data.Dataset:
+    keyed = docs.map_batches(
+        _make_add_part(num_partitions, n_salts),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return keyed.groupby("part").map_groups(_merge_partition, batch_format="pyarrow")
 
 
 def canonicalize(
@@ -95,6 +163,7 @@ def canonicalize(
     *,
     n_salts: int = 16,
     salted: bool = True,
+    num_partitions: int = 128,
 ) -> ray.data.Dataset:
     """Two-phase (salted partial → final) canonical merge on ``canon_key``.
 
@@ -105,29 +174,32 @@ def canonicalize(
         expr="entity_class != '_error' and entity_class != '_dropped'"
     )
     if salted:
-        live = live.map_batches(_AddSalt(n_salts), batch_format="pyarrow", zero_copy_batch=True)
-        partial = live.groupby(["canon_key", "salt"]).map_groups(
-            _merge_group, batch_format="pyarrow"
+        partial = _partition_merge(live, num_partitions=num_partitions, n_salts=n_salts)
+        return _partition_merge(partial, num_partitions=num_partitions, n_salts=None)
+    return _partition_merge(live, num_partitions=num_partitions, n_salts=None)
+
+
+def dedup_triples(
+    triples: ray.data.Dataset, *, num_partitions: int = 128
+) -> ray.data.Dataset:
+    """Exact (subj, pred, obj) dedup — hash-partitioned; deterministic winner
+    (smallest doc_id) per key, one reducer call per partition."""
+    import pandas as pd
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["subj"] + "\x1f" + batch["pred"] + "\x1f" + batch["obj"]
+        batch["part"] = key.map(lambda k: zlib.crc32(k.encode()) % num_partitions).astype("int32")
+        return batch
+
+    def drop_dups(part: pd.DataFrame) -> pd.DataFrame:
+        return (
+            part.sort_values(["subj", "pred", "obj", "doc_id"])
+            .drop_duplicates(["subj", "pred", "obj"])
+            .drop(columns=["part"])
         )
-        return partial.groupby("canon_key").map_groups(_merge_group, batch_format="pyarrow")
-    return live.groupby("canon_key").map_groups(_merge_group, batch_format="pyarrow")
 
-
-class _AddSalt:
-    def __init__(self, n_salts: int):
-        self.n_salts = n_salts
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        salts = [_salt(d, self.n_salts) for d in batch.column("doc_id").to_pylist()]
-        return batch.append_column("salt", pa.array(salts, pa.int32()))
-
-
-def dedup_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
-    """Exact (subj, pred, obj) dedup — hash-partitioned groupby, first wins."""
-
-    def first_per_key(batch: pa.Table) -> pa.Table:
-        return batch.slice(0, 1)
-
-    return triples.groupby(["subj", "pred", "obj"]).map_groups(
-        first_per_key, batch_format="pyarrow"
+    return (
+        triples.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(drop_dups, batch_format="pandas")
     )
