@@ -97,10 +97,15 @@ def encode_record(record: dict[str, Any]) -> list[dict[str, Any]]:
     return spans
 
 
-def decode_spans(spans: Iterable[dict[str, Any]]) -> dict[str, Any]:
+def decode_spans(
+    spans: Iterable[dict[str, Any]], keep_tags: "set[str] | None" = None
+) -> dict[str, Any]:
     """Decode an ordered span list back into the nested record dict.
 
     ``media`` spans are dropped (they are derived from 856$u on encode).
+    ``keep_tags`` prunes control/data fields to the given tag set — the
+    engine's projection pushdown (spans of unread tags never build Python
+    structure; pair with :func:`esmarc_ray.mapping.source_tags`).
     """
     record: dict[str, Any] = {}
     # (tag, occ) -> (indicator, subfield list); insertion-ordered
@@ -117,6 +122,8 @@ def decode_spans(spans: Iterable[dict[str, Any]]) -> dict[str, Any]:
             record[kind[5:]] = text
         elif kind.startswith("ctl:"):
             tag = kind[4:]
+            if keep_tags is not None and tag not in keep_tags and tag != "001":
+                continue
             if tag == "001":
                 # 001 is the one bare-string control field in the source shape
                 record["001"] = text
@@ -124,6 +131,8 @@ def decode_spans(spans: Iterable[dict[str, Any]]) -> dict[str, Any]:
                 record.setdefault(tag, []).append(text)
         elif kind.startswith("sub:"):
             _, tag, indicator, code, occ_str = kind.split(":")
+            if keep_tags is not None and tag not in keep_tags:
+                continue
             occ_key = (tag, int(occ_str))
             if occ_key not in occurrences:
                 sublist: list = []
@@ -148,13 +157,18 @@ def records_to_table(docs: Iterable[tuple[str, dict[str, Any]]]) -> pa.Table:
     )
 
 
-def batch_to_records(batch: pa.Table | pa.RecordBatch) -> list[tuple[str, dict[str, Any]]]:
+def batch_to_records(
+    batch: pa.Table | pa.RecordBatch, keep_tags: "set[str] | None" = None
+) -> list[tuple[str, dict[str, Any]]]:
     """Decode a pyarrow batch of (doc_id, spans) into (doc_id, record) pairs.
 
     Hot path of the parse stage: uses ``to_pylist`` on the two needed columns
     only; the span structs arrive zero-copy from the object store and are
-    materialized once per batch.
+    materialized once per batch.  ``keep_tags`` applies projection pruning.
     """
     doc_ids = batch.column("doc_id").to_pylist()
     span_col = batch.column("spans").to_pylist()
-    return [(doc_id, decode_spans(spans)) for doc_id, spans in zip(doc_ids, span_col)]
+    return [
+        (doc_id, decode_spans(spans, keep_tags))
+        for doc_id, spans in zip(doc_ids, span_col)
+    ]

@@ -28,12 +28,22 @@ def read_documents(
     path: str | list[str],
     *,
     columns: list[str] | None = None,
+    doc_ids: "list[str] | None" = None,
     format: str = "parquet",
     **kwargs: Any,
 ) -> ray.data.Dataset:
-    """Read the interleaved span-document table (doc_id, spans)."""
+    """Read the interleaved span-document table (doc_id, spans).
+
+    ``doc_ids`` restricts the read to the listed ids — the reference's
+    ``IDFile`` mode (esmarc/esmarc.py:269-270) — pushed down as a parquet
+    row-group/fragment predicate, not a post-read filter.
+    """
     if columns is None:
         columns = ["doc_id", "spans"]
+    if doc_ids is not None:
+        import pyarrow.compute as pc
+
+        kwargs["filter"] = pc.field("doc_id").isin(list(doc_ids))
     if format == "lance" and HAVE_LANCE:
         return ray.data.read_lance(path, columns=columns, **kwargs)
     return ray.data.read_parquet(path, columns=columns, **kwargs)

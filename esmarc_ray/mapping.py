@@ -267,6 +267,35 @@ def apply_arity(doc: dict, entity: str) -> dict:
     return doc
 
 
+def source_tags(entities: list[str] | None = None) -> set[str]:
+    """MARC tags the mapping spec actually reads — the engine's projection
+    pushdown set (reference ``get_source_include_str``, helperfunc.py:21-33,
+    which always adds "079" for the classifier).  Spans of other tags can be
+    pruned before decode without changing any emitted value."""
+    tags = {"079"}
+
+    def add_spec(spec: Any) -> None:
+        if isinstance(spec, str):
+            tag = spec.split("^")[0][:3]
+            if len(tag) == 3 and tag.isdigit():
+                tags.add(tag)
+        elif isinstance(spec, list):
+            for element in spec:
+                add_spec(element)
+        elif isinstance(spec, dict):
+            for value in spec.values():
+                add_spec(value)
+
+    for entity, rows in ENTITY_MAPPINGS.items():
+        if entities is not None and entity not in entities:
+            continue
+        for value in rows.values():
+            if isinstance(value, dict):
+                for spec in value.values():
+                    add_spec(spec)
+    return tags
+
+
 # -- whole-record orchestration (reference process_line, processing.py:29-61) -
 
 

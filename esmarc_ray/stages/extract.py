@@ -75,8 +75,15 @@ def canonical_key(doc_id: str, doc: dict) -> str:
     return f"id:{doc.get('@id', doc_id)}"
 
 
-def make_extract_fn(config: EngineConfig = DEFAULT_CONFIG):
-    """Batch fn: (doc_id, spans) batch → one doc row per emitted entity doc."""
+def make_extract_fn(config: EngineConfig = DEFAULT_CONFIG, *, prune: bool = True):
+    """Batch fn: (doc_id, spans) batch → one doc row per emitted entity doc.
+
+    ``prune=True`` applies mapping-derived projection pushdown: spans of MARC
+    tags no mapping row reads are skipped at decode (the engine analogue of
+    the reference's ES ``_source`` includes, helperfunc.py:21-33)."""
+    from esmarc_ray.mapping import source_tags
+
+    keep_tags = source_tags() if prune else None
 
     def extract(batch: pa.Table) -> pa.Table:
         rows: dict[str, list] = {name: [] for name in DOC_SCHEMA.names}
@@ -89,7 +96,7 @@ def make_extract_fn(config: EngineConfig = DEFAULT_CONFIG):
             rows["gnd_ids"].append(gnd_ids)
             rows["error"].append(error)
 
-        for doc_id, record in batch_to_records(batch):
+        for doc_id, record in batch_to_records(batch, keep_tags):
             try:
                 result = map_record(record, config)
             except Exception as exc:
@@ -118,11 +125,12 @@ def extract_docs(
     config: EngineConfig = DEFAULT_CONFIG,
     *,
     batch_size: int = 512,
+    prune: bool = True,
     **map_kwargs: Any,
 ) -> ray.data.Dataset:
     """Span documents → entity-doc dataset (incl. _error/_dropped rows)."""
     return documents.map_batches(
-        make_extract_fn(config),
+        make_extract_fn(config, prune=prune),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,

@@ -123,3 +123,48 @@ def test_full_pipeline_and_resume(ray_session, corpus_dir, tmp_path):
     # partitioned layout by entity class
     classes = {p.name.split("=")[1] for p in (out1 / "triples" / "shard=00000").glob("entity_class=*")}
     assert "resources" in classes and "persons" in classes
+
+
+def test_extract_prune_equivalence(ray_session, corpus_dir):
+    """Mapping-derived span pruning must not change any extracted doc."""
+    path, spec = corpus_dir
+    pruned = extract_docs(read_documents(path), DEFAULT_CONFIG, prune=True).to_pandas()
+    full = extract_docs(read_documents(path), DEFAULT_CONFIG, prune=False).to_pandas()
+    key = ["doc_id", "entity_class"]
+    pruned = pruned.sort_values(key).reset_index(drop=True)
+    full = full.sort_values(key).reset_index(drop=True)
+    assert (pruned["doc_json"] == full["doc_json"]).all()
+
+
+def test_idfile_read(ray_session, corpus_dir):
+    path, spec = corpus_dir
+    all_ids = read_documents(path).to_pandas()["doc_id"].tolist()
+    wanted = sorted(all_ids)[:5]
+    subset = read_documents(path, doc_ids=wanted).to_pandas()
+    assert sorted(subset["doc_id"]) == wanted
+
+
+def test_triple_pr_scorer(ray_session, corpus_dir):
+    import pandas as pd
+    import ray as _ray
+
+    from esmarc_ray.ops.scoring import triple_pr
+
+    path, spec = corpus_dir
+    triples = docs_to_triples(extract_docs(read_documents(path), DEFAULT_CONFIG))
+    ours_df = triples.to_pandas()
+
+    # identical sides → P/R 1.0 everywhere
+    pr = triple_pr(
+        _ray.data.from_pandas(ours_df), _ray.data.from_pandas(ours_df.copy())
+    )
+    assert (pr["precision"] == 1.0).all() and (pr["recall"] == 1.0).all()
+
+    # drop some reference rows of one predicate → our precision dips there only
+    target = "preferredName"
+    ref_df = ours_df[~((ours_df["pred"] == target) & (ours_df.index % 2 == 0))]
+    pr2 = triple_pr(_ray.data.from_pandas(ours_df), _ray.data.from_pandas(ref_df))
+    row = pr2[pr2["pred"] == target].iloc[0]
+    assert row["precision"] < 1.0 and row["fp"] > 0
+    others = pr2[pr2["pred"] != target]
+    assert (others["precision"] == 1.0).all()
