@@ -1,0 +1,35 @@
+"""CLI surface tests (single-id debug mode + batch mode parse)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+from esmarc_ray.cli import parse_args
+
+
+def test_parse_args_defaults():
+    args = parse_args(["-input", "/x"])
+    assert args.input == "/x" and args.w == 8 and args.shards == 4
+    assert args.target_id == "https://data.slub-dresden.de/"
+
+
+def test_cli_single_id(tmp_path):
+    from esmarc_ray.corpus import CorpusSpec, write_corpus
+
+    corpus = tmp_path / "corpus"
+    write_corpus(str(corpus), CorpusSpec(n_docs=20, seed=42), rows_per_file=20)
+    proc = subprocess.run(
+        [sys.executable, "-m", "esmarc_ray", "-input", str(corpus), "-id", "800000002", "-w", "2"],
+        capture_output=True, text=True, timeout=300,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+             "RAY_ADDRESS": "local"},
+        cwd=str(tmp_path),
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert len(lines) == 1
+    doc = json.loads(lines[0])
+    assert "resources" in doc
+    assert doc["resources"]["_ppn"] == "800000002"
