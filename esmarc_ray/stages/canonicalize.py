@@ -38,27 +38,57 @@ from esmarc_ray.values import merge_value
 MERGEABLE = ("sameAs", "about", "mentions", "_merged_from")
 
 
+def _dedup_key(value) -> str:
+    """Canonical identity of a JSON value for set-based union dedup."""
+    if isinstance(value, str):
+        return "s:" + value
+    return "j:" + json.dumps(value, sort_keys=True, ensure_ascii=False)
+
+
 def merge_docs(docs: list[tuple[str, dict]]) -> tuple[str, dict]:
     """Merge docs about one real-world entity; returns (doc_id, merged doc).
 
     Associative/commutative up to the deterministic representative choice:
     the smallest doc_id's doc wins scalar fields; list-valued link/subject
     predicates union (order-stable dedup); members are tracked.
+
+    Union dedup is SET-keyed on the canonical JSON of each element — a
+    linear-scan ``not in`` here is quadratic in group size and turns a head
+    entity (10^4+ docs behind one GND key) into a straggler task.
     """
     docs = sorted(docs, key=lambda pair: pair[0])
     rep_id, merged = docs[0][0], dict(docs[0][1])
     members = merged.pop("_merged_from", None) or [rep_id]
+    member_set = set(members)
+    seen: dict[str, set[str]] = {}
+
+    def union_into(pred: str, value) -> None:
+        acc = merged[pred]
+        if not isinstance(acc, list):
+            acc = [acc]
+            merged[pred] = acc
+        if pred not in seen:
+            seen[pred] = {_dedup_key(x) for x in acc}
+        keys = seen[pred]
+        for element in value if isinstance(value, list) else [value]:
+            key = _dedup_key(element)
+            if key not in keys:
+                keys.add(key)
+                acc.append(element)
+
     for doc_id, doc in docs[1:]:
         for member in doc.get("_merged_from") or [doc_id]:
-            if member not in members:
+            if member not in member_set:
+                member_set.add(member)
                 members.append(member)
         for pred, value in doc.items():
             if pred in ("@id", "_merged_from"):
                 continue
             if pred not in merged:
                 merged[pred] = value
+                seen.pop(pred, None)
             elif pred in MERGEABLE or isinstance(merged.get(pred), list):
-                merged[pred] = merge_value(merged[pred], value)
+                union_into(pred, value)
             # scalar conflict: representative wins (deterministic)
     if len(members) > 1 or docs[0][1].get("_merged_from"):
         merged["_merged_from"] = sorted(members)
