@@ -193,7 +193,7 @@ def canonicalize(
     *,
     n_salts: int = 16,
     salted: bool = True,
-    num_partitions: int = 128,
+    num_partitions: int = 256,
 ) -> ray.data.Dataset:
     """Two-phase (salted partial → final) canonical merge on ``canon_key``.
 
