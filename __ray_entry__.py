@@ -340,6 +340,33 @@ def q_minhash_dups(sf_dir: str):
     return pd.DataFrame(confirmed, columns=["doc_a", "doc_b", "jaccard"])
 
 
+def q_simhash_dups(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.dedup import simhash_near_dups
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = simhash_near_dups(docs, max_hamming=3)
+    return pd.DataFrame(pairs, columns=["doc_a", "doc_b", "hamming"])
+
+
+def q_embedding_dups(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.dedup import embedding_near_dups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # the sf embeddings are random (max pairwise cosine ≈ 0.51), so the
+    # correct answer at a real near-dup threshold is empty; the semantic
+    # gate is the planted-dup test in tests/test_ops.py::test_embedding_near_dups
+    pairs = embedding_near_dups(ds, threshold=0.95)
+    out = pd.DataFrame(pairs, columns=["vec_a", "vec_b", "cosine"])
+    out["cosine"] = out["cosine"].round(4)
+    return out
+
+
 def q_langid_pred(sf_dir: str):
     import ray.data
 
@@ -405,6 +432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (heuristic / sketch / stub ops)
         "ivf_topk": q_ivf_topk,
         "minhash_dups": q_minhash_dups,
+        "simhash_dups": q_simhash_dups,
+        "embedding_dups": q_embedding_dups,
         "langid_pred": q_langid_pred,
         "fingerprints": q_fingerprints,
         "media_decode": q_media_decode,
