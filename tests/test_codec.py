@@ -59,3 +59,46 @@ def test_repeated_tag_occurrences_stay_separate():
         "024": [{"7_": [{"a": "urn:foo"}, {"2": "urn"}]}],
     }
     assert decode_spans(encode_record(record)) == record
+
+
+# -- property-based round-trip (hypothesis) -----------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_tag = st.from_regex(r"0(1[0-9]|[2-9][0-9])|[1-9][0-9]{2}", fullmatch=True)
+_ctl_tag = st.sampled_from(["002", "003", "005", "006", "007", "008", "009"])
+_ind = st.from_regex(r"[_0-9][_0-9]", fullmatch=True)
+_code = st.from_regex(r"[a-z0-9]", fullmatch=True)
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    min_size=1, max_size=30,
+)
+
+_subfield = st.tuples(_code, _text).map(lambda t: {t[0]: t[1]})
+_occurrence = st.tuples(_ind, st.lists(_subfield, min_size=1, max_size=5)).map(
+    lambda t: {t[0]: t[1]}
+)
+
+
+@st.composite
+def marc_records(draw):
+    record = {"001": draw(st.from_regex(r"[0-9]{6,10}", fullmatch=True))}
+    for tag in draw(st.lists(_ctl_tag, max_size=3, unique=True)):
+        record[tag] = draw(st.lists(_text, min_size=1, max_size=2))
+    for tag in draw(st.lists(_tag, max_size=6, unique=True)):
+        record[tag] = draw(st.lists(_occurrence, min_size=1, max_size=3))
+    if draw(st.booleans()):
+        record["_LEADER"] = draw(_text)
+    if draw(st.booleans()):
+        record["_TYPE"] = "Bibliographic"
+    return record
+
+
+@given(marc_records())
+@settings(max_examples=200, deadline=None)
+def test_codec_roundtrip_property(record):
+    spans = encode_record(record)
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+    decoded = decode_spans(spans)
+    assert decoded == record
+    assert encode_record(decoded) == spans
