@@ -232,6 +232,29 @@ def q_events_daily(sf_dir: str):
     return out
 
 
+def q_priority_revenue(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import hash_join, partial_groupby_agg
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = hash_join(
+        lineitem, orders, on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=16
+    )
+    out = partial_groupby_agg(
+        joined,
+        ["o_orderpriority"],
+        {"revenue": ("l_extendedprice", "sum"), "n_items": ("l_extendedprice", "count")},
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
 def q_topk_events_per_type(sf_dir: str):
     import ray.data
 
@@ -422,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "lang_counts": q_lang_counts,
         "events_daily": q_events_daily,
+        "priority_revenue": q_priority_revenue,
         "topk_events_per_type": q_topk_events_per_type,
         "users_per_type": q_users_per_type,
         "customers_no_urgent": q_customers_no_urgent,
@@ -483,6 +507,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "priority_revenue": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "topk_events_per_type": """
             SELECT event_type, event_id, value FROM events

@@ -93,6 +93,29 @@ def broadcast_join(
     return big.map_batches(join, batch_format="pandas")
 
 
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: tuple[str, ...],
+    *,
+    right_on: tuple[str, ...] | None = None,
+    join_type: str = "inner",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Both-sides-large join: hash-partitioned on the key (Ray's native
+    ``Dataset.join``), each partition joined independently — use when the
+    small side is too big to broadcast (otherwise prefer
+    :func:`broadcast_join`, which moves nothing).  ``num_partitions`` bounds
+    per-task memory at ~|side|/P and is the knob to raise with data size."""
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=on,
+        right_on=right_on,
+    )
+
+
 def sort_topk(ds: ray.data.Dataset, by: str, k: int, descending: bool = True) -> ray.data.Dataset:
     """Top-k with per-batch pruning before the global sort: each batch keeps
     its own k rows, so the sort sees ≤ k × n_batches rows."""

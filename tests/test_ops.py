@@ -272,3 +272,24 @@ def test_sessionize(ray_session):
     assert got["n_sessions"].tolist() == [2, 1]
     assert got["n_events"].tolist() == [3, 2]
     assert got["longest_session_events"].tolist() == [2, 2]
+
+
+def test_hash_join_matches_duckdb(ray_session):
+    import duckdb
+
+    lineitem = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                                     columns=["l_orderkey", "l_extendedprice"])
+    orders = ray.data.read_parquet(f"{SF_DIR}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderpriority"])
+    joined = relational.hash_join(
+        lineitem, orders, on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=8
+    ).to_pandas()
+    expected = duckdb.connect().execute(
+        f"""
+        select count(*) n, round(sum(l_extendedprice), 2) s
+        from read_parquet('{SF_DIR}/lineitem.parquet') l
+        join read_parquet('{SF_DIR}/orders.parquet') o on l_orderkey = o_orderkey
+        """
+    ).df()
+    assert len(joined) == int(expected["n"][0])
+    assert round(joined["l_extendedprice"].sum(), 2) == float(expected["s"][0])
