@@ -94,6 +94,15 @@ def q_kg_canonical(sf_dir: str):
     )
 
 
+def q_kg_canonical_closure(sf_dir: str):
+    """Canonicalization with the sameAs/identifier connected-component closure."""
+    from esmarc_ray.stages.canonicalize import canonicalize
+
+    return canonicalize(_kg_docs(sf_dir), n_salts=8, closure=True).select_columns(
+        ["doc_id", "entity_class", "canon_key"]
+    )
+
+
 def q_kg_linked(sf_dir: str):
     import ray
 
@@ -434,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q_kg_triples,
         "kg_entity_counts": q_kg_entity_counts,
         "kg_canonical": q_kg_canonical,
+        "kg_canonical_closure": q_kg_canonical_closure,
         "kg_linked": q_kg_linked,
         # relational operators (SQL-checkable)
         "lineitem_agg": q_lineitem_agg,

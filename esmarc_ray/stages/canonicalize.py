@@ -30,7 +30,9 @@ from __future__ import annotations
 import json
 import zlib
 
+import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data
 
 from esmarc_ray.values import merge_value
@@ -188,21 +190,173 @@ def _partition_merge(
     return keyed.groupby("part").map_groups(_merge_partition, batch_format="pyarrow")
 
 
+def closure_keys(
+    docs: ray.data.Dataset,
+    *,
+    num_partitions: int = 16,
+    max_rounds: int = 8,
+) -> ray.data.Dataset:
+    """sameAs-closure key rewrite: (canon_key, canon_root) for every key that
+    is transitively linked to another through a shared identifier.
+
+    Builds the bipartite key↔identifier graph (one edge per GND id a doc
+    carries), runs distributed connected components (ops/graph.py), and maps
+    each component to its minimal member canon_key.  Keys with no shared
+    identifier never enter the graph and keep their own key (left join in
+    :func:`canonicalize`).
+    """
+    import pandas as pd
+
+    from esmarc_ray.ops.graph import connected_components
+
+    def to_edges(batch: pa.Table) -> "pd.DataFrame":
+        us: list[str] = []
+        vs: list[str] = []
+        for key, gnds in zip(
+            batch.column("canon_key").to_pylist(), batch.column("gnd_ids").to_pylist()
+        ):
+            for gnd in gnds or []:
+                us.append(key)
+                vs.append(f"xid:gnd:{gnd}")
+        return pd.DataFrame({"u": us, "v": vs})
+
+    edges = docs.map_batches(to_edges, batch_format="pyarrow")
+    comp = connected_components(
+        edges, num_partitions=num_partitions, max_rounds=max_rounds
+    )
+    _keys_schema = pa.schema([("node", pa.string()), ("component", pa.string())])
+    _reps_schema = pa.schema([("component", pa.string()), ("canon_root", pa.string())])
+
+    def keep_keys(batch: "pd.DataFrame") -> pa.Table:
+        kept = batch[~batch["node"].str.startswith("xid:")]
+        return pa.Table.from_pydict(
+            {"node": kept["node"].tolist(), "component": kept["component"].tolist()},
+            schema=_keys_schema,
+        )
+
+    keys_only = comp.map_batches(keep_keys, batch_format="pandas")
+
+    def partial_min(batch: "pd.DataFrame") -> "pd.DataFrame":
+        return batch.groupby("component", as_index=False, sort=False)["node"].min()
+
+    def final_min(batch: "pd.DataFrame") -> pa.Table:
+        out = batch.groupby("component", as_index=False, sort=False)["node"].min()
+        return pa.Table.from_pydict(
+            {"component": out["component"].tolist(), "canon_root": out["node"].tolist()},
+            schema=_reps_schema,
+        )
+
+    reps = (
+        keys_only.map_batches(partial_min, batch_format="pandas")
+        .groupby("component")
+        .map_groups(final_min, batch_format="pandas")
+    )
+
+    # keys_only ⋈ reps on component — tag-union-partition join (Dataset.join
+    # crashes on hash partitions that receive no left-side blocks in this Ray
+    # version, so the repo's own partitioned-join pattern is used instead)
+    def tag_keys(batch) -> "pd.DataFrame":
+        df = batch.to_pandas() if isinstance(batch, pa.Table) else batch
+        return pd.DataFrame(
+            {
+                "component": df["component"], "payload": df["node"], "side": "k",
+                "part": df["component"].map(
+                    lambda c: zlib.crc32(c.encode()) % num_partitions
+                ).astype("int32"),
+            }
+        )
+
+    def tag_reps(batch) -> "pd.DataFrame":
+        df = batch.to_pandas() if isinstance(batch, pa.Table) else batch
+        return pd.DataFrame(
+            {
+                "component": df["component"], "payload": df["canon_root"], "side": "r",
+                "part": df["component"].map(
+                    lambda c: zlib.crc32(c.encode()) % num_partitions
+                ).astype("int32"),
+            }
+        )
+
+    def join_partition(part: "pd.DataFrame") -> "pd.DataFrame":
+        keys = part[part["side"] == "k"][["component", "payload"]].rename(
+            columns={"payload": "canon_key"}
+        )
+        rep = part[part["side"] == "r"][["component", "payload"]].rename(
+            columns={"payload": "canon_root"}
+        )
+        if keys.empty or rep.empty:
+            return pd.DataFrame(
+                {"canon_key": pd.Series(dtype="object"), "canon_root": pd.Series(dtype="object")}
+            )
+        merged = keys.merge(rep, on="component", how="inner")
+        return merged[["canon_key", "canon_root"]]
+
+    tagged = keys_only.map_batches(tag_keys, batch_format="pandas").union(
+        reps.map_batches(tag_reps, batch_format="pandas")
+    )
+    return tagged.groupby("part").map_groups(join_partition, batch_format="pandas")
+
+
+class _KeyRewriter:
+    """Actor-pool stage: rewrite canon_key through the broadcast closure map.
+
+    The map holds only ALIASED keys (canon_root != canon_key), i.e. one entry
+    per merged-away entity key — broadcast once via ``ray.put`` and resolved
+    once per actor in ``__init__``.  Scale note: when the alias table outgrows
+    worker memory, replace with a hash-partitioned join (blocked today by a
+    Ray join bug on empty partitions; see closure_keys)."""
+
+    def __init__(self, mapping_ref):
+        self._map = ray.get(mapping_ref) if isinstance(mapping_ref, ray.ObjectRef) else mapping_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mapping = self._map
+        keys = batch.column("canon_key").to_pylist()
+        rewritten = [mapping.get(k, k) for k in keys]
+        return batch.set_column(
+            batch.schema.get_field_index("canon_key"),
+            "canon_key",
+            pa.array(rewritten, pa.string()),
+        )
+
+
+def _rewrite_keys(docs: ray.data.Dataset, mapping: ray.data.Dataset,
+                  num_partitions: int) -> ray.data.Dataset:
+    """Replace each doc's canon_key with its closure representative."""
+    mapping_df = mapping.to_pandas()
+    aliases = mapping_df[mapping_df["canon_key"] != mapping_df["canon_root"]]
+    alias_ref = ray.put(dict(zip(aliases["canon_key"], aliases["canon_root"])))
+    return docs.map_batches(
+        _KeyRewriter,
+        fn_constructor_args=(alias_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
 def canonicalize(
     docs: ray.data.Dataset,
     *,
     n_salts: int = 16,
     salted: bool = True,
     num_partitions: int = 256,
+    closure: bool = False,
 ) -> ray.data.Dataset:
     """Two-phase (salted partial → final) canonical merge on ``canon_key``.
 
     ``salted=False`` runs the single-shuffle variant (used by the
     salted==unsalted correctness gate; also fine for small inputs).
+    ``closure=True`` first rewrites keys through the sameAs/identifier
+    connected components, so entities transitively linked via shared GND ids
+    merge even when their direct keys differ (north rule's sameAs closure).
     """
     live = docs.filter(
         expr="entity_class != '_error' and entity_class != '_dropped'"
     )
+    if closure:
+        mapping = closure_keys(live, num_partitions=max(16, num_partitions // 16))
+        live = _rewrite_keys(live, mapping, num_partitions=max(16, num_partitions // 16))
     if salted:
         partial = _partition_merge(live, num_partitions=num_partitions, n_salts=n_salts)
         return _partition_merge(partial, num_partitions=num_partitions, n_salts=None)

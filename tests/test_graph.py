@@ -1,0 +1,56 @@
+"""Connected-components operator vs a pure-Python union-find reference.
+
+Topologies mirror the op's intended workload (identifier-closure graphs:
+star-shaped components of small diameter), plus cliques and singletons.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+
+from esmarc_ray.ops.graph import connected_components
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(ray_session):
+    nodes = [f"n{i:03d}" for i in range(60)]
+    edges = []
+    # star clusters (hub + leaves): diameter 2
+    for start in range(0, 24, 8):
+        hub, leaves = nodes[start], nodes[start + 1 : start + 8]
+        edges += [(hub, leaf) for leaf in leaves]
+    # two stars bridged by one edge: diameter 4 — the hard realistic case
+    hub_a, hub_b = nodes[24], nodes[32]
+    edges += [(hub_a, leaf) for leaf in nodes[25:32]]
+    edges += [(hub_b, leaf) for leaf in nodes[33:40]]
+    edges.append((nodes[31], nodes[39]))  # leaf-to-leaf bridge
+    # clique: diameter 1
+    clique = nodes[40:46]
+    edges += [(a, b) for i, a in enumerate(clique) for b in clique[i + 1 :]]
+    # self-loop singletons
+    edges += [(n, n) for n in nodes[46:50]]
+
+    expected = _uf_components(edges)
+    got_df = connected_components(
+        ray.data.from_pandas(pd.DataFrame(edges, columns=["u", "v"])),
+        num_partitions=4,
+    ).to_pandas()
+    got = dict(zip(got_df["node"], got_df["component"]))
+    assert got == expected

@@ -168,3 +168,40 @@ def test_triple_pr_scorer(ray_session, corpus_dir):
     assert row["precision"] < 1.0 and row["fp"] > 0
     others = pr2[pr2["pred"] != target]
     assert (others["precision"] == 1.0).all()
+
+
+def test_canonicalize_sameas_closure(ray_session):
+    """A–B share GND X, B–C share GND Y: closure merges all three; the plain
+    key merge keeps C separate."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray as _ray
+
+    from esmarc_ray.stages.extract import DOC_SCHEMA
+
+    def doc_row(doc_id, key, gnds):
+        return {
+            "doc_id": doc_id, "entity_class": "topics", "canon_key": key,
+            "doc_json": json.dumps({"@id": f"x/{doc_id}", "preferredName": doc_id}),
+            "gnd_ids": gnds, "error": "",
+        }
+
+    rows = [
+        doc_row("a1", "gnd:X", ["X"]),
+        doc_row("b2", "gnd:X", ["X", "Y"]),
+        doc_row("c3", "gnd:Y", ["Y"]),
+        doc_row("d4", "isil:DE-627:99", []),  # no identifiers: untouched
+    ]
+    table = pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+    docs = _ray.data.from_arrow(table)
+
+    from esmarc_ray.stages.canonicalize import canonicalize
+
+    plain = canonicalize(docs, salted=False, num_partitions=8).to_pandas()
+    assert len(plain) == 3  # gnd:X merged, gnd:Y separate, isil separate
+
+    closed = canonicalize(docs, salted=False, num_partitions=8, closure=True).to_pandas()
+    assert len(closed) == 2
+    merged = closed[closed["canon_key"] == "gnd:X"].iloc[0]
+    assert json.loads(merged["doc_json"])["_merged_from"] == ["a1", "b2", "c3"]
+    assert "isil:DE-627:99" in set(closed["canon_key"])
