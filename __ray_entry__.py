@@ -337,6 +337,93 @@ def q_sessions_per_user(sf_dir: str):
     return out[["user_id", "n_sessions", "n_events"]]
 
 
+def q_running_total(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import running_window
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    out = running_window(
+        events,
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        value_column="value",
+        out_name="running_value",
+    ).to_pandas()
+    out["running_value"] = out["running_value"].round(4)
+    return out[["event_id", "running_value"]]
+
+
+def q_part_size_bands(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import broadcast_range_join, partial_groupby_agg
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_size", "p_retailprice"]
+    )
+    bands = pd.DataFrame(
+        {
+            "band": ["small", "medium", "large", "xlarge"],
+            "lo": [1, 11, 26, 41],
+            "hi": [10, 25, 40, 50],
+        }
+    )
+    joined = broadcast_range_join(part, bands, value_column="p_size")
+    out = partial_groupby_agg(
+        joined,
+        ["band"],
+        {"n_parts": ("p_retailprice", "count"), "total_price": ("p_retailprice", "sum")},
+    ).to_pandas()
+    out["total_price"] = out["total_price"].round(2)
+    return out
+
+
+def q_median_price_by_priority(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import grouped_quantile
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    out = grouped_quantile(
+        orders,
+        ["o_orderpriority"],
+        "o_totalprice",
+        q=0.5,
+        out_name="median_price",
+        interpolation="discrete",
+    ).to_pandas()
+    out["median_price"] = out["median_price"].round(2)
+    return out
+
+
+def q_user_event_pivot(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import pivot_counts
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return pivot_counts(
+        events, ["user_id"], "event_type", ["click", "view", "purchase", "signup", "error"]
+    )
+
+
+def q_train_split(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import hash_split
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_split(docs, "doc_id")
+
+
 def q_ann_topk(sf_dir: str):
     import numpy as np
     import ray.data
@@ -461,6 +548,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent": q_customers_no_urgent,
         "purchase_last_click": q_purchase_last_click,
         "sessions_per_user": q_sessions_per_user,
+        "running_total": q_running_total,
+        "part_size_bands": q_part_size_bands,
+        "median_price_by_priority": q_median_price_by_priority,
+        "user_event_pivot": q_user_event_pivot,
+        "train_split": q_train_split,
         "ann_topk": q_ann_topk,
         "quality": q_quality,
         # rows-only (heuristic / sketch / stub ops)
@@ -561,6 +653,46 @@ def oracle_sql() -> dict[str, str]:
                    sum(new_session)::BIGINT AS n_sessions,
                    count(*) AS n_events
             FROM gaps GROUP BY user_id
+        """,
+        "running_total": """
+            SELECT event_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ), 4) AS running_value
+            FROM events
+        """,
+        "part_size_bands": """
+            WITH bands(band, lo, hi) AS (
+                VALUES ('small', 1, 10), ('medium', 11, 25),
+                       ('large', 26, 40), ('xlarge', 41, 50)
+            )
+            SELECT band, count(*) AS n_parts,
+                   round(sum(p_retailprice), 2) AS total_price
+            FROM part JOIN bands ON p_size BETWEEN lo AND hi
+            GROUP BY band
+        """,
+        "median_price_by_priority": """
+            SELECT o_orderpriority,
+                   round(quantile_disc(o_totalprice, 0.5), 2) AS median_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')    AS n_click,
+                   count(*) FILTER (event_type = 'view')     AS n_view,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (event_type = 'error')    AS n_error
+            FROM events GROUP BY user_id
+        """,
+        "train_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ((doc_id * 2654435761) % 4294967296) % 100 AS b
+                  FROM documents)
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1)

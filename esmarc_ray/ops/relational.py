@@ -243,6 +243,166 @@ def broadcast_asof_join(
     return left.map_batches(join, batch_format="pandas")
 
 
+def running_window(
+    ds: ray.data.Dataset,
+    *,
+    partition_by: str,
+    order_by: list[str],
+    value_column: str,
+    out_name: str = "running_value",
+    fn: str = "sum",
+) -> ray.data.Dataset:
+    """Cumulative window aggregate per partition key — the
+    ``sum(x) OVER (PARTITION BY k ORDER BY o)`` idiom.
+
+    One groupby shuffle on the partition key; the per-group body is a
+    vectorized sort + cumsum/cummax/cummin/cumcount.  Partitioning assumption
+    at scale: one partition's rows fit in a task (true for per-user event
+    streams); for a global running total, range-partition on ``order_by`` and
+    prefix-sum the per-partition totals instead.
+    """
+    cum = {"sum": "cumsum", "max": "cummax", "min": "cummin"}[fn]
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.sort_values(order_by).reset_index(drop=True)
+        out[out_name] = getattr(out[value_column], cum)()
+        return out
+
+    return ds.groupby(partition_by).map_groups(per_key, batch_format="pandas")
+
+
+def broadcast_range_join(
+    big: ray.data.Dataset,
+    intervals: pd.DataFrame,
+    *,
+    value_column: str,
+    lo_column: str = "lo",
+    hi_column: str = "hi",
+) -> ray.data.Dataset:
+    """Range (band) join: assign each big-side row to the broadcast interval
+    with ``lo <= value <= hi``.  Intervals must be non-overlapping; rows
+    outside every interval are dropped (inner-join semantics).
+
+    Vectorized via ``np.searchsorted`` against the sorted interval bounds —
+    O(batch log n_intervals), no shuffle of the big side.  This is the
+    scale path for reference-style banded lookups; for overlapping intervals
+    use an interval tree inside an actor pool instead.
+    """
+    import numpy as np
+
+    iv = intervals.sort_values(lo_column).reset_index(drop=True)
+    lo = iv[lo_column].to_numpy()
+    hi = iv[hi_column].to_numpy()
+    if (lo[1:] <= hi[:-1]).any():
+        raise ValueError("broadcast_range_join requires non-overlapping intervals")
+    payload = iv.drop(columns=[lo_column, hi_column])
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = batch[value_column].to_numpy()
+        idx = np.searchsorted(lo, vals, side="right") - 1
+        ok = (idx >= 0) & (vals <= hi[np.clip(idx, 0, len(hi) - 1)])
+        out = batch[ok].reset_index(drop=True)
+        matched = payload.iloc[idx[ok]].reset_index(drop=True)
+        return pd.concat([out, matched], axis=1)
+
+    return big.map_batches(join, batch_format="pandas")
+
+
+def grouped_quantile(
+    ds: ray.data.Dataset,
+    group_keys: list[str],
+    value_column: str,
+    q: float = 0.5,
+    out_name: str = "quantile",
+    interpolation: str = "linear",
+) -> ray.data.Dataset:
+    """Exact per-group quantile via one groupby shuffle + vectorized
+    ``np.quantile`` per group.  ``interpolation="linear"`` is SQL
+    ``percentile_cont``; ``"discrete"`` is ``percentile_disc`` /
+    ``quantile_disc`` (an actual data value — prefer it when downstream
+    compares rounded values, since it has no interpolation midpoints).
+
+    Partitioning assumption at scale: a group's values fit in a task.  For
+    head groups that don't, switch to a mergeable sketch (t-digest) as the
+    partial step — exactness is the point of THIS op, so it shuffles the
+    column rather than approximating.
+    """
+    import numpy as np
+
+    method = {"linear": "linear", "discrete": "inverted_cdf"}[interpolation]
+
+    def per_group(group: pd.DataFrame) -> pd.DataFrame:
+        row = {key: [group.iloc[0][key]] for key in group_keys}
+        row[out_name] = [float(np.quantile(group[value_column].to_numpy(), q, method=method))]
+        return pd.DataFrame(row)
+
+    return (
+        ds.select_columns(group_keys + [value_column])
+        .groupby(group_keys)
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    group_keys: list[str],
+    pivot_column: str,
+    categories: list[str],
+    *,
+    prefix: str = "n_",
+) -> ray.data.Dataset:
+    """Conditional-aggregate pivot: one output row per group, one count
+    column per category (the ``count(*) FILTER (WHERE ...)`` idiom).
+
+    Implemented as indicator columns + :func:`partial_groupby_agg`, so the
+    shuffle moves one partial row per (batch × group), never the input.
+    ``categories`` must be the closed known set — a dynamic category set
+    would make the output schema data-dependent (do a groupby count then
+    pivot driver-side for that case)."""
+
+    def indicators(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[group_keys].copy()
+        for cat in categories:
+            out[f"{prefix}{cat}"] = (batch[pivot_column] == cat).astype("int64")
+        return out
+
+    aggs = {f"{prefix}{c}": (f"{prefix}{c}", "sum") for c in categories}
+    return partial_groupby_agg(ds, group_keys, aggs, pre_map=indicators)
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    id_column: str,
+    *,
+    weights: dict[str, int] | None = None,
+    out_name: str = "split",
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment by multiplicative hash of an
+    integer id (Knuth: ``(id * 2654435761) mod 2^32``), then bucketing the
+    hash mod 100 by cumulative ``weights`` percentages.
+
+    Stateless, shuffle-free, and reproducible across runs/engines — the same
+    arithmetic is expressible in SQL, which is what makes this op
+    oracle-checkable (unlike random_sample)."""
+    import numpy as np
+
+    weights = weights or {"train": 90, "val": 5, "test": 5}
+    if sum(weights.values()) != 100:
+        raise ValueError("split weights must sum to 100")
+    names = list(weights)
+    edges = np.cumsum([weights[n] for n in names])
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        h = (batch[id_column].to_numpy().astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            2**32
+        )
+        bucket = (h % np.uint64(100)).astype(np.int64)
+        batch[out_name] = np.array(names, dtype=object)[np.searchsorted(edges, bucket, side="right")]
+        return batch
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
 def sessionize(
     events: ray.data.Dataset,
     *,

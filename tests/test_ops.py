@@ -293,3 +293,118 @@ def test_hash_join_matches_duckdb(ray_session):
     ).df()
     assert len(joined) == int(expected["n"][0])
     assert round(joined["l_extendedprice"].sum(), 2) == float(expected["s"][0])
+
+
+def test_running_window_matches_duckdb(ray_session):
+    import duckdb
+
+    events = ray.data.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    got = (
+        relational.running_window(
+            events,
+            partition_by="user_id",
+            order_by=["ts", "event_id"],
+            value_column="value",
+            out_name="running_value",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    expected = duckdb.connect().execute(
+        f"""
+        select event_id,
+               sum(value) over (partition by user_id order by ts, event_id) rv
+        from read_parquet('{SF_DIR}/events.parquet')
+        order by event_id
+        """
+    ).df()
+    assert np.allclose(got["running_value"].to_numpy(), expected["rv"].to_numpy())
+
+
+def test_broadcast_range_join(ray_session):
+    part = ray.data.read_parquet(f"{SF_DIR}/part.parquet", columns=["p_partkey", "p_size"])
+    bands = pd.DataFrame(
+        {"band": ["a", "b"], "lo": [1, 26], "hi": [25, 50]}
+    )
+    got = relational.broadcast_range_join(part, bands, value_column="p_size").to_pandas()
+    src = pd.read_parquet(f"{SF_DIR}/part.parquet", columns=["p_partkey", "p_size"])
+    assert len(got) == len(src)  # every size 1..50 falls in a band
+    assert (got.loc[got["p_size"] <= 25, "band"] == "a").all()
+    assert (got.loc[got["p_size"] > 25, "band"] == "b").all()
+    # gap: rows outside every interval are dropped
+    gappy = pd.DataFrame({"band": ["lo"], "lo": [1], "hi": [10]})
+    got2 = relational.broadcast_range_join(part, gappy, value_column="p_size").to_pandas()
+    assert (got2["p_size"] <= 10).all() and len(got2) == (src["p_size"] <= 10).sum()
+    with pytest.raises(ValueError):
+        overlapping = pd.DataFrame({"band": ["x", "y"], "lo": [1, 5], "hi": [10, 20]})
+        relational.broadcast_range_join(part, overlapping, value_column="p_size")
+
+
+def test_grouped_quantile_matches_duckdb(ray_session):
+    import duckdb
+
+    orders = ray.data.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    got = (
+        relational.grouped_quantile(
+            orders, ["o_orderpriority"], "o_totalprice", q=0.5, out_name="m"
+        )
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    expected = duckdb.connect().execute(
+        f"""
+        select o_orderpriority, median(o_totalprice) m
+        from read_parquet('{SF_DIR}/orders.parquet')
+        group by 1 order by 1
+        """
+    ).df()
+    assert got["o_orderpriority"].tolist() == expected["o_orderpriority"].tolist()
+    assert np.allclose(got["m"].to_numpy(), expected["m"].to_numpy())
+
+
+def test_pivot_counts_matches_duckdb(ray_session):
+    import duckdb
+
+    events = ray.data.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "event_type"])
+    got = (
+        relational.pivot_counts(
+            events, ["user_id"], "event_type", ["click", "purchase"]
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    expected = duckdb.connect().execute(
+        f"""
+        select user_id,
+               count(*) filter (event_type = 'click') n_click,
+               count(*) filter (event_type = 'purchase') n_purchase
+        from read_parquet('{SF_DIR}/events.parquet')
+        group by 1 order by 1
+        """
+    ).df()
+    assert got["n_click"].tolist() == expected["n_click"].tolist()
+    assert got["n_purchase"].tolist() == expected["n_purchase"].tolist()
+
+
+def test_hash_split_deterministic_and_proportional(ray_session):
+    docs = ray.data.range(10000).map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["id"]}), batch_format="pandas"
+    )
+    got = relational.hash_split(docs, "doc_id").to_pandas()
+    frac = got["split"].value_counts(normalize=True)
+    assert 0.85 < frac["train"] < 0.95
+    assert 0.02 < frac["val"] < 0.08
+    assert 0.02 < frac["test"] < 0.08
+    # deterministic across runs
+    again = relational.hash_split(docs, "doc_id").to_pandas()
+    merged = got.merge(again, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] == merged["split_b"]).all()
+    with pytest.raises(ValueError):
+        relational.hash_split(docs, "doc_id", weights={"train": 50})
