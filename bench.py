@@ -72,8 +72,11 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     # split the read into ~3 blocks per CPU so every stage upstream of the
     # canonicalize shuffle runs wide (files carry 2048-row groups to allow it)
+    # Ray fuses extract (the dominant per-doc mapping stage) INTO the linker
+    # actor pool, so the pool must be allowed to span every CPU — capping it at
+    # NUM_CPUS//2 idled half the machine on the hottest operator
     docs = extract_docs(read_documents(corpus, override_num_blocks=NUM_CPUS * 3))
-    linked = link_entities(docs, indexes_ref, concurrency=(2, max(2, NUM_CPUS // 2)))
+    linked = link_entities(docs, indexes_ref, concurrency=(2, NUM_CPUS))
     canonical = canonicalize(linked, n_salts=16)
     triples = docs_to_triples(canonical)
     triples.write_parquet(str(out_dir), partition_cols=["entity_class"])

@@ -97,6 +97,67 @@ def encode_record(record: dict[str, Any]) -> list[dict[str, Any]]:
     return spans
 
 
+# Parsed-kind memo: the kind vocabulary is tiny (a few thousand distinct
+# strings across millions of spans), so each kind's split/dispatch happens
+# once per process instead of once per span.
+# kind -> ("ldr"|"media"|"meta"|"ctl"|"sub", tag_or_key, indicator, code, occ)
+_KIND_CACHE: dict[str, tuple] = {}
+
+
+def _parse_kind(kind: str) -> tuple:
+    parsed = _KIND_CACHE.get(kind)
+    if parsed is None:
+        if kind == "ldr":
+            parsed = ("ldr", None, None, None, 0)
+        elif kind == "media":
+            parsed = ("media", None, None, None, 0)
+        elif kind.startswith("meta:"):
+            parsed = ("meta", kind[5:], None, None, 0)
+        elif kind.startswith("ctl:"):
+            parsed = ("ctl", kind[4:], None, None, 0)
+        elif kind.startswith("sub:"):
+            _, tag, indicator, code, occ_str = kind.split(":")
+            parsed = ("sub", tag, indicator, code, int(occ_str))
+        else:  # pragma: no cover - unknown kinds are a data error
+            raise ValueError(f"unknown span kind: {kind!r}")
+        _KIND_CACHE[kind] = parsed
+    return parsed
+
+
+def _decode_parallel(
+    kinds: list, texts: list, lo: int, hi: int, keep_tags: "set[str] | None"
+) -> dict[str, Any]:
+    """Shared decode body over parallel (kind, text) arrays [lo, hi)."""
+    record: dict[str, Any] = {}
+    # (tag, occ) -> subfield list; insertion-ordered
+    occurrences: dict[tuple[str, int], list] = {}
+    for i in range(lo, hi):
+        family, tag, indicator, code, occ = _parse_kind(kinds[i])
+        if family == "sub":
+            if keep_tags is not None and tag not in keep_tags:
+                continue
+            occ_key = (tag, occ)
+            sublist = occurrences.get(occ_key)
+            if sublist is None:
+                sublist = occurrences[occ_key] = []
+                record.setdefault(tag, []).append({indicator: sublist})
+            sublist.append({code: texts[i]})
+        elif family == "ctl":
+            if keep_tags is not None and tag not in keep_tags and tag != "001":
+                continue
+            if tag == "001":
+                # 001 is the one bare-string control field in the source shape
+                record["001"] = texts[i]
+            else:
+                record.setdefault(tag, []).append(texts[i])
+        elif family == "ldr":
+            record["_LEADER"] = texts[i]
+        elif family == "meta":
+            record[tag] = texts[i]
+        # media spans are derived from 856$u on encode; dropped on decode
+    return record
+
+
 def decode_spans(
     spans: Iterable[dict[str, Any]], keep_tags: "set[str] | None" = None
 ) -> dict[str, Any]:
@@ -107,41 +168,10 @@ def decode_spans(
     engine's projection pushdown (spans of unread tags never build Python
     structure; pair with :func:`esmarc_ray.mapping.source_tags`).
     """
-    record: dict[str, Any] = {}
-    # (tag, occ) -> (indicator, subfield list); insertion-ordered
-    occurrences: dict[tuple[str, int], tuple[str, list]] = {}
-
-    for span in sorted(spans, key=lambda s: s["offset"]):
-        kind = span["kind"]
-        text = span["text"]
-        if kind == "ldr":
-            record["_LEADER"] = text
-        elif kind == "media":
-            continue
-        elif kind.startswith("meta:"):
-            record[kind[5:]] = text
-        elif kind.startswith("ctl:"):
-            tag = kind[4:]
-            if keep_tags is not None and tag not in keep_tags and tag != "001":
-                continue
-            if tag == "001":
-                # 001 is the one bare-string control field in the source shape
-                record["001"] = text
-            else:
-                record.setdefault(tag, []).append(text)
-        elif kind.startswith("sub:"):
-            _, tag, indicator, code, occ_str = kind.split(":")
-            if keep_tags is not None and tag not in keep_tags:
-                continue
-            occ_key = (tag, int(occ_str))
-            if occ_key not in occurrences:
-                sublist: list = []
-                occurrences[occ_key] = (indicator, sublist)
-                record.setdefault(tag, []).append({indicator: sublist})
-            occurrences[occ_key][1].append({code: text})
-        else:  # pragma: no cover - unknown kinds are a data error
-            raise ValueError(f"unknown span kind: {kind!r}")
-    return record
+    ordered = sorted(spans, key=lambda s: s["offset"])
+    kinds = [s["kind"] for s in ordered]
+    texts = [s["text"] for s in ordered]
+    return _decode_parallel(kinds, texts, 0, len(kinds), keep_tags)
 
 
 def records_to_table(docs: Iterable[tuple[str, dict[str, Any]]]) -> pa.Table:
@@ -162,13 +192,31 @@ def batch_to_records(
 ) -> list[tuple[str, dict[str, Any]]]:
     """Decode a pyarrow batch of (doc_id, spans) into (doc_id, record) pairs.
 
-    Hot path of the parse stage: uses ``to_pylist`` on the two needed columns
-    only; the span structs arrive zero-copy from the object store and are
-    materialized once per batch.  ``keep_tags`` applies projection pruning.
+    Hot path of the parse stage: the list<struct> column is flattened ONCE and
+    only its primitive children (kind, text) are materialized — `to_pylist` on
+    a StructArray would build a dict per span, ~3× slower.  Spans are stored in
+    offset order by the writer; a monotonicity check catches (and sorts) any
+    row that violates it.  ``keep_tags`` applies projection pruning.
     """
     doc_ids = batch.column("doc_id").to_pylist()
-    span_col = batch.column("spans").to_pylist()
-    return [
-        (doc_id, decode_spans(spans, keep_tags))
-        for doc_id, spans in zip(doc_ids, span_col)
-    ]
+    col = batch.column("spans")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    list_offsets = col.offsets.to_pylist()
+    flat = col.flatten()
+    kinds = flat.field("kind").to_pylist()
+    texts = flat.field("text").to_pylist()
+    span_offsets = flat.field("offset").to_pylist()
+
+    out: list[tuple[str, dict[str, Any]]] = []
+    for row, doc_id in enumerate(doc_ids):
+        lo, hi = list_offsets[row], list_offsets[row + 1]
+        if any(span_offsets[i] >= span_offsets[i + 1] for i in range(lo, hi - 1)):
+            order = sorted(range(lo, hi), key=span_offsets.__getitem__)
+            record = _decode_parallel(
+                [kinds[i] for i in order], [texts[i] for i in order], 0, hi - lo, keep_tags
+            )
+        else:
+            record = _decode_parallel(kinds, texts, lo, hi, keep_tags)
+        out.append((doc_id, record))
+    return out

@@ -126,7 +126,10 @@ def authority_node_if_4(record: dict, spec: str, entity: str, config=DEFAULT_CON
     data = None
     for sset in subfield_sets(record, tag, "*"):
         if sset.get("4") and code4 in sset.get("4"):
-            pruned = copy.deepcopy(record)
+            # only record[tag] is read (via subfield_sets) and mutated below,
+            # so deep-copy just that field instead of the whole record
+            pruned = dict(record)
+            pruned[tag] = copy.deepcopy(record[tag])
             for i, occurrence in enumerate(pruned[tag]):
                 # the reference assumes indicator "__" here; any other
                 # indicator raises (record drop) — subfields.py:20-23

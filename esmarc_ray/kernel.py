@@ -77,13 +77,18 @@ def marc_get(record: dict, spec: str | list[str], entity: str | None = None) -> 
     Results from multiple specs merge with dedup; list results get an
     adjacent-dedup pass (order-sensitive, reference marc.py:78-79).
     """
-    if isinstance(spec, str) and "+" in spec:
-        return _joined_get(record, spec)
-    specs = [spec] if isinstance(spec, str) else spec
-    acc: Any = []
-    for one in specs:
-        if one[:3] in record:
-            acc = merge_value(acc, collapse(list(marc_values(record, one))))
+    if isinstance(spec, str):
+        # single-spec fast path (84 calls per record; most tags absent)
+        if "+" in spec:
+            return _joined_get(record, spec)
+        if spec[:3] not in record:
+            return None
+        acc: Any = collapse(list(marc_values(record, spec)))
+    else:
+        acc = []
+        for one in spec:
+            if one[:3] in record:
+                acc = merge_value(acc, collapse(list(marc_values(record, one))))
     if acc:
         if isinstance(acc, list):
             acc = adjacent_uniq(acc)

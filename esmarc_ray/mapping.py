@@ -253,17 +253,55 @@ def remove_none(obj: Any) -> Any:
     return obj
 
 
+def sanitize(obj: Any) -> Any:
+    """Fused ``remove_none(remove_empty(obj))`` in a single traversal (the
+    hot-path form; the two-pass functions remain the semantic reference).
+
+    Equivalences preserved: dict entries with falsy values or None keys are
+    dropped BEFORE recursion (a child that becomes empty during cleaning is
+    kept, matching remove_empty); lists keep falsy non-None elements; tuples
+    and sets see only remove_none semantics (remove_empty's dict/list-only
+    recursion never reaches their children).
+    """
+    if isinstance(obj, dict):
+        return {k: sanitize(v) if v else v for k, v in obj.items() if k is not None and v}
+    if isinstance(obj, list):
+        return [sanitize(x) if x else x for x in obj if x is not None]
+    if isinstance(obj, (tuple, set)):
+        return remove_none(obj)
+    return obj
+
+
+# (entity, doc key) -> ordered arity actions from every substring-matching
+# mapping row.  The row set is static, so the quadratic substring scan of the
+# reference (helperfunc.py:36-48) runs once per distinct key, not per record.
+_ARITY_PLAN: dict[tuple[str, str], tuple[str, ...]] = {}
+
+
+def _arity_actions(entity: str, key: str) -> tuple[str, ...]:
+    plan = _ARITY_PLAN.get((entity, key))
+    if plan is None:
+        actions = []
+        for row_key in ENTITY_MAPPINGS[entity]:
+            if key in row_key:
+                if "single" in row_key:
+                    actions.append("single")
+                elif "multi" in row_key:
+                    actions.append("multi")
+        plan = _ARITY_PLAN[(entity, key)] = tuple(actions)
+    return plan
+
+
 def apply_arity(doc: dict, entity: str) -> dict:
     """Enforce the declared single/multi arity via the reference's substring
     match over mapping keys (helperfunc.py:36-48)."""
-    for row_key in ENTITY_MAPPINGS[entity]:
-        for key, value in doc.items():
-            if key in row_key:
-                if "single" in row_key:
-                    doc[key] = collapse(value)
-                elif "multi" in row_key:
-                    if not isinstance(value, list):
-                        doc[key] = [value]
+    for key in list(doc):
+        for action in _arity_actions(entity, key):
+            value = doc[key]
+            if action == "single":
+                doc[key] = collapse(value)
+            elif not isinstance(value, list):
+                doc[key] = [value]
     return doc
 
 
@@ -339,7 +377,7 @@ def map_record(
                 doc["sameAs"][n]["@id"] = (
                     f"https://swb.bsz-bw.de/DB=2.1/PPNSET?PPN={record_ppn}"
                 )
-    return {entity: apply_arity(remove_none(remove_empty(doc)), entity)}
+    return {entity: apply_arity(sanitize(doc), entity)}
 
 
 # -- triple spine ------------------------------------------------------------

@@ -26,9 +26,16 @@ def ray_session():
     ray.shutdown()
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def reference_records() -> dict[str, dict]:
-    """The 17 raw MARC21-JSON records of the reference test corpus."""
+    """The 17 raw MARC21-JSON records of the reference test corpus.
+
+    Function-scoped on purpose: the extraction kernel mirrors the reference's
+    ``litter`` aliasing (a list-spec ``marc_get`` can append into a record's
+    own field list, exactly like the reference — the per-record parse gives
+    each record a fresh dict in production), so shared record dicts would
+    leak mutations across tests.
+    """
     return {rid: json.loads((REFERENCE_IN / rid).read_text()) for rid in FIXTURE_IDS}
 
 
