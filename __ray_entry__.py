@@ -424,6 +424,37 @@ def q_train_split(sf_dir: str):
     return hash_split(docs, "doc_id")
 
 
+def q_events_tumbling(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.windows import tumbling_window
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    out = tumbling_window(
+        events,
+        width_s=900,
+        aggs={"n_events": ("value", "count"), "total_value": ("value", "sum")},
+    ).to_pandas()
+    out["total_value"] = out["total_value"].round(4)
+    return out
+
+
+def q_events_sliding(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.windows import sliding_window
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    out = sliding_window(
+        events,
+        width_s=3600,
+        slide_s=900,
+        aggs={"n_events": ("value", "count"), "total_value": ("value", "sum")},
+    ).to_pandas()
+    out["total_value"] = out["total_value"].round(4)
+    return out
+
+
 def q_ann_topk(sf_dir: str):
     import numpy as np
     import ray.data
@@ -553,6 +584,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_price_by_priority": q_median_price_by_priority,
         "user_event_pivot": q_user_event_pivot,
         "train_split": q_train_split,
+        "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
         "ann_topk": q_ann_topk,
         "quality": q_quality,
         # rows-only (heuristic / sketch / stub ops)
@@ -693,6 +726,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id,
                          ((doc_id * 2654435761) % 4294967296) % 100 AS b
                   FROM documents)
+        """,
+        "events_tumbling": """
+            SELECT (floor(epoch(ts))::BIGINT // 900) * 900 AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1
+        """,
+        "events_sliding": """
+            SELECT (floor(epoch(ts))::BIGINT // 900) * 900 - g.i * 900 AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events CROSS JOIN generate_series(0, 3) AS g(i)
+            GROUP BY 1
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1)

@@ -54,7 +54,9 @@ def partial_groupby_agg(
         return out
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
-        row: dict[str, Any] = {k: [group.iloc[0][k]] for k in keys}
+        # column-wise scalar: group.iloc[0][k] extracts a ROW Series, which
+        # upcasts int keys to float when sibling columns are float
+        row: dict[str, Any] = {k: [group[k].iloc[0]] for k in keys}
         partials: dict[str, Any] = {}
         for name, _, fn in plan:
             if fn in ("sum", "count"):
@@ -174,7 +176,7 @@ def distinct_count(
         return batch[cols].drop_duplicates()
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
-        row = {key: [group.iloc[0][key]] for key in group_keys}
+        row = {key: [group[key].iloc[0]] for key in group_keys}
         row[out_name] = [group[value_column].nunique()]
         return pd.DataFrame(row)
 
@@ -332,7 +334,7 @@ def grouped_quantile(
     method = {"linear": "linear", "discrete": "inverted_cdf"}[interpolation]
 
     def per_group(group: pd.DataFrame) -> pd.DataFrame:
-        row = {key: [group.iloc[0][key]] for key in group_keys}
+        row = {key: [group[key].iloc[0]] for key in group_keys}
         row[out_name] = [float(np.quantile(group[value_column].to_numpy(), q, method=method))]
         return pd.DataFrame(row)
 
@@ -426,7 +428,7 @@ def sessionize(
         sizes = session_ids.value_counts()
         return pd.DataFrame(
             {
-                user_column: [group.iloc[0][user_column]],
+                user_column: [group[user_column].iloc[0]],
                 "n_sessions": [int(session_ids.max())],
                 "n_events": [len(group)],
                 "longest_session_events": [int(sizes.max())],
