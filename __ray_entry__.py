@@ -467,6 +467,22 @@ def q_ann_topk(sf_dir: str):
     return out[["vec_id"]]
 
 
+def q_approx_median_price(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import approx_quantile
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    out = approx_quantile(
+        orders, ["o_orderpriority"], "o_totalprice", q=0.5,
+        lo=0.0, hi=600_000.0, n_bins=4096, out_name="approx_median",
+    ).to_pandas()
+    out["approx_median"] = out["approx_median"].round(2)
+    return out
+
+
 def q_ivf_topk(sf_dir: str):
     import numpy as np
     import ray.data
@@ -589,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "quality": q_quality,
         # rows-only (heuristic / sketch / stub ops)
+        "approx_median_price": q_approx_median_price,
         "ivf_topk": q_ivf_topk,
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,

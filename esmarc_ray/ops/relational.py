@@ -345,6 +345,61 @@ def grouped_quantile(
     )
 
 
+def approx_quantile(
+    ds: ray.data.Dataset,
+    group_keys: list[str],
+    value_column: str,
+    q: float = 0.5,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 2048,
+    out_name: str = "quantile",
+) -> ray.data.Dataset:
+    """Approximate per-group quantile from mergeable fixed-bin histograms —
+    the scale path where :func:`grouped_quantile` would shuffle a head
+    group's entire value column through one task.
+
+    Each batch emits one histogram row per group (n_bins counts over the
+    [lo, hi] value range, computed with a vectorized np.bincount); the final
+    groupby sums histograms and inverts the CDF.  Error is bounded by the bin
+    width (hi-lo)/n_bins; values outside [lo, hi] clamp to the edge bins.
+    Shuffle volume: n_bins ints per (batch × group), independent of row count.
+    """
+    import numpy as np
+
+    width = (hi - lo) / n_bins
+    bin_cols = [f"__b{i}" for i in range(n_bins)]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key_vals, group in batch.groupby(group_keys, sort=False):
+            if not isinstance(key_vals, tuple):
+                key_vals = (key_vals,)
+            idx = np.clip(
+                ((group[value_column].to_numpy() - lo) / width).astype(np.int64), 0, n_bins - 1
+            )
+            counts = np.bincount(idx, minlength=n_bins)
+            rows.append(dict(zip(group_keys, key_vals)) | dict(zip(bin_cols, counts)))
+        return pd.DataFrame(rows, columns=group_keys + bin_cols)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        row = {key: [group[key].iloc[0]] for key in group_keys}
+        hist = group[bin_cols].to_numpy().sum(axis=0)
+        cdf = np.cumsum(hist)
+        rank = q * cdf[-1]
+        b = int(np.searchsorted(cdf, rank, side="left"))
+        row[out_name] = [lo + (b + 0.5) * width]
+        return pd.DataFrame(row)
+
+    return (
+        ds.select_columns(group_keys + [value_column])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(group_keys)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def pivot_counts(
     ds: ray.data.Dataset,
     group_keys: list[str],

@@ -408,3 +408,33 @@ def test_hash_split_deterministic_and_proportional(ray_session):
     assert (merged["split_a"] == merged["split_b"]).all()
     with pytest.raises(ValueError):
         relational.hash_split(docs, "doc_id", weights={"train": 50})
+
+
+def test_approx_quantile_close_to_exact(ray_session):
+    orders = ray.data.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    # compare against the DISCRETE quantile: the histogram locates the bin of
+    # the rank-th data value, while linear interpolation can land thousands
+    # away from any data value at this sparsity (300 points over a 600k range)
+    exact = (
+        relational.grouped_quantile(
+            orders, ["o_orderpriority"], "o_totalprice", q=0.5, out_name="m",
+            interpolation="discrete",
+        )
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    approx = (
+        relational.approx_quantile(
+            orders, ["o_orderpriority"], "o_totalprice", q=0.5,
+            lo=0.0, hi=600_000.0, n_bins=4096, out_name="m",
+        )
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    assert approx["o_orderpriority"].tolist() == exact["o_orderpriority"].tolist()
+    # error bounded by bin width = 600000/4096 ≈ 146
+    assert (abs(approx["m"] - exact["m"]) <= 600_000 / 4096).all()
