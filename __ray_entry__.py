@@ -503,7 +503,10 @@ def q_minhash_dups(sf_dir: str):
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     _, confirmed = minhash_dedup(docs, threshold=0.8)
-    return pd.DataFrame(confirmed, columns=["doc_a", "doc_b", "jaccard"])
+    out = confirmed.to_pandas()
+    if out.empty:
+        out = pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+    return out[["doc_a", "doc_b", "jaccard"]]
 
 
 def q_simhash_dups(sf_dir: str):

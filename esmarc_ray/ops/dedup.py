@@ -6,8 +6,10 @@ Scale notes (100 TB framing):
 * exact: hash-partitioned groupby on the key; per-group keep-first — one
   shuffle of (key, doc_id) width, not of the payload;
 * MinHash+LSH: signatures computed batch-local (numpy), then only the tiny
-  (band, band_hash, doc_id) rows shuffle; candidate verification re-reads
-  just the candidate docs (broadcast id-set filter);
+  (band, band_hash, doc_id) rows shuffle; candidate verification is fully
+  distributed (hash semi-join for candidate docs, two hash joins to meet
+  each pair with its shingle arrays, connected components for clustering —
+  nothing collects to the driver);
 * SimHash: 64-bit signatures bucketed by 16-bit chunks (hamming ≤ 3 within
   4 chunks guarantees one exact chunk match);
 * embedding: random-hyperplane LSH buckets, exact cosine verify per bucket.
@@ -202,35 +204,189 @@ def verify_jaccard(
     return confirmed
 
 
-def minhash_dedup(
-    docs: ray.data.Dataset, *, threshold: float = 0.8, **lsh_kwargs
-) -> tuple[ray.data.Dataset, list[tuple]]:
-    """Full near-dup pipeline: LSH candidates → exact verify → keep-smallest.
+def _distinct_on(ds: ray.data.Dataset, columns: list[str], num_partitions: int = 64) -> ray.data.Dataset:
+    """Distributed DISTINCT over ``columns`` (hash-partitioned, one reducer
+    per partition) — ``Dataset.unique`` collects to the driver, this doesn't."""
 
-    Returns (deduped docs dataset, confirmed duplicate pairs).
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[columns].drop_duplicates()
+        key = batch[columns].astype(str).agg("\x1f".join, axis=1)
+        batch["part"] = key.map(lambda k: zlib.crc32(k.encode()) % num_partitions).astype("int32")
+        return batch
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(
+            lambda p: p.drop_duplicates(columns).drop(columns=["part"]),
+            batch_format="pandas",
+        )
+    )
+
+
+def shingle_table(
+    docs: ray.data.Dataset, *, shingle_width: int = 3
+) -> ray.data.Dataset:
+    """(doc_id, shingles:binary) — each doc's sorted-unique shingle hash set
+    as raw uint64 bytes.  Bytes, not list/ndarray: ndarray cells become Ray's
+    tensor extension type, which Arrow's join cannot carry as a payload
+    column; plain binary joins fine and np.frombuffer is zero-copy."""
+
+    def compute(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "shingles": [
+                    _shingle_hashes(t, shingle_width).tobytes()
+                    for t in batch["text"].fillna("")
+                ],
+            }
+        )
+
+    return docs.map_batches(compute, batch_format="pandas")
+
+
+def verify_jaccard_ds(
+    docs: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    *,
+    threshold: float = 0.8,
+    shingle_width: int = 3,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Distributed exact n-gram-Jaccard verification of candidate pairs.
+
+    Nothing touches the driver: candidate ids come from a distributed
+    DISTINCT over the pair table, candidate docs via a hash semi-join, and
+    each pair meets its two shingle arrays through two hash joins — so pair
+    count and candidate-doc count can both exceed driver memory (the
+    broadcast variant :func:`verify_jaccard` is the small-candidate-set
+    shortcut).  Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
     """
-    pairs = [
-        (row["doc_a"], row["doc_b"])
-        for row in minhash_candidates(docs, **lsh_kwargs).take_all()
-    ]
-    confirmed = verify_jaccard(docs, pairs, threshold=threshold)
-    # union-find over confirmed pairs → drop all but the smallest id per cluster
-    parent: dict = {}
+    from esmarc_ray.ops.relational import partitioned_join
 
-    def find(x):
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    def _rename(ds: ray.data.Dataset, mapping: dict) -> ray.data.Dataset:
+        # Dataset.rename_columns requires Arrow blocks; these are pandas
+        return ds.map_batches(lambda b: b.rename(columns=mapping), batch_format="pandas")
 
-    for a, b, _ in confirmed:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    drop = {x for x in parent if find(x) != x}
-    deduped = docs.map_batches(
-        lambda b: b[~b["doc_id"].isin(drop)], batch_format="pandas"
+    # pairs feeds three consumers (two id projections + the join); without a
+    # barrier the lazy DAG re-runs the whole candidate pipeline per consumer.
+    # Candidate pairs are two-id rows — tiny next to the corpus.
+    pairs = pairs.materialize()
+    ids_a = _rename(pairs.select_columns(["doc_a"]), {"doc_a": "doc_id"})
+    ids_b = _rename(pairs.select_columns(["doc_b"]), {"doc_b": "doc_id"})
+    needed = _distinct_on(ids_a.union(ids_b), ["doc_id"], num_partitions)
+    # semi-join + both pair joins use the task-only partitioned_join: Ray's
+    # native JoinOperator reserves an aggregator actor pool per join, and a
+    # chain of three can exceed the cluster's CPUs and stall the executor
+    cand_docs = partitioned_join(
+        docs.select_columns(["doc_id", "text"]), needed, "doc_id",
+        left_cols=["text"], right_cols=[], num_partitions=num_partitions,
+    )
+    # consumed twice (sh_a / sh_b); bounded by candidate-doc count and the
+    # object store spills if large
+    shingles = shingle_table(cand_docs, shingle_width=shingle_width).materialize()
+
+    sh_a = _rename(shingles, {"doc_id": "doc_a", "shingles": "sh_a"})
+    sh_b = _rename(shingles, {"doc_id": "doc_b", "shingles": "sh_b"})
+    joined = partitioned_join(
+        partitioned_join(
+            pairs, sh_a, "doc_a",
+            left_cols=["doc_b"], right_cols=["sh_a"], num_partitions=num_partitions,
+        ),
+        sh_b, "doc_b",
+        left_cols=["doc_a", "sh_a"], right_cols=["sh_b"], num_partitions=num_partitions,
+    )
+
+    def jaccard(batch: pd.DataFrame) -> pd.DataFrame:
+        scores = []
+        for raw_a, raw_b in zip(batch["sh_a"], batch["sh_b"]):
+            sa = np.frombuffer(raw_a, dtype=np.uint64)
+            sb = np.frombuffer(raw_b, dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            scores.append(inter / union if union else 0.0)
+        out = batch[["doc_a", "doc_b"]].copy()
+        out["jaccard"] = scores
+        return out[out["jaccard"] >= threshold]
+
+    return joined.map_batches(jaccard, batch_format="pandas")
+
+
+def minhash_dedup(
+    docs: ray.data.Dataset,
+    *,
+    threshold: float = 0.8,
+    broadcast_pair_limit: int = 100_000,
+    **lsh_kwargs,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Full near-dup pipeline: LSH candidates → exact verify → duplicate
+    clusters → keep the smallest doc_id per cluster.
+
+    Returns (deduped docs dataset, confirmed (doc_a, doc_b, jaccard) dataset).
+
+    Plan choice by candidate count (the pairs table is materialized either
+    way, so the count is free): at or below ``broadcast_pair_limit`` pairs,
+    verification broadcasts the id-set and clusters with a driver union-find
+    — seconds of overhead instead of the distributed plan's many stages.
+    Above it, everything stays a Dataset op: distributed verify (hash joins,
+    :func:`verify_jaccard_ds`), connected components, hash anti-join — pairs,
+    shingles and clusters never collect to the driver.
+    """
+    from esmarc_ray.ops.graph import connected_components
+
+    pairs = minhash_candidates(docs, **lsh_kwargs).materialize()
+    if pairs.count() <= broadcast_pair_limit:
+        pair_list = [(r["doc_a"], r["doc_b"]) for r in pairs.take_all()]
+        confirmed_rows = verify_jaccard(docs, pair_list, threshold=threshold)
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b, _ in confirmed_rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        drop_ids = {x for x in parent if find(x) != x}
+        deduped = docs.map_batches(
+            lambda b: b[~b["doc_id"].isin(drop_ids)], batch_format="pandas"
+        )
+        confirmed = ray.data.from_pandas(
+            pd.DataFrame(confirmed_rows, columns=["doc_a", "doc_b", "jaccard"])
+        )
+        return deduped, confirmed
+
+    # confirmed pairs feed both the return value and the component pass
+    confirmed = verify_jaccard_ds(docs, pairs, threshold=threshold).materialize()
+    components = connected_components(confirmed, u="doc_a", v="doc_b")
+    # nodes whose component representative is some other (smaller) id → drop.
+    # connected_components stringifies node ids, so the anti-join matches on a
+    # stringified temp key rather than guessing the docs' id dtype.
+    drop = components.filter(expr="node != component").map_batches(
+        lambda b: pd.DataFrame({"__key": b["node"], "__drop": 1}),
+        batch_format="pandas",
+    )
+
+    # hash anti-join: docs minus drop (the drop set can be a large fraction
+    # of the corpus, so no broadcast)
+    from esmarc_ray.ops.relational import partitioned_join
+
+    doc_cols = [c for c in docs.columns() if c != "__key"]
+    keyed = docs.map_batches(
+        lambda b: b.assign(__key=b["doc_id"].astype(str)), batch_format="pandas"
+    )
+    deduped = (
+        partitioned_join(
+            keyed, drop, "__key",
+            left_cols=doc_cols, right_cols=["__drop"], how="left",
+        )
+        .map_batches(lambda b: b[b["__drop"].isna()], batch_format="pandas")
+        .drop_columns(["__key", "__drop"])
     )
     return deduped, confirmed
 

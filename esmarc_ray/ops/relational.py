@@ -118,6 +118,53 @@ def hash_join(
     )
 
 
+def partitioned_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    *,
+    left_cols: list[str],
+    right_cols: list[str],
+    num_partitions: int = 64,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Equi-join as union → hash-partition groupby → per-partition pandas
+    merge.  Unlike :func:`hash_join` (Ray's native JoinOperator), this uses
+    only task-based shuffle operators — the native join reserves an
+    aggregator actor pool of ~num_partitions actors PER join, so a chain of
+    joins in one DAG can exceed the cluster's CPUs and stall; this form
+    chains freely.  ``left_cols`` / ``right_cols`` are the payload columns of
+    each side (disjoint names; ``on`` excluded)."""
+    import zlib
+
+    all_payload = left_cols + right_cols
+
+    def tag(side: str, payload: list[str]):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"__on": batch[on]})
+            for c in all_payload:
+                out[c] = batch[c] if c in payload else None
+            out["__side"] = side
+            out["__part"] = (
+                out["__on"].map(lambda k: zlib.crc32(str(k).encode()) % num_partitions)
+                .astype("int32")
+            )
+            return out
+
+        return fn
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        lf = part[part["__side"] == "L"][["__on"] + left_cols]
+        rf = part[part["__side"] == "R"][["__on"] + right_cols]
+        out = lf.merge(rf, on="__on", how=how)
+        return out.rename(columns={"__on": on})
+
+    tagged = left.map_batches(tag("L", left_cols), batch_format="pandas").union(
+        right.map_batches(tag("R", right_cols), batch_format="pandas")
+    )
+    return tagged.groupby("__part").map_groups(merge, batch_format="pandas")
+
+
 def sort_topk(ds: ray.data.Dataset, by: str, k: int, descending: bool = True) -> ray.data.Dataset:
     """Top-k with per-batch pruning before the global sort: each batch keeps
     its own k rows, so the sort sees ≤ k × n_batches rows."""

@@ -39,12 +39,26 @@ def test_exact_dedup(dup_docs):
 
 def test_minhash_dedup_finds_planted_near_dups(dup_docs):
     deduped, confirmed = dedup.minhash_dedup(dup_docs, threshold=0.7)
+    confirmed = list(confirmed.to_pandas().itertuples(index=False, name=None))
     pairs = {(a, b) for a, b, _ in confirmed}
     assert (0, 1) in pairs  # exact dup → jaccard 1.0
     assert (0, 2) in pairs or (1, 2) in pairs  # near dup
     kept = set(deduped.to_pandas()["doc_id"])
     assert 0 in kept and 1 not in kept and 2 not in kept
     assert 3 in kept and 5 in kept
+
+
+def test_minhash_dedup_distributed_path_matches_broadcast(dup_docs):
+    """broadcast_pair_limit=0 forces the all-Dataset plan (hash-join verify +
+    connected components + anti-join); must agree with the broadcast plan."""
+    deduped_b, confirmed_b = dedup.minhash_dedup(dup_docs, threshold=0.7)
+    deduped_d, confirmed_d = dedup.minhash_dedup(
+        dup_docs, threshold=0.7, broadcast_pair_limit=0
+    )
+    pairs_b = {(r["doc_a"], r["doc_b"]) for r in confirmed_b.to_pandas().to_dict("records")}
+    pairs_d = {(r["doc_a"], r["doc_b"]) for r in confirmed_d.to_pandas().to_dict("records")}
+    assert pairs_b == pairs_d
+    assert set(deduped_b.to_pandas()["doc_id"]) == set(deduped_d.to_pandas()["doc_id"])
 
 
 def test_simhash_near_dups(dup_docs):
