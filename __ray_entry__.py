@@ -516,8 +516,10 @@ def q_simhash_dups(sf_dir: str):
     from esmarc_ray.ops.dedup import simhash_near_dups
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    pairs = simhash_near_dups(docs, max_hamming=3)
-    return pd.DataFrame(pairs, columns=["doc_a", "doc_b", "hamming"])
+    out = simhash_near_dups(docs, max_hamming=3).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
+    return out[["doc_a", "doc_b", "hamming"]]
 
 
 def q_embedding_dups(sf_dir: str):
@@ -530,8 +532,10 @@ def q_embedding_dups(sf_dir: str):
     # the sf embeddings are random (max pairwise cosine ≈ 0.51), so the
     # correct answer at a real near-dup threshold is empty; the semantic
     # gate is the planted-dup test in tests/test_ops.py::test_embedding_near_dups
-    pairs = embedding_near_dups(ds, threshold=0.95)
-    out = pd.DataFrame(pairs, columns=["vec_a", "vec_b", "cosine"])
+    out = embedding_near_dups(ds, threshold=0.95).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(columns=["vec_a", "vec_b", "cosine"])
+    out = out[["vec_a", "vec_b", "cosine"]]
     out["cosine"] = out["cosine"].round(4)
     return out
 

@@ -421,8 +421,10 @@ def simhash_signatures(docs: ray.data.Dataset, **kwargs) -> ray.data.Dataset:
     return docs.map_batches(add_sig, batch_format="pandas", **kwargs)
 
 
-def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> list[tuple]:
-    """Candidate generation by 16-bit chunk buckets + exact hamming verify."""
+def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Dataset:
+    """Candidate generation by 16-bit chunk buckets + exact hamming verify.
+
+    Returns a Dataset (doc_a, doc_b, hamming), deduplicated distributively."""
     sigs = simhash_signatures(docs).select_columns(["doc_id", "simhash"])
 
     def chunk_rows(batch: pd.DataFrame) -> pd.DataFrame:
@@ -465,14 +467,10 @@ def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> list[tupl
         .groupby("part")
         .map_groups(partition_pairs, batch_format="pandas")
     )
-    seen = set()
-    out = []
-    for row in pairs.take_all():
-        key = (row["doc_a"], row["doc_b"])
-        if key not in seen:
-            seen.add(key)
-            out.append((row["doc_a"], row["doc_b"], row["hamming"]))
-    return out
+    # a pair found via several chunk buckets repeats with the SAME hamming
+    # (it is a function of the two signatures), so a distributed DISTINCT
+    # over all three columns dedups exactly — no driver collection
+    return _distinct_on(pairs, ["doc_a", "doc_b", "hamming"])
 
 
 # -- embedding near-dup -----------------------------------------------------------
@@ -487,8 +485,11 @@ def embedding_near_dups(
     seed: int = 11,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
-) -> list[tuple]:
+) -> ray.data.Dataset:
     """Cosine near-dup via random-hyperplane LSH + exact verify.
+
+    Returns a Dataset (vec_a, vec_b, cosine) with vec_a < vec_b, deduplicated
+    distributively.
 
     ``n_tables`` independent hyperplane sets raise recall: a pair at angle θ
     collides in one table with (1 - θ/π)^n_planes, and in ≥1 of T tables with
@@ -547,17 +548,19 @@ def embedding_near_dups(
         ).astype("int32")
         return batch
 
+    def canonical_order(batch: pd.DataFrame) -> pd.DataFrame:
+        lo = batch[["vec_a", "vec_b"]].min(axis=1)
+        hi = batch[["vec_a", "vec_b"]].max(axis=1)
+        batch["vec_a"], batch["vec_b"] = lo, hi
+        return batch
+
     pairs_ds = (
         embeddings.map_batches(bucket, batch_format="pandas")
         .map_batches(add_part, batch_format="pandas")
         .groupby("part")
         .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(canonical_order, batch_format="pandas")
     )
-    seen = set()
-    out = []
-    for row in pairs_ds.take_all():
-        key = tuple(sorted((row["vec_a"], row["vec_b"])))
-        if key not in seen:
-            seen.add(key)
-            out.append((key[0], key[1], float(row["cosine"])))
-    return out
+    # cross-table repeats carry the bit-identical cosine (same dot product),
+    # so distributed DISTINCT over all three columns dedups exactly
+    return _distinct_on(pairs_ds, ["vec_a", "vec_b", "cosine"])

@@ -62,8 +62,8 @@ def test_minhash_dedup_distributed_path_matches_broadcast(dup_docs):
 
 
 def test_simhash_near_dups(dup_docs):
-    pairs = dedup.simhash_near_dups(dup_docs, max_hamming=6)
-    assert any({a, b} == {0, 1} for a, b, _ in pairs)
+    pairs = dedup.simhash_near_dups(dup_docs, max_hamming=6).to_pandas()
+    assert any({a, b} == {0, 1} for a, b in zip(pairs["doc_a"], pairs["doc_b"]))
 
 
 def test_embedding_near_dups(ray_session):
@@ -72,8 +72,8 @@ def test_embedding_near_dups(ray_session):
     rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(20)]
     rows.append({"vec_id": 99, "embedding": (base[0] + 1e-3).tolist()})  # planted near-dup
     ds = ray.data.from_pandas(pd.DataFrame(rows))
-    pairs = dedup.embedding_near_dups(ds, threshold=0.999)
-    assert any({a, b} == {0, 99} for a, b, _ in pairs)
+    pairs = dedup.embedding_near_dups(ds, threshold=0.999).to_pandas()
+    assert any({a, b} == {0, 99} for a, b in zip(pairs["vec_a"], pairs["vec_b"]))
 
 
 def test_brute_force_topk_matches_duckdb(ray_session):
