@@ -91,7 +91,7 @@ def run_bench() -> dict:
     # secondary pipelines over the driver's generic tables
     queries = entrymod.queries()
     for name in ("lineitem_agg", "dedup_exact", "token_stats", "ann_topk",
-                 "minhash_dups", "events_daily"):
+                 "minhash_dups", "events_daily", "events_sliding"):
         t0 = time.perf_counter()
         result = queries[name](SF_DIR)
         if hasattr(result, "count"):
@@ -121,8 +121,13 @@ def run_scaling() -> dict:
         proc = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True, timeout=3600
         )
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"bench subprocess (num_cpus={cpus}) exited rc={proc.returncode} "
+                f"with no JSON; stderr tail: {proc.stderr[-2000:]}"
+            )
+        results[cpus] = json.loads(lines[-1])
     t8, t32 = results[8]["value"], results[32]["value"]
     efficiency = (t8 / t32) / 4
     return {
