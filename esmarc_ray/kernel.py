@@ -121,7 +121,17 @@ def subfield_sets(
     tag_list = [tags] if isinstance(tags, str) else tags
     ind_list = [indicators] if isinstance(indicators, str) else list(indicators)
     for tag in tag_list:
-        field = marc_get(record, tag)
+        if len(tag) == 3:
+            # inlined marc_get for a bare tag (the hot case): fetch → adjacent
+            # occurrence dedup → single-element collapse, same algebra without
+            # the generator/merge layers
+            field = record.get(tag)
+            if isinstance(field, list):
+                field = adjacent_uniq(field)
+                if len(field) == 1:
+                    field = field[0]
+        else:
+            field = marc_get(record, tag)
         if isinstance(field, dict):
             field = [field]
         if not field:
