@@ -76,7 +76,12 @@ def run_bench() -> dict:
     # actor pool, so the pool must be allowed to span every CPU — capping it at
     # NUM_CPUS//2 idled half the machine on the hottest operator
     docs = extract_docs(read_documents(corpus, override_num_blocks=NUM_CPUS * 3))
-    linked = link_entities(docs, indexes_ref, concurrency=(2, NUM_CPUS))
+    # High MIN matters: the autoscaling pool ramps too slowly from a low
+    # minimum (measured ~11 effective actors of 32 with min=2); keep 2 CPUs
+    # of headroom so the task-pool read/shuffle stages can't be starved.
+    linked = link_entities(
+        docs, indexes_ref, concurrency=(max(2, NUM_CPUS - 2), NUM_CPUS)
+    )
     canonical = canonicalize(linked, n_salts=16)
     triples = docs_to_triples(canonical)
     triples.write_parquet(str(out_dir), partition_cols=["entity_class"])

@@ -385,6 +385,33 @@ def map_record(
 TRIPLE_COLUMNS = ("subj", "pred", "obj", "obj_kind", "entity_class", "doc_id")
 
 
+def doc_to_triple_columns(
+    doc_id: str, entity: str, doc: dict, cols: dict[str, list]
+) -> None:
+    """Columnar twin of :func:`doc_to_triples`: append straight into the six
+    output column lists (``cols`` keyed subj/pred/obj/obj_kind/entity_class/
+    doc_id) — the hot flatten stage pays no per-row dicts."""
+    subj = doc.get("@id") or doc_id
+    subj_l, pred_l, obj_l = cols["subj"], cols["pred"], cols["obj"]
+    kind_l, ent_l, did_l = cols["obj_kind"], cols["entity_class"], cols["doc_id"]
+    for pred, value in doc.items():
+        if pred == "@id":
+            continue
+        for element in value if isinstance(value, list) else [value]:
+            if isinstance(element, (dict, list)):
+                obj = json.dumps(element, sort_keys=True, ensure_ascii=False)
+                kind = "node"
+            else:
+                obj = str(element)
+                kind = "literal"
+            subj_l.append(subj)
+            pred_l.append(pred)
+            obj_l.append(obj)
+            kind_l.append(kind)
+            ent_l.append(entity)
+            did_l.append(doc_id)
+
+
 def doc_to_triples(doc_id: str, entity: str, doc: dict) -> list[dict[str, str]]:
     """Flatten a mapped JSON-LD doc to (subj, pred, obj, obj_kind) rows.
 

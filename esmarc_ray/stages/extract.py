@@ -20,7 +20,7 @@ import ray.data
 
 from esmarc_ray.codec import batch_to_records
 from esmarc_ray.config import DEFAULT_CONFIG, EngineConfig
-from esmarc_ray.mapping import doc_to_triples, map_record
+from esmarc_ray.mapping import doc_to_triple_columns, map_record
 
 DOC_SCHEMA = pa.schema(
     [
@@ -143,7 +143,7 @@ def docs_to_triples(docs: ray.data.Dataset, *, batch_size: int = 4096, **map_kwa
     flowing as ``pred="_error"`` triples so nothing is silently lost."""
 
     def flatten(batch: pa.Table) -> pa.Table:
-        rows: dict[str, list] = {name: [] for name in TRIPLE_SCHEMA.names}
+        cols: dict[str, list] = {name: [] for name in TRIPLE_SCHEMA.names}
         for doc_id, entity, doc_json, error in zip(
             batch.column("doc_id").to_pylist(),
             batch.column("entity_class").to_pylist(),
@@ -153,18 +153,15 @@ def docs_to_triples(docs: ray.data.Dataset, *, batch_size: int = 4096, **map_kwa
             if entity == "_dropped":
                 continue
             if entity == "_error":
-                triple_rows = [
-                    {
-                        "subj": doc_id, "pred": "_error", "obj": error,
-                        "obj_kind": "literal", "entity_class": entity, "doc_id": doc_id,
-                    }
-                ]
+                cols["subj"].append(doc_id)
+                cols["pred"].append("_error")
+                cols["obj"].append(error)
+                cols["obj_kind"].append("literal")
+                cols["entity_class"].append(entity)
+                cols["doc_id"].append(doc_id)
             else:
-                triple_rows = doc_to_triples(doc_id, entity, json.loads(doc_json))
-            for row in triple_rows:
-                for name in TRIPLE_SCHEMA.names:
-                    rows[name].append(row[name])
-        return pa.Table.from_pydict(rows, schema=TRIPLE_SCHEMA)
+                doc_to_triple_columns(doc_id, entity, json.loads(doc_json), cols)
+        return pa.Table.from_pydict(cols, schema=TRIPLE_SCHEMA)
 
     return docs.map_batches(
         flatten,
