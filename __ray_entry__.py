@@ -455,6 +455,28 @@ def q_events_sliding(sf_dir: str):
     return out
 
 
+def q_events_rollup(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import rollup_agg
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def add_day(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["day"] = batch["ts"].dt.strftime("%Y-%m-%d")
+        return batch[["day", "event_type", "value"]]
+
+    out = rollup_agg(
+        events,
+        ["day", "event_type"],
+        {"n_events": ("value", "count"), "total_value": ("value", "sum")},
+        pre_map=add_day,
+    ).to_pandas()
+    out["total_value"] = out["total_value"].round(4)
+    return out
+
+
 def q_ann_topk(sf_dir: str):
     import numpy as np
     import ray.data
@@ -607,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_price_by_priority": q_median_price_by_priority,
         "user_event_pivot": q_user_event_pivot,
         "train_split": q_train_split,
+        "events_rollup": q_events_rollup,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "ann_topk": q_ann_topk,
@@ -750,6 +773,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id,
                          ((doc_id * 2654435761) % 4294967296) % 100 AS b
                   FROM documents)
+        """,
+        "events_rollup": """
+            SELECT coalesce(day, 'ALL') AS day,
+                   coalesce(event_type, 'ALL') AS event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                         event_type, value
+                  FROM events)
+            GROUP BY ROLLUP(day, event_type)
         """,
         "events_tumbling": """
             SELECT (floor(epoch(ts))::BIGINT // 900) * 900 AS window_start,

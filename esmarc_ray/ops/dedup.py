@@ -117,7 +117,7 @@ def minhash_candidates(
     num_perm: int = 64,
     bands: int = 16,
     shingle_width: int = 3,
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] = (1, 2),
 ) -> ray.data.Dataset:
     """LSH candidate pairs: docs sharing any (band, band_hash) bucket.
 

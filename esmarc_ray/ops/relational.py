@@ -474,6 +474,68 @@ def pivot_counts(
     return partial_groupby_agg(ds, group_keys, aggs, pre_map=indicators)
 
 
+def rollup_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    pre_map: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    all_label: str = "ALL",
+) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(keys): aggregates at every key prefix, coarser levels
+    re-aggregated from the FINEST level's (small) output rather than from the
+    input — the input shuffles once, each subsequent level reduces rows that
+    number (groups), not (rows).  Subtotal rows carry ``all_label`` in the
+    rolled-up key columns.  Restriction: ``aggs`` must be re-aggregable from
+    partials (sum/count/min/max — count re-sums; mean is not supported)."""
+    for out, (_, fn) in aggs.items():
+        if fn == "mean":
+            raise ValueError("rollup_agg: mean is not re-aggregable; compute sum+count")
+
+    finest = partial_groupby_agg(ds, keys, aggs, pre_map=pre_map).materialize()
+    # re-aggregate the finest level upward: at each coarser level, partials
+    # re-combine (count -> sum of counts)
+    levels = [finest]
+    current_cols = {out: fn for out, (_, fn) in aggs.items()}
+    for depth in range(len(keys) - 1, -1, -1):
+        kept = keys[:depth]
+        realised = {
+            out: (out, "sum" if fn in ("sum", "count") else fn)
+            for out, fn in current_cols.items()
+        }
+        if kept:
+            level = partial_groupby_agg(finest, kept, realised)
+        else:
+            def grand_total(batch: pd.DataFrame) -> pd.DataFrame:
+                row = {}
+                for out, fn in current_cols.items():
+                    if fn in ("sum", "count"):
+                        row[out] = [batch[out].sum()]
+                    elif fn == "min":
+                        row[out] = [batch[out].min()]
+                    else:
+                        row[out] = [batch[out].max()]
+                return pd.DataFrame(row)
+
+            level = finest.map_batches(grand_total, batch_format="pandas").repartition(1) \
+                .map_batches(grand_total, batch_format="pandas")
+
+        def fill(batch: pd.DataFrame, _kept=tuple(kept)) -> pd.DataFrame:
+            for key in keys:
+                if key not in _kept:
+                    batch[key] = all_label
+            return batch[keys + list(aggs)]
+
+        levels.append(level.map_batches(fill, batch_format="pandas"))
+
+    out = levels[0].map_batches(
+        lambda b: b[keys + list(aggs)], batch_format="pandas"
+    )
+    for level in levels[1:]:
+        out = out.union(level)
+    return out
+
+
 def hash_split(
     ds: ray.data.Dataset,
     id_column: str,

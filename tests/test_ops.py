@@ -452,3 +452,42 @@ def test_approx_quantile_close_to_exact(ray_session):
     assert approx["o_orderpriority"].tolist() == exact["o_orderpriority"].tolist()
     # error bounded by bin width = 600000/4096 ≈ 146
     assert (abs(approx["m"] - exact["m"]) <= 600_000 / 4096).all()
+
+
+def test_rollup_agg_matches_duckdb(ray_session):
+    import duckdb
+
+    events = ray.data.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["user_bucket"] = (batch["user_id"] % 3).astype(str)
+        return batch[["user_bucket", "event_type", "value"]]
+
+    got = (
+        relational.rollup_agg(
+            events,
+            ["user_bucket", "event_type"],
+            {"n": ("value", "count"), "tv": ("value", "sum")},
+            pre_map=prep,
+        )
+        .to_pandas()
+        .sort_values(["user_bucket", "event_type"])
+        .reset_index(drop=True)
+    )
+    expected = duckdb.connect().execute(
+        f"""
+        select coalesce(user_bucket, 'ALL') user_bucket,
+               coalesce(event_type, 'ALL') event_type,
+               count(*) n, sum(value) tv
+        from (select (user_id % 3)::VARCHAR user_bucket, event_type, value
+              from read_parquet('{SF_DIR}/events.parquet'))
+        group by rollup(user_bucket, event_type)
+        order by 1, 2
+        """
+    ).df()
+    assert got["user_bucket"].tolist() == expected["user_bucket"].tolist()
+    assert got["event_type"].tolist() == expected["event_type"].tolist()
+    assert got["n"].tolist() == expected["n"].tolist()
+    assert np.allclose(got["tv"], expected["tv"])
+    with pytest.raises(ValueError):
+        relational.rollup_agg(events, ["event_type"], {"m": ("value", "mean")})
