@@ -571,6 +571,15 @@ def q_langid_pred(sf_dir: str):
     return lang_id(docs).select_columns(["doc_id", "lang_pred"])
 
 
+def q_top_terms(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.text import top_terms
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_terms(docs, k=50)
+
+
 def q_quality(sf_dir: str):
     import ray.data
 
@@ -633,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "ann_topk": q_ann_topk,
+        "top_terms": q_top_terms,
         "quality": q_quality,
         # rows-only (heuristic / sketch / stub ops)
         "approx_median_price": q_approx_median_price,
@@ -802,6 +812,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM embeddings, q
             ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
             LIMIT 10
+        """,
+        "top_terms": r"""
+            SELECT term, count(*) AS n_occurrences
+            FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+                  FROM documents)
+            WHERE term <> ''
+            GROUP BY term
+            ORDER BY n_occurrences DESC, term
+            LIMIT 50
         """,
         "quality": r"""
             SELECT doc_id,

@@ -116,3 +116,50 @@ def _fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 def fingerprint(docs: ray.data.Dataset, **kwargs) -> ray.data.Dataset:
     return docs.map_batches(_fingerprint_batch, batch_format="pandas", **kwargs)
+
+
+def top_terms(
+    docs: ray.data.Dataset,
+    k: int = 50,
+    *,
+    text_column: str = "text",
+    lowercase: bool = True,
+) -> ray.data.Dataset:
+    """Global top-k most frequent whitespace tokens (the wordcount idiom).
+
+    Per-batch Counter collapses each batch to one row per DISTINCT term
+    before the shuffle (the combiner), the partial/final groupby sums
+    counts, and the top-k sort sees one row per vocabulary term — input
+    tokens never leave their batch.  Ties break on the term string for
+    determinism.
+    """
+    from collections import Counter
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    def count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        counts: Counter = Counter()
+        for text in batch[text_column].fillna(""):
+            if lowercase:
+                text = text.lower()
+            counts.update(text.split())
+        return pd.DataFrame(
+            {"term": list(counts.keys()), "n": list(counts.values())}
+        )
+
+    totals = partial_groupby_agg(
+        docs.map_batches(count_batch, batch_format="pandas"),
+        ["term"],
+        {"n_occurrences": ("n", "sum")},
+    )
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["n_occurrences", "term"], ascending=[False, True]
+        ).head(k)
+
+    return (
+        totals.map_batches(local_topk, batch_format="pandas")
+        .sort(["n_occurrences", "term"], descending=[True, False])
+        .limit(k)
+    )

@@ -491,3 +491,21 @@ def test_rollup_agg_matches_duckdb(ray_session):
     assert np.allclose(got["tv"], expected["tv"])
     with pytest.raises(ValueError):
         relational.rollup_agg(events, ["event_type"], {"m": ("value", "mean")})
+
+
+def test_top_terms_matches_duckdb(ray_session):
+    import duckdb
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])
+    got = text.top_terms(docs, k=20).to_pandas()
+    expected = duckdb.connect().execute(
+        rf"""
+        select term, count(*) n
+        from (select unnest(string_split_regex(lower(text), '\s+')) term
+              from read_parquet('{SF_DIR}/documents.parquet'))
+        where term <> ''
+        group by term order by n desc, term limit 20
+        """
+    ).df()
+    assert got["term"].tolist() == expected["term"].tolist()
+    assert got["n_occurrences"].tolist() == expected["n"].tolist()
