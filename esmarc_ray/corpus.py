@@ -370,6 +370,7 @@ def link_tables(spec: CorpusSpec) -> dict[str, pa.Table]:
     """Synthetic stands-ins for the GND/entityfacts/wikidata/wikipedia/geonames
     stores (shapes per reference enrichment/*.py), with deterministic truth."""
     ef_rows, wd_rows, wp_rows, geo_rows, subj_rows = [], [], [], [], []
+    cat_rows = []
     for idx in range(GND_ID_SPACE):
         gnd_id = _gnd(idx)
         geo_rows.append(
@@ -399,6 +400,20 @@ def link_tables(spec: CorpusSpec) -> dict[str, pa.Table]:
             wp_rows.append(
                 {"qid": qid, "site": site, "url": f"https://{site}.wikipedia.org/wiki/Entity_{idx}", "title": f"Entity {idx}"}
             )
+            prefix = "Kategorie" if site == "de" else "Category"
+            cat_rows.append(
+                {
+                    "cc": site,
+                    "article_title": f"Entity_{idx}",
+                    "pages": [
+                        {
+                            "page_id": 7000000 + idx * 2 + n,
+                            "title": f"{prefix}:{rng.choice(_TOPICS)}",
+                        }
+                        for n in range(1 + idx % 2)
+                    ],
+                }
+            )
         subj_rows.append(
             {
                 "gnd_id": gnd_id,
@@ -413,4 +428,5 @@ def link_tables(spec: CorpusSpec) -> dict[str, pa.Table]:
         "wp_sites": pa.Table.from_pylist(wp_rows),
         "geonames": pa.Table.from_pylist(geo_rows),
         "gnd_subjects": pa.Table.from_pylist(subj_rows),
+        "wp_categories": pa.Table.from_pylist(cat_rows),
     }

@@ -18,6 +18,8 @@ Link semantics mirror the bots:
 * wikidata: extid → QID appended as a wikidata sameAs (wikidata.py:33-80);
 * wikipedia: QID → per-language sitelinks + multilingual names
   (wikipedia.py:68-159);
+* wikipedia_categories: wikipedia sameAs link → per-language category nodes
+  under doc["category"][cc] (wikipedia_categories.py:21-82);
 * gnd_sachgruppen: GND → subject categories via the 2-hop fieldOfStudy→DDC
   resolution (gnd_sachgruppen.py:39-84);
 * geonames: lat/lon within ~0.1 km AND name-substring match
@@ -52,10 +54,14 @@ def build_link_indexes(tables: dict[str, pa.Table]) -> dict[str, Any]:
     for row in tables["wp_sites"].to_pylist():
         wp.setdefault(row["qid"], []).append(row)
     subjects = {row["gnd_id"]: row for row in tables["gnd_subjects"].to_pylist()}
+    cats = {
+        (row["cc"], row["article_title"]): row["pages"]
+        for row in tables.get("wp_categories", pa.table({"cc": [], "article_title": [], "pages": []})).to_pylist()
+    }
     geo: dict[tuple[int, int], list] = {}
     for row in tables["geonames"].to_pylist():
         geo.setdefault(_bucket(row["lat"], row["lon"]), []).append(row)
-    return {"ef": ef, "wd": wd, "wp": wp, "subjects": subjects, "geo": geo}
+    return {"ef": ef, "wd": wd, "wp": wp, "subjects": subjects, "geo": geo, "cats": cats}
 
 
 def _haversine_km(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
@@ -77,6 +83,7 @@ class EntityLinker:
         self._wp = indexes["wp"]
         self._subjects = indexes["subjects"]
         self._geo = indexes["geo"]
+        self._cats = indexes.get("cats", {})
 
     # -- per-doc link steps ---------------------------------------------------
 
@@ -138,6 +145,43 @@ class EntityLinker:
                     if isinstance(doc["name"], dict):
                         doc["name"][site["site"]] = site["title"]
                     added += 1
+        return added
+
+    def _wp_categories(self, doc: dict) -> int:
+        """Category enrichment from the doc's wikipedia sameAs links (reference
+        enrichment/wikipedia_categories.py:21-82): per country code, merge
+        {@id: …?curid=<page>, sameAs: <category page>, name: <after colon>}
+        nodes under doc["category"][cc] with litter-style dedup."""
+        from urllib.parse import unquote
+
+        from esmarc_ray.values import merge_value
+
+        same_as = doc.get("sameAs") or []
+        if isinstance(same_as, dict):
+            same_as = [same_as]
+        added = 0
+        for link in same_as:
+            uri = link.get("@id") if isinstance(link, dict) else None
+            if not uri or "wikipedia" not in uri:
+                continue
+            cc = uri.split("/")[2].split(".")[0]
+            title = unquote(uri.split("/")[-1])
+            pages = self._cats.get((cc, title))
+            if not pages:
+                continue
+            base = f"https://{cc}.wikipedia.org/wiki/"
+            bucket = doc.setdefault("category", {})
+            for page in pages:
+                obj = {
+                    "@id": base + f"?curid={page['page_id']}",
+                    "sameAs": base + page["title"].replace(" ", "_"),
+                    "name": ":".join(page["title"].split(":")[1:]),
+                }
+                current = bucket.get(cc)
+                known = current if isinstance(current, list) else ([current] if current else [])
+                if obj not in known:
+                    added += 1
+                bucket[cc] = merge_value(current, obj)
         return added
 
     def _gnd_subjects(self, doc: dict, gnd_ids: list[str]) -> int:
@@ -210,6 +254,7 @@ class EntityLinker:
             doc = json.loads(doc_json)
             added = self._entityfacts(doc, gnd_ids or [])
             added += self._wikidata_wikipedia(doc, gnd_ids or [])
+            added += self._wp_categories(doc)
             added += self._gnd_subjects(doc, gnd_ids or [])
             added += self._geonames(doc)
             out_json.append(json.dumps(doc, sort_keys=True, ensure_ascii=False))

@@ -205,3 +205,29 @@ def test_canonicalize_sameas_closure(ray_session):
     merged = closed[closed["canon_key"] == "gnd:X"].iloc[0]
     assert json.loads(merged["doc_json"])["_merged_from"] == ["a1", "b2", "c3"]
     assert "isil:DE-627:99" in set(closed["canon_key"])
+
+
+def test_link_stage_wikipedia_categories(ray_session, corpus_dir):
+    """The 6th enrichment bot: wikipedia sameAs links gain per-language
+    category nodes (reference enrichment/wikipedia_categories.py:21-82)."""
+    path, spec = corpus_dir
+    import ray as _ray
+
+    indexes_ref = _ray.put(build_link_indexes(link_tables(spec)))
+    docs = extract_docs(read_documents(path), DEFAULT_CONFIG)
+    linked = link_entities(docs, indexes_ref, concurrency=2, batch_size=64)
+    rows = linked.to_pandas()
+    cats = []
+    for doc_json in rows["doc_json"]:
+        if not doc_json:
+            continue
+        doc = json.loads(doc_json)
+        if "category" in doc:
+            cats.append(doc["category"])
+    assert cats, "no document gained wikipedia categories"
+    sample = cats[0]
+    cc, value = next(iter(sample.items()))
+    node = value[0] if isinstance(value, list) else value
+    assert node["sameAs"].startswith(f"https://{cc}.wikipedia.org/wiki/")
+    assert "curid=" in node["@id"]
+    assert ":" not in node["name"] or not node["name"].startswith(("Category", "Kategorie"))
