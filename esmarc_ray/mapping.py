@@ -334,6 +334,21 @@ def source_tags(entities: list[str] | None = None) -> set[str]:
     return tags
 
 
+# per-entity row plan: (target, spec, is_related) tuples — the row_key split
+# and the "related" substring test are static per mapping row
+_ROW_PLANS: dict[str, tuple] = {}
+
+
+def _entity_row_plan(entity: str) -> tuple:
+    plan = _ROW_PLANS.get(entity)
+    if plan is None:
+        plan = _ROW_PLANS[entity] = tuple(
+            (row_key.split(":")[1], spec, "related" in row_key.split(":")[1])
+            for row_key, spec in ENTITY_MAPPINGS[entity].items()
+        )
+    return plan
+
+
 # -- whole-record orchestration (reference process_line, processing.py:29-61) -
 
 
@@ -347,15 +362,14 @@ def map_record(
     if source_index is None:
         source_index = config.source_index
     doc: dict = {}
-    for row_key, spec in ENTITY_MAPPINGS[entity].items():
-        target = row_key.split(":")[1]
+    for target, spec, related in _entity_row_plan(entity):
         value = collapse(evaluate_row(record, spec, entity, config))
         if not value:
             continue
-        if "related" in target and isinstance(value, dict) and "_key" in value:
+        if related and isinstance(value, dict) and "_key" in value:
             predicate = value.pop("_key")
             doc[predicate] = merge_value(doc.get(predicate), value)
-        elif "related" in target and isinstance(value, list) and any("_key" in x for x in value):
+        elif related and isinstance(value, list) and any("_key" in x for x in value):
             for element in value:
                 if "_key" in element:
                     predicate = element.pop("_key")
