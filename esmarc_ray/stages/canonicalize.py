@@ -335,10 +335,42 @@ def _rewrite_keys(docs: ray.data.Dataset, mapping: ray.data.Dataset,
     )
 
 
+def estimate_salts(
+    docs: ray.data.Dataset,
+    *,
+    target_parallelism: int = 64,
+    sample_rows: int = 100_000,
+    max_salts: int = 64,
+) -> int:
+    """Pick the salt factor from a bounded key-frequency sketch.
+
+    Unsalted, the head ``canon_key``'s group is one reducer task; its share of
+    total work should be ≤ 1/P, so salts ≈ ceil(head_share × P).  The sketch
+    reads only the key column of the first ``sample_rows`` rows (limit — no
+    full scan); head-entity skew is global (ubiquitous GND subjects appear
+    everywhere), so a prefix sample sees it.
+    """
+    import math
+
+    from collections import Counter
+
+    counts: Counter = Counter()
+    sampled = 0
+    key_col = docs.select_columns(["canon_key"]).limit(sample_rows)
+    for batch in key_col.iter_batches(batch_format="pyarrow"):
+        keys = batch.column("canon_key").to_pylist()
+        counts.update(k for k in keys if k)
+        sampled += len(keys)
+    if not counts or sampled == 0:
+        return 1
+    head_share = counts.most_common(1)[0][1] / sampled
+    return max(1, min(max_salts, math.ceil(head_share * target_parallelism)))
+
+
 def canonicalize(
     docs: ray.data.Dataset,
     *,
-    n_salts: int = 16,
+    n_salts: int | str = 16,
     salted: bool = True,
     num_partitions: int = 256,
     closure: bool = False,
@@ -347,6 +379,9 @@ def canonicalize(
 
     ``salted=False`` runs the single-shuffle variant (used by the
     salted==unsalted correctness gate; also fine for small inputs).
+    ``n_salts="auto"`` sizes the salt factor from a bounded key-frequency
+    sketch (:func:`estimate_salts`) — skew-free inputs skip the partial
+    phase entirely.
     ``closure=True`` first rewrites keys through the sameAs/identifier
     connected components, so entities transitively linked via shared GND ids
     merge even when their direct keys differ (north rule's sameAs closure).
@@ -354,6 +389,9 @@ def canonicalize(
     live = docs.filter(
         expr="entity_class != '_error' and entity_class != '_dropped'"
     )
+    if n_salts == "auto":
+        n_salts = estimate_salts(live)
+        salted = n_salts > 1
     if closure:
         mapping = closure_keys(live, num_partitions=max(16, num_partitions // 16))
         live = _rewrite_keys(live, mapping, num_partitions=max(16, num_partitions // 16))

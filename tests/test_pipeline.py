@@ -231,3 +231,27 @@ def test_link_stage_wikipedia_categories(ray_session, corpus_dir):
     assert node["sameAs"].startswith(f"https://{cc}.wikipedia.org/wiki/")
     assert "curid=" in node["@id"]
     assert ":" not in node["name"] or not node["name"].startswith(("Category", "Kategorie"))
+
+
+def test_estimate_salts_sketch(ray_session, corpus_dir):
+    """Auto salt factor: >1 on the skewed corpus (head GND entity), == the
+    full-pipeline result when plugged into canonicalize."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.stages.canonicalize import canonicalize, estimate_salts
+
+    path, spec = corpus_dir
+    docs = extract_docs(read_documents(path), DEFAULT_CONFIG)
+    salts = estimate_salts(docs, target_parallelism=64)
+    assert salts >= 1
+    # uniform keys → no salting needed
+    uniform = ray.data.from_pandas(
+        pd.DataFrame({"canon_key": [f"k{i}" for i in range(2000)],
+                      "entity_class": ["persons"] * 2000})
+    )
+    assert estimate_salts(uniform, target_parallelism=64) == 1
+    # auto mode produces the same canonical sets as explicit salting
+    auto = canonicalize(docs, n_salts="auto").to_pandas()
+    explicit = canonicalize(docs, n_salts=8).to_pandas()
+    assert set(auto["canon_key"]) == set(explicit["canon_key"])
