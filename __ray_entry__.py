@@ -609,6 +609,18 @@ def q_media_decode(sf_dir: str):
     return decode_media(media).select_columns(["media_id", "kind", "payload_crc"])
 
 
+def q_media_frames(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.multimodal import sample_frames, synthetic_media_table
+
+    media = ray.data.from_arrow(synthetic_media_table(200))
+    videos = media.filter(expr="kind == 'video'")
+    return sample_frames(videos, fps=5.0).select_columns(
+        ["media_id", "frame_idx", "frame_ts_ms"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus; not SQL-expressible → rows-only checks)
@@ -653,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_pred": q_langid_pred,
         "fingerprints": q_fingerprints,
         "media_decode": q_media_decode,
+        "media_frames": q_media_frames,
     }
 
 
