@@ -609,6 +609,30 @@ def q_media_decode(sf_dir: str):
     return decode_media(media).select_columns(["media_id", "kind", "payload_crc"])
 
 
+def q_props_k_stats(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+    from esmarc_ray.ops.text import json_extract
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    flat = json_extract(events, "props", {"k": "int64"})
+    out = partial_groupby_agg(
+        flat, ["event_type"], {"n_events": ("k", "count"), "k_sum": ("k", "sum")}
+    ).to_pandas()
+    out["k_sum"] = out["k_sum"].astype("int64")
+    return out
+
+
+def q_ids_per_lang(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import grouped_string_agg
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "doc_id"])
+    return grouped_string_agg(docs, ["lang"], "doc_id", out_name="doc_ids")
+
+
 def q_media_frames(sf_dir: str):
     import ray.data
 
@@ -656,6 +680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "top_terms": q_top_terms,
         "quality": q_quality,
+        "props_k_stats": q_props_k_stats,
+        "ids_per_lang": q_ids_per_lang,
         # rows-only (heuristic / sketch / stub ops)
         "approx_median_price": q_approx_median_price,
         "ivf_topk": q_ivf_topk,
@@ -825,6 +851,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM embeddings, q
             ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
             LIMIT 10
+        """,
+        "props_k_stats": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum
+            FROM events GROUP BY event_type
+        """,
+        "ids_per_lang": """
+            SELECT lang,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id::VARCHAR)
+                       AS doc_ids
+            FROM documents GROUP BY lang
         """,
         "top_terms": r"""
             SELECT term, count(*) AS n_occurrences

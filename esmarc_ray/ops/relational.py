@@ -569,6 +569,33 @@ def hash_split(
     return ds.map_batches(assign, batch_format="pandas")
 
 
+def grouped_string_agg(
+    ds: ray.data.Dataset,
+    group_keys: list[str],
+    value_column: str,
+    *,
+    sep: str = ",",
+    out_name: str = "agg",
+) -> ray.data.Dataset:
+    """Ordered ``string_agg``: per group, the values joined by ``sep`` in
+    sorted order (sorted => deterministic across block arrivals, which is what
+    makes it oracle-checkable).  One groupby shuffle of (keys, value) only.
+
+    Partitioning assumption at scale: a group's concatenated string fits in a
+    task; for giant groups emit a list column and cap it instead."""
+
+    def per_group(group: pd.DataFrame) -> pd.DataFrame:
+        row = {key: [group[key].iloc[0]] for key in group_keys}
+        row[out_name] = [sep.join(sorted(group[value_column].astype(str)))]
+        return pd.DataFrame(row)
+
+    return (
+        ds.select_columns(group_keys + [value_column])
+        .groupby(group_keys)
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+
 def sessionize(
     events: ray.data.Dataset,
     *,

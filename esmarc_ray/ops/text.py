@@ -163,3 +163,35 @@ def top_terms(
         .sort(["n_occurrences", "term"], descending=[True, False])
         .limit(k)
     )
+
+
+def json_extract(
+    ds: ray.data.Dataset,
+    json_column: str,
+    fields: dict[str, str],
+    *,
+    drop_source: bool = True,
+) -> ray.data.Dataset:
+    """Extract scalar fields from a JSON-string column into typed columns.
+
+    ``fields``: output column → dtype ("int64" | "float64" | "string").
+    The semi-structured idiom for event property bags: parse once per row
+    inside map_batches, emit flat columns so every downstream operator is
+    columnar.  Missing keys become null.
+    """
+    import json as _json
+
+    def extract(batch: pd.DataFrame) -> pd.DataFrame:
+        parsed = [
+            _json.loads(raw) if raw else {} for raw in batch[json_column].fillna("")
+        ]
+        for out, dtype in fields.items():
+            values = [obj.get(out) for obj in parsed]
+            batch[out] = pd.array(
+                values, dtype={"int64": "Int64", "float64": "Float64", "string": "string"}[dtype]
+            )
+        if drop_source:
+            batch = batch.drop(columns=[json_column])
+        return batch
+
+    return ds.map_batches(extract, batch_format="pandas")

@@ -509,3 +509,41 @@ def test_top_terms_matches_duckdb(ray_session):
     ).df()
     assert got["term"].tolist() == expected["term"].tolist()
     assert got["n_occurrences"].tolist() == expected["n"].tolist()
+
+
+def test_json_extract_and_string_agg_match_duckdb(ray_session):
+    import duckdb
+
+    events = ray.data.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_type", "props"])
+    flat = text.json_extract(events, "props", {"k": "int64"})
+    got = (
+        relational.partial_groupby_agg(
+            flat, ["event_type"], {"n": ("k", "count"), "s": ("k", "sum")}
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    expected = duckdb.connect().execute(
+        f"""
+        select event_type, count(*) n, sum(cast(props->>'k' as bigint)) s
+        from read_parquet('{SF_DIR}/events.parquet') group by 1 order by 1
+        """
+    ).df()
+    assert got["n"].tolist() == expected["n"].tolist()
+    assert got["s"].astype("int64").tolist() == expected["s"].astype("int64").tolist()
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["lang", "doc_id"])
+    agg = (
+        relational.grouped_string_agg(docs, ["lang"], "doc_id", out_name="ids")
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.connect().execute(
+        f"""
+        select lang, string_agg(doc_id::VARCHAR, ',' order by doc_id::VARCHAR) ids
+        from read_parquet('{SF_DIR}/documents.parquet') group by 1 order by 1
+        """
+    ).df()
+    assert agg["ids"].tolist() == exp["ids"].tolist()
