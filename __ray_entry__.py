@@ -609,6 +609,24 @@ def q_media_decode(sf_dir: str):
     return decode_media(media).select_columns(["media_id", "kind", "payload_crc"])
 
 
+def q_order_price_quartiles(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import window_rank
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    out = window_rank(
+        orders,
+        partition_by="o_orderpriority",
+        order_by=["o_totalprice", "o_orderkey"],
+        ntile=4,
+        ntile_name="quartile",
+    ).to_pandas()
+    return out[["o_orderkey", "quartile"]]
+
+
 def q_props_k_stats(sf_dir: str):
     import ray.data
 
@@ -680,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "top_terms": q_top_terms,
         "quality": q_quality,
+        "order_price_quartiles": q_order_price_quartiles,
         "props_k_stats": q_props_k_stats,
         "ids_per_lang": q_ids_per_lang,
         # rows-only (heuristic / sketch / stub ops)
@@ -851,6 +870,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM embeddings, q
             ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
             LIMIT 10
+        """,
+        "order_price_quartiles": """
+            SELECT o_orderkey,
+                   ntile(4) OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey
+                   ) AS quartile
+            FROM orders
         """,
         "props_k_stats": """
             SELECT event_type,

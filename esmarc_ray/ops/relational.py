@@ -569,6 +569,44 @@ def hash_split(
     return ds.map_batches(assign, batch_format="pandas")
 
 
+def window_rank(
+    ds: ray.data.Dataset,
+    *,
+    partition_by: str,
+    order_by: list[str],
+    ntile: int | None = None,
+    row_number_name: str = "row_number",
+    ntile_name: str = "ntile",
+) -> ray.data.Dataset:
+    """``row_number()`` (and optionally ``ntile(k)``) per partition — the
+    ranking window idiom.  One groupby shuffle on the partition key; the
+    per-group body is a vectorized argsort.  ``order_by`` should end in a
+    unique tie-break column for determinism.
+
+    ntile follows SQL semantics exactly: with n rows and k buckets the first
+    ``n % k`` buckets hold ``n // k + 1`` rows, the rest ``n // k``.
+    """
+    import numpy as np
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.sort_values(order_by).reset_index(drop=True)
+        n = len(out)
+        out[row_number_name] = np.arange(1, n + 1)
+        if ntile:
+            q, r = divmod(n, ntile)
+            idx = np.arange(n)
+            big = r * (q + 1)
+            buckets = np.where(
+                idx < big,
+                idx // max(q + 1, 1) + 1,
+                r + (idx - big) // max(q, 1) + 1 if q else r,
+            )
+            out[ntile_name] = buckets.astype("int64")
+        return out
+
+    return ds.groupby(partition_by).map_groups(per_key, batch_format="pandas")
+
+
 def grouped_string_agg(
     ds: ray.data.Dataset,
     group_keys: list[str],

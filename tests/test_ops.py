@@ -547,3 +547,34 @@ def test_json_extract_and_string_agg_match_duckdb(ray_session):
         """
     ).df()
     assert agg["ids"].tolist() == exp["ids"].tolist()
+
+
+def test_window_rank_ntile_matches_duckdb(ray_session):
+    import duckdb
+
+    orders = ray.data.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    got = (
+        relational.window_rank(
+            orders,
+            partition_by="o_orderpriority",
+            order_by=["o_totalprice", "o_orderkey"],
+            ntile=4,
+        )
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    expected = duckdb.connect().execute(
+        f"""
+        select o_orderkey,
+               row_number() over w rn,
+               ntile(4) over w nt
+        from read_parquet('{SF_DIR}/orders.parquet')
+        window w as (partition by o_orderpriority order by o_totalprice, o_orderkey)
+        order by o_orderkey
+        """
+    ).df()
+    assert got["row_number"].tolist() == expected["rn"].tolist()
+    assert got["ntile"].tolist() == expected["nt"].tolist()
