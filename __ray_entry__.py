@@ -292,38 +292,54 @@ def q_users_per_type(sf_dir: str):
 def q_customers_no_urgent(sf_dir: str):
     import ray.data
 
-    from esmarc_ray.ops.relational import broadcast_semi_join
+    from esmarc_ray.ops.dedup import _distinct_on
+    from esmarc_ray.ops.relational import partitioned_semi_join
 
-    custkeys = (
+    # fully distributed anti-join: the urgent-customer key set stays a
+    # Dataset (distributed DISTINCT, hash-partitioned filter) — never
+    # collected to the driver, unlike unique() + broadcast
+    custkeys = _distinct_on(
         ray.data.read_parquet(
             f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
-        )
-        .filter(expr="o_orderpriority == '1-URGENT'")
-        .unique("o_custkey")
+        ).filter(expr="o_orderpriority == '1-URGENT'"),
+        ["o_custkey"],
+        num_partitions=16,
     )
     customers = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
-    return broadcast_semi_join(customers, custkeys, on="c_custkey", anti=True)
+    return partitioned_semi_join(
+        customers, custkeys, on="c_custkey", key_column="o_custkey",
+        anti=True, num_partitions=16,
+    )
 
 
 def q_purchase_last_click(sf_dir: str):
     import pandas as pd
     import ray.data
 
-    from esmarc_ray.ops.relational import broadcast_asof_join
+    from esmarc_ray.ops.relational import partitioned_asof_join
 
-    events = ray.data.read_parquet(
+    # both sides are Datasets (clicks are the LARGE side of a real event
+    # stream): co-hash-partitioned on user_id, one local merge_asof per
+    # partition — no driver-side table, no broadcast of the big side
+    purchases = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    ).filter(expr="event_type == 'purchase'").select_columns(["event_id", "ts", "user_id"])
+    clicks = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+        )
+        .filter(expr="event_type == 'click'")
+        .select_columns(["event_id", "ts", "user_id"])
+        .map_batches(
+            lambda b: b.rename(columns={"event_id": "click_id"}), batch_format="pandas"
+        )
     )
-    purchases = events.filter(expr="event_type == 'purchase'").select_columns(
-        ["event_id", "ts", "user_id"]
-    )
-    clicks = pd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
-    )
-    clicks = clicks[clicks["event_type"] == "click"][["event_id", "ts", "user_id"]]
-    clicks = clicks.rename(columns={"event_id": "click_id"})
-    out = broadcast_asof_join(purchases, clicks, on="ts", by="user_id").to_pandas()
+    out = partitioned_asof_join(
+        purchases, clicks, on="ts", by="user_id", num_partitions=16
+    ).to_pandas()
     out["click_id"] = out["click_id"].fillna(-1).astype("int64")
+    # the union's null-filled side leaves event_id object-typed; restore int
+    out["event_id"] = out["event_id"].astype("int64")
     return out[["event_id", "click_id"]]
 
 
@@ -880,8 +896,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "props_k_stats": """
+            -- count(props->>'k'), not count(*): the Ray side counts rows
+            -- where the extracted key is present (rows missing 'k' don't
+            -- count), and the oracle must state the same semantics
             SELECT event_type,
-                   count(*) AS n_events,
+                   count(props->>'k') AS n_events,
                    CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum
             FROM events GROUP BY event_type
         """,

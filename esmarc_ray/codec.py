@@ -204,6 +204,12 @@ def batch_to_records(
         col = col.combine_chunks()
     list_offsets = col.offsets.to_pylist()
     flat = col.flatten()
+    # for a sliced ListArray, .offsets index the UNSLICED child while
+    # .flatten() is rebased to 0 — rebase explicitly so a RecordBatch /
+    # sliced-Array caller can't read shifted spans
+    if list_offsets and list_offsets[0] != 0:
+        base = list_offsets[0]
+        list_offsets = [off - base for off in list_offsets]
     kinds = flat.field("kind").to_pylist()
     texts = flat.field("text").to_pylist()
     span_offsets = flat.field("offset").to_pylist()

@@ -111,26 +111,47 @@ class _MinHasher:
         return pd.DataFrame(out)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _minhasher_for(num_perm: int, bands: int, shingle_width: int) -> _MinHasher:
+    """Per-process memoized minhash parameters: the state is a few KB of
+    seeded RNG constants, so the signature stage runs as a plain TASK pool
+    (scales with the cluster) instead of a capped actor pool — an actor
+    pool here starved the hottest stage at 2 actors regardless of CPUs."""
+    return _MinHasher(num_perm=num_perm, bands=bands, shingle_width=shingle_width)
+
+
+def _signature_batch(
+    batch: pd.DataFrame, *, num_perm: int, bands: int, shingle_width: int
+) -> pd.DataFrame:
+    return _minhasher_for(num_perm, bands, shingle_width)(batch)
+
+
 def minhash_candidates(
     docs: ray.data.Dataset,
     *,
     num_perm: int = 64,
     bands: int = 16,
     shingle_width: int = 3,
-    concurrency: int | tuple[int, int] = (1, 2),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """LSH candidate pairs: docs sharing any (band, band_hash) bucket.
 
     Returns a dataset of (doc_a, doc_b) with doc_a < doc_b, deduplicated.
+    ``concurrency=None`` (default) runs the signature stage as a plain task
+    pool — it autoscales to every free CPU; pass a value only to cap it.
     """
-    bands_ds = docs.map_batches(
-        _MinHasher,
-        fn_constructor_kwargs={
+    kwargs = dict(
+        fn_kwargs={
             "num_perm": num_perm, "bands": bands, "shingle_width": shingle_width,
         },
         batch_format="pandas",
-        concurrency=concurrency,
     )
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    bands_ds = docs.map_batches(_signature_batch, **kwargs)
 
     num_partitions = 64
 

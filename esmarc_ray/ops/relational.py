@@ -134,13 +134,20 @@ def partitioned_join(
     aggregator actor pool of ~num_partitions actors PER join, so a chain of
     joins in one DAG can exceed the cluster's CPUs and stall; this form
     chains freely.  ``left_cols`` / ``right_cols`` are the payload columns of
-    each side (disjoint names; ``on`` excluded)."""
+    each side (disjoint names; ``on`` excluded).
+
+    NULL semantics match SQL: rows with a null join key never match (pandas
+    merge would equate NaN==NaN) — null-key right rows are dropped, null-key
+    left rows are dropped for ``how="inner"`` and kept unmatched for
+    ``how="left"``."""
     import zlib
 
     all_payload = left_cols + right_cols
 
     def tag(side: str, payload: list[str]):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            if side == "R" or how == "inner":
+                batch = batch[batch[on].notna()]
             out = pd.DataFrame({"__on": batch[on]})
             for c in all_payload:
                 out[c] = batch[c] if c in payload else None
@@ -292,6 +299,141 @@ def broadcast_asof_join(
     return left.map_batches(join, batch_format="pandas")
 
 
+def _add_hash_part(keys: list[str], num_partitions: int):
+    """Batch fn adding a ``__part`` hash-partition id over ``keys`` —
+    vectorized (pandas' C siphash), deterministic within a pandas version."""
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(keys) == 1:
+            key = batch[keys[0]].astype(str)
+        else:
+            key = batch[keys].astype(str).agg("\x1f".join, axis=1)
+        batch["__part"] = (
+            pd.util.hash_pandas_object(key, index=False).to_numpy() % num_partitions
+        ).astype("int32")
+        return batch
+
+    return add_part
+
+
+def partitioned_semi_join(
+    big: ray.data.Dataset,
+    keys: ray.data.Dataset,
+    on: str,
+    *,
+    key_column: str | None = None,
+    anti: bool = False,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Distributed semi/anti join: both sides hash-partition on the key; each
+    partition filters its big-side rows against the local key set.  Unlike
+    :func:`broadcast_semi_join`, the key side is a Dataset and never touches
+    the driver — the scale path when the key set outgrows a broadcast (the
+    filter-side analogue of :func:`partitioned_join`).
+    """
+    import zlib
+
+    key_column = key_column or on
+    big_cols = list(big.schema().names)
+
+    def tag_big(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__side"] = "b"
+        batch["__part"] = (
+            batch[on].map(lambda k: zlib.crc32(str(k).encode()) % num_partitions)
+        ).astype("int32")
+        return batch
+
+    def tag_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        # unified union schema: the key side carries the big side's columns
+        # as nulls (local per-batch dedup shrinks the shuffle first)
+        uniq = batch[key_column].dropna().drop_duplicates().reset_index(drop=True)
+        out = pd.DataFrame({c: (uniq if c == on else None) for c in big_cols})
+        out["__side"] = "k"
+        out["__part"] = (
+            out[on].map(lambda k: zlib.crc32(str(k).encode()) % num_partitions)
+        ).astype("int32")
+        return out
+
+    def filt(part: pd.DataFrame) -> pd.DataFrame:
+        key_set = set(part.loc[part["__side"] == "k", on])
+        rows = part[part["__side"] == "b"]
+        mask = rows[on].isin(key_set)
+        return rows[~mask if anti else mask][big_cols]
+
+    tagged = big.map_batches(tag_big, batch_format="pandas").union(
+        keys.map_batches(tag_keys, batch_format="pandas")
+    )
+    return tagged.groupby("__part").map_groups(filt, batch_format="pandas")
+
+
+def partitioned_asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    by: str,
+    direction: str = "backward",
+    suffix: str = "_right",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Distributed as-of join: both sides hash-partition on the ``by`` key,
+    then each partition runs one local sorted ``pandas.merge_asof`` — the
+    scale path when the right side is itself a big event stream (the
+    broadcast variant :func:`broadcast_asof_join` assumes an index-sized
+    right table).  Left-join semantics: unmatched left rows keep nulls.
+
+    Partitioning assumption at scale: one ``by``-bucket's rows from BOTH
+    sides fit in a task (true for per-user event streams); raise
+    ``num_partitions`` with data size.  A ``by``-less global as-of would
+    need range partitioning on ``on`` instead.
+
+    Right payload columns (other than ``on``/``by``) must not collide with
+    left column names — rename them first.  Output columns: left columns +
+    right payload columns (``on``/``by`` appear once, from the left side).
+    """
+    import zlib
+
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+    right_payload = [c for c in right_cols if c not in (on, by)]
+    collisions = set(right_payload) & set(left_cols)
+    if collisions:
+        raise ValueError(f"rename right columns colliding with left: {sorted(collisions)}")
+    # unified union schema: on/by shared, each side's payload null on the other
+    all_cols = left_cols + right_payload
+
+    def tag(side: str, own: list[str]):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({c: (batch[c] if c in own else None) for c in all_cols})
+            out["__side"] = side
+            out["__part"] = (
+                batch[by].map(lambda k: zlib.crc32(str(k).encode()) % num_partitions)
+                .astype("int32")
+                .to_numpy()
+            )
+            return out[batch[by].notna().to_numpy()]
+
+        return fn
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        lf = part.loc[part["__side"] == "L", left_cols].sort_values(on, kind="mergesort")
+        rf = part.loc[part["__side"] == "R", right_cols].sort_values(on, kind="mergesort")
+        if rf.empty:
+            out = lf.copy()
+            for c in right_payload:
+                out[c] = None
+            return out.reset_index(drop=True)
+        return pd.merge_asof(
+            lf, rf, on=on, by=by, direction=direction, suffixes=("", suffix)
+        ).reset_index(drop=True)
+
+    tagged = left.map_batches(tag("L", left_cols), batch_format="pandas").union(
+        right.map_batches(tag("R", right_cols), batch_format="pandas")
+    )
+    return tagged.groupby("__part").map_groups(merge, batch_format="pandas")
+
+
 def running_window(
     ds: ray.data.Dataset,
     *,
@@ -300,24 +442,41 @@ def running_window(
     value_column: str,
     out_name: str = "running_value",
     fn: str = "sum",
+    num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """Cumulative window aggregate per partition key — the
     ``sum(x) OVER (PARTITION BY k ORDER BY o)`` idiom.
+    ``fn`` ∈ {sum, max, min, count} (count = ``count(*) OVER`` = cumcount).
 
-    One groupby shuffle on the partition key; the per-group body is a
-    vectorized sort + cumsum/cummax/cummin/cumcount.  Partitioning assumption
-    at scale: one partition's rows fit in a task (true for per-user event
-    streams); for a global running total, range-partition on ``order_by`` and
-    prefix-sum the per-partition totals instead.
+    Keys hash-bucket into ``num_partitions`` (ONE reducer task per bucket,
+    not per key — a per-key ``map_groups`` pays one UDF task per distinct
+    key, which is ruinous at millions of keys); inside a bucket the body is
+    one vectorized sort + pandas ``groupby(...).cumsum()``.  Partitioning
+    assumption at scale: one bucket's rows (~|input|/P) fit in a task —
+    raise ``num_partitions`` with data size.  For a single GLOBAL running
+    total, range-partition on ``order_by`` and prefix-sum per-partition
+    totals instead.
     """
-    cum = {"sum": "cumsum", "max": "cummax", "min": "cummin"}[fn]
+    cum = {"sum": "cumsum", "max": "cummax", "min": "cummin", "count": None}[fn]
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.sort_values(order_by).reset_index(drop=True)
-        out[out_name] = getattr(out[value_column], cum)()
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            part.drop(columns="__part")
+            .sort_values([partition_by] + order_by)
+            .reset_index(drop=True)
+        )
+        grouped = out.groupby(partition_by, sort=False)
+        if fn == "count":
+            out[out_name] = grouped.cumcount() + 1
+        else:
+            out[out_name] = getattr(grouped[value_column], cum)()
         return out
 
-    return ds.groupby(partition_by).map_groups(per_key, batch_format="pandas")
+    return (
+        ds.map_batches(_add_hash_part([partition_by], num_partitions), batch_format="pandas")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
 
 
 def broadcast_range_join(
@@ -371,24 +530,47 @@ def grouped_quantile(
     ``quantile_disc`` (an actual data value — prefer it when downstream
     compares rounded values, since it has no interpolation midpoints).
 
-    Partitioning assumption at scale: a group's values fit in a task.  For
-    head groups that don't, switch to a mergeable sketch (t-digest) as the
-    partial step — exactness is the point of THIS op, so it shuffles the
-    column rather than approximating.
+    Keys hash-bucket into partitions (one reducer per bucket, not per key);
+    the per-bucket body is one sort + a fully vectorized positional gather
+    over the contiguous group runs — no per-group UDF dispatch.  Partitioning
+    assumption at scale: a bucket's values fit in a task.  For head groups
+    that don't, switch to a mergeable sketch (:func:`approx_quantile`) —
+    exactness is the point of THIS op, so it shuffles the column rather than
+    approximating.
     """
     import numpy as np
 
-    method = {"linear": "linear", "discrete": "inverted_cdf"}[interpolation]
+    if interpolation not in ("linear", "discrete"):
+        raise ValueError(f"unknown interpolation {interpolation!r}")
 
-    def per_group(group: pd.DataFrame) -> pd.DataFrame:
-        row = {key: [group[key].iloc[0]] for key in group_keys}
-        row[out_name] = [float(np.quantile(group[value_column].to_numpy(), q, method=method))]
-        return pd.DataFrame(row)
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop(columns="__part").sort_values(group_keys + [value_column])
+        vals = part[value_column].to_numpy(dtype="float64")
+        grouped = part.groupby(group_keys, sort=False)
+        sizes_series = grouped.size()
+        sizes = sizes_series.to_numpy()
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        if interpolation == "discrete":
+            # percentile_disc / numpy inverted_cdf: ceil(q*n)-th sorted value
+            idx = np.maximum(np.ceil(q * sizes).astype(np.int64), 1) - 1
+            res = vals[starts + idx]
+        else:
+            # percentile_cont: linear interpolation at rank q*(n-1)
+            pos = q * (sizes - 1)
+            lo = np.floor(pos).astype(np.int64)
+            hi = np.ceil(pos).astype(np.int64)
+            frac = pos - lo
+            res = vals[starts + lo] * (1 - frac) + vals[starts + hi] * frac
+        out = sizes_series.reset_index()[group_keys].copy()
+        out[out_name] = res.astype("float64")
+        return out
 
+    num_partitions = 64
     return (
         ds.select_columns(group_keys + [value_column])
-        .groupby(group_keys)
-        .map_groups(per_group, batch_format="pandas")
+        .map_batches(_add_hash_part(group_keys, num_partitions), batch_format="pandas")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
     )
 
 
@@ -577,10 +759,12 @@ def window_rank(
     ntile: int | None = None,
     row_number_name: str = "row_number",
     ntile_name: str = "ntile",
+    num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """``row_number()`` (and optionally ``ntile(k)``) per partition — the
-    ranking window idiom.  One groupby shuffle on the partition key; the
-    per-group body is a vectorized argsort.  ``order_by`` should end in a
+    ranking window idiom.  Keys hash-bucket into ``num_partitions`` (one
+    reducer task per bucket, not per key); the per-bucket body is one sort +
+    vectorized cumcount over every key run.  ``order_by`` should end in a
     unique tie-break column for determinism.
 
     ntile follows SQL semantics exactly: with n rows and k buckets the first
@@ -588,23 +772,34 @@ def window_rank(
     """
     import numpy as np
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.sort_values(order_by).reset_index(drop=True)
-        n = len(out)
-        out[row_number_name] = np.arange(1, n + 1)
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            part.drop(columns="__part")
+            .sort_values([partition_by] + order_by)
+            .reset_index(drop=True)
+        )
+        grouped = out.groupby(partition_by, sort=False)
+        rn0 = grouped.cumcount().to_numpy()
+        out[row_number_name] = rn0 + 1
         if ntile:
-            q, r = divmod(n, ntile)
-            idx = np.arange(n)
+            n = grouped[order_by[0]].transform("size").to_numpy()
+            q, r = n // ntile, n % ntile
             big = r * (q + 1)
+            # rows past the first r*(q+1) fall into the small (q-row) buckets;
+            # when q == 0 every row satisfies rn0 < big, so the guard is safe
             buckets = np.where(
-                idx < big,
-                idx // max(q + 1, 1) + 1,
-                r + (idx - big) // max(q, 1) + 1 if q else r,
+                rn0 < big,
+                rn0 // np.maximum(q + 1, 1) + 1,
+                r + (rn0 - big) // np.maximum(q, 1) + 1,
             )
             out[ntile_name] = buckets.astype("int64")
         return out
 
-    return ds.groupby(partition_by).map_groups(per_key, batch_format="pandas")
+    return (
+        ds.map_batches(_add_hash_part([partition_by], num_partitions), batch_format="pandas")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
 
 
 def grouped_string_agg(
@@ -614,23 +809,30 @@ def grouped_string_agg(
     *,
     sep: str = ",",
     out_name: str = "agg",
+    num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """Ordered ``string_agg``: per group, the values joined by ``sep`` in
     sorted order (sorted => deterministic across block arrivals, which is what
-    makes it oracle-checkable).  One groupby shuffle of (keys, value) only.
+    makes it oracle-checkable).  Keys hash-bucket into ``num_partitions``
+    (one reducer per bucket, not per key); the shuffle carries (keys, value)
+    only, and the per-bucket body is one sort + a pandas C-dispatched
+    ``agg(join)`` over the key runs.
 
     Partitioning assumption at scale: a group's concatenated string fits in a
     task; for giant groups emit a list column and cap it instead."""
 
-    def per_group(group: pd.DataFrame) -> pd.DataFrame:
-        row = {key: [group[key].iloc[0]] for key in group_keys}
-        row[out_name] = [sep.join(sorted(group[value_column].astype(str)))]
-        return pd.DataFrame(row)
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop(columns="__part").copy()
+        part[value_column] = part[value_column].astype(str)
+        part = part.sort_values(group_keys + [value_column])
+        out = part.groupby(group_keys, sort=False)[value_column].agg(sep.join).reset_index()
+        return out.rename(columns={value_column: out_name})
 
     return (
         ds.select_columns(group_keys + [value_column])
-        .groupby(group_keys)
-        .map_groups(per_group, batch_format="pandas")
+        .map_batches(_add_hash_part(group_keys, num_partitions), batch_format="pandas")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
     )
 
 
@@ -640,28 +842,54 @@ def sessionize(
     user_column: str = "user_id",
     ts_column: str = "ts",
     gap: pd.Timedelta | float = 1800.0,
+    num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """Session windows per user: a new session starts when the gap to the
-    previous event exceeds ``gap``.  One groupby shuffle on the user key;
-    the per-group body is vectorized (sort + diff + cumsum).
+    previous event exceeds ``gap``.  Users hash-bucket into
+    ``num_partitions`` (one reducer task per bucket, not per user — a
+    per-user ``map_groups`` pays one UDF task per user, ruinous at millions
+    of users); the per-bucket body is one sort + vectorized shift/diff/cumsum
+    over every user run at once.
 
     Returns (user, n_sessions, n_events, longest_session_events).
     """
     if not isinstance(gap, pd.Timedelta):
         gap = pd.Timedelta(seconds=float(gap))
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        ts = group[ts_column].sort_values()
-        new_session = ts.diff().gt(gap) | ts.diff().isna()
-        session_ids = new_session.cumsum()
-        sizes = session_ids.value_counts()
-        return pd.DataFrame(
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop(columns="__part").sort_values([user_column, ts_column])
+        users = part[user_column]
+        ts = part[ts_column]
+        same_user = users.eq(users.shift())
+        within_gap = ts.diff().le(gap)
+        new_session = ~(same_user & within_gap)
+        # sessions never span users: new_session is True at each user's first
+        # row, so the global cumsum yields per-user-distinct session ids
+        session_id = new_session.cumsum()
+        sess_size = session_id.map(session_id.value_counts())
+        frame = pd.DataFrame(
             {
-                user_column: [group[user_column].iloc[0]],
-                "n_sessions": [int(session_ids.max())],
-                "n_events": [len(group)],
-                "longest_session_events": [int(sizes.max())],
+                user_column: users,
+                "new_session": new_session.astype("int64"),
+                "sess_size": sess_size,
             }
         )
+        out = (
+            frame.groupby(user_column, sort=False)
+            .agg(
+                n_sessions=("new_session", "sum"),
+                n_events=("new_session", "size"),
+                longest_session_events=("sess_size", "max"),
+            )
+            .reset_index()
+        )
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["longest_session_events"] = out["longest_session_events"].astype("int64")
+        return out
 
-    return events.groupby(user_column).map_groups(per_user, batch_format="pandas")
+    return (
+        events.map_batches(_add_hash_part([user_column], num_partitions), batch_format="pandas")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

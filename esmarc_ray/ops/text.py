@@ -170,26 +170,52 @@ def json_extract(
     json_column: str,
     fields: dict[str, str],
     *,
+    keys: dict[str, str] | None = None,
     drop_source: bool = True,
 ) -> ray.data.Dataset:
     """Extract scalar fields from a JSON-string column into typed columns.
 
-    ``fields``: output column → dtype ("int64" | "float64" | "string").
-    The semi-structured idiom for event property bags: parse once per row
-    inside map_batches, emit flat columns so every downstream operator is
-    columnar.  Missing keys become null.
+    ``fields``: output column → dtype ("int64" | "float64" | "string");
+    ``keys`` optionally maps an output column to a different JSON key
+    (default: the output column name).  The semi-structured idiom for event
+    property bags: parse once per row inside map_batches, emit flat columns
+    so every downstream operator is columnar.
+
+    Robust on real-world bags: malformed JSON rows yield nulls (never fail
+    the task — a dead-letter scan can recover them from the source column),
+    and numeric coercion goes through ``pd.to_numeric(errors="coerce")`` so
+    a stray string or non-integral float becomes null instead of raising.
     """
     import json as _json
 
+    keys = keys or {}
+
     def extract(batch: pd.DataFrame) -> pd.DataFrame:
-        parsed = [
-            _json.loads(raw) if raw else {} for raw in batch[json_column].fillna("")
-        ]
+        parsed = []
+        for raw in batch[json_column].fillna(""):
+            try:
+                obj = _json.loads(raw) if raw else {}
+            except (ValueError, TypeError):
+                obj = {}
+            parsed.append(obj if isinstance(obj, dict) else {})
         for out, dtype in fields.items():
-            values = [obj.get(out) for obj in parsed]
-            batch[out] = pd.array(
-                values, dtype={"int64": "Int64", "float64": "Float64", "string": "string"}[dtype]
-            )
+            key = keys.get(out, out)
+            values = [obj.get(key) for obj in parsed]
+            if dtype in ("int64", "float64"):
+                numeric = pd.to_numeric(
+                    pd.Series(values, dtype="object"), errors="coerce"
+                ).astype("Float64")
+                numeric.index = batch.index
+                if dtype == "int64":
+                    # non-integral floats become null, not a raise
+                    fractional = numeric.notna() & (numeric % 1 != 0)
+                    batch[out] = numeric.mask(fractional).astype("Int64")
+                else:
+                    batch[out] = numeric
+            else:
+                batch[out] = pd.array(
+                    [v if isinstance(v, str) else None for v in values], dtype="string"
+                )
         if drop_source:
             batch = batch.drop(columns=[json_column])
         return batch

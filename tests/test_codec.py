@@ -102,3 +102,18 @@ def test_codec_roundtrip_property(record):
     decoded = decode_spans(spans)
     assert decoded == record
     assert encode_record(decoded) == spans
+
+
+def test_sliced_batch_decodes_correctly(reference_records):
+    """A sliced Table/ListArray has offsets indexing the UNSLICED child while
+    flatten() rebases to 0 — batch_to_records must rebase explicitly."""
+    items = sorted(reference_records.items())
+    table = records_to_table(items)
+    sliced = table.slice(2, 5)
+    decoded = batch_to_records(sliced)
+    assert decoded == items[2:7]
+    # a sliced RecordBatch keeps a plain (non-chunked) sliced ListArray whose
+    # offsets are NOT rebased by any combine_chunks — the raw fixed path
+    rb = table.combine_chunks().to_batches()[0].slice(3, 4)
+    assert rb.column("spans").offsets[0].as_py() != 0
+    assert batch_to_records(rb) == items[3:7]

@@ -578,3 +578,138 @@ def test_window_rank_ntile_matches_duckdb(ray_session):
     ).df()
     assert got["row_number"].tolist() == expected["rn"].tolist()
     assert got["ntile"].tolist() == expected["nt"].tolist()
+
+
+def test_partitioned_semi_and_anti_join(ray_session):
+    import duckdb
+
+    orders = ray.data.read_parquet(f"{SF_DIR}/orders.parquet",
+                                   columns=["o_custkey", "o_orderpriority"])
+    urgent = orders.filter(expr="o_orderpriority == '1-URGENT'")
+    customers = ray.data.read_parquet(f"{SF_DIR}/customer.parquet", columns=["c_custkey"])
+    anti = relational.partitioned_semi_join(
+        customers, urgent, on="c_custkey", key_column="o_custkey",
+        anti=True, num_partitions=8,
+    ).to_pandas()
+    semi = relational.partitioned_semi_join(
+        customers, urgent, on="c_custkey", key_column="o_custkey",
+        anti=False, num_partitions=8,
+    ).to_pandas()
+    con = duckdb.connect()
+    expected_anti = con.execute(
+        f"""
+        select c_custkey from read_parquet('{SF_DIR}/customer.parquet')
+        where not exists (select 1 from read_parquet('{SF_DIR}/orders.parquet')
+                          where o_custkey = c_custkey and o_orderpriority = '1-URGENT')
+        """
+    ).df()
+    assert sorted(anti["c_custkey"]) == sorted(expected_anti["c_custkey"])
+    total = con.execute(
+        f"select count(*) n from read_parquet('{SF_DIR}/customer.parquet')"
+    ).df()["n"][0]
+    assert len(anti) + len(semi) == int(total)
+
+
+def test_partitioned_asof_join_matches_duckdb(ray_session):
+    import duckdb
+
+    events = ray.data.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    purchases = events.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "ts", "user_id"]
+    )
+    clicks = (
+        events.filter(expr="event_type == 'click'")
+        .select_columns(["event_id", "ts", "user_id"])
+        .map_batches(lambda b: b.rename(columns={"event_id": "click_id"}),
+                     batch_format="pandas")
+    )
+    got = relational.partitioned_asof_join(
+        purchases, clicks, on="ts", by="user_id", num_partitions=8
+    ).to_pandas()
+    got["click_id"] = got["click_id"].fillna(-1).astype("int64")
+    got = got.sort_values("event_id").reset_index(drop=True)
+    expected = duckdb.connect().execute(
+        f"""
+        select l.event_id, coalesce(r.event_id, -1) click_id
+        from (select * from read_parquet('{SF_DIR}/events.parquet')
+              where event_type = 'purchase') l
+        asof left join (select * from read_parquet('{SF_DIR}/events.parquet')
+                        where event_type = 'click') r
+          on l.user_id = r.user_id and l.ts >= r.ts
+        order by l.event_id
+        """
+    ).df()
+    assert got["event_id"].astype("int64").tolist() == expected["event_id"].tolist()
+    assert got["click_id"].tolist() == expected["click_id"].tolist()
+
+
+def test_partitioned_asof_join_rejects_colliding_columns(ray_session):
+    left = ray.data.from_pandas(pd.DataFrame({"ts": [1.0], "user_id": [1], "x": [1]}))
+    right = ray.data.from_pandas(pd.DataFrame({"ts": [1.0], "user_id": [1], "x": [2]}))
+    with pytest.raises(ValueError, match="colliding"):
+        relational.partitioned_asof_join(left, right, on="ts", by="user_id")
+
+
+def test_running_window_count(ray_session):
+    rows = pd.DataFrame({"k": [1, 1, 2, 1], "o": [3, 1, 5, 2], "v": [1.0] * 4})
+    got = (
+        relational.running_window(
+            ray.data.from_pandas(rows), partition_by="k", order_by=["o"],
+            value_column="v", fn="count", out_name="rn", num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    assert got["rn"].tolist() == [1, 2, 3, 1]
+
+
+def test_partitioned_join_null_keys_never_match(ray_session):
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": ["a", None, "b"], "lv": [1, 2, 3]})
+    )
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": ["a", None], "rv": [10, 20]})
+    )
+    inner = relational.partitioned_join(
+        left, right, "k", left_cols=["lv"], right_cols=["rv"], num_partitions=4
+    ).to_pandas()
+    assert inner["k"].tolist() == ["a"]
+    leftj = relational.partitioned_join(
+        left, right, "k", left_cols=["lv"], right_cols=["rv"],
+        num_partitions=4, how="left",
+    ).to_pandas().sort_values("lv")
+    # null-key left row survives a LEFT join but matches nothing
+    assert len(leftj) == 3
+    assert leftj[leftj["k"].isna()]["rv"].isna().all()
+
+
+def test_json_extract_robustness(ray_session):
+    from esmarc_ray.ops import text as text_ops
+
+    rows = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5],
+            "props": [
+                '{"k": 3, "s": "x"}',
+                "not json{",
+                '{"k": 2.5}',
+                '{"other": 1}',
+                '{"k": "oops", "s": 7}',
+            ],
+        }
+    )
+    out = (
+        text_ops.json_extract(
+            ray.data.from_pandas(rows), "props", {"k": "int64", "s": "string"}
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # malformed JSON, missing key, non-integral float, wrong types -> null
+    assert out["k"].tolist()[0] == 3
+    assert out["k"].isna().tolist() == [False, True, True, True, True]
+    assert out["s"].isna().tolist() == [False, True, True, True, True]
