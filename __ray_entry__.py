@@ -55,7 +55,7 @@ def entry() -> Any:
     indexes = ray.put(build_link_indexes(link_tables(spec)))
     docs = extract_docs(read_documents(corpus))
     linked = link_entities(docs, indexes, concurrency=2)
-    canonical = canonicalize(linked, n_salts=8)
+    canonical = canonicalize(linked, precombine=True)
     return docs_to_triples(canonical)
 
 
@@ -89,7 +89,7 @@ def q_kg_entity_counts(sf_dir: str):
 def q_kg_canonical(sf_dir: str):
     from esmarc_ray.stages.canonicalize import canonicalize
 
-    return canonicalize(_kg_docs(sf_dir), n_salts=8).select_columns(
+    return canonicalize(_kg_docs(sf_dir), precombine=True).select_columns(
         ["doc_id", "entity_class", "canon_key"]
     )
 
@@ -98,7 +98,7 @@ def q_kg_canonical_closure(sf_dir: str):
     """Canonicalization with the sameAs/identifier connected-component closure."""
     from esmarc_ray.stages.canonicalize import canonicalize
 
-    return canonicalize(_kg_docs(sf_dir), n_salts=8, closure=True).select_columns(
+    return canonicalize(_kg_docs(sf_dir), precombine=True, closure=True).select_columns(
         ["doc_id", "entity_class", "canon_key"]
     )
 

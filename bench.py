@@ -85,7 +85,9 @@ def run_bench() -> dict:
     linked = link_entities(
         docs, indexes_ref, concurrency=(max(1, NUM_CPUS - 2), NUM_CPUS)
     )
-    canonical = canonicalize(linked, n_salts=16)
+    # pre-combine plan: batch-local merge combiner + ONE final shuffle —
+    # half the shuffle bytes of the salted two-phase plan
+    canonical = canonicalize(linked, precombine=True)
     triples = docs_to_triples(canonical)
     triples.write_parquet(str(out_dir), partition_cols=["entity_class"])
     kg_seconds = time.perf_counter() - t0

@@ -396,6 +396,9 @@ def link_tables(spec: CorpusSpec) -> dict[str, pa.Table]:
             }
         )
         wd_rows.append({"ext_uri_prefix": "https://d-nb.info/gnd/", "ext_value": gnd_id, "qid": qid})
+        # the same entity is also reachable through its VIAF id (the id the
+        # entityfacts links add) — exercises the multi-prefix wikidata path
+        wd_rows.append({"ext_uri_prefix": "http://viaf.org", "ext_value": str(100000 + idx), "qid": qid})
         for site in ("de", "en"):
             wp_rows.append(
                 {"qid": qid, "site": site, "url": f"https://{site}.wikipedia.org/wiki/Entity_{idx}", "title": f"Entity {idx}"}

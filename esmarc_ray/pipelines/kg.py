@@ -51,6 +51,7 @@ def run_kg_pipeline(
     num_shards: int = 4,
     n_salts: int = 16,
     salted: bool = True,
+    precombine: bool = True,
     resume: bool = True,
     link_concurrency: int | tuple[int, int] = (2, 8),
 ) -> dict:
@@ -83,7 +84,9 @@ def run_kg_pipeline(
     # ---- phase 2: canonicalize + materialize (wide, streaming) -------------
     doc_files = sorted(str(p) for p in docs_dir.glob("shard=*/*.parquet"))
     docs_ds = ray.data.read_parquet(doc_files)
-    canonical = canonicalize(docs_ds, n_salts=n_salts, salted=salted)
+    canonical = canonicalize(
+        docs_ds, n_salts=n_salts, salted=salted, precombine=precombine
+    )
     triples = docs_to_triples(canonical)
     manifest = materialize_shard(
         triples, triples_dir / "shard=00000", inputs=doc_files, sort=True

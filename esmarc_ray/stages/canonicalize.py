@@ -126,9 +126,24 @@ def _make_add_part(num_partitions: int, n_salts: int | None):
 
 def _merge_partition(batch: pa.Table) -> pa.Table:
     """One reducer call per hash partition: merge every (canon_key[, salt])
-    run inside it.  Plain-Python grouping — no per-group Arrow overhead."""
+    run inside it.  Plain-Python grouping — no per-group Arrow overhead.
+
+    Also serves as the BATCH-LOCAL combiner of the pre-combine plan (applied
+    via plain ``map_batches`` before any shuffle): same associative merge,
+    zero-copy pass-through when a batch holds no duplicate keys."""
     names = batch.schema.names
     keys = batch.column("canon_key").to_pylist()
+    if len(set(keys)) == len(keys):
+        # fast path: every key unique — pass through (normalizing the link
+        # stage's int32 n_links_added so block schemas stay consistent)
+        batch = batch.drop_columns([c for c in ("part", "salt") if c in names])
+        if "n_links_added" in batch.schema.names:
+            i = batch.schema.get_field_index("n_links_added")
+            if batch.schema.field(i).type != pa.int64():
+                batch = batch.set_column(
+                    i, "n_links_added", batch.column(i).cast(pa.int64())
+                )
+        return batch
     salts = batch.column("salt").to_pylist() if "salt" in names else None
     doc_ids = batch.column("doc_id").to_pylist()
     doc_jsons = batch.column("doc_json").to_pylist()
@@ -372,16 +387,26 @@ def canonicalize(
     *,
     n_salts: int | str = 16,
     salted: bool = True,
+    precombine: bool = False,
     num_partitions: int = 256,
     closure: bool = False,
 ) -> ray.data.Dataset:
-    """Two-phase (salted partial → final) canonical merge on ``canon_key``.
+    """Canonical merge on ``canon_key``; three physical plans, same algebra:
 
-    ``salted=False`` runs the single-shuffle variant (used by the
-    salted==unsalted correctness gate; also fine for small inputs).
-    ``n_salts="auto"`` sizes the salt factor from a bounded key-frequency
-    sketch (:func:`estimate_salts`) — skew-free inputs skip the partial
-    phase entirely.
+    * ``precombine=True`` (the preferred scale plan): a BATCH-LOCAL combiner
+      (``map_batches`` of the same associative merge, zero shuffle) collapses
+      each batch's duplicate keys — a head entity at x% corpus frequency
+      shrinks by its per-batch occupancy — then ONE hash-partitioned final
+      merge.  Halves shuffle bytes vs the salted plan and neutralizes
+      head-key stragglers without a frequency sketch.
+    * ``salted=True`` (default): two-phase salted partial → final merge,
+      two full shuffles.  ``n_salts="auto"`` sizes the salt factor from a
+      bounded key-frequency sketch (:func:`estimate_salts`); skew-free
+      inputs then skip the partial phase.  An EXPLICIT ``salted=False`` is
+      honored — auto never turns salting back on.
+    * ``salted=False``: single-shuffle variant (the correctness reference
+      for both other plans; fine for small inputs).
+
     ``closure=True`` first rewrites keys through the sameAs/identifier
     connected components, so entities transitively linked via shared GND ids
     merge even when their direct keys differ (north rule's sameAs closure).
@@ -391,10 +416,15 @@ def canonicalize(
     )
     if n_salts == "auto":
         n_salts = estimate_salts(live)
-        salted = n_salts > 1
+        salted = salted and n_salts > 1
     if closure:
         mapping = closure_keys(live, num_partitions=max(16, num_partitions // 16))
         live = _rewrite_keys(live, mapping, num_partitions=max(16, num_partitions // 16))
+    if precombine:
+        combined = live.map_batches(
+            _merge_partition, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return _partition_merge(combined, num_partitions=num_partitions, n_salts=None)
     if salted:
         partial = _partition_merge(live, num_partitions=num_partitions, n_salts=n_salts)
         return _partition_merge(partial, num_partitions=num_partitions, n_salts=None)

@@ -15,9 +15,12 @@ gnd_sachgruppen.py — see SURVEY.md §2.4).  Here the joins run inside one
 Link semantics mirror the bots:
 * entityfacts: add sameAs links for a resolved GND id, keep only when the
   link set actually grew (entityfacts.py:109-154);
-* wikidata: extid → QID appended as a wikidata sameAs (wikidata.py:33-80);
-* wikipedia: QID → per-language sitelinks + multilingual names
-  (wikipedia.py:68-159);
+* wikidata: ANY of the reference's 10 identifier-URI prefixes (VIAF / GND /
+  ISNI / LoC / DDB / BnF / geonames / filmportal / ORCID / SWB) resolves a
+  QID appended as a wikidata sameAs (wikidata.py:10-30,33-80);
+* wikipedia: QID → per-language sitelinks + multilingual names, with stale
+  links from obsolete sources (hub.culturegraph.org) replaced in place
+  (wikipedia.py:25,68-159);
 * wikipedia_categories: wikipedia sameAs link → per-language category nodes
   under doc["category"][cc] (wikipedia_categories.py:21-82);
 * gnd_sachgruppen: GND → subject categories via the 2-hop fieldOfStudy→DDC
@@ -43,11 +46,36 @@ def _bucket(lat: float, lon: float) -> tuple[int, int]:
     return (int(lat * 100), int(lon * 100))
 
 
+# identifier-URI prefix → value delimiter, mirroring the reference's wikidata
+# property table (enrichment/wikidata.py:10-30): any sameAs id matching one of
+# these prefixes can resolve a QID, not just the GND id
+_WD_EXT_PREFIXES = {
+    "http://viaf.org": "/",
+    "https://d-nb.info/gnd": "/",
+    "http://isni.org": "/",
+    "http://id.loc.gov": "/",
+    "https://deutsche-digitale-bibliothek.de": "/",
+    "http://catalogue.bnf.fr/ark": "/cb",
+    "http://geonames.org": "/",
+    "http://filmportal.de/person": "/",
+    "http://orcid.org": "/",
+    "http://swb.bsz-bw.de/DB=2.1/PPNSET?PPN=": "=",
+}
+
+# data sources whose stale wikipedia links get REPLACED when wikidata serves a
+# fresh sitelink (reference enrichment/wikipedia.py:25,144-146)
+_OBSOLETE_ISBASEDON_HOSTS = ("hub.culturegraph.org",)
+
+
+def _norm_prefix(prefix: str) -> str:
+    return prefix.rstrip("/=")
+
+
 def build_link_indexes(tables: dict[str, pa.Table]) -> dict[str, Any]:
     """Turn the raw lookup tables into hash/bucket indexes (driver side, once)."""
     ef = {row["gnd_id"]: row["links"] for row in tables["ef_links"].to_pylist()}
     wd = {
-        (row["ext_uri_prefix"], row["ext_value"]): row["qid"]
+        (_norm_prefix(row["ext_uri_prefix"]), row["ext_value"]): row["qid"]
         for row in tables["wd_xref"].to_pylist()
     }
     wp: dict[str, list] = {}
@@ -84,6 +112,14 @@ class EntityLinker:
         self._subjects = indexes["subjects"]
         self._geo = indexes["geo"]
         self._cats = indexes.get("cats", {})
+        # candidate gate: a doc with no GND id can only be enriched if its
+        # raw JSON mentions a geo node, a wikipedia link, or one of the
+        # wikidata ext-id prefixes — one compiled scan beats a parse+dump
+        # round-trip for the (majority) unenrichable docs
+        import re
+
+        markers = ['"geo"', "wikipedia"] + list(_WD_EXT_PREFIXES)
+        self._gate = re.compile("|".join(re.escape(m) for m in markers))
 
     # -- per-doc link steps ---------------------------------------------------
 
@@ -111,12 +147,40 @@ class EntityLinker:
             doc["sameAs"] = same_as
         return added
 
-    def _wikidata_wikipedia(self, doc: dict, gnd_ids: list[str]) -> int:
-        added = 0
-        for gnd_id in gnd_ids:
-            qid = self._wd.get(("https://d-nb.info/gnd/", gnd_id))
-            if not qid:
+    def _ext_id_pairs(self, doc: dict, gnd_ids: list[str]) -> list[tuple[str, str]]:
+        """All (normalized prefix, value) identifier pairs the doc carries:
+        its GND ids plus every sameAs id matching one of the reference's 10
+        wikidata property prefixes (enrichment/wikidata.py:33-56)."""
+        pairs = [("https://d-nb.info/gnd", g) for g in gnd_ids]
+        same_as = doc.get("sameAs") or []
+        if isinstance(same_as, dict):
+            same_as = [same_as]
+        for link in same_as:
+            uri = link.get("@id") if isinstance(link, dict) else (
+                link if isinstance(link, str) else None
+            )
+            if not uri:
                 continue
+            for prefix, delim in _WD_EXT_PREFIXES.items():
+                if uri.startswith(prefix):
+                    pairs.append((_norm_prefix(prefix), uri.split(delim)[-1]))
+                    break
+        return pairs
+
+    def _wikidata_wikipedia(self, doc: dict, gnd_ids: list[str]) -> int:
+        from urllib.parse import urlparse
+
+        added = 0
+        qids: list[str] = []
+        seen: set = set()
+        for pair in self._ext_id_pairs(doc, gnd_ids):
+            if pair in seen:
+                continue
+            seen.add(pair)
+            qid = self._wd.get(pair)
+            if qid and qid not in qids:
+                qids.append(qid)
+        for qid in qids:
             wd_uri = f"http://www.wikidata.org/entity/{qid}"
             same_as = doc.setdefault("sameAs", [])
             if isinstance(same_as, dict):
@@ -131,19 +195,39 @@ class EntityLinker:
                     }
                 )
                 added += 1
+            # per-publisher-abbr position map of the existing sameAs links
+            # (reference wikipedia.py:48-66 build_abbrevs): lets a stale link
+            # from an obsolete source be REPLACED in place
+            abbrevs: dict[str, dict] = {}
+            for pos, link in enumerate(same_as):
+                if not isinstance(link, dict):
+                    continue
+                abbr = (link.get("publisher") or {}).get("abbr")
+                if not abbr:
+                    continue
+                based = (link.get("isBasedOn") or {}).get("@id") or ""
+                abbrevs[abbr] = {"host": urlparse(based).hostname or "", "pos": pos}
             for site in self._wp.get(qid, []):
-                uri = site["url"]
-                if all(link.get("@id") != uri for link in same_as if isinstance(link, dict)):
-                    same_as.append(
-                        {
-                            "@id": uri,
-                            "publisher": {"abbr": f"WP-{site['site']}", "preferredName": "Wikipedia"},
-                            "isBasedOn": {"@type": "Dataset", "@id": doc.get("isBasedOn", "")},
-                        }
-                    )
-                    doc.setdefault("name", {})
-                    if isinstance(doc["name"], dict):
-                        doc["name"][site["site"]] = site["title"]
+                abbr = f"WP-{site['site']}"
+                new_link = {
+                    "@id": site["url"],
+                    "publisher": {"abbr": abbr, "preferredName": "Wikipedia"},
+                    "isBasedOn": {"@type": "Dataset", "@id": wd_uri},
+                }
+                if abbr not in abbrevs:
+                    same_as.append(new_link)
+                    abbrevs[abbr] = {"host": "www.wikidata.org", "pos": len(same_as) - 1}
+                    added += 1
+                elif abbrevs[abbr]["host"] in _OBSOLETE_ISBASEDON_HOSTS:
+                    # stale source (e.g. hub.culturegraph.org): update in place
+                    # (reference wikipedia.py:144-146)
+                    same_as[abbrevs[abbr]["pos"]] = new_link
+                    abbrevs[abbr]["host"] = "www.wikidata.org"
+                    added += 1
+                # multilingual name enrichment (reference wikipedia.py:148-157)
+                doc.setdefault("name", {})
+                if isinstance(doc["name"], dict) and site["site"] not in doc["name"]:
+                    doc["name"][site["site"]] = site["title"]
                     added += 1
         return added
 
@@ -251,13 +335,22 @@ class EntityLinker:
                 out_json.append(doc_json)
                 n_added.append(0)
                 continue
+            if not gnd_ids and not self._gate.search(doc_json):
+                # provably unenrichable: skip the JSON round-trip entirely
+                out_json.append(doc_json)
+                n_added.append(0)
+                continue
             doc = json.loads(doc_json)
             added = self._entityfacts(doc, gnd_ids or [])
             added += self._wikidata_wikipedia(doc, gnd_ids or [])
             added += self._wp_categories(doc)
             added += self._gnd_subjects(doc, gnd_ids or [])
             added += self._geonames(doc)
-            out_json.append(json.dumps(doc, sort_keys=True, ensure_ascii=False))
+            # unchanged docs keep their original serialization — the dump is
+            # a measurable cost and byte-identity helps downstream dedup
+            out_json.append(
+                json.dumps(doc, sort_keys=True, ensure_ascii=False) if added else doc_json
+            )
             n_added.append(added)
         table = batch.set_column(
             batch.schema.get_field_index("doc_json"), "doc_json", pa.array(out_json, pa.string())

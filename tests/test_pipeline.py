@@ -80,6 +80,13 @@ def test_canonicalize_salted_equals_unsalted(ray_session, corpus_dir):
     salted = snapshot(canonicalize(docs, n_salts=8, salted=True))
     unsalted = snapshot(canonicalize(docs, salted=False))
     assert salted == unsalted
+    # the single-shuffle pre-combine plan (batch-local combiner + one final
+    # merge) is the same associative algebra — must agree bit-for-bit too
+    precombined = snapshot(canonicalize(docs, precombine=True))
+    assert precombined == unsalted
+    # an explicit salted=False survives n_salts="auto" (auto never re-salts)
+    auto_unsalted = snapshot(canonicalize(docs, n_salts="auto", salted=False))
+    assert auto_unsalted == unsalted
     # the head GND key exists and merged more than one doc
     head_key = f"gnd:{spec.head_gnd}"
     if head_key in salted:
@@ -255,3 +262,106 @@ def test_estimate_salts_sketch(ray_session, corpus_dir):
     auto = canonicalize(docs, n_salts="auto").to_pandas()
     explicit = canonicalize(docs, n_salts=8).to_pandas()
     assert set(auto["canon_key"]) == set(explicit["canon_key"])
+
+
+def _linker_indexes(wd_rows, wp_rows):
+    import pyarrow as pa
+
+    from esmarc_ray.stages.link import build_link_indexes
+
+    empty = {
+        "ef_links": pa.table({"gnd_id": pa.array([], pa.string()), "links": pa.array([], pa.list_(pa.struct([("id", pa.string()), ("abbr", pa.string()), ("name", pa.string())])))}),
+        "gnd_subjects": pa.table({"gnd_id": pa.array([], pa.string()), "subject_category": pa.array([], pa.list_(pa.string())), "field_of_study": pa.array([], pa.list_(pa.string())), "ddc3": pa.array([], pa.list_(pa.string()))}),
+        "geonames": pa.table({"geoname_id": pa.array([], pa.int64()), "name": pa.array([], pa.string()), "alternate_names": pa.array([], pa.list_(pa.string())), "lat": pa.array([], pa.float64()), "lon": pa.array([], pa.float64())}),
+    }
+    import pyarrow as _pa
+
+    tables = dict(empty)
+    tables["wd_xref"] = _pa.Table.from_pylist(wd_rows)
+    tables["wp_sites"] = _pa.Table.from_pylist(wp_rows)
+    return build_link_indexes(tables)
+
+
+def _linker_batch(rows):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "doc_id": [r[0] for r in rows],
+            "entity_class": ["persons"] * len(rows),
+            "canon_key": [f"k{i}" for i in range(len(rows))],
+            "doc_json": [r[1] for r in rows],
+            "gnd_ids": pa.array([r[2] for r in rows], pa.list_(pa.string())),
+            "error": [""] * len(rows),
+        }
+    )
+
+
+def test_linker_viaf_only_doc_links():
+    """A doc identified ONLY by VIAF (no GND) must still resolve its QID —
+    reference enrichment/wikidata.py:10-30 matches 10 ext-id prefixes."""
+    from esmarc_ray.stages.link import EntityLinker
+
+    indexes = _linker_indexes(
+        wd_rows=[{"ext_uri_prefix": "http://viaf.org", "ext_value": "4242", "qid": "Q77"}],
+        wp_rows=[{"qid": "Q77", "site": "de", "url": "https://de.wikipedia.org/wiki/Neu", "title": "Neu"}],
+    )
+    doc = {
+        "@id": "http://example.org/p1",
+        "sameAs": [
+            {
+                "@id": "http://viaf.org/viaf/4242",
+                "publisher": {"abbr": "VIAF"},
+                "isBasedOn": {"@type": "Dataset", "@id": "http://example.org/src"},
+            }
+        ],
+    }
+    batch = _linker_batch([("p1", json.dumps(doc, sort_keys=True), [])])
+    out = EntityLinker(indexes)(batch)
+    assert out.column("n_links_added")[0].as_py() > 0
+    enriched = json.loads(out.column("doc_json")[0].as_py())
+    ids = [l["@id"] for l in enriched["sameAs"]]
+    assert "http://www.wikidata.org/entity/Q77" in ids
+    assert "https://de.wikipedia.org/wiki/Neu" in ids
+    assert enriched["name"]["de"] == "Neu"
+
+
+def test_linker_replaces_obsolete_wikipedia_link():
+    """A stale wikipedia link whose isBasedOn host is obsolete
+    (hub.culturegraph.org) is REPLACED in place, not duplicated —
+    reference enrichment/wikipedia.py:25,144-146."""
+    from esmarc_ray.stages.link import EntityLinker
+
+    indexes = _linker_indexes(
+        wd_rows=[{"ext_uri_prefix": "https://d-nb.info/gnd/", "ext_value": "118", "qid": "Q9"}],
+        wp_rows=[{"qid": "Q9", "site": "de", "url": "https://de.wikipedia.org/wiki/Frisch", "title": "Frisch"}],
+    )
+    doc = {
+        "@id": "http://example.org/p2",
+        "sameAs": [
+            {
+                "@id": "https://de.wikipedia.org/wiki/Veraltet",
+                "publisher": {"abbr": "WP-de", "preferredName": "Wikipedia"},
+                "isBasedOn": {"@type": "Dataset", "@id": "https://hub.culturegraph.org/resource/X"},
+            }
+        ],
+    }
+    batch = _linker_batch([("p2", json.dumps(doc, sort_keys=True), ["118"])])
+    out = EntityLinker(indexes)(batch)
+    enriched = json.loads(out.column("doc_json")[0].as_py())
+    wp_links = [l for l in enriched["sameAs"] if "de.wikipedia.org" in l["@id"]]
+    assert len(wp_links) == 1, "obsolete link must be replaced, not duplicated"
+    assert wp_links[0]["@id"] == "https://de.wikipedia.org/wiki/Frisch"
+
+
+def test_linker_passthrough_keeps_original_serialization():
+    """Unenrichable docs skip the JSON round-trip: the output string is the
+    SAME OBJECT as the input (candidate gate + no-change fast path)."""
+    from esmarc_ray.stages.link import EntityLinker
+
+    indexes = _linker_indexes(wd_rows=[], wp_rows=[])
+    raw = json.dumps({"@id": "http://example.org/p3", "preferredName": "X"}, sort_keys=True)
+    batch = _linker_batch([("p3", raw, [])])
+    out = EntityLinker(indexes)(batch)
+    assert out.column("n_links_added")[0].as_py() == 0
+    assert out.column("doc_json")[0].as_py() == raw
