@@ -78,12 +78,50 @@ def q_kg_triples(sf_dir: str):
     return docs_to_triples(_kg_docs(sf_dir))
 
 
-def q_kg_entity_counts(sf_dir: str):
-    import pandas as pd
+_KG_ORACLE_DIR = pathlib.Path("/tmp/esmarc_ray_kg_oracle")
 
-    counts = _kg_docs(sf_dir).groupby("entity_class").count()
-    df = counts.to_pandas().rename(columns={"count()": "n_docs"})
-    return df.sort_values("entity_class").reset_index(drop=True)
+
+def _kg_oracle_table(sf_dir: str, name: str, ds) -> str:
+    """Write a KG pipeline output as parquet so the DuckDB oracle can
+    independently re-aggregate the same rows (read_parquet in oracle_sql).
+    This hash-checks the flagship path's distributed aggregation + write
+    fidelity — the KG family is otherwise not SQL-expressible."""
+    import shutil
+
+    out = _KG_ORACLE_DIR / name
+    if out.exists():
+        shutil.rmtree(out)
+    ds.write_parquet(str(out))
+    return str(out)
+
+
+def q_kg_entity_counts(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    docs = _kg_docs(sf_dir).select_columns(["doc_id", "entity_class"])
+    path = _kg_oracle_table(sf_dir, "entity_docs", docs)
+    out = partial_groupby_agg(
+        ray.data.read_parquet(path), ["entity_class"], {"n_docs": ("doc_id", "count")}
+    ).to_pandas()
+    return out.sort_values("entity_class").reset_index(drop=True)
+
+
+def q_kg_pred_counts(sf_dir: str):
+    """Triples-per-predicate over the extracted triple table — the
+    SQL-checkable aggregate view of the flagship emission path."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(["pred", "doc_id"])
+    path = _kg_oracle_table(sf_dir, "triples", triples)
+    out = partial_groupby_agg(
+        ray.data.read_parquet(path), ["pred"], {"n_triples": ("doc_id", "count")}
+    ).to_pandas()
+    return out.sort_values("pred").reset_index(drop=True)
 
 
 def q_kg_canonical(sf_dir: str):
@@ -681,9 +719,11 @@ def q_media_frames(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # KG engine (span corpus; not SQL-expressible → rows-only checks)
+        # KG engine (span corpus); entity_counts/pred_counts are
+        # oracle-checked via re-aggregation of the written parquet
         "kg_triples": q_kg_triples,
         "kg_entity_counts": q_kg_entity_counts,
+        "kg_pred_counts": q_kg_pred_counts,
         "kg_canonical": q_kg_canonical,
         "kg_canonical_closure": q_kg_canonical_closure,
         "kg_linked": q_kg_linked,
@@ -732,6 +772,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # KG aggregate views: DuckDB independently re-aggregates the triple /
+        # entity tables the Ray query just wrote (hash-checks the flagship
+        # path's distributed groupby + parquet write; the KG pipeline itself
+        # is not SQL-expressible).  The Ray callable runs first and writes
+        # these paths.
+        "kg_entity_counts": """
+            SELECT entity_class, count(*) AS n_docs
+            FROM read_parquet('/tmp/esmarc_ray_kg_oracle/entity_docs/*.parquet')
+            GROUP BY entity_class ORDER BY entity_class
+        """,
+        "kg_pred_counts": """
+            SELECT pred, count(*) AS n_triples
+            FROM read_parquet('/tmp/esmarc_ray_kg_oracle/triples/*.parquet')
+            GROUP BY pred ORDER BY pred
+        """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,

@@ -4,9 +4,10 @@ Image/audio/video travel as ``binary`` columns with a metadata struct; the
 compute stages (decode, resize, feature-extract, frame-sample) are actor-pool
 ``map_batches`` classes whose Ray-side plumbing — schema, batch sizing,
 actor signature, output layout — is real and tested, while the *codec* call
-itself is stubbed behind ``decoder="fake"`` (deterministic synthetic pixels)
-because no image/audio libraries ship in this container; ``decoder="pil"`` /
-``"libav"`` raise NotImplementedError until those libs exist in the runtime.
+itself defaults to ``decoder="fake"`` (deterministic synthetic pixels)
+because no image/audio libraries ship in this container; ``decoder="pil"``
+activates a real Pillow decode+resize when Pillow is importable (and raises
+NotImplementedError otherwise); ``"libav"`` remains a stub.
 
 Batch-size guidance for binary payloads: batches are sized by BYTES not rows
 (``media_batch_size_rows``) — a 10 MB image at batch_size=1024 would put
@@ -64,16 +65,34 @@ class MediaDecoder:
     def __init__(self, decoder: str = "fake", target_size: tuple[int, int] = (32, 32)):
         if decoder not in ("fake", "pil", "libav"):
             raise ValueError(decoder)
-        if decoder != "fake":
+        if decoder == "pil":
+            # feature-gated real decoder: used automatically the day PIL
+            # lands in the runtime; tests keep decoder="fake" deterministic
+            try:
+                from PIL import Image  # noqa: F401
+
+                self._pil_image = Image
+            except ImportError as exc:  # pragma: no cover - PIL absent here
+                raise NotImplementedError(
+                    "decoder='pil' requires Pillow, which is not installed in "
+                    "this environment; use decoder='fake' (deterministic stub)"
+                ) from exc
+        elif decoder == "libav":
             raise NotImplementedError(
-                f"decoder={decoder!r} requires image/audio libraries not present "
-                "in this environment; use decoder='fake' (deterministic stub)"
+                "decoder='libav' requires an av/ffmpeg binding not present in "
+                "this environment; use decoder='fake' (deterministic stub)"
             )
         self.decoder = decoder
         self.target_size = target_size
 
     def _decode(self, payload: bytes) -> np.ndarray:
         h, w = self.target_size
+        if self.decoder == "pil":  # pragma: no cover - exercised when PIL exists
+            import io
+
+            img = self._pil_image.open(io.BytesIO(payload)).convert("RGB")
+            img = img.resize((w, h))
+            return np.asarray(img, dtype=np.uint8)
         raw = np.frombuffer(
             hashlib.sha256(payload).digest() * ((h * w * 3) // 32 + 1), dtype=np.uint8
         )

@@ -317,9 +317,9 @@ class _KeyRewriter:
 
     The map holds only ALIASED keys (canon_root != canon_key), i.e. one entry
     per merged-away entity key — broadcast once via ``ray.put`` and resolved
-    once per actor in ``__init__``.  Scale note: when the alias table outgrows
-    worker memory, replace with a hash-partitioned join (blocked today by a
-    Ray join bug on empty partitions; see closure_keys)."""
+    once per actor in ``__init__``.  When the alias table outgrows
+    ``broadcast_limit`` rows, :func:`_rewrite_keys` switches to the fully
+    distributed co-partitioned rewrite instead."""
 
     def __init__(self, mapping_ref):
         self._map = ray.get(mapping_ref) if isinstance(mapping_ref, ray.ObjectRef) else mapping_ref
@@ -335,9 +335,75 @@ class _KeyRewriter:
         )
 
 
+def _rewrite_keys_distributed(
+    docs: ray.data.Dataset, mapping: ray.data.Dataset, num_partitions: int
+) -> ray.data.Dataset:
+    """Fully distributed closure key-rewrite: docs and the (canon_key →
+    canon_root) mapping co-hash-partition on canon_key; each partition builds
+    its local alias dict and rewrites its doc rows — the alias table never
+    touches the driver, so a closure over 10^12 docs streams like any other
+    shuffle.  Implemented as the repo's tag-union-partition join (Ray's
+    native join reserves actor pools per join; see partitioned_join)."""
+    doc_schema = docs.schema().base_schema
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keys = batch.column("canon_key").to_pylist()
+        batch = batch.append_column("canon_root", pa.nulls(n, pa.string()))
+        batch = batch.append_column("__side", pa.array(["d"] * n, pa.string()))
+        return batch.append_column(
+            "part", pa.array([_part_of(k, num_partitions) for k in keys], pa.int32())
+        )
+
+    def tag_map(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols: dict = {}
+        for field in doc_schema:
+            cols[field.name] = (
+                batch.column("canon_key") if field.name == "canon_key" else pa.nulls(n, field.type)
+            )
+        cols["canon_root"] = batch.column("canon_root")
+        cols["__side"] = pa.array(["m"] * n, pa.string())
+        keys = batch.column("canon_key").to_pylist()
+        cols["part"] = pa.array([_part_of(k, num_partitions) for k in keys], pa.int32())
+        return pa.Table.from_pydict(cols)
+
+    def rewrite(part: pa.Table) -> pa.Table:
+        sides = part.column("__side").to_pylist()
+        keys = part.column("canon_key").to_pylist()
+        roots = part.column("canon_root").to_pylist()
+        alias = {
+            k: r for k, r, s in zip(keys, roots, sides) if s == "m" and r and r != k
+        }
+        doc_rows = [i for i, s in enumerate(sides) if s == "d"]
+        part = part.take(pa.array(doc_rows, pa.int64()))
+        rewritten = [alias.get(k, k) for k in (keys[i] for i in doc_rows)]
+        part = part.set_column(
+            part.schema.get_field_index("canon_key"), "canon_key",
+            pa.array(rewritten, pa.string()),
+        )
+        return part.drop_columns(["canon_root", "__side", "part"])
+
+    tagged = docs.map_batches(
+        tag_docs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(mapping.map_batches(tag_map, batch_format="pyarrow"))
+    return tagged.groupby("part").map_groups(rewrite, batch_format="pyarrow")
+
+
 def _rewrite_keys(docs: ray.data.Dataset, mapping: ray.data.Dataset,
-                  num_partitions: int) -> ray.data.Dataset:
-    """Replace each doc's canon_key with its closure representative."""
+                  num_partitions: int, *,
+                  broadcast_limit: int = 2_000_000) -> ray.data.Dataset:
+    """Replace each doc's canon_key with its closure representative.
+
+    Hybrid plan: the alias table (one row per merged-away entity key) is
+    usually tiny, so up to ``broadcast_limit`` rows it broadcasts via
+    ``ray.put`` and the rewrite is a shuffle-free actor-pool map; past the
+    limit the rewrite runs as a co-partitioned distributed join
+    (:func:`_rewrite_keys_distributed`) and nothing materializes driver-side.
+    """
+    mapping = mapping.materialize()
+    if mapping.count() > broadcast_limit:
+        return _rewrite_keys_distributed(docs, mapping, num_partitions)
     mapping_df = mapping.to_pandas()
     aliases = mapping_df[mapping_df["canon_key"] != mapping_df["canon_root"]]
     alias_ref = ray.put(dict(zip(aliases["canon_key"], aliases["canon_root"])))

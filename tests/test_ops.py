@@ -713,3 +713,44 @@ def test_json_extract_robustness(ray_session):
     assert out["k"].tolist()[0] == 3
     assert out["k"].isna().tolist() == [False, True, True, True, True]
     assert out["s"].isna().tolist() == [False, True, True, True, True]
+
+
+def test_pil_decoder_feature_gate(ray_session):
+    """decoder='pil' runs a real Pillow decode when the lib exists, and is a
+    clean NotImplementedError stub otherwise — never a silent fake."""
+    from esmarc_ray.ops import multimodal
+
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if not have_pil:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            multimodal.MediaDecoder(decoder="pil")
+    else:  # pragma: no cover - exercised only when Pillow lands
+        import io as _io
+
+        from PIL import Image
+
+        buf = _io.BytesIO()
+        Image.new("RGB", (8, 8), (200, 10, 10)).save(buf, format="PNG")
+        decoder = multimodal.MediaDecoder(decoder="pil", target_size=(4, 4))
+        pixels = decoder._decode(buf.getvalue())
+        assert pixels.shape == (4, 4, 3)
+        assert pixels[..., 0].mean() > 150
+
+
+def test_lance_format_smoke(ray_session, tmp_path):
+    """Guard-skipped Lance round-trip: proves the format switch is a drop-in
+    the day the lance package lands; parquet fallback covered elsewhere."""
+    from esmarc_ray import io as eio
+
+    if not eio.HAVE_LANCE:
+        pytest.skip("lance not installed in this environment")
+    ds = ray.data.range(10)  # pragma: no cover - runs only with lance
+    eio.write_table(ds, str(tmp_path / "t.lance"), format="lance")
+    back = eio.read_documents(str(tmp_path / "t.lance"), columns=["id"], format="lance")
+    assert back.count() == 10

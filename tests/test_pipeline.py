@@ -213,6 +213,25 @@ def test_canonicalize_sameas_closure(ray_session):
     assert json.loads(merged["doc_json"])["_merged_from"] == ["a1", "b2", "c3"]
     assert "isil:DE-627:99" in set(closed["canon_key"])
 
+    # the DISTRIBUTED key-rewrite (alias table past the broadcast limit:
+    # co-partitioned join, nothing driver-side) must agree with broadcast
+    from esmarc_ray.stages.canonicalize import _rewrite_keys, closure_keys
+
+    mapping = closure_keys(docs, num_partitions=4)
+    broadcast = (
+        _rewrite_keys(docs, mapping, 4)
+        .to_pandas()[["doc_id", "canon_key"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    distributed = (
+        _rewrite_keys(docs, mapping, 4, broadcast_limit=0)
+        .to_pandas()[["doc_id", "canon_key"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(distributed, broadcast)
+
 
 def test_link_stage_wikipedia_categories(ray_session, corpus_dir):
     """The 6th enrichment bot: wikipedia sameAs links gain per-language
