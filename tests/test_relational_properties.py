@@ -110,3 +110,102 @@ def test_rollup_agg_matches_pandas(ray_session, rows):
     assert got["b"].tolist() == expected["b"].tolist()
     assert got["n"].tolist() == expected["n"].tolist()
     assert got["s"].tolist() == expected["s"].tolist()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_KEYS, st.integers(min_value=0, max_value=1000), _VALS),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_window_rank_matches_pandas(ray_session, rows):
+    df = pd.DataFrame(rows, columns=["k", "o", "v"])
+    df["rid"] = range(len(df))  # unique tie-break
+    got = (
+        relational.window_rank(
+            ray.data.from_pandas(df), partition_by="k", order_by=["o", "rid"],
+            ntile=3, num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    expected_rn = (
+        df.sort_values(["o", "rid"]).groupby("k", sort=False).cumcount() + 1
+    )
+    expected_rn = expected_rn.reindex(df.sort_values(["o", "rid"]).index)
+    merged = df.sort_values(["o", "rid"]).assign(rn=expected_rn.to_numpy())
+    merged = merged.sort_values("rid").reset_index(drop=True)
+    assert got["row_number"].tolist() == merged["rn"].tolist()
+    # SQL ntile invariant per partition: bucket sizes differ by at most one,
+    # earlier buckets never smaller than later ones
+    for _, grp in got.groupby("k"):
+        sizes = grp.groupby("ntile").size()
+        assert sizes.max() - sizes.min() <= 1
+        assert sorted(sizes.index) == list(sizes.index)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_KEYS, st.floats(min_value=-50, max_value=50, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_grouped_quantile_linear_matches_numpy(ray_session, rows):
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    got = (
+        relational.grouped_quantile(
+            ray.data.from_pandas(df), ["k"], "v", q=0.5, out_name="med",
+            interpolation="linear",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    expected = (
+        df.groupby("k")["v"].apply(lambda s: float(np.quantile(s, 0.5, method="linear")))
+        .reset_index()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == expected["k"].tolist()
+    assert np.allclose(got["med"].to_numpy(), expected["v"].to_numpy())
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_KEYS, st.integers(min_value=0, max_value=100000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sessionize_matches_per_key_reference(ray_session, rows):
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(rows, columns=["user_id", "off"])
+    df["ts"] = base + pd.to_timedelta(df["off"], unit="s")
+    got = (
+        relational.sessionize(
+            ray.data.from_pandas(df[["user_id", "ts"]]), gap=1800.0, num_partitions=3
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    gap = pd.Timedelta(seconds=1800.0)
+    exp_rows = []
+    for user, grp in df.groupby("user_id"):
+        ts = grp["ts"].sort_values()
+        new = ts.diff().gt(gap) | ts.diff().isna()
+        sid = new.cumsum()
+        exp_rows.append(
+            (user, int(sid.max()), len(grp), int(sid.value_counts().max()))
+        )
+    expected = pd.DataFrame(
+        exp_rows, columns=["user_id", "n_sessions", "n_events", "longest_session_events"]
+    ).sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
