@@ -102,7 +102,11 @@ def run_bench() -> dict:
     # secondary pipelines over the driver's generic tables
     queries = entrymod.queries()
     for name in ("lineitem_agg", "dedup_exact", "token_stats", "ann_topk",
-                 "minhash_dups", "events_daily", "events_sliding"):
+                 "minhash_dups", "events_daily", "events_sliding",
+                 # window/join family: hash-partitioned reducers + the
+                 # distributed asof/anti joins (scale-path timings)
+                 "running_total", "sessions_per_user", "order_price_quartiles",
+                 "purchase_last_click", "customers_no_urgent"):
         t0 = time.perf_counter()
         result = queries[name](SF_DIR)
         if hasattr(result, "count"):
