@@ -681,6 +681,43 @@ def q_order_price_quartiles(sf_dir: str):
     return out[["o_orderkey", "quartile"]]
 
 
+def q_events_value_lag(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import window_lag
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    out = window_lag(
+        events,
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        value_column="value",
+        out_name="prev_value",
+    ).to_pandas()
+    out["prev_value"] = out["prev_value"].round(4)
+    return out[["event_id", "prev_value"]]
+
+
+def q_order_price_percent_rank(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import window_rank
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    out = window_rank(
+        orders,
+        partition_by="o_orderpriority",
+        order_by=["o_totalprice", "o_orderkey"],
+        percent_rank_name="pct_rank",
+    ).to_pandas()
+    out["pct_rank"] = out["pct_rank"].round(6)
+    return out[["o_orderkey", "pct_rank"]]
+
+
 def q_props_k_stats(sf_dir: str):
     import ray.data
 
@@ -755,6 +792,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": q_top_terms,
         "quality": q_quality,
         "order_price_quartiles": q_order_price_quartiles,
+        "order_price_percent_rank": q_order_price_percent_rank,
+        "events_value_lag": q_events_value_lag,
         "props_k_stats": q_props_k_stats,
         "ids_per_lang": q_ids_per_lang,
         # rows-only (heuristic / sketch / stub ops)
@@ -949,6 +988,21 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_totalprice, o_orderkey
                    ) AS quartile
             FROM orders
+        """,
+        "order_price_percent_rank": """
+            SELECT o_orderkey,
+                   round(percent_rank() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey
+                   ), 6) AS pct_rank
+            FROM orders
+        """,
+        "events_value_lag": """
+            SELECT event_id,
+                   round(lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ), 4) AS prev_value
+            FROM events
         """,
         "props_k_stats": """
             -- count(props->>'k'), not count(*): the Ray side counts rows

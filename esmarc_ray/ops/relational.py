@@ -759,10 +759,12 @@ def window_rank(
     ntile: int | None = None,
     row_number_name: str = "row_number",
     ntile_name: str = "ntile",
+    percent_rank_name: str | None = None,
     num_partitions: int = 64,
 ) -> ray.data.Dataset:
-    """``row_number()`` (and optionally ``ntile(k)``) per partition — the
-    ranking window idiom.  Keys hash-bucket into ``num_partitions`` (one
+    """``row_number()`` (optionally ``ntile(k)`` and ``percent_rank()``) per
+    partition — the ranking window idiom.  Keys hash-bucket into
+    ``num_partitions`` (one
     reducer task per bucket, not per key); the per-bucket body is one sort +
     vectorized cumcount over every key run.  ``order_by`` should end in a
     unique tie-break column for determinism.
@@ -793,6 +795,45 @@ def window_rank(
                 r + (rn0 - big) // np.maximum(q, 1) + 1,
             )
             out[ntile_name] = buckets.astype("int64")
+        if percent_rank_name:
+            # SQL percent_rank: (rank - 1) / (n - 1), 0 for single-row groups;
+            # with a unique order_by tie-break, rank == row_number
+            n = grouped[order_by[0]].transform("size").to_numpy()
+            out[percent_rank_name] = rn0 / np.maximum(n - 1, 1)
+        return out
+
+    return (
+        ds.map_batches(_add_hash_part([partition_by], num_partitions), batch_format="pandas")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def window_lag(
+    ds: ray.data.Dataset,
+    *,
+    partition_by: str,
+    order_by: list[str],
+    value_column: str,
+    offset: int = 1,
+    out_name: str = "lag_value",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """``lag(value, offset) OVER (PARTITION BY k ORDER BY o)`` — the
+    previous-event lookup of an event pipeline (deltas, time-since-last).
+    Negative ``offset`` gives ``lead``.  Keys hash-bucket into
+    ``num_partitions`` (one reducer per bucket, not per key); the per-bucket
+    body is one sort + a vectorized pandas ``groupby(...).shift``.
+    First ``offset`` rows of each partition get null.
+    """
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            part.drop(columns="__part")
+            .sort_values([partition_by] + order_by)
+            .reset_index(drop=True)
+        )
+        out[out_name] = out.groupby(partition_by, sort=False)[value_column].shift(offset)
         return out
 
     return (
