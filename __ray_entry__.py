@@ -645,6 +645,41 @@ def q_quality(sf_dir: str):
     return out[["doc_id", "punct_ratio"]]
 
 
+def q_redact_pii(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.text import redact_pii
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return redact_pii(docs).select_columns(["doc_id", "text_redacted"])
+
+
+def q_repetition(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.text import repetition_stats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = repetition_stats(docs).to_pandas()
+    for col in ("dup_line_frac", "dup_para_frac", "top_bigram_frac"):
+        out[col] = out[col].round(6)
+    return out[["doc_id", "dup_line_frac", "dup_para_frac", "top_bigram_frac"]]
+
+
+def q_contamination(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.text import decontaminate
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # deterministic stand-in benchmark: the 5 lowest doc_ids' texts
+    bench = (
+        docs.sort("doc_id").limit(5).to_pandas()["text"].tolist()
+    )
+    out = decontaminate(docs, bench, ngram=8).to_pandas()
+    return out[["doc_id", "contam_hits", "contaminated"]]
+
+
 def q_fingerprints(sf_dir: str):
     import ray.data
 
@@ -804,6 +839,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": q_embedding_dups,
         "langid_pred": q_langid_pred,
         "fingerprints": q_fingerprints,
+        "redact_pii": q_redact_pii,
+        "repetition": q_repetition,
+        "contamination": q_contamination,
         "media_decode": q_media_decode,
         "media_frames": q_media_frames,
     }
@@ -1018,6 +1056,17 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id::VARCHAR)
                        AS doc_ids
             FROM documents GROUP BY lang
+        """,
+        "redact_pii": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\+?[0-9][0-9 ()./-]{6,}[0-9]',
+                       '<PHONE>', 'g') AS text_redacted
+            FROM documents
         """,
         "top_terms": r"""
             SELECT term, count(*) AS n_occurrences

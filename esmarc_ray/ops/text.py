@@ -118,6 +118,108 @@ def fingerprint(docs: ray.data.Dataset, **kwargs) -> ray.data.Dataset:
     return docs.map_batches(_fingerprint_batch, batch_format="pandas", **kwargs)
 
 
+def _repetition_row(text: str) -> tuple[float, float, float]:
+    """(dup_line_frac, dup_para_frac, top_bigram_frac) for one document."""
+    from collections import Counter
+
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    dup_line = 1.0 - len(set(lines)) / len(lines) if lines else 0.0
+    paras = [p for p in text.split("\n\n") if p.strip()]
+    dup_para = 1.0 - len(set(paras)) / len(paras) if paras else 0.0
+    words = text.split()
+    if len(words) >= 2:
+        bigrams = Counter(zip(words, words[1:]))
+        top_bigram = max(bigrams.values()) / (len(words) - 1)
+    else:
+        top_bigram = 0.0
+    return dup_line, dup_para, top_bigram
+
+
+def repetition_stats(docs: ray.data.Dataset, **kwargs) -> ray.data.Dataset:
+    """Repetition-based quality signals (the C4/Gopher-style filters):
+    duplicate-line fraction, duplicate-paragraph fraction, and the fraction
+    of all word bigrams taken by the single most frequent bigram — high
+    values flag boilerplate/spam for a pretraining-data filter."""
+
+    def batch_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        trip = [_repetition_row(t) for t in batch["text"].fillna("")]
+        batch["dup_line_frac"] = [t[0] for t in trip]
+        batch["dup_para_frac"] = [t[1] for t in trip]
+        batch["top_bigram_frac"] = [t[2] for t in trip]
+        return batch
+
+    return docs.map_batches(batch_fn, batch_format="pandas", **kwargs)
+
+
+# patterns chosen to mean the same thing under Python re AND DuckDB's RE2,
+# which is what makes redact_pii oracle-checkable via regexp_replace(..., 'g')
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9 ()./-]{6,}[0-9]"
+
+
+def redact_pii(
+    docs: ray.data.Dataset,
+    *,
+    text_column: str = "text",
+    out_column: str = "text_redacted",
+    **kwargs,
+) -> ray.data.Dataset:
+    """Replace email addresses and phone-like digit runs with placeholder
+    tokens — the pretraining-data PII scrub, vectorized pandas str.replace.
+    Emails first (their digits would otherwise partially match the phone
+    pattern)."""
+
+    def batch_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_column].fillna("")
+        text = text.str.replace(_EMAIL_RE, "<EMAIL>", regex=True)
+        batch[out_column] = text.str.replace(_PHONE_RE, "<PHONE>", regex=True)
+        return batch
+
+    return docs.map_batches(batch_fn, batch_format="pandas", **kwargs)
+
+
+def decontaminate(
+    docs: ray.data.Dataset,
+    benchmark_texts: "list[str]",
+    *,
+    ngram: int = 8,
+    min_hits: int = 1,
+    text_column: str = "text",
+    **kwargs,
+) -> ray.data.Dataset:
+    """Benchmark-contamination flagging: a doc is contaminated when it shares
+    ≥ ``min_hits`` word ``ngram``-grams with any benchmark text.
+
+    The benchmark n-gram hash set is built once driver-side and broadcast in
+    the task closure (benchmarks are small — eval sets, not corpora); each
+    batch hashes its own n-grams vectorized-ish and set-intersects.  Adds
+    ``contam_hits`` (int) and ``contaminated`` (bool)."""
+    bench: set[int] = set()
+    for text in benchmark_texts:
+        bench.update(_shingle_hash_set(text, ngram))
+
+    def batch_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        hits = [
+            len(_shingle_hash_set(t, ngram) & bench)
+            for t in batch[text_column].fillna("")
+        ]
+        batch["contam_hits"] = pd.Series(hits, index=batch.index, dtype="int64")
+        batch["contaminated"] = batch["contam_hits"] >= min_hits
+        return batch
+
+    return docs.map_batches(batch_fn, batch_format="pandas", **kwargs)
+
+
+def _shingle_hash_set(text: str, width: int) -> set[int]:
+    words = text.lower().split()
+    if len(words) < width:
+        return {zlib.crc32(" ".join(words).encode())} if words else set()
+    return {
+        zlib.crc32(" ".join(words[i : i + width]).encode())
+        for i in range(len(words) - width + 1)
+    }
+
+
 def top_terms(
     docs: ray.data.Dataset,
     k: int = 50,

@@ -754,3 +754,89 @@ def test_lance_format_smoke(ray_session, tmp_path):
     eio.write_table(ds, str(tmp_path / "t.lance"), format="lance")
     back = eio.read_documents(str(tmp_path / "t.lance"), columns=["id"], format="lance")
     assert back.count() == 10
+
+
+def test_repetition_stats(ray_session):
+    from esmarc_ray.ops import text as text_ops
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b\na b\nc d",              # one dup line of 3
+                "x y x y x y x y",            # dominant bigram
+                "unique one\n\nunique two",    # clean
+            ],
+        }
+    )
+    out = (
+        text_ops.repetition_stats(ray.data.from_pandas(rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert abs(out["dup_line_frac"][0] - (1 - 2 / 3)) < 1e-9
+    # "x y" appears 4 times of 7 bigrams
+    assert abs(out["top_bigram_frac"][1] - 4 / 7) < 1e-9
+    assert out["dup_line_frac"][2] == 0.0 and out["dup_para_frac"][2] == 0.0
+
+
+def test_redact_pii_matches_duckdb(ray_session):
+    import duckdb
+
+    from esmarc_ray.ops import text as text_ops
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "mail me at jane.doe+x@example.co.uk or call +49 (351) 123-4567 now",
+                "no pii here at all",
+                "two mails a@b.de c@d.org and 0351 4677 123",
+            ],
+        }
+    )
+    got = (
+        text_ops.redact_pii(ray.data.from_pandas(rows))
+        .to_pandas()
+        .sort_values("doc_id")["text_redacted"]
+        .tolist()
+    )
+    expected = duckdb.connect().execute(
+        r"""
+        SELECT regexp_replace(
+                   regexp_replace(
+                       text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\+?[0-9][0-9 ()./-]{6,}[0-9]',
+                   '<PHONE>', 'g') r
+        FROM rows ORDER BY doc_id
+        """
+    ).df()["r"].tolist()
+    assert got == expected
+    assert "<EMAIL>" in got[0] and "<PHONE>" in got[0]
+    assert got[1] == "no pii here at all"
+
+
+def test_decontaminate_flags_planted_overlap(ray_session):
+    from esmarc_ray.ops import text as text_ops
+
+    bench = ["the quick brown fox jumps over the lazy dog tonight"]
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "prefix words the quick brown fox jumps over the lazy dog tonight suffix",
+                "completely unrelated text with no benchmark overlap at all here friend",
+            ],
+        }
+    )
+    out = (
+        text_ops.decontaminate(ray.data.from_pandas(rows), bench, ngram=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert bool(out["contaminated"][0]) and out["contam_hits"][0] >= 1
+    assert not bool(out["contaminated"][1])
