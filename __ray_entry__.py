@@ -645,6 +645,21 @@ def q_quality(sf_dir: str):
     return out[["doc_id", "punct_ratio"]]
 
 
+def q_pack_sequences(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.text import pack_sequences, token_stats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    counted = token_stats(docs).select_columns(["doc_id", "n_tokens_ws"])
+    out = pack_sequences(
+        counted, budget_tokens=2048, token_column="n_tokens_ws", num_partitions=16
+    ).to_pandas()
+    return out[["part", "seq_idx", "n_docs", "total_tokens"]].sort_values(
+        ["part", "seq_idx"]
+    ).reset_index(drop=True)
+
+
 def q_redact_pii(sf_dir: str):
     import ray.data
 
@@ -842,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": q_redact_pii,
         "repetition": q_repetition,
         "contamination": q_contamination,
+        "pack_sequences": q_pack_sequences,
         "media_decode": q_media_decode,
         "media_frames": q_media_frames,
     }

@@ -220,6 +220,70 @@ def _shingle_hash_set(text: str, width: int) -> set[int]:
     }
 
 
+def pack_sequences(
+    docs: ray.data.Dataset,
+    *,
+    budget_tokens: int,
+    id_column: str = "doc_id",
+    token_column: str = "n_tokens",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Greedy sample packing: group documents into training sequences whose
+    token counts sum to ≤ ``budget_tokens`` (docs longer than the budget get
+    a sequence of their own).
+
+    Distributed semantics: docs hash-partition by id and each partition packs
+    independently (sorted by id, first-fit in order) — deterministic, no
+    global coordination, and the ≤1 underfilled tail sequence per partition
+    is the price of shardability (exactly how a multi-node packer must work
+    at 100 TB; a globally optimal bin-packing would serialize the corpus).
+
+    Output: one row per packed sequence —
+    (part, seq_idx, n_docs, total_tokens, doc_ids:list).
+    """
+    import zlib as _zlib
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[id_column, token_column]].copy()
+        batch["__part"] = (
+            batch[id_column]
+            .map(lambda k: _zlib.crc32(str(k).encode()) % num_partitions)
+            .astype("int32")
+        )
+        return batch
+
+    def pack(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(id_column)
+        part_id = int(part["__part"].iloc[0])
+        seqs: list[dict] = []
+        cur_ids: list = []
+        cur_tokens = 0
+        for doc_id, n_tok in zip(part[id_column], part[token_column]):
+            n_tok = int(n_tok)
+            if cur_ids and cur_tokens + n_tok > budget_tokens:
+                seqs.append({"doc_ids": cur_ids, "total_tokens": cur_tokens})
+                cur_ids, cur_tokens = [], 0
+            cur_ids.append(doc_id)
+            cur_tokens += n_tok
+        if cur_ids:
+            seqs.append({"doc_ids": cur_ids, "total_tokens": cur_tokens})
+        return pd.DataFrame(
+            {
+                "part": [part_id] * len(seqs),
+                "seq_idx": range(len(seqs)),
+                "n_docs": [len(s["doc_ids"]) for s in seqs],
+                "total_tokens": [s["total_tokens"] for s in seqs],
+                "doc_ids": [list(s["doc_ids"]) for s in seqs],
+            }
+        )
+
+    return (
+        docs.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
 def top_terms(
     docs: ray.data.Dataset,
     k: int = 50,

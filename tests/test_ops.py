@@ -840,3 +840,35 @@ def test_decontaminate_flags_planted_overlap(ray_session):
     )
     assert bool(out["contaminated"][0]) and out["contam_hits"][0] >= 1
     assert not bool(out["contaminated"][1])
+
+
+def test_pack_sequences_greedy_and_bounded(ray_session):
+    from esmarc_ray.ops import text as text_ops
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(8)],
+            "n_tokens": [500, 600, 900, 50, 3000, 100, 100, 100],
+        }
+    )
+    out = (
+        text_ops.pack_sequences(
+            ray.data.from_pandas(rows),
+            budget_tokens=1000,
+            token_column="n_tokens",
+            num_partitions=1,  # single partition -> fully deterministic order
+        )
+        .to_pandas()
+        .sort_values(["part", "seq_idx"])
+        .reset_index(drop=True)
+    )
+    # every doc packed exactly once
+    packed = [d for ids in out["doc_ids"] for d in ids]
+    assert sorted(packed) == sorted(rows["doc_id"])
+    assert out["total_tokens"].sum() == rows["n_tokens"].sum()
+    # budget respected except for single oversize docs
+    over = out[out["total_tokens"] > 1000]
+    assert (over["n_docs"] == 1).all()
+    # greedy in doc_id order: d0(500)+d1(600)>1000 -> d0 alone is wrong;
+    # actual: [d0]=500+? d1 won't fit (1100) => seq0=[d0], seq1=[d1,...]
+    assert out.iloc[0]["doc_ids"][0] == "d0"
