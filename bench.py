@@ -83,12 +83,15 @@ def run_bench() -> dict:
     # of headroom so the task-pool read/shuffle stages can't be starved.
     # min leaves ≥1 CPU free at any N: a pool whose MINIMUM claims every CPU
     # can permanently starve the upstream task-pool read (deadlock)
+    # fused pre-combine: the batch-local merge combiner + hash-partition id
+    # run INSIDE the linker actors (Ray never fuses a task stage after an
+    # actor pool, so a separate combine stage would trail on the ~2 CPUs the
+    # pool leaves free AND pay an extra object-store pass of the payload)
     linked = link_entities(
-        docs, indexes_ref, concurrency=(max(1, NUM_CPUS - 2), NUM_CPUS)
+        docs, indexes_ref, concurrency=(max(1, NUM_CPUS - 2), NUM_CPUS),
+        combine_partitions=256,
     )
-    # pre-combine plan: batch-local merge combiner + ONE final shuffle —
-    # half the shuffle bytes of the salted two-phase plan
-    canonical = canonicalize(linked, precombine=True)
+    canonical = canonicalize(linked, precombine="fused", num_partitions=256)
     triples = docs_to_triples(canonical)
     triples.write_parquet(str(out_dir), partition_cols=["entity_class"])
     kg_seconds = time.perf_counter() - t0

@@ -334,16 +334,85 @@ def source_tags(entities: list[str] | None = None) -> set[str]:
     return tags
 
 
-# per-entity row plan: (target, spec, is_related) tuples — the row_key split
-# and the "related" substring test are static per mapping row
+# Row gate invariant: a field function may only read MARC tags whose 3-digit
+# prefixes appear in its mapping-row parameter (every current function obeys
+# this — the row params deliberately enumerate the full tag set, e.g. the
+# identified_by row lists all 23 tags its body touches).  A future function
+# that reads tags beyond its parameter must be added here to opt out of the
+# absent-tag row skip.  Functions that emit a DEFAULT with no tag input (like
+# notes.language's "und" fallback) are caught automatically by the
+# empty-record probe in :func:`_entity_row_plan`.  The golden/parity suite
+# catches violations.
+_GATE_EXEMPT: set = set()
+
+
+def _gate_tags(spec: Any) -> frozenset | None:
+    """Static tag set a mapping row can read, or None if not gateable.
+
+    Gateable: every leaf parameter is a tag-shaped spec (3 leading digits) and
+    no involved function is in ``_GATE_EXEMPT``.  String constants, bare
+    callables, and non-tag parameters are NOT gateable (always evaluated)."""
+
+    def leaves(param: Any, out: set) -> bool:
+        if isinstance(param, str):
+            tag = param[:3]
+            if len(param) >= 3 and tag.isdigit():
+                out.add(tag)
+                return True
+            return False
+        if isinstance(param, list):
+            return all(leaves(p, out) for p in param)
+        if isinstance(param, dict):
+            return all(leaves(v, out) for v in param.values())
+        return False
+
+    tags: set = set()
+    if isinstance(spec, dict):
+        for fn, param in spec.items():
+            if fn in _GATE_EXEMPT or not leaves(param, tags):
+                return None
+    elif isinstance(spec, list):
+        for element in spec:
+            sub = _gate_tags(element)
+            if sub is None:
+                return None
+            tags |= sub
+    else:  # constant or bare callable
+        return None
+    return frozenset(tags) if tags else None
+
+
+# per-entity row plan: (target, spec, is_related, gate_tags) tuples — the
+# row_key split, the "related" substring test, and the tag gate are static
 _ROW_PLANS: dict[str, tuple] = {}
+
+
+def _gate_for(spec: Any, entity: str) -> frozenset | None:
+    gate = _gate_tags(spec)
+    if gate is None:
+        return None
+    # empty-record probe: a row that still yields a value with NO tags present
+    # (e.g. notes.language's "und" fallback) must never be skipped; an
+    # exception here is conservative — ungated, so real records keep the
+    # reference's error semantics
+    try:
+        if collapse(evaluate_row({}, spec, entity, DEFAULT_CONFIG)):
+            return None
+    except Exception:
+        return None
+    return gate
 
 
 def _entity_row_plan(entity: str) -> tuple:
     plan = _ROW_PLANS.get(entity)
     if plan is None:
         plan = _ROW_PLANS[entity] = tuple(
-            (row_key.split(":")[1], spec, "related" in row_key.split(":")[1])
+            (
+                row_key.split(":")[1],
+                spec,
+                "related" in row_key.split(":")[1],
+                _gate_for(spec, entity),
+            )
             for row_key, spec in ENTITY_MAPPINGS[entity].items()
         )
     return plan
@@ -362,7 +431,10 @@ def map_record(
     if source_index is None:
         source_index = config.source_index
     doc: dict = {}
-    for target, spec, related in _entity_row_plan(entity):
+    record_tags = record.keys()
+    for target, spec, related, gate in _entity_row_plan(entity):
+        if gate is not None and gate.isdisjoint(record_tags):
+            continue  # none of the row's source tags present — provably empty
         value = collapse(evaluate_row(record, spec, entity, config))
         if not value:
             continue

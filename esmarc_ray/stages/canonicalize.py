@@ -453,7 +453,7 @@ def canonicalize(
     *,
     n_salts: int | str = 16,
     salted: bool = True,
-    precombine: bool = False,
+    precombine: bool | str = False,
     num_partitions: int = 256,
     closure: bool = False,
 ) -> ray.data.Dataset:
@@ -465,6 +465,11 @@ def canonicalize(
       shrinks by its per-batch occupancy — then ONE hash-partitioned final
       merge.  Halves shuffle bytes vs the salted plan and neutralizes
       head-key stragglers without a frequency sketch.
+    * ``precombine="fused"``: the input already ran the combiner + partition
+      id INSIDE the linker actor pool (``link_entities(...,
+      combine_partitions=N)`` — N must equal ``num_partitions``); only the
+      final shuffle + merge runs here.  Saves one full object-store pass of
+      the doc payload vs ``precombine=True``.
     * ``salted=True`` (default): two-phase salted partial → final merge,
       two full shuffles.  ``n_salts="auto"`` sizes the salt factor from a
       bounded key-frequency sketch (:func:`estimate_salts`); skew-free
@@ -477,6 +482,13 @@ def canonicalize(
     connected components, so entities transitively linked via shared GND ids
     merge even when their direct keys differ (north rule's sameAs closure).
     """
+    if precombine == "fused":
+        if closure:
+            raise ValueError("closure requires the un-partitioned doc stream; "
+                             "use precombine=True with closure=True")
+        return docs.groupby("part").map_groups(
+            _merge_partition, batch_format="pyarrow"
+        )
     live = docs.filter(
         expr="entity_class != '_error' and entity_class != '_dropped'"
     )

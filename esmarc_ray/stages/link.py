@@ -101,11 +101,26 @@ def _haversine_km(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
 
 
 class EntityLinker:
-    """Actor-pool callable: enrich entity docs against the broadcast indexes."""
+    """Actor-pool callable: enrich entity docs against the broadcast indexes.
 
-    def __init__(self, indexes: dict[str, Any] | ray.ObjectRef):
+    ``combine_partitions`` (optional) fuses the canonicalize pre-combine step
+    into this actor: after linking, the batch drops error/dropped rows, runs
+    the batch-local associative merge, and gains the hash-partition ``part``
+    column — so the canonicalize shuffle consumes the actor output directly.
+    Ray only fuses map stages INTO an actor pool, never after one, so a
+    separate task-pool combine stage would run on whatever CPUs the pool
+    leaves free (measured: 47 s of combine CPU trailing on ~2 CPUs at 32)
+    and pay one extra full object-store round-trip of the doc payload.
+    """
+
+    def __init__(
+        self,
+        indexes: dict[str, Any] | ray.ObjectRef,
+        combine_partitions: int | None = None,
+    ):
         if isinstance(indexes, ray.ObjectRef):  # pragma: no cover - resolved by Ray
             indexes = ray.get(indexes)
+        self._combine_partitions = combine_partitions
         self._ef = indexes["ef"]
         self._wd = indexes["wd"]
         self._wp = indexes["wp"]
@@ -355,7 +370,17 @@ class EntityLinker:
         table = batch.set_column(
             batch.schema.get_field_index("doc_json"), "doc_json", pa.array(out_json, pa.string())
         )
-        return table.append_column("n_links_added", pa.array(n_added, pa.int32()))
+        table = table.append_column("n_links_added", pa.array(n_added, pa.int32()))
+        if self._combine_partitions is None:
+            return table
+        from esmarc_ray.stages.canonicalize import _make_add_part, _merge_partition
+
+        import pyarrow.compute as pc
+
+        live = table.filter(
+            pc.invert(pc.is_in(table.column("entity_class"), value_set=pa.array(["_error", "_dropped"])))
+        )
+        return _make_add_part(self._combine_partitions, None)(_merge_partition(live))
 
 
 def link_entities(
@@ -365,15 +390,19 @@ def link_entities(
     concurrency: int | tuple[int, int] = (2, 8),
     batch_size: int = 1024,
     num_cpus: float = 1,
+    combine_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Run the EntityLinker actor pool over the entity-doc dataset.
 
     ``indexes_ref`` should be ``ray.put(build_link_indexes(tables))`` — one
-    object-store copy, zero per-batch shipping.
+    object-store copy, zero per-batch shipping.  ``combine_partitions``
+    additionally runs the canonicalize pre-combine inside the pool (see
+    :class:`EntityLinker`); pair it with ``canonicalize(...,
+    precombine="fused")``.
     """
     return docs.map_batches(
         EntityLinker,
-        fn_constructor_args=(indexes_ref,),
+        fn_constructor_args=(indexes_ref, combine_partitions),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -94,6 +94,35 @@ def test_canonicalize_salted_equals_unsalted(ray_session, corpus_dir):
         assert "_merged_from" not in merged or len(merged["_merged_from"]) >= 1
 
 
+def test_canonicalize_fused_equals_precombine(ray_session, corpus_dir):
+    """precombine="fused" (combiner inside the linker actors) must agree
+    bit-for-bit with precombine=True (separate combine stage)."""
+    import ray as _ray
+
+    path, spec = corpus_dir
+    indexes_ref = _ray.put(build_link_indexes(link_tables(spec)))
+
+    def snapshot(ds):
+        rows = ds.to_pandas()
+        return {
+            row["canon_key"]: (row["doc_id"], row["doc_json"])
+            for _, row in rows.iterrows()
+        }
+
+    docs = extract_docs(read_documents(path), DEFAULT_CONFIG)
+    linked = link_entities(docs, indexes_ref, concurrency=2, batch_size=64)
+    base = snapshot(canonicalize(linked, precombine=True))
+
+    docs2 = extract_docs(read_documents(path), DEFAULT_CONFIG)
+    fused_in = link_entities(
+        docs2, indexes_ref, concurrency=2, batch_size=64, combine_partitions=32
+    )
+    fused = snapshot(canonicalize(fused_in, precombine="fused", num_partitions=32))
+    assert fused == base
+    with pytest.raises(ValueError):
+        canonicalize(fused_in, precombine="fused", closure=True)
+
+
 def test_merge_docs_associative():
     a = ("1", {"@id": "x/1", "preferredName": "A", "sameAs": [{"@id": "s1"}]})
     b = ("2", {"@id": "x/2", "preferredName": "B", "sameAs": [{"@id": "s2"}]})
