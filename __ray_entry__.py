@@ -660,6 +660,36 @@ def q_pack_sequences(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_tfidf_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from esmarc_ray.ops.text import tfidf_topk
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    out = tfidf_topk(docs, k=5, n_docs=n_docs).to_pandas()
+    return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
+def q_stratified_sample(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import stratified_sample
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    return stratified_sample(
+        orders,
+        id_column="o_orderkey",
+        strata_column="o_orderpriority",
+        fractions={"1-URGENT": 0.5, "2-HIGH": 0.25, "3-MEDIUM": 0.1},
+        default_fraction=0.02,
+    )
+
+
 def q_redact_pii(sf_dir: str):
     import ray.data
 
@@ -858,6 +888,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
+        "tfidf_topk": q_tfidf_topk,
+        "stratified_sample": q_stratified_sample,
         "media_decode": q_media_decode,
         "media_frames": q_media_frames,
     }
@@ -1098,5 +1130,41 @@ def oracle_sql() -> dict[str, str]:
                    round(len(regexp_extract_all(text, '[^\w\s]'))
                          / greatest(length(text), 1), 6) AS punct_ratio
             FROM documents
+        """,
+        "tfidf_topk": r"""
+            WITH pairs AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(lower(text), '\s+')) AS term
+                      FROM documents)
+                WHERE term <> ''
+                GROUP BY doc_id, term
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT p.doc_id, p.term, p.tf, d.df,
+                       p.tf * (ln(CAST(n.n_docs AS DOUBLE)) - ln(CAST(d.df AS DOUBLE))) AS raw_score,
+                       row_number() OVER (
+                           PARTITION BY p.doc_id
+                           ORDER BY p.tf * (ln(CAST(n.n_docs AS DOUBLE)) - ln(CAST(d.df AS DOUBLE))) DESC,
+                                    p.term ASC
+                       ) AS rn
+                FROM pairs p JOIN dfreq d USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, df, round(raw_score, 6) AS score
+            FROM scored WHERE rn <= 5
+            ORDER BY doc_id, term
+        """,
+        "stratified_sample": """
+            SELECT o_orderkey, o_orderpriority
+            FROM orders
+            WHERE ((o_orderkey * 2654435761) % 4294967296) % 10000 <
+                  CASE o_orderpriority
+                      WHEN '1-URGENT' THEN 5000
+                      WHEN '2-HIGH' THEN 2500
+                      WHEN '3-MEDIUM' THEN 1000
+                      ELSE 200
+                  END
         """,
     }

@@ -751,6 +751,50 @@ def hash_split(
     return ds.map_batches(assign, batch_format="pandas")
 
 
+def stratified_sample(
+    ds: ray.data.Dataset,
+    *,
+    id_column: str,
+    strata_column: str,
+    fractions: "dict[str, float] | float",
+    default_fraction: float = 0.0,
+) -> ray.data.Dataset:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``knuth_hash(id) % 10000 < fraction[stratum] * 10000``.
+
+    Same multiplicative-hash arithmetic as :func:`hash_split` — stateless,
+    shuffle-free, reproducible across runs/engines and expressible in SQL
+    (which makes it oracle-checkable, unlike ``Dataset.random_sample``).
+    ``fractions``: per-stratum keep rates (a scalar applies to all strata);
+    strata absent from the dict fall back to ``default_fraction``.
+    Fractions are truncated to basis-point (0.01%) resolution.
+    """
+    import numpy as np
+
+    if isinstance(fractions, (int, float)):
+        rate_of = {"__all__": int(float(fractions) * 10000)}
+        scalar = True
+    else:
+        rate_of = {k: int(float(v) * 10000) for k, v in fractions.items()}
+        scalar = False
+    default_bp = int(default_fraction * 10000)
+
+    def sample(batch: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            batch[id_column].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(2**32)
+        bucket = (h % np.uint64(10000)).astype(np.int64)
+        if scalar:
+            limits = np.full(len(batch), rate_of["__all__"], dtype=np.int64)
+        else:
+            limits = (
+                batch[strata_column].map(rate_of).fillna(default_bp).astype("int64").to_numpy()
+            )
+        return batch[bucket < limits]
+
+    return ds.map_batches(sample, batch_format="pandas")
+
+
 def window_rank(
     ds: ray.data.Dataset,
     *,

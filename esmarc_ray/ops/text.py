@@ -331,6 +331,95 @@ def top_terms(
     )
 
 
+def tfidf_topk(
+    docs: ray.data.Dataset,
+    k: int = 5,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n_docs: int | None = None,
+    vocab_broadcast_limit: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Per-document top-k TF-IDF terms — the classic two-pass relevance
+    pipeline, fully distributed:
+
+    1. TF pairs: one (doc, term, tf) row per distinct term per doc (per-batch
+       Counter — tokens never leave their batch);
+    2. DF: wordcount over the pairs (combiner + small groupby);
+    3. join TF×DF: the DF table is vocabulary-sized — broadcast under
+       ``vocab_broadcast_limit`` rows, else hash-partitioned join;
+    4. score ``tf * ln(N/df)`` and per-doc top-k (partial prune + groupby).
+
+    The TF pair table is consumed twice (DF aggregation + join), so it
+    materializes once into the object store — pairs are far smaller than the
+    raw text and spill under pressure.  ``n_docs`` defaults to
+    ``docs.count()`` (metadata-only for a plain parquet read); pass it
+    explicitly when ``docs`` is already a transformed pipeline.
+    Scores round to 6 decimals so an oracle engine's libm agrees bit-for-bit.
+    """
+    from collections import Counter
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, topk_per_group
+
+    if n_docs is None:
+        n_docs = docs.count()
+
+    def tf_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        terms: list[str] = []
+        tfs: list[int] = []
+        for doc_id, text in zip(batch[id_column], batch[text_column].fillna("")):
+            counts = Counter(text.lower().split())
+            ids.extend([doc_id] * len(counts))
+            terms.extend(counts.keys())
+            tfs.extend(counts.values())
+        return pd.DataFrame({id_column: ids, "term": terms, "tf": tfs})
+
+    pairs = docs.map_batches(tf_batch, batch_format="pandas").materialize()
+    # df == pair count per term (pairs are unique per (doc, term))
+    dfreq = partial_groupby_agg(pairs, ["term"], {"df": ("term", "count")})
+
+    log_n = float(np.log(float(n_docs)))
+
+    def score_with(df_map) -> "ray.data.Dataset":
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            dfs = batch["term"].map(df_map).astype("int64")
+            batch = batch.copy()
+            batch["df"] = dfs
+            batch["__raw"] = batch["tf"] * (log_n - np.log(dfs.to_numpy(dtype="float64")))
+            return batch
+
+        return pairs.map_batches(score, batch_format="pandas")
+
+    dfreq = dfreq.materialize()
+    if dfreq.count() <= vocab_broadcast_limit:
+        df_pd = dfreq.to_pandas()
+        scored = score_with(dict(zip(df_pd["term"], df_pd["df"])))
+    else:  # pragma: no cover - scale path, same algebra via partitioned join
+        from esmarc_ray.ops.relational import partitioned_join
+
+        joined = partitioned_join(
+            pairs, dfreq, "term",
+            left_cols=[id_column, "tf"], right_cols=["df"],
+        )
+
+        def score_joined(batch: pd.DataFrame) -> pd.DataFrame:
+            batch["__raw"] = batch["tf"] * (
+                log_n - np.log(batch["df"].to_numpy(dtype="float64"))
+            )
+            return batch
+
+        scored = joined.map_batches(score_joined, batch_format="pandas")
+
+    top = topk_per_group(scored, [id_column], ["__raw", "term"], k, descending=True)
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["score"] = batch["__raw"].round(6)
+        return batch[[id_column, "term", "tf", "df", "score"]]
+
+    return top.map_batches(finalize, batch_format="pandas")
+
+
 def json_extract(
     ds: ray.data.Dataset,
     json_column: str,

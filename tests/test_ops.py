@@ -872,3 +872,64 @@ def test_pack_sequences_greedy_and_bounded(ray_session):
     # greedy in doc_id order: d0(500)+d1(600)>1000 -> d0 alone is wrong;
     # actual: [d0]=500+? d1 won't fit (1100) => seq0=[d0], seq1=[d1,...]
     assert out.iloc[0]["doc_ids"][0] == "d0"
+
+
+def test_tfidf_topk_matches_sklearn_free_reference(ray_session):
+    """Hand-checkable TF-IDF: score = tf * ln(N/df)."""
+    import math
+
+    from esmarc_ray.ops import text as text_ops
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "apple banana apple",
+                "banana cherry",
+                "cherry cherry date",
+            ],
+        }
+    )
+    out = (
+        text_ops.tfidf_topk(ray.data.from_pandas(rows), k=2, n_docs=3)
+        .to_pandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    d1 = out[out["doc_id"] == 1].set_index("term")
+    assert d1.loc["apple", "tf"] == 2 and d1.loc["apple", "df"] == 1
+    assert abs(d1.loc["apple", "score"] - round(2 * math.log(3), 6)) < 1e-9
+    assert abs(d1.loc["banana", "score"] - round(math.log(1.5), 6)) < 1e-9
+    # k bounds output per doc
+    assert (out.groupby("doc_id").size() <= 2).all()
+
+
+def test_stratified_sample_deterministic_and_rate(ray_session):
+    from esmarc_ray.ops.relational import stratified_sample
+
+    rows = pd.DataFrame(
+        {
+            "id": np.arange(20000),
+            "stratum": np.where(np.arange(20000) % 2 == 0, "a", "b"),
+        }
+    )
+    ds = ray.data.from_pandas(rows)
+    out = stratified_sample(
+        ds, id_column="id", strata_column="stratum",
+        fractions={"a": 0.5, "b": 0.05},
+    ).to_pandas()
+    again = stratified_sample(
+        ray.data.from_pandas(rows), id_column="id", strata_column="stratum",
+        fractions={"a": 0.5, "b": 0.05},
+    ).to_pandas()
+    # deterministic
+    assert sorted(out["id"]) == sorted(again["id"])
+    rates = out.groupby("stratum").size() / rows.groupby("stratum").size()
+    assert abs(rates["a"] - 0.5) < 0.03 and abs(rates["b"] - 0.05) < 0.015
+    # scalar fraction applies everywhere; default_fraction=0 drops unknowns
+    flat = stratified_sample(
+        ray.data.from_pandas(rows), id_column="id", strata_column="stratum",
+        fractions=0.1,
+    ).to_pandas()
+    assert abs(len(flat) / len(rows) - 0.1) < 0.02
