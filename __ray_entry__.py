@@ -660,6 +660,37 @@ def q_pack_sequences(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_cube_counts(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import cube_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+    out = cube_agg(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": ("o_totalprice", "count"), "total_price": ("o_totalprice", "sum")},
+    ).to_pandas()
+    out["total_price"] = out["total_price"].round(2)
+    return out.sort_values(["o_orderstatus", "o_orderpriority"]).reset_index(drop=True)
+
+
+def q_price_stddev(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import grouped_stddev
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    return grouped_stddev(
+        orders, ["o_orderpriority"], "o_totalprice", out_name="price_stddev",
+        ddof_round=4,
+    )
+
+
 def q_tfidf_topk(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data
@@ -890,6 +921,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "tfidf_topk": q_tfidf_topk,
         "stratified_sample": q_stratified_sample,
+        "cube_counts": q_cube_counts,
+        "price_stddev": q_price_stddev,
         "media_decode": q_media_decode,
         "media_frames": q_media_frames,
     }
@@ -1130,6 +1163,21 @@ def oracle_sql() -> dict[str, str]:
                    round(len(regexp_extract_all(text, '[^\w\s]'))
                          / greatest(length(text), 1), 6) AS punct_ratio
             FROM documents
+        """,
+        "cube_counts": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "price_stddev": """
+            SELECT o_orderpriority,
+                   round(stddev_pop(o_totalprice), 4) AS price_stddev
+            FROM orders
+            GROUP BY o_orderpriority
         """,
         "tfidf_topk": r"""
             WITH pairs AS (

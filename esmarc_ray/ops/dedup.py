@@ -412,6 +412,102 @@ def minhash_dedup(
     return deduped, confirmed
 
 
+def duplicate_clusters(
+    docs: ray.data.Dataset,
+    *,
+    threshold: float = 0.8,
+    broadcast_pair_limit: int = 100_000,
+    **lsh_kwargs,
+) -> ray.data.Dataset:
+    """Near-duplicate cluster membership: one (node, component) row per doc
+    that belongs to a confirmed duplicate cluster (node ids stringified, the
+    component is the cluster's minimal member id).  Docs with no near-dup
+    never appear.  Same size-based plan switch as :func:`minhash_dedup`:
+    small pair sets verify broadcast + driver union-find, large ones stay
+    fully distributed (hash joins + connected components).
+    """
+    from esmarc_ray.ops.graph import connected_components
+
+    pairs = minhash_candidates(docs, **lsh_kwargs).materialize()
+    if pairs.count() <= broadcast_pair_limit:
+        pair_list = [(r["doc_a"], r["doc_b"]) for r in pairs.take_all()]
+        confirmed_rows = verify_jaccard(docs, pair_list, threshold=threshold)
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b, _ in confirmed_rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = pd.DataFrame(
+            {"node": [str(x) for x in parent], "component": [str(find(x)) for x in parent]}
+        )
+        return ray.data.from_pandas(rows)
+    confirmed = verify_jaccard_ds(docs, pairs, threshold=threshold).materialize()
+    return connected_components(confirmed, u="doc_a", v="doc_b")
+
+
+def dedup_keep_best(
+    docs: ray.data.Dataset,
+    *,
+    quality_column: str,
+    id_column: str = "doc_id",
+    threshold: float = 0.8,
+    broadcast_pair_limit: int = 100_000,
+    **lsh_kwargs,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Quality-aware near-dup dedup: per duplicate cluster keep the HIGHEST
+    ``quality_column`` doc (ties → smallest id) instead of the smallest id —
+    the pretraining-data curation policy (drop the worse copy, not the
+    later one).  Returns (deduped docs, (node, component) cluster table).
+
+    Fully distributed: cluster membership joins back to the docs with a
+    hash-partitioned join; un-clustered docs stream through untouched; the
+    per-cluster argmax is a partial-pruned top-1 per group.
+    """
+    from esmarc_ray.ops.relational import partitioned_join, topk_per_group
+
+    clusters = duplicate_clusters(
+        docs,
+        threshold=threshold,
+        broadcast_pair_limit=broadcast_pair_limit,
+        **lsh_kwargs,
+    )
+
+    def to_join_key(b: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in b.columns:  # schema-less empty batch
+            return pd.DataFrame({"__key": pd.Series(dtype="object"),
+                                 "__comp": pd.Series(dtype="object")})
+        return pd.DataFrame({"__key": b["node"], "__comp": b["component"]})
+
+    clusters_keyed = clusters.map_batches(to_join_key, batch_format="pandas")
+    doc_cols = list(docs.columns())
+    keyed = docs.map_batches(
+        lambda b: b.assign(__key=b[id_column].astype(str)), batch_format="pandas"
+    )
+    joined = partitioned_join(
+        keyed, clusters_keyed, "__key",
+        left_cols=doc_cols, right_cols=["__comp"], how="left",
+    )
+    loners = joined.map_batches(
+        lambda b: b[b["__comp"].isna()][doc_cols], batch_format="pandas"
+    )
+    clustered = joined.map_batches(
+        lambda b: b[b["__comp"].notna()], batch_format="pandas"
+    )
+    best = topk_per_group(
+        clustered, ["__comp"], [quality_column, id_column], 1, descending=True
+    ).map_batches(lambda b: b[doc_cols], batch_format="pandas")
+    deduped = loners.union(best)
+    return deduped, clusters
+
+
 # -- SimHash ---------------------------------------------------------------------
 
 

@@ -718,6 +718,116 @@ def rollup_agg(
     return out
 
 
+def cube_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    pre_map: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    all_label: str = "ALL",
+) -> ray.data.Dataset:
+    """GROUP BY CUBE(keys): aggregates at EVERY key subset (2^|keys| levels),
+    all re-aggregated from the finest level's (small) output — the input
+    shuffles exactly once, every other level reduces rows that number
+    (groups), not (rows).  Subtotal rows carry ``all_label`` in rolled-up key
+    columns.  Same re-aggregability restriction as :func:`rollup_agg`
+    (sum/count/min/max; no mean)."""
+    from itertools import combinations
+
+    for out, (_, fn) in aggs.items():
+        if fn == "mean":
+            raise ValueError("cube_agg: mean is not re-aggregable; compute sum+count")
+
+    finest = partial_groupby_agg(ds, keys, aggs, pre_map=pre_map).materialize()
+    realised = {
+        out: (out, "sum" if fn in ("sum", "count") else fn)
+        for out, (_, fn) in aggs.items()
+    }
+    levels = [finest.map_batches(lambda b: b[keys + list(aggs)], batch_format="pandas")]
+    subsets = [
+        list(sub)
+        for r in range(len(keys) - 1, -1, -1)
+        for sub in combinations(keys, r)
+    ]
+    for kept in subsets:
+        if kept:
+            level = partial_groupby_agg(finest, kept, realised)
+        else:
+            def grand_total(batch: pd.DataFrame) -> pd.DataFrame:
+                row = {}
+                for out, (_, fn) in realised.items():
+                    row[out] = [getattr(batch[out], fn)()]
+                return pd.DataFrame(row)
+
+            level = (
+                finest.map_batches(grand_total, batch_format="pandas")
+                .repartition(1)
+                .map_batches(grand_total, batch_format="pandas")
+            )
+
+        def fill(batch: pd.DataFrame, _kept=tuple(kept)) -> pd.DataFrame:
+            for key in keys:
+                if key not in _kept:
+                    batch[key] = all_label
+            return batch[keys + list(aggs)]
+
+        levels.append(level.map_batches(fill, batch_format="pandas"))
+
+    out = levels[0]
+    for level in levels[1:]:
+        out = out.union(level)
+    return out
+
+
+def grouped_stddev(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_column: str,
+    *,
+    out_name: str = "stddev",
+    population: bool = True,
+    ddof_round: int | None = 6,
+) -> ray.data.Dataset:
+    """Per-group standard deviation via the associative (count, sum, sumsq)
+    decomposition — one combiner pass + a small groupby, same shuffle shape
+    as :func:`partial_groupby_agg` (one partial row per batch × group).
+
+    ``population=True`` is SQL ``stddev_pop``; False is sample stddev
+    (``stddev_samp``, n-1 denominator).  The result rounds to ``ddof_round``
+    decimals so an oracle engine's (Welford-based) accumulation agrees —
+    pass None for the raw float.
+    """
+    import numpy as np
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[keys].copy()
+        vals = batch[value_column].astype("float64")
+        out["__v"] = vals
+        out["__v2"] = vals * vals
+        return out
+
+    partials = partial_groupby_agg(
+        ds,
+        keys,
+        {"__n": ("__v", "count"), "__s": ("__v", "sum"), "__s2": ("__v2", "sum")},
+        pre_map=pre,
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["__n"].to_numpy(dtype="float64")
+        mean = batch["__s"].to_numpy() / n
+        var = batch["__s2"].to_numpy() / n - mean * mean
+        var = np.maximum(var, 0.0)  # float cancellation guard
+        if not population:
+            var = var * n / np.maximum(n - 1, 1)
+        out = batch[keys].copy()
+        std = np.sqrt(var)
+        out[out_name] = std if ddof_round is None else np.round(std, ddof_round)
+        return out
+
+    return partials.map_batches(finalize, batch_format="pandas")
+
+
 def hash_split(
     ds: ray.data.Dataset,
     id_column: str,

@@ -933,3 +933,26 @@ def test_stratified_sample_deterministic_and_rate(ray_session):
         fractions=0.1,
     ).to_pandas()
     assert abs(len(flat) / len(rows) - 0.1) < 0.02
+
+
+def test_dedup_keep_best_prefers_quality(dup_docs):
+    """Cluster {0,1,2} must keep the highest-quality member, not the
+    smallest id — and both plan paths must agree."""
+
+    def with_quality(b):
+        b = b.copy()
+        b["q"] = b["doc_id"].map({0: 0.1, 1: 0.9, 2: 0.5, 3: 0.8, 4: 0.2, 5: 0.7})
+        return b
+
+    docs = dup_docs.map_batches(with_quality, batch_format="pandas")
+    deduped, clusters = dedup.dedup_keep_best(docs, quality_column="q", threshold=0.7)
+    kept = set(deduped.to_pandas()["doc_id"])
+    assert 1 in kept and 0 not in kept and 2 not in kept  # best of cluster {0,1,2}
+    assert 3 in kept and 5 in kept  # loners untouched
+    members = set(clusters.to_pandas()["node"])
+    assert {"0", "1", "2"} <= members
+    # distributed-plan path (forced) agrees
+    deduped_d, _ = dedup.dedup_keep_best(
+        docs, quality_column="q", threshold=0.7, broadcast_pair_limit=0
+    )
+    assert set(deduped_d.to_pandas()["doc_id"]) == kept
