@@ -691,6 +691,73 @@ def q_price_stddev(sf_dir: str):
     )
 
 
+def q_qty_price_corr(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import grouped_corr
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_corr(
+        lineitem, ["l_returnflag"], "l_quantity", "l_extendedprice",
+        out_name="qty_price_corr",
+    )
+
+
+def q_top_order_per_priority(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import arg_max_by
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderkey", "o_totalprice"],
+    )
+    out = arg_max_by(
+        orders, ["o_orderpriority"], "o_totalprice", ["o_orderkey"]
+    ).to_pandas()
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_urgent_and_low_custs(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import intersect_distinct
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    urgent = orders.filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_custkey"])
+    low = orders.filter(expr="o_orderpriority == '5-LOW'").select_columns(["o_custkey"])
+    return intersect_distinct(urgent, low, ["o_custkey"])
+
+
+def q_urgent_not_low_custs(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import except_distinct
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    urgent = orders.filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_custkey"])
+    low = orders.filter(expr="o_orderpriority == '5-LOW'").select_columns(["o_custkey"])
+    return except_distinct(urgent, low, ["o_custkey"])
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.similarity import embedding_dim_stats
+
+    embeddings = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return embedding_dim_stats(embeddings)
+
+
 def q_tfidf_topk(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data
@@ -923,6 +990,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "cube_counts": q_cube_counts,
         "price_stddev": q_price_stddev,
+        "qty_price_corr": q_qty_price_corr,
+        "top_order_per_priority": q_top_order_per_priority,
+        "urgent_and_low_custs": q_urgent_and_low_custs,
+        "urgent_not_low_custs": q_urgent_not_low_custs,
+        "embedding_dim_stats": q_embedding_dim_stats,
         "media_decode": q_media_decode,
         "media_frames": q_media_frames,
     }
@@ -1122,6 +1194,42 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                    ), 4) AS prev_value
             FROM events
+        """,
+        "qty_price_corr": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "top_order_per_priority": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice
+            FROM orders
+            QUALIFY row_number() OVER (
+                PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey ASC
+            ) = 1
+            ORDER BY o_orderpriority
+        """,
+        "urgent_and_low_custs": """
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        """,
+        "urgent_not_low_custs": """
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        """,
+        "embedding_dim_stats": """
+            SELECT dim,
+                   round(avg(v), 6) AS dim_mean,
+                   round(stddev_pop(v), 6) AS dim_std
+            FROM (
+                SELECT unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) - 1 AS dim
+                FROM embeddings
+            )
+            GROUP BY dim
         """,
         "props_k_stats": """
             -- count(props->>'k'), not count(*): the Ray side counts rows

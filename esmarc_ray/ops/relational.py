@@ -828,6 +828,154 @@ def grouped_stddev(
     return partials.map_batches(finalize, batch_format="pandas")
 
 
+def grouped_corr(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    x_column: str,
+    y_column: str,
+    *,
+    out_name: str = "corr",
+    round_to: int | None = 6,
+) -> ray.data.Dataset:
+    """Per-group Pearson correlation (sample, SQL ``corr``) via the
+    Chan-et-al. parallel moment decomposition: each batch emits one
+    ``(n, mean_x, mean_y, M2x, M2y, Cxy)`` row per group (centered second
+    moments — numerically stable where the raw ``n·Σxy − ΣxΣy`` expansion
+    cancels catastrophically), and the final merge folds partials with the
+    pairwise-update formulas.  Shuffle shape identical to
+    :func:`partial_groupby_agg`: one partial row per (batch × group)."""
+    import numpy as np
+
+    part_cols = ["__n", "__mx", "__my", "__m2x", "__m2y", "__cxy"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame(columns=keys + part_cols)
+        rows = []
+        for kv, grp in batch.groupby(keys, sort=False):
+            x = grp[x_column].to_numpy(dtype="float64")
+            y = grp[y_column].to_numpy(dtype="float64")
+            mx, my = x.mean(), y.mean()
+            dx, dy = x - mx, y - my
+            key_vals = kv if isinstance(kv, tuple) else (kv,)
+            rows.append(
+                dict(zip(keys, key_vals))
+                | {"__n": float(len(x)), "__mx": mx, "__my": my,
+                   "__m2x": float(dx @ dx), "__m2y": float(dy @ dy),
+                   "__cxy": float(dx @ dy)}
+            )
+        return pd.DataFrame(rows)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        n = mx = my = m2x = m2y = cxy = 0.0
+        for p in group[part_cols].itertuples(index=False):
+            n2, mx2, my2, m2x2, m2y2, cxy2 = p
+            tot = n + n2
+            dx, dy = mx2 - mx, my2 - my
+            w = n * n2 / tot
+            m2x += m2x2 + dx * dx * w
+            m2y += m2y2 + dy * dy * w
+            cxy += cxy2 + dx * dy * w
+            mx += dx * n2 / tot
+            my += dy * n2 / tot
+            n = tot
+        denom = np.sqrt(m2x * m2y)
+        val = cxy / denom if denom > 0 else float("nan")
+        if round_to is not None:
+            val = round(val, round_to)
+        row = {k: [group[k].iloc[0]] for k in keys}
+        row[out_name] = [val]
+        return pd.DataFrame(row)
+
+    return ds.map_batches(partial, batch_format="pandas").groupby(keys).map_groups(
+        final, batch_format="pandas"
+    )
+
+
+def arg_max_by(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_column: str,
+    arg_columns: list[str],
+    *,
+    tiebreak_column: str | None = None,
+    descending: bool = True,
+) -> ray.data.Dataset:
+    """SQL ``arg_max(arg, value)`` per group, made deterministic: the row
+    with the extreme ``value_column`` wins, ties broken by ascending
+    ``tiebreak_column`` (default: the first arg column).  Rides
+    :func:`topk_per_group`'s partial prune — each batch ships one candidate
+    row per group, never the table."""
+    tiebreak = tiebreak_column or arg_columns[0]
+    best = topk_per_group(
+        ds, keys, [value_column, tiebreak], 1, descending=descending
+    )
+    out_cols = keys + arg_columns + [value_column]
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[out_cols]
+
+    return best.map_batches(project, batch_format="pandas")
+
+
+def intersect_distinct(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    columns: list[str],
+    *,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``INTERSECT`` (distinct rows present on both sides).  Both sides
+    dedup locally per batch, hash-partition on the row key, and each
+    partition set-intersects — no driver materialization, no broadcast."""
+    return _set_op(left, right, columns, keep_matched=True, num_partitions=num_partitions)
+
+
+def except_distinct(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    columns: list[str],
+    *,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``EXCEPT`` (distinct left rows absent from right); same
+    partitioned plan as :func:`intersect_distinct`."""
+    return _set_op(left, right, columns, keep_matched=False, num_partitions=num_partitions)
+
+
+def _set_op(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    columns: list[str],
+    *,
+    keep_matched: bool,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    def tag(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[columns].drop_duplicates().reset_index(drop=True)
+            key = out[columns].astype(str).agg("\x1f".join, axis=1)
+            out["__side"] = side
+            out["__part"] = (
+                pd.util.hash_pandas_object(key, index=False) % num_partitions
+            ).astype("int32")
+            return out
+
+        return fn
+
+    def reduce_part(part: pd.DataFrame) -> pd.DataFrame:
+        lf = part[part["__side"] == "L"][columns].drop_duplicates()
+        rkeys = part.loc[part["__side"] == "R", columns]
+        merged = lf.merge(rkeys.drop_duplicates(), on=columns, how="left", indicator=True)
+        want = "both" if keep_matched else "left_only"
+        return merged[merged["_merge"] == want][columns].reset_index(drop=True)
+
+    tagged = left.map_batches(tag("L"), batch_format="pandas").union(
+        right.map_batches(tag("R"), batch_format="pandas")
+    )
+    return tagged.groupby("__part").map_groups(reduce_part, batch_format="pandas")
+
+
 def hash_split(
     ds: ray.data.Dataset,
     id_column: str,

@@ -109,3 +109,48 @@ class IvfIndex:
         wanted = sorted({int(c) for row in cells for c in row})
         subset = assigned.filter(expr=f"cell in {list(wanted)}")
         return brute_force_topk(subset, q, k, id_column=id_column, vector_column=vector_column)
+
+
+def embedding_dim_stats(
+    embeddings: ray.data.Dataset,
+    *,
+    vector_column: str = "embedding",
+    round_to: int | None = 6,
+) -> ray.data.Dataset:
+    """Per-dimension mean / population stddev over an embedding column —
+    the feature-normalization statistics pass of an embedding pipeline
+    (e.g. whitening before clustering/ANN).
+
+    Combiner-shaped: each batch reduces its (rows × dim) matrix to ONE
+    (dim, n, sum, sumsq) partial table (dim rows, not input rows), the
+    final merge groups dim — shuffle volume is O(batches × dim)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch[vector_column].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "dim": np.arange(mat.shape[1], dtype="int64"),
+                "__n": float(mat.shape[0]),
+                "__s": mat.sum(axis=0),
+                "__s2": (mat * mat).sum(axis=0),
+            }
+        )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        n = group["__n"].sum()
+        s = group["__s"].sum()
+        s2 = group["__s2"].sum()
+        mean = s / n
+        var = max(s2 / n - mean * mean, 0.0)
+        std = float(np.sqrt(var))
+        if round_to is not None:
+            mean, std = round(mean, round_to), round(std, round_to)
+        return pd.DataFrame(
+            {"dim": [group["dim"].iloc[0]], "dim_mean": [mean], "dim_std": [std]}
+        )
+
+    return (
+        embeddings.map_batches(partial, batch_format="pandas")
+        .groupby("dim")
+        .map_groups(final, batch_format="pandas")
+    )

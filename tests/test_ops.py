@@ -956,3 +956,66 @@ def test_dedup_keep_best_prefers_quality(dup_docs):
         docs, quality_column="q", threshold=0.7, broadcast_pair_limit=0
     )
     assert set(deduped_d.to_pandas()["doc_id"]) == kept
+
+
+def test_grouped_corr_matches_pandas(ray_session):
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 500),
+            "x": rng.normal(1e4, 50, 500),  # large mean: the naive E[xy]-E[x]E[y]
+            "y": rng.normal(2e4, 80, 500),  # expansion cancels; Chan merge must not
+        }
+    )
+    df["y"] += 0.3 * (df["x"] - 1e4)
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = relational.grouped_corr(ds, ["g"], "x", "y", round_to=None).to_pandas()
+    for g, sub in df.groupby("g"):
+        want = sub["x"].corr(sub["y"])
+        have = float(got.loc[got["g"] == g, "corr"].iloc[0])
+        assert abs(have - want) < 1e-9, (g, have, want)
+
+
+def test_arg_max_by_deterministic_ties(ray_session):
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "v": [5.0, 5.0, 1.0, 2.0, 9.0],
+            "k": [30, 10, 20, 1, 2],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = (
+        relational.arg_max_by(ds, ["g"], "v", ["k"])
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    # tie at v=5.0 in group a → smallest k wins
+    assert got["k"].tolist() == [10, 2]
+    assert got["v"].tolist() == [5.0, 9.0]
+
+
+def test_set_ops_match_python_sets(ray_session):
+    left = pd.DataFrame({"k": [1, 1, 2, 3, 4, 4]})
+    right = pd.DataFrame({"k": [2, 4, 4, 5]})
+    lds, rds = ray.data.from_pandas(left).repartition(3), ray.data.from_pandas(right).repartition(2)
+    inter = set(relational.intersect_distinct(lds, rds, ["k"]).to_pandas()["k"])
+    exc = set(relational.except_distinct(lds, rds, ["k"]).to_pandas()["k"])
+    assert inter == {2, 4}
+    assert exc == {1, 3}
+
+
+def test_embedding_dim_stats_matches_numpy(ray_session):
+    rng = np.random.RandomState(3)
+    mat = rng.normal(0, 1, (200, 8)).astype(np.float32)
+    df = pd.DataFrame({"embedding": [row for row in mat]})
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = (
+        similarity.embedding_dim_stats(ds, round_to=None)
+        .to_pandas()
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(got["dim_mean"], mat.astype(np.float64).mean(axis=0), atol=1e-9)
+    np.testing.assert_allclose(got["dim_std"], mat.astype(np.float64).std(axis=0), atol=1e-9)
