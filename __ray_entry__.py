@@ -758,6 +758,49 @@ def q_embedding_dim_stats(sf_dir: str):
     return embedding_dim_stats(embeddings)
 
 
+def q_heavy_terms(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.sketches import heavy_hitters
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    lowered = docs.map_batches(
+        lambda b: b.assign(text=b["text"].str.lower()), batch_format="pandas"
+    )
+    return heavy_hitters(lowered, "text", k=10)
+
+
+def q_approx_users_per_type(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.sketches import hll_distinct_count
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    out = hll_distinct_count(events, ["event_type"], "user_id", "approx_users").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_semantic_dups(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.dedup import semantic_dedup
+
+    embeddings = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    import pandas as pd
+
+    _, dups = semantic_dedup(embeddings, threshold=0.92, n_clusters=32)
+    out = dups.to_pandas()
+    if out.empty:  # no near-dups at this threshold → stable empty schema
+        return pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"), "dup_of": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+    out["cosine"] = out["cosine"].round(4)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_tfidf_topk(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data
@@ -968,6 +1011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": q_events_sliding,
         "ann_topk": q_ann_topk,
         "top_terms": q_top_terms,
+        "heavy_terms": q_heavy_terms,
         "quality": q_quality,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
@@ -982,6 +1026,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": q_embedding_dups,
         "langid_pred": q_langid_pred,
         "fingerprints": q_fingerprints,
+        "approx_users_per_type": q_approx_users_per_type,
+        "semantic_dups": q_semantic_dups,
         "redact_pii": q_redact_pii,
         "repetition": q_repetition,
         "contamination": q_contamination,
@@ -1265,6 +1311,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY n_occurrences DESC, term
             LIMIT 50
+        """,
+        "heavy_terms": r"""
+            SELECT term, count(*) AS n
+            FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+                  FROM documents)
+            WHERE term <> ''
+            GROUP BY term
+            ORDER BY n DESC, term
+            LIMIT 10
         """,
         "quality": r"""
             SELECT doc_id,

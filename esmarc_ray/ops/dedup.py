@@ -681,3 +681,75 @@ def embedding_near_dups(
     # cross-table repeats carry the bit-identical cosine (same dot product),
     # so distributed DISTINCT over all three columns dedups exactly
     return _distinct_on(pairs_ds, ["vec_a", "vec_b", "cosine"])
+
+
+def semantic_dedup(
+    embeddings: ray.data.Dataset,
+    *,
+    threshold: float = 0.95,
+    n_clusters: int = 64,
+    sample_limit: int = 20_000,
+    seed: int = 17,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    cluster the embedding space, then within each cluster drop every item
+    whose cosine to an already-kept item exceeds ``threshold`` (scan order:
+    ascending id ⇒ deterministic; the kept item is the cluster's earliest).
+
+    Returns (kept ids, dup table (vec_id, dup_of, cosine)).
+
+    Plan: coarse quantizer trained on a driver sample (small, like IVF),
+    assignment batch-local, per-cluster O(c²) similarity confined to a
+    ``map_groups`` task.  Partitioning assumption at scale: one cluster's
+    vectors fit a task — size ``n_clusters ∝ N/√budget`` so c stays bounded;
+    unlike all-pairs, cross-cluster comparisons are never materialized (the
+    SemDeDup approximation: near-dups straddling a k-means boundary are
+    missed, the paper's accepted recall trade).
+    """
+    from esmarc_ray.ops.similarity import IvfIndex
+
+    index = IvfIndex(n_cells=n_clusters, seed=seed).train(
+        embeddings, sample_limit=sample_limit, vector_column=vector_column
+    )
+    assigned = index.assign(
+        embeddings, id_column=id_column, vector_column=vector_column
+    )
+
+    def cluster_dedup(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(id_column)
+        mat = np.stack(group[vector_column].to_numpy()).astype(np.float32)
+        mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-9, None)
+        ids = group[id_column].to_numpy()
+        sims = mat @ mat.T
+        kept_idx: list[int] = []
+        rows = {"vec_id": [], "dup_of": [], "cosine": [], "__kept": []}
+        for i in range(len(ids)):
+            hit = None
+            if kept_idx:
+                against = sims[i, kept_idx]
+                j = int(np.argmax(against))
+                if against[j] >= threshold:
+                    hit = (kept_idx[j], float(against[j]))
+            if hit is None:
+                kept_idx.append(i)
+                rows["vec_id"].append(ids[i])
+                rows["dup_of"].append(-1)
+                rows["cosine"].append(1.0)
+                rows["__kept"].append(True)
+            else:
+                rows["vec_id"].append(ids[i])
+                rows["dup_of"].append(ids[hit[0]])
+                rows["cosine"].append(hit[1])
+                rows["__kept"].append(False)
+        return pd.DataFrame(rows)
+
+    marked = assigned.groupby("cell").map_groups(
+        cluster_dedup, batch_format="pandas"
+    ).materialize()
+    kept = marked.filter(expr="__kept == True").select_columns(["vec_id"])
+    dups = marked.filter(expr="__kept == False").select_columns(
+        ["vec_id", "dup_of", "cosine"]
+    )
+    return kept, dups

@@ -1,0 +1,154 @@
+"""Mergeable sketch operators: HyperLogLog distinct counting and
+Misra–Gries heavy hitters.
+
+Both follow the engine's combiner idiom (one small partial per batch ×
+group, merged in a final reduce), and both are *mergeable summaries* in the
+Agarwal-et-al. sense — the partial→merge split is exact, not heuristic, so
+the plan is scale-safe: shuffle volume is O(batches × groups × sketch_size)
+regardless of input rows.
+
+* :func:`hll_distinct_count` — approximate COUNT(DISTINCT v) per group.
+  Standard HLL (Flajolet et al. 2007) with 2^p registers and the
+  linear-counting small-range correction; relative error ≈ 1.04/sqrt(2^p)
+  (p=12 → ~1.6%).  The exact-:func:`~esmarc_ray.ops.relational.distinct_count`
+  shuffles every unique (group, value) pair; this shuffles 2^p bytes per
+  (batch, group) — the scale path when per-group cardinality is huge.
+* :func:`heavy_hitters` — top-k frequent values via a Misra–Gries summary
+  (capacity m ⇒ per-term undercount ≤ N/(m+1)) to find candidates, then ONE
+  distributed exact recount restricted to the ≤m candidates.  The result is
+  exact top-k whenever every true top-k term's frequency exceeds N/(m+1) —
+  the full wordcount's shuffle (every distinct term from every batch) is
+  replaced by m candidate rows per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+
+
+def _hll_alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def _hll_registers(values: pd.Series) -> np.ndarray:
+    """Max rank-of-first-one per register for one batch of values."""
+    h = pd.util.hash_pandas_object(values.astype(str), index=False).to_numpy(
+        dtype=np.uint64
+    )
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = h & np.uint64((1 << (64 - _HLL_P)) - 1)
+    # rank = leading zeros within the (64-p)-bit suffix + 1; suffix ints are
+    # < 2^52 so float64 log2 is exact on them (and exact on powers of two)
+    rank = np.empty(len(h), dtype=np.int64)
+    zero = rest == 0
+    rank[zero] = (64 - _HLL_P) + 1
+    nz = ~zero
+    rank[nz] = (64 - _HLL_P) - np.floor(np.log2(rest[nz].astype(np.float64))).astype(
+        np.int64
+    )
+    regs = np.zeros(_HLL_M, dtype=np.int8)
+    np.maximum.at(regs, idx, rank.astype(np.int8))
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    m = float(_HLL_M)
+    est = _hll_alpha(_HLL_M) * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    if est <= 2.5 * _HLL_M:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            est = m * np.log(m / zeros)  # linear counting
+    return int(round(est))
+
+
+def hll_distinct_count(
+    ds: ray.data.Dataset,
+    group_keys: list[str],
+    value_column: str,
+    out_name: str = "approx_distinct",
+) -> ray.data.Dataset:
+    """Approximate COUNT(DISTINCT value_column) per group via HLL."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, grp in batch.groupby(group_keys, sort=False):
+            key_vals = kv if isinstance(kv, tuple) else (kv,)
+            rows.append(
+                dict(zip(group_keys, key_vals))
+                | {"__regs": _hll_registers(grp[value_column]).tobytes()}
+            )
+        return pd.DataFrame(rows, columns=group_keys + ["__regs"])
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(_HLL_M, dtype=np.int8)
+        for blob in group["__regs"]:
+            np.maximum(regs, np.frombuffer(blob, dtype=np.int8), out=regs)
+        row = {k: [group[k].iloc[0]] for k in group_keys}
+        row[out_name] = [_hll_estimate(regs)]
+        return pd.DataFrame(row)
+
+    return ds.map_batches(partial, batch_format="pandas").groupby(group_keys).map_groups(
+        final, batch_format="pandas"
+    )
+
+
+def _mg_summarize(counts: pd.Series, capacity: int) -> pd.Series:
+    """Misra–Gries reduce: keep ≤capacity counters, decrementing all by the
+    (capacity+1)-th largest so dropped terms' counts are absorbed."""
+    if len(counts) <= capacity:
+        return counts
+    counts = counts.sort_values(ascending=False)
+    cut = counts.iloc[capacity]
+    kept = counts.iloc[:capacity] - cut
+    return kept[kept > 0]
+
+
+def heavy_hitters(
+    docs: ray.data.Dataset,
+    column: str,
+    k: int = 10,
+    *,
+    capacity: int = 4096,
+    split_tokens: bool = True,
+) -> pd.DataFrame:
+    """Exact top-k frequent tokens (or values) with a Misra–Gries candidate
+    pass: per-batch MG summaries (≤capacity counters each) merge on the
+    driver into a global candidate set, then a distributed exact count runs
+    over ONLY the candidates.  Returns (term, n) sorted by (n desc, term) —
+    provably the true top-k when freq(k-th term) > N/(capacity+1); below
+    that the MG guarantee degrades gracefully (candidates may miss tail
+    terms, never over-count)."""
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = batch[column].astype(str)
+        if split_tokens:
+            vals = vals.str.split().explode()
+        counts = _mg_summarize(vals.value_counts(), capacity)
+        return pd.DataFrame({"term": counts.index, "n": counts.to_numpy()})
+
+    partials = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = _mg_summarize(partials.groupby("term")["n"].sum(), capacity)
+    candidates = set(merged.index)
+
+    def count_candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = batch[column].astype(str)
+        if split_tokens:
+            vals = vals.str.split().explode()
+        vals = vals[vals.isin(candidates)]
+        return pd.DataFrame({"term": vals.to_numpy()})
+
+    exact = partial_groupby_agg(
+        docs.map_batches(count_candidates, batch_format="pandas"),
+        ["term"],
+        {"n": ("term", "count")},
+    ).to_pandas()
+    exact = exact.sort_values(["n", "term"], ascending=[False, True]).head(k)
+    return exact.reset_index(drop=True)

@@ -1019,3 +1019,60 @@ def test_embedding_dim_stats_matches_numpy(ray_session):
     )
     np.testing.assert_allclose(got["dim_mean"], mat.astype(np.float64).mean(axis=0), atol=1e-9)
     np.testing.assert_allclose(got["dim_std"], mat.astype(np.float64).std(axis=0), atol=1e-9)
+
+
+def test_hll_distinct_within_error_bound(ray_session):
+    from esmarc_ray.ops import sketches
+
+    rng = np.random.RandomState(11)
+    n = 20000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y"], n),
+            "v": rng.randint(0, 5000, n),  # ~5000 distinct per group
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = sketches.hll_distinct_count(ds, ["g"], "v").to_pandas()
+    for g, sub in df.groupby("g"):
+        exact = sub["v"].nunique()
+        approx = int(got.loc[got["g"] == g, "approx_distinct"].iloc[0])
+        assert abs(approx - exact) / exact < 0.05, (g, approx, exact)  # 3σ of 1.6%
+
+
+def test_heavy_hitters_exact_topk_on_skew(ray_session):
+    from esmarc_ray.ops import sketches
+
+    rng = np.random.RandomState(5)
+    # zipf-ish: hot terms dominate, long uniform tail
+    hot = ["alpha"] * 400 + ["beta"] * 300 + ["gamma"] * 200
+    tail = [f"t{i}" for i in rng.randint(0, 800, 2000)]
+    words = hot + tail
+    rng.shuffle(words)
+    docs = pd.DataFrame({"text": [" ".join(words[i : i + 10]) for i in range(0, len(words), 10)]})
+    ds = ray.data.from_pandas(docs).repartition(6)
+    got = sketches.heavy_hitters(ds, "text", k=3, capacity=64)
+    assert got["term"].tolist() == ["alpha", "beta", "gamma"]
+    assert got["n"].tolist() == [400, 300, 200]
+
+
+def test_semantic_dedup_drops_planted_near_dups(ray_session):
+    rng = np.random.RandomState(23)
+    base = rng.normal(0, 1, (40, 16)).astype(np.float32)
+    rows = []
+    for i, vec in enumerate(base):
+        rows.append({"vec_id": 2 * i, "embedding": vec})
+        near = vec + rng.normal(0, 0.01, 16).astype(np.float32)  # cosine ≈ 1
+        rows.append({"vec_id": 2 * i + 1, "embedding": near})
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+    kept, dups = dedup.semantic_dedup(ds, threshold=0.98, n_clusters=8, sample_limit=100)
+    kept_ids = set(kept.to_pandas()["vec_id"])
+    dup_df = dups.to_pandas()
+    # every planted twin pair loses exactly one member (unless the pair
+    # straddles a k-means boundary — with 8 cells over 40 well-separated
+    # points and near-identical twins, twins co-locate)
+    assert len(kept_ids) == 40
+    assert len(dup_df) == 40
+    for _, row in dup_df.iterrows():
+        assert row["cosine"] >= 0.98
+        assert row["dup_of"] in kept_ids
