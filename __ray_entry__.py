@@ -758,6 +758,52 @@ def q_embedding_dim_stats(sf_dir: str):
     return embedding_dim_stats(embeddings)
 
 
+def q_cust_order_counts(sf_dir: str):
+    """LEFT JOIN + aggregate composition: per-customer order count
+    INCLUDING zero-order customers — the orders side pre-aggregates with the
+    combiner (one row per custkey ships to the join, never the orders
+    table), then a partitioned left join against customer."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_join
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+    )
+    per_cust = partial_groupby_agg(
+        orders, ["o_custkey"], {"n_orders": ("o_orderkey", "count")}
+    ).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
+    )
+    joined = partitioned_join(
+        customer, per_cust, "c_custkey", left_cols=[], right_cols=["n_orders"],
+        how="left",
+    )
+
+    def finish(b):
+        b = b.copy()
+        b["n_orders"] = b["n_orders"].fillna(0).astype("int64")
+        return b
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def q_paragraph_dedup(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.text import paragraph_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    # synthetic docs are single-paragraph; dedup on sentence boundaries so
+    # the op has real work (cross-doc repeated sentences are common there)
+    return paragraph_dedup(docs, sep=". ")
+
+
 def q_heavy_terms(sf_dir: str):
     import ray.data
 
@@ -1012,6 +1058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "top_terms": q_top_terms,
         "heavy_terms": q_heavy_terms,
+        "cust_order_counts": q_cust_order_counts,
         "quality": q_quality,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
@@ -1028,6 +1075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "approx_users_per_type": q_approx_users_per_type,
         "semantic_dups": q_semantic_dups,
+        "paragraph_dedup": q_paragraph_dedup,
         "redact_pii": q_redact_pii,
         "repetition": q_repetition,
         "contamination": q_contamination,
@@ -1311,6 +1359,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY n_occurrences DESC, term
             LIMIT 50
+        """,
+        "cust_order_counts": """
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey
+        """,
+        "paragraph_dedup": """
+            WITH paras AS (
+                SELECT doc_id,
+                       unnest(string_split(text, '. ')) AS para,
+                       generate_subscripts(string_split(text, '. '), 1) AS pos
+                FROM documents
+            ), firsts AS (
+                SELECT * FROM paras
+                QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1
+            )
+            SELECT doc_id, string_agg(para, '. ' ORDER BY pos) AS text
+            FROM firsts GROUP BY doc_id
         """,
         "heavy_terms": r"""
             SELECT term, count(*) AS n

@@ -476,3 +476,76 @@ def json_extract(
         return batch
 
     return ds.map_batches(extract, batch_format="pandas")
+
+
+def paragraph_dedup(
+    docs: ray.data.Dataset,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    sep: str = "\n\n",
+    num_partitions: int = 128,
+) -> ray.data.Dataset:
+    """Corpus-wide exact paragraph dedup (the CCNet / RefinedWeb curation
+    step): every paragraph that already appeared in a lower-(doc_id, position)
+    slot is removed from its document; documents are reassembled in original
+    paragraph order (empty docs kept, text="").
+
+    Plan: explode to (para_hash, doc_id, pos, text-of-para) rows, hash-
+    partition on para_hash — each partition keeps the globally-first
+    occurrence per hash (one reducer per PARTITION, not per paragraph) —
+    then regroup survivors by doc hash-partitioned and rebuild.  Two
+    narrow shuffles of paragraph rows; the doc payload never shuffles
+    whole.  A document whose EVERY paragraph is a duplicate drops out
+    entirely (the curation semantics — nothing of it survives)."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        pos: list[int] = []
+        ptext: list[str] = []
+        for doc_id, text in zip(batch[id_column], batch[text_column].fillna("")):
+            paras = text.split(sep)
+            ids.extend([doc_id] * len(paras))
+            pos.extend(range(len(paras)))
+            ptext.extend(paras)
+        df = pd.DataFrame({id_column: ids, "__pos": pos, "__ptext": ptext})
+        df["__h"] = pd.util.hash_pandas_object(df["__ptext"], index=False).astype("uint64")
+        return df
+
+    def add_hash_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__part"] = (batch["__h"] % num_partitions).astype("int32")
+        return batch
+
+    def first_per_hash(part: pd.DataFrame) -> pd.DataFrame:
+        keep = (
+            part.sort_values(["__h", id_column, "__pos"])
+            .drop_duplicates("__h")
+        )
+        return keep.drop(columns=["__part"])
+
+    def add_doc_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__part"] = (
+            pd.util.hash_pandas_object(batch[id_column].astype(str), index=False)
+            % num_partitions
+        ).astype("int32")
+        return batch
+
+    def rebuild(part: pd.DataFrame) -> pd.DataFrame:
+        rows = (
+            part.sort_values([id_column, "__pos"])
+            .groupby(id_column, sort=False)["__ptext"]
+            .agg(sep.join)
+        )
+        return pd.DataFrame({id_column: rows.index, text_column: rows.to_numpy()})
+
+    survivors = (
+        docs.map_batches(explode, batch_format="pandas")
+        .map_batches(add_hash_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(first_per_hash, batch_format="pandas")
+    )
+    return (
+        survivors.map_batches(add_doc_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(rebuild, batch_format="pandas")
+    )

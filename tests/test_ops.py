@@ -1076,3 +1076,30 @@ def test_semantic_dedup_drops_planted_near_dups(ray_session):
     for _, row in dup_df.iterrows():
         assert row["cosine"] >= 0.98
         assert row["dup_of"] in kept_ids
+
+
+def test_paragraph_dedup_keeps_first_occurrence(ray_session):
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "shared intro\n\nunique one",
+                "shared intro\n\nunique two\n\nunique one",
+                "shared intro",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(3)
+    got = (
+        text.paragraph_dedup(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 1 (lowest id) keeps both paras; doc 2 loses the shared intro AND
+    # "unique one" (doc 1 owns it); doc 3 vanishes (nothing survives)
+    assert got["doc_id"].tolist() == [1, 2]
+    assert got["text"].tolist() == [
+        "shared intro\n\nunique one",
+        "unique two",
+    ]
