@@ -851,20 +851,23 @@ def grouped_corr(
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         if batch.empty:
             return pd.DataFrame(columns=keys + part_cols)
-        rows = []
-        for kv, grp in batch.groupby(keys, sort=False):
-            x = grp[x_column].to_numpy(dtype="float64")
-            y = grp[y_column].to_numpy(dtype="float64")
-            mx, my = x.mean(), y.mean()
-            dx, dy = x - mx, y - my
-            key_vals = kv if isinstance(kv, tuple) else (kv,)
-            rows.append(
-                dict(zip(keys, key_vals))
-                | {"__n": float(len(x)), "__mx": mx, "__my": my,
-                   "__m2x": float(dx @ dx), "__m2y": float(dy @ dy),
-                   "__cxy": float(dx @ dy)}
-            )
-        return pd.DataFrame(rows)
+        x = batch[x_column].astype("float64")
+        y = batch[y_column].astype("float64")
+        grouped = batch.groupby(keys, sort=False)
+        dx = x - grouped[x_column].transform("mean")
+        dy = y - grouped[y_column].transform("mean")
+        tmp = batch[keys].copy()
+        tmp["__x"] = x
+        tmp["__y"] = y
+        tmp["__dx2"] = dx * dx
+        tmp["__dy2"] = dy * dy
+        tmp["__dxy"] = dx * dy
+        agg = tmp.groupby(keys, as_index=False, sort=False).agg(
+            __n=("__x", "size"), __mx=("__x", "mean"), __my=("__y", "mean"),
+            __m2x=("__dx2", "sum"), __m2y=("__dy2", "sum"), __cxy=("__dxy", "sum"),
+        )
+        agg["__n"] = agg["__n"].astype("float64")
+        return agg
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         n = mx = my = m2x = m2y = cxy = 0.0

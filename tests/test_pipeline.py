@@ -123,6 +123,58 @@ def test_canonicalize_fused_equals_precombine(ray_session, corpus_dir):
         canonicalize(fused_in, precombine="fused", closure=True)
 
 
+def test_canonicalize_split_equals_precombine(ray_session, corpus_dir):
+    """precombine="split" (dup-key bypass) must agree bit-for-bit with the
+    reference plan, from BOTH a fresh doc stream and the fused linker
+    output, and its size-gated fallback must too."""
+    import ray as _ray
+
+    path, spec = corpus_dir
+    indexes_ref = _ray.put(build_link_indexes(link_tables(spec)))
+
+    def snapshot(ds):
+        rows = ds.to_pandas()
+        return {
+            row["canon_key"]: (row["doc_id"], row["doc_json"])
+            for _, row in rows.iterrows()
+        }
+
+    docs = extract_docs(read_documents(path), DEFAULT_CONFIG)
+    base = snapshot(canonicalize(docs, salted=False))
+    docs2 = extract_docs(read_documents(path), DEFAULT_CONFIG)
+    split = snapshot(canonicalize(docs2, precombine="split", num_partitions=32))
+    assert split == base
+
+    docs3 = extract_docs(read_documents(path), DEFAULT_CONFIG)
+    linked = link_entities(
+        docs3, indexes_ref, concurrency=2, batch_size=64, combine_partitions=32
+    )
+    base_linked = snapshot(canonicalize(linked, precombine="fused", num_partitions=32))
+    docs4 = extract_docs(read_documents(path), DEFAULT_CONFIG)
+    linked2 = link_entities(
+        docs4, indexes_ref, concurrency=2, batch_size=64, combine_partitions=32
+    )
+    split_fused = snapshot(
+        canonicalize(linked2, precombine="split", num_partitions=32)
+    )
+    assert split_fused == base_linked
+
+    # dup_key_limit=0 forces the fallback path (full hash-partitioned merge)
+    from esmarc_ray.stages.canonicalize import _merge_partition, _split_merge
+
+    docs5 = extract_docs(read_documents(path), DEFAULT_CONFIG)
+    live = docs5.filter(
+        expr="entity_class != '_error' and entity_class != '_dropped'"
+    )
+    combined = live.map_batches(
+        _merge_partition, batch_format="pyarrow", zero_copy_batch=True
+    )
+    fallback = snapshot(
+        _split_merge(combined, num_partitions=32, has_part=False, dup_key_limit=0)
+    )
+    assert fallback == base
+
+
 def test_merge_docs_associative():
     a = ("1", {"@id": "x/1", "preferredName": "A", "sameAs": [{"@id": "s1"}]})
     b = ("2", {"@id": "x/2", "preferredName": "B", "sameAs": [{"@id": "s2"}]})
