@@ -804,6 +804,51 @@ def q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(docs, sep=". ")
 
 
+def q_events_moving_max(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import moving_window
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = moving_window(
+        events, "user_id", ["ts", "event_id"], "value",
+        preceding=3, fn="max", out_name="moving_max", round_to=None,
+    )
+    return out.select_columns(["event_id", "moving_max"])
+
+
+def q_user_modal_event(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import grouped_mode
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return grouped_mode(events, ["user_id"], "event_type", out_name="modal_event")
+
+
+def q_custs_no_urgent_bloom(sf_dir: str):
+    """Same answer as customers_no_urgent, through the Bloom-prefiltered
+    anti-join: filter negatives stream straight through with zero shuffle,
+    only maybe-members take the exact hash-partitioned anti join."""
+    import ray.data
+
+    from esmarc_ray.ops.sketches import bloom_semi_join
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_custkey"])
+    return bloom_semi_join(
+        customer, urgent, "c_custkey", key_column="o_custkey", anti=True
+    )
+
+
 def q_heavy_terms(sf_dir: str):
     import ray.data
 
@@ -1059,6 +1104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": q_top_terms,
         "heavy_terms": q_heavy_terms,
         "cust_order_counts": q_cust_order_counts,
+        "events_moving_max": q_events_moving_max,
+        "user_modal_event": q_user_modal_event,
+        "custs_no_urgent_bloom": q_custs_no_urgent_bloom,
         "quality": q_quality,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
@@ -1176,6 +1224,32 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM orders
                 WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
             )
+        """,
+        "custs_no_urgent_bloom": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+            )
+        """,
+        "events_moving_max": """
+            SELECT event_id,
+                   max(value) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+                   ) AS moving_max
+            FROM events
+        """,
+        "user_modal_event": """
+            SELECT user_id, event_type AS modal_event
+            FROM (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY user_id, event_type
+            )
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY n DESC, event_type ASC
+            ) = 1
         """,
         "purchase_last_click": """
             SELECT l.event_id, coalesce(r.event_id, -1) AS click_id

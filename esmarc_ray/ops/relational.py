@@ -1148,6 +1148,98 @@ def window_lag(
     )
 
 
+def moving_window(
+    ds: ray.data.Dataset,
+    partition_by: str,
+    order_by: list[str],
+    value_column: str,
+    *,
+    preceding: int = 3,
+    fn: str = "mean",
+    out_name: str = "moving_value",
+    round_to: int | None = 4,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """ROWS-frame window aggregate: ``fn(value) OVER (PARTITION BY k ORDER BY
+    o ROWS BETWEEN preceding PRECEDING AND CURRENT ROW)`` — the moving
+    average / rolling max of an event pipeline.  Same physical shape as
+    :func:`window_lag`: keys hash-bucket into ``num_partitions`` (one reducer
+    per bucket, not per key); the per-bucket body is one sort + a vectorized
+    pandas ``groupby(...).rolling`` — early rows use however many rows exist
+    (``min_periods=1``), matching the SQL frame."""
+    if fn not in ("mean", "sum", "min", "max"):
+        raise ValueError(f"moving_window: unsupported fn {fn!r}")
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            part.drop(columns="__part")
+            .sort_values([partition_by] + order_by)
+            .reset_index(drop=True)
+        )
+        rolled = getattr(
+            out.groupby(partition_by, sort=False)[value_column]
+            .rolling(window=preceding + 1, min_periods=1),
+            fn,
+        )().reset_index(drop=True)
+        out[out_name] = rolled.round(round_to) if round_to is not None else rolled
+        return out
+
+    return (
+        ds.map_batches(_add_hash_part([partition_by], num_partitions), batch_format="pandas")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def grouped_mode(
+    ds: ray.data.Dataset,
+    group_keys: list[str],
+    value_column: str,
+    *,
+    out_name: str = "mode",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Deterministic per-group mode: the most frequent value, ties broken by
+    the smallest value.  Two combiner-shaped reductions: (keys, value) counts
+    via :func:`partial_groupby_agg`-style local pre-count, then a top-1 per
+    group over the (much smaller) count table."""
+
+    def local_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            batch.groupby(group_keys + [value_column], sort=False)
+            .size()
+            .reset_index(name="__n")
+        )
+        return out
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return _add_hash_part(group_keys + [value_column], num_partitions)(batch)
+
+    def sum_counts(part: pd.DataFrame) -> pd.DataFrame:
+        return (
+            part.drop(columns="__part")
+            .groupby(group_keys + [value_column], sort=False)["__n"]
+            .sum()
+            .reset_index()
+        )
+
+    counts = (
+        ds.select_columns(group_keys + [value_column])
+        .map_batches(local_counts, batch_format="pandas")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(sum_counts, batch_format="pandas")
+    )
+    best = topk_per_group(counts, group_keys, ["__n", value_column], 1)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[group_keys].copy()
+        out[out_name] = batch[value_column]
+        return out
+
+    return best.map_batches(project, batch_format="pandas")
+
+
 def grouped_string_agg(
     ds: ray.data.Dataset,
     group_keys: list[str],

@@ -1103,3 +1103,96 @@ def test_paragraph_dedup_keeps_first_occurrence(ray_session):
         "shared intro\n\nunique one",
         "unique two",
     ]
+
+
+def test_moving_window_matches_duckdb(ray_session):
+    import duckdb
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 300),
+            "o": rng.permutation(300),
+            "v": rng.normal(10, 3, 300).round(3),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = (
+        relational.moving_window(ds, "k", ["o"], "v", preceding=3, fn="mean",
+                                 out_name="mv", round_to=None)
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """
+        SELECT k, o, avg(v) OVER (
+            PARTITION BY k ORDER BY o ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+        ) AS mv FROM df ORDER BY k, o
+        """
+    ).df()
+    # pandas' rolling accumulator and DuckDB's window sum differ by ≤1 ulp —
+    # exact-decimal equality is only guaranteed for arithmetic-free frames
+    # (min/max), which is what the oracle-checked query uses
+    np.testing.assert_allclose(got["mv"], want["mv"], atol=1e-9)
+    got_max = (
+        relational.moving_window(ds, "k", ["o"], "v", preceding=3, fn="max",
+                                 out_name="mv", round_to=None)
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    want_max = duckdb.sql(
+        """
+        SELECT k, o, max(v) OVER (
+            PARTITION BY k ORDER BY o ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+        ) AS mv FROM df ORDER BY k, o
+        """
+    ).df()
+    assert got_max["mv"].tolist() == want_max["mv"].tolist()
+
+
+def test_grouped_mode_deterministic(ray_session):
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 5 + ["b"] * 4,
+            "v": ["x", "x", "y", "y", "z", "q", "p", "p", "q"],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = (
+        relational.grouped_mode(ds, ["g"], "v")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    # group a: x and y tie at 2 → smallest value "x"; b: p and q tie → "p"
+    assert got["mode"].tolist() == ["x", "p"]
+
+
+def test_bloom_semi_join_equals_exact(ray_session):
+    from esmarc_ray.ops import sketches
+
+    rng = np.random.RandomState(13)
+    big = pd.DataFrame({"k": rng.randint(0, 2000, 5000), "payload": np.arange(5000)})
+    keys = pd.DataFrame({"kk": rng.choice(2000, 150, replace=False)})
+    big_ds = ray.data.from_pandas(big).repartition(6)
+    keys_ds = ray.data.from_pandas(keys).repartition(2)
+    want_semi = set(big.loc[big["k"].isin(set(keys["kk"])), "payload"])
+    got_semi = set(
+        sketches.bloom_semi_join(big_ds, keys_ds, "k", key_column="kk")
+        .to_pandas()["payload"]
+    )
+    assert got_semi == want_semi
+    got_anti = set(
+        sketches.bloom_semi_join(big_ds, keys_ds, "k", key_column="kk", anti=True)
+        .to_pandas()["payload"]
+    )
+    assert got_anti == set(big["payload"]) - want_semi
+    # the prefilter is effective: far fewer maybe-rows than big rows
+    bits = sketches.bloom_build(keys_ds, "kk")
+    pos = sketches._bloom_hashes(big["k"], 1 << 23, 4)
+    hit = np.ones(len(big), dtype=bool)
+    for row in pos:
+        hit &= (bits[row >> 3] >> (row & 7).astype(np.uint8)) & 1 == 1
+    assert hit.sum() < len(big) * 0.2  # ~7.5% true match rate + tiny FP rate
