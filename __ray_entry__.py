@@ -132,6 +132,17 @@ def q_kg_canonical(sf_dir: str):
     )
 
 
+def q_kg_canonical_split(sf_dir: str):
+    """Same canonical entity set through the dup-key split plan (unique-key
+    docs bypass the payload shuffle); bit-for-bit equality with the other
+    plans is pytest-gated (test_canonicalize_split_equals_precombine)."""
+    from esmarc_ray.stages.canonicalize import canonicalize
+
+    return canonicalize(_kg_docs(sf_dir), precombine="split").select_columns(
+        ["doc_id", "entity_class", "canon_key"]
+    )
+
+
 def q_kg_canonical_closure(sf_dir: str):
     """Canonicalization with the sameAs/identifier connected-component closure."""
     from esmarc_ray.stages.canonicalize import canonicalize
@@ -1066,6 +1077,34 @@ def q_media_frames(sf_dir: str):
     )
 
 
+def _curate(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.pipelines.curate import curate_documents
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    # deterministic stand-in benchmark set: the 3 lowest doc_ids' texts
+    bench = docs.sort("doc_id").limit(3).to_pandas()["text"].tolist()
+    return curate_documents(docs, benchmark_texts=bench)
+
+
+def q_curated_docs(sf_dir: str):
+    """End-to-end curation: quality gates -> decontamination -> exact +
+    MinHash dedup; returns the surviving doc ids (rows-only check — the
+    gate logic is pytest-gated in test_curate_documents_reasons_and_dedup)."""
+    kept, _annotated, _report = _curate(sf_dir)
+    return kept.select_columns(["doc_id"])
+
+
+def q_curation_report(sf_dir: str):
+    """Attrition report of the curation pipeline: (drop_reason, n) rows
+    that partition the input corpus exactly (sum(n) == |docs|)."""
+    _kept, _annotated, report = _curate(sf_dir)
+    return report
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -1074,6 +1113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_counts": q_kg_entity_counts,
         "kg_pred_counts": q_kg_pred_counts,
         "kg_canonical": q_kg_canonical,
+        "kg_canonical_split": q_kg_canonical_split,
         "kg_canonical_closure": q_kg_canonical_closure,
         "kg_linked": q_kg_linked,
         # relational operators (SQL-checkable)
@@ -1139,6 +1179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": q_embedding_dim_stats,
         "media_decode": q_media_decode,
         "media_frames": q_media_frames,
+        # end-to-end curation pipeline (gates + decontam + dedup, fused)
+        "curated_docs": q_curated_docs,
+        "curation_report": q_curation_report,
     }
 
 

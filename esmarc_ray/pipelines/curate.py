@@ -1,0 +1,130 @@
+"""End-to-end pretraining-data curation pipeline.
+
+Composes the repo's curation operators into ONE streaming pass over the
+document table — the standard corpus-cleaning recipe (C4/Gopher-style
+quality gates → language gate → benchmark decontamination → exact dedup →
+MinHash near-dedup) with dead-letter accounting:
+
+* every heuristic stage ANNOTATES a ``drop_reason`` column instead of
+  filtering, so all per-stage scoring fuses into one ``map_batches`` chain
+  (Ray fuses consecutive task-pool maps — the payload crosses the object
+  store once) and the attrition report is a single combiner aggregation of
+  the same stream, never a re-execution per stage;
+* reasons apply in a fixed precedence (first failing gate wins) so the
+  attrition counts partition the corpus exactly: sum(report.n) == |input|;
+* the dedup stages run only on the survivors (payload already shrunk) —
+  exact first (cheap hash partition), then MinHash+LSH near-dup (bucketed;
+  see ops/dedup.py for the scale plan).
+
+Deterministic end to end: gates are pure functions of the row, exact dedup
+keeps the smallest doc_id per text, and minhash_dedup keeps the smallest id
+per near-dup cluster.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+
+from esmarc_ray.ops.dedup import exact_dedup, minhash_dedup
+from esmarc_ray.ops.relational import partial_groupby_agg
+from esmarc_ray.ops.text import (
+    _langid_batch,
+    _quality_batch,
+    _repetition_row,
+    _shingle_hash_set,
+    _token_stats_batch,
+)
+
+
+DEFAULT_GATES = {
+    "min_tokens": 10,
+    "max_punct_ratio": 0.20,
+    "min_stopword_ratio": 0.01,
+    "max_dup_line_frac": 0.30,
+    "max_top_bigram_frac": 0.20,
+    "allowed_langs": None,  # e.g. {"en", "de"}; None = keep all
+    "contam_ngram": 8,
+    "contam_min_hits": 1,
+}
+
+
+def curate_documents(
+    docs: ray.data.Dataset,
+    *,
+    benchmark_texts: "list[str] | None" = None,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    minhash_threshold: float = 0.8,
+    **gate_overrides,
+) -> tuple[ray.data.Dataset, ray.data.Dataset, pd.DataFrame]:
+    """Returns ``(kept_docs, annotated_docs, attrition_report)``.
+
+    ``annotated_docs`` is the full input with the scoring columns +
+    ``drop_reason`` ("" = kept); ``attrition_report`` is the small
+    (drop_reason, n) table, computed with the combiner idiom.  Near-dup
+    removal happens after the report (its victims are not gate failures);
+    the report's ``kept`` row is therefore an upper bound on final rows.
+    """
+    gates = {**DEFAULT_GATES, **gate_overrides}
+    bench: set[int] = set()
+    for t in benchmark_texts or []:
+        bench.update(_shingle_hash_set(t, gates["contam_ngram"]))
+
+    def annotate(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _token_stats_batch(batch.copy())
+        batch = _quality_batch(batch)
+        batch = _langid_batch(batch)
+        trip = [_repetition_row(t) for t in batch[text_column].fillna("")]
+        batch["dup_line_frac"] = [t[0] for t in trip]
+        batch["top_bigram_frac"] = [t[2] for t in trip]
+        if bench:
+            batch["contam_hits"] = pd.Series(
+                [len(_shingle_hash_set(t, gates["contam_ngram"]) & bench)
+                 for t in batch[text_column].fillna("")],
+                index=batch.index, dtype="int64",
+            )
+        else:
+            batch["contam_hits"] = 0
+
+        reason = pd.Series("", index=batch.index, dtype="object")
+
+        def gate(mask: pd.Series, name: str) -> None:
+            nonlocal reason
+            reason = reason.mask((reason == "") & mask, name)
+
+        gate(batch["n_tokens_ws"] < gates["min_tokens"], "too_short")
+        gate(batch["punct_ratio"] > gates["max_punct_ratio"], "punct")
+        gate(batch["stopword_ratio"] < gates["min_stopword_ratio"], "stopwords")
+        gate(batch["dup_line_frac"] > gates["max_dup_line_frac"], "repetitive_lines")
+        gate(batch["top_bigram_frac"] > gates["max_top_bigram_frac"], "repetitive_bigrams")
+        if gates["allowed_langs"] is not None:
+            gate(~batch["lang_pred"].isin(gates["allowed_langs"]), "language")
+        gate(batch["contam_hits"] >= gates["contam_min_hits"], "contaminated")
+        batch["drop_reason"] = reason
+        return batch
+
+    annotated = docs.map_batches(annotate, batch_format="pandas").materialize()
+
+    report = (
+        partial_groupby_agg(
+            annotated.map_batches(
+                lambda b: pd.DataFrame(
+                    {"drop_reason": b["drop_reason"].replace("", "kept")}
+                ),
+                batch_format="pandas",
+            ),
+            ["drop_reason"],
+            {"n": ("drop_reason", "count")},
+        )
+        .to_pandas()
+        .sort_values("drop_reason")
+        .reset_index(drop=True)
+    )
+
+    survivors = annotated.filter(expr="drop_reason == ''").select_columns(
+        [id_column, text_column]
+    )
+    deduped = exact_dedup(survivors, text_column, id_column)
+    kept, _clusters = minhash_dedup(deduped, threshold=minhash_threshold)
+    return kept, annotated, report

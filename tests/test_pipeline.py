@@ -465,3 +465,43 @@ def test_linker_passthrough_keeps_original_serialization():
     out = EntityLinker(indexes)(batch)
     assert out.column("n_links_added")[0].as_py() == 0
     assert out.column("doc_json")[0].as_py() == raw
+
+
+def test_curate_documents_reasons_and_dedup(ray_session):
+    """Full curation pipeline: gate reasons partition the corpus exactly,
+    exact + near dups drop, clean docs survive."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.pipelines.curate import curate_documents
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then it runs far "
+        "away to the old wooden house near the river where animals live"
+    )
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},  # exact dup
+        {"doc_id": 3, "text": base.replace("river", "creek")},  # near dup
+        {"doc_id": 4, "text": "short"},  # too_short
+        {"doc_id": 5, "text": "!!! ??? *** " * 12},  # punct
+        {"doc_id": 6, "text": "the benchmark question is what color is the "
+                              "sky at noon today my friends"},  # contaminated
+        {"doc_id": 7, "text": "a completely different clean document about "
+                              "the weather and the ships that sail across "
+                              "the wide sea when the wind is strong"},
+    ]
+    docs = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+    kept, annotated, report = curate_documents(
+        docs,
+        benchmark_texts=[rows[5]["text"]],
+        minhash_threshold=0.7,
+    )
+    ann = annotated.to_pandas().set_index("doc_id")["drop_reason"]
+    assert ann[4] == "too_short" and ann[5] == "punct" and ann[6] == "contaminated"
+    assert ann[1] == "" and ann[7] == ""
+    assert report["n"].sum() == len(rows)  # reasons partition the corpus
+    # gates pass docs 1,2,3,7 — dedup (which removes 2 and 3) runs AFTER the
+    # report, so "kept" is an upper bound on the final row count
+    assert int(report.loc[report["drop_reason"] == "kept", "n"].iloc[0]) == 4
+    assert sorted(kept.to_pandas()["doc_id"]) == [1, 7]
