@@ -23,9 +23,9 @@ _CORPUS_CACHE = pathlib.Path("/tmp/esmarc_ray_corpus")
 
 def _span_corpus(n_docs: int, seed: int = 42) -> str:
     """Generate (once) and cache the span-document corpus for ``n_docs``."""
-    from esmarc_ray.corpus import CorpusSpec, write_corpus
+    from esmarc_ray.corpus import CORPUS_VERSION, CorpusSpec, write_corpus
 
-    out = _CORPUS_CACHE / f"n{n_docs}-s{seed}"
+    out = _CORPUS_CACHE / f"v{CORPUS_VERSION}-n{n_docs}-s{seed}"
     marker = out / "_COMPLETE"
     if not marker.exists():
         write_corpus(str(out), CorpusSpec(n_docs=n_docs, seed=seed), rows_per_file=5000)
@@ -1077,6 +1077,41 @@ def q_media_frames(sf_dir: str):
     )
 
 
+def q_media_ref_counts(sf_dir: str):
+    """Interleaved-media extraction: media spans per doc via the zero-copy
+    Arrow extractor.  The oracle independently unnests the SAME span parquet
+    in DuckDB — Ray's distributed list-flatten + combiner aggregation must
+    agree exactly (a source-level oracle, not a re-aggregation of output)."""
+    import shutil
+
+    from esmarc_ray.io import read_documents
+    from esmarc_ray.ops.relational import partial_groupby_agg
+    from esmarc_ray.pipelines.media import media_refs
+
+    corpus = _span_corpus(_corpus_size_for(sf_dir))
+    spans_mirror = _KG_ORACLE_DIR / "spans"
+    if spans_mirror.exists():
+        shutil.rmtree(spans_mirror)
+    spans_mirror.mkdir(parents=True)
+    for f in pathlib.Path(corpus).glob("*.parquet"):
+        (spans_mirror / f.name).hardlink_to(f)
+
+    refs = media_refs(read_documents(corpus))
+    return partial_groupby_agg(refs, ["doc_id"], {"n_media": ("media_ref", "count")})
+
+
+def q_doc_media_features(sf_dir: str):
+    """Full interleaved path: media spans → blob-fetch actor pool (stand-in
+    payloads) → decode/feature actor pool.  Deterministic; rows-only check
+    (feature extraction is not SQL-expressible)."""
+    from esmarc_ray.io import read_documents
+    from esmarc_ray.pipelines.media import doc_media_features
+
+    corpus = _span_corpus(_corpus_size_for(sf_dir))
+    out = doc_media_features(read_documents(corpus))
+    return out.select_columns(["doc_id", "media_ref", "span_order", "payload_crc"])
+
+
 def _curate(sf_dir: str):
     import ray.data
 
@@ -1182,6 +1217,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # end-to-end curation pipeline (gates + decontam + dedup, fused)
         "curated_docs": q_curated_docs,
         "curation_report": q_curation_report,
+        # interleaved text+media: span extraction (source-level oracle) and
+        # the fetch→decode→feature actor-pool path
+        "media_ref_counts": q_media_ref_counts,
+        "doc_media_features": q_doc_media_features,
     }
 
 
@@ -1201,6 +1240,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred, count(*) AS n_triples
             FROM read_parquet('/tmp/esmarc_ray_kg_oracle/triples/*.parquet')
             GROUP BY pred ORDER BY pred
+        """,
+        # source-level oracle: DuckDB unnests the same span parquet the Ray
+        # extractor read (hardlinked by the query into .../spans)
+        "media_ref_counts": """
+            SELECT doc_id, count(*) AS n_media
+            FROM (SELECT doc_id, unnest(spans) AS s
+                  FROM read_parquet('/tmp/esmarc_ray_kg_oracle/spans/*.parquet'))
+            WHERE s.kind = 'media'
+            GROUP BY doc_id
         """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,

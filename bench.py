@@ -36,12 +36,12 @@ def corpus_for(sf_dir: str) -> tuple[str, int]:
     """Deterministic span corpus sized from the sf's documents table (cached)."""
     import pyarrow.parquet as pq
 
-    from esmarc_ray.corpus import CorpusSpec, write_corpus
+    from esmarc_ray.corpus import CORPUS_VERSION, CorpusSpec, write_corpus
 
     # documents.parquet is fixed-size across sf; lineitem scales with sf,
     # so it sizes the span corpus (sf0.001→6k, sf0.01→60k, sf0.1→600k docs)
     n_docs = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
-    out = SCRATCH / f"corpus-n{n_docs}"
+    out = SCRATCH / f"v{CORPUS_VERSION}-corpus-n{n_docs}"
     marker = out / "_COMPLETE"
     if not marker.exists():
         write_corpus(str(out), CorpusSpec(n_docs=n_docs, seed=42), rows_per_file=20000)

@@ -24,6 +24,10 @@ import pyarrow as pa
 
 from esmarc_ray.codec import records_to_table
 
+# bump when generation changes shape/content — cache directories embed this
+# so stale on-disk corpora are never mixed with new code (v2: media fan-out)
+CORPUS_VERSION = 2
+
 _SURNAMES = ["Mueller", "Schmidt", "Vogel", "Winter", "Hartmann", "Krause", "Lehmann", "Becker"]
 _FORENAMES = ["Anna", "Karl", "Marie", "Otto", "Clara", "Hans", "Ida", "Paul"]
 _PLACES = ["Dresden", "Leipzig", "Bautzen", "Meissen", "Görlitz", "Zwickau", "Pirna", "Freiberg"]
@@ -173,7 +177,13 @@ def make_resource(record_idx: int, rng: random.Random, spec: CorpusSpec) -> dict
                              {"0": f"(DE-627){record_idx + 300000000}"}, {"4": "pup"}]}]
     record["773"] = [{"08": [{"w": f"(DE-627){_ppn(record_idx + 1) }"}, {"g": f"Band {rng.randrange(1, 20)}"}, {"t": f"{rng.choice(_TITLE_WORDS)} Gesamtwerk"}]}]
     record["852"] = [{"__": [{"a": "DE-14"}]}]
-    record["856"] = [{"40": [{"u": f"http://digital.example.org/id{ppn}"} ]} for ppn in [record["001"]]]
+    # interleaved-media fan-out fixture: 1-3 digitization links per resource
+    # (deterministic), each becoming one media span in the encoded row
+    record["856"] = [
+        {"40": [{"u": f"http://digital.example.org/id{record['001']}"
+                      + ("" if i == 0 else f"/f{i:04d}")}]}
+        for i in range(1 + record_idx % 3)
+    ]
     record["924"] = [{"1_": [{"a": f"{record_idx}x"}, {"b": "DE-14"}, {"d": "b"}]}]
     record["935"] = [{"__": [{"a": "SAXB" if record_idx % 4 == 0 else "mteo"}]}]
     record["936"] = [{"rv": [{"a": rng.choice(_RVK)}, {"b": f"{rng.choice(_TOPICS)}kunde"},

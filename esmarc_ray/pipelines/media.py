@@ -1,0 +1,125 @@
+"""Interleaved text+media path: span table → media refs → fetch → features.
+
+The KG corpus rows are interleaved documents (``doc_id``, ``spans`` where a
+span is ``struct<kind, text, media_ref, offset>``; ``kind == "media"`` spans
+carry the digitization link derived from MARC 856$u — ``codec.py``).  This
+module is the media half of that interleaving:
+
+* :func:`media_refs` — zero-copy Arrow extraction of ``(doc_id, media_ref,
+  span_order)`` from the span column (``list_parent_indices`` + filter; no
+  Python loop, no row materialization).  Oracle-checkable: DuckDB can
+  ``unnest(spans)`` over the same parquet and must agree exactly.
+* :class:`MediaFetcher` — actor-pool blob-fetch stage.  In a real deployment
+  the actor holds a blob-store/HTTP client built once in ``__init__`` and
+  ``__call__`` issues batched range reads; this container has no network, so
+  the fetch is a deterministic stand-in (payload = sha256(ref) tiled, like
+  ``ops.multimodal.synthetic_media_table``).  The Ray-side shape — actor
+  pool, byte-bounded batches, payload appended per row — is the real design.
+* :func:`doc_media_features` — the composed pipeline: refs → fetch →
+  ``decode_media`` (actor-pool decode + feature-extract, payload dropped
+  immediately after decode so big bytes never travel past that stage).
+
+Scale notes: the extractor and fetcher stream block-by-block; nothing
+materializes.  Fetch batches are small (``fetch_batch_rows``) because the
+payload column inflates each row by the media size — the same guidance as
+``ops/multimodal.py``.  At 10^12 docs the fetch stage is the bandwidth
+bottleneck by design (network-bound actor pool) and scales by
+``concurrency``, not by batch growth.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _media_batch(batch: pa.Table) -> pa.Table:
+    spans = batch.column("spans").combine_chunks()
+    flat = spans.flatten()
+    parent = pc.list_parent_indices(spans)
+    mask = pc.equal(flat.field("kind"), "media")
+    return pa.table(
+        {
+            "doc_id": pc.take(
+                batch.column("doc_id").combine_chunks(), parent.filter(mask)
+            ),
+            "media_ref": flat.field("media_ref").filter(mask),
+            "span_order": flat.field("offset").filter(mask),
+        }
+    )
+
+
+def media_refs(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, media_ref, span_order) — one row per media span, spans'
+    interleaving order preserved in ``span_order``."""
+    return docs.map_batches(
+        _media_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+class MediaFetcher:
+    """Actor-pool payload fetch; see module docstring for the stand-in note.
+
+    ``__init__`` is where a real deployment builds its blob client (once per
+    actor); ``payload_bytes`` models the media size so batch byte budgets can
+    be exercised in tests.
+    """
+
+    def __init__(self, payload_bytes: int = 2048):
+        if payload_bytes % 32:
+            raise ValueError("payload_bytes must be a multiple of 32")
+        self.tile = payload_bytes // 32
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [
+            hashlib.sha256(r.encode()).digest() * self.tile
+            for r in batch.column("media_ref").to_pylist()
+        ]
+        return batch.append_column(
+            "payload", pa.array(payloads, pa.binary())
+        ).append_column(
+            "mime", pa.array(["image/jpeg"] * len(payloads), pa.string())
+        )
+
+
+def fetch_media(
+    refs: ray.data.Dataset,
+    *,
+    payload_bytes: int = 2048,
+    fetch_batch_rows: int = 64,
+    concurrency: int | tuple[int, int] = 2,
+) -> ray.data.Dataset:
+    return refs.map_batches(
+        MediaFetcher,
+        fn_constructor_kwargs={"payload_bytes": payload_bytes},
+        batch_format="pyarrow",
+        batch_size=fetch_batch_rows,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
+def doc_media_features(
+    docs: ray.data.Dataset,
+    *,
+    decoder: str = "fake",
+    payload_bytes: int = 2048,
+    concurrency: int | tuple[int, int] = 2,
+) -> ray.data.Dataset:
+    """Composed interleaved-media pipeline over the span table: every media
+    span becomes one feature row ``(doc_id, media_ref, span_order, mime,
+    features, payload_crc)``."""
+    from esmarc_ray.ops.multimodal import decode_media
+
+    return decode_media(
+        fetch_media(
+            media_refs(docs),
+            payload_bytes=payload_bytes,
+            concurrency=concurrency,
+        ),
+        decoder=decoder,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,93 @@
+"""Interleaved text+media pipeline (pipelines/media.py)."""
+
+import hashlib
+import zlib
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from esmarc_ray.pipelines.media import (
+    MediaFetcher,
+    _media_batch,
+    doc_media_features,
+    media_refs,
+)
+
+
+def _span(kind, text="", ref="", off=0):
+    return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+
+def test_media_batch_sliced_offsets():
+    """The Arrow kernel must be correct on SLICED tables (non-zero list
+    offsets) — the codec-offset gotcha class from round 1's review."""
+    t = pa.table(
+        {
+            "doc_id": ["a", "b", "c"],
+            "spans": [
+                [_span("sub", "x"), _span("media", ref="u1", off=1)],
+                [_span("media", ref="u2", off=0), _span("media", ref="u3", off=1)],
+                [_span("ldr", "l")],
+            ],
+        }
+    )
+    out = _media_batch(t.slice(1))  # drops doc a
+    assert out.column("doc_id").to_pylist() == ["b", "b"]
+    assert out.column("media_ref").to_pylist() == ["u2", "u3"]
+    assert out.column("span_order").to_pylist() == [0, 1]
+
+
+def test_media_refs_preserves_interleaving(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["d1"],
+                "spans": [
+                    [
+                        _span("sub", "text before", off=0),
+                        _span("media", ref="r0", off=1),
+                        _span("sub", "between", off=2),
+                        _span("media", ref="r1", off=3),
+                    ]
+                ],
+            }
+        )
+    )
+    rows = media_refs(ds).to_pandas().sort_values("span_order")
+    assert rows["media_ref"].tolist() == ["r0", "r1"]
+    assert rows["span_order"].tolist() == [1, 3]  # span order == interleave order
+
+
+def test_fetcher_deterministic_and_validates():
+    batch = pa.table({"doc_id": ["d"], "media_ref": ["u"], "span_order": [0]})
+    out1 = MediaFetcher(payload_bytes=64)(batch)
+    out2 = MediaFetcher(payload_bytes=64)(batch)
+    payload = out1.column("payload")[0].as_py()
+    assert payload == out2.column("payload")[0].as_py()
+    assert len(payload) == 64
+    assert payload[:32] == hashlib.sha256(b"u").digest()
+    with pytest.raises(ValueError):
+        MediaFetcher(payload_bytes=33)
+
+
+def test_doc_media_features_end_to_end(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["d1", "d2"],
+                "spans": [
+                    [_span("media", ref="u1", off=0)],
+                    [_span("sub", "no media here")],
+                ],
+            }
+        )
+    )
+    out = doc_media_features(ds, payload_bytes=64).to_pandas()
+    assert len(out) == 1  # d2 has no media span
+    row = out.iloc[0]
+    assert row["doc_id"] == "d1" and row["mime"] == "image/jpeg"
+    assert "payload" not in out.columns  # bytes dropped at the decode stage
+    assert len(row["features"]) == 6  # 3 channel means + 3 stds
+    expected = hashlib.sha256(b"u1").digest() * 2
+    assert row["payload_crc"] == zlib.crc32(expected)
