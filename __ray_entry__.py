@@ -1077,6 +1077,34 @@ def q_media_frames(sf_dir: str):
     )
 
 
+def q_kg_jsonld_counts(sf_dir: str):
+    """Reference-format JSON-LD sink check: write per-entity-class .ldj
+    streams, then return Ray-side per-class doc counts; the oracle re-parses
+    the written files line-by-line with DuckDB's JSON reader (every line must
+    be valid JSON carrying a distinct @id)."""
+    import shutil
+
+    from esmarc_ray.io import write_jsonld
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    docs = _kg_docs(sf_dir)
+    out = _KG_ORACLE_DIR / "jsonld"
+    if out.exists():
+        shutil.rmtree(out)
+    # consume the manifest to drive the write (small: one row per file)
+    manifest = write_jsonld(docs, str(out)).to_pandas()
+    assert int(manifest["n_docs"].sum()) > 0
+    # doc_id is unique per row (one doc per record), so n_ids == n_docs on
+    # the Ray side; the oracle's count(DISTINCT @id) over the written lines
+    # is the real assertion — it fails on any duplicated or malformed line
+    counts = partial_groupby_agg(
+        _kg_docs(sf_dir).select_columns(["doc_id", "entity_class"]),
+        ["entity_class"],
+        {"n_docs": ("doc_id", "count"), "n_ids": ("doc_id", "count")},
+    )
+    return counts
+
+
 def q_media_ref_counts(sf_dir: str):
     """Interleaved-media extraction: media spans per doc via the zero-copy
     Arrow extractor.  The oracle independently unnests the SAME span parquet
@@ -1151,6 +1179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonical_split": q_kg_canonical_split,
         "kg_canonical_closure": q_kg_canonical_closure,
         "kg_linked": q_kg_linked,
+        "kg_jsonld_counts": q_kg_jsonld_counts,
         # relational operators (SQL-checkable)
         "lineitem_agg": q_lineitem_agg,
         "orders_by_segment": q_orders_by_segment,
@@ -1240,6 +1269,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred, count(*) AS n_triples
             FROM read_parquet('/tmp/esmarc_ray_kg_oracle/triples/*.parquet')
             GROUP BY pred ORDER BY pred
+        """,
+        # sink-fidelity oracle: DuckDB re-parses the per-class .ldj streams
+        # the Ray sink just wrote — every line valid JSON, one distinct @id
+        # per doc, per-class counts equal to the docs table
+        "kg_jsonld_counts": """
+            SELECT * FROM (
+              SELECT 'events' AS entity_class,
+                     count(*) AS n_docs,
+                     count(DISTINCT json_extract_string(json, '@id')) AS n_ids
+              FROM read_json('/tmp/esmarc_ray_kg_oracle/jsonld/events/*.ldj',
+                             format='newline_delimited', records=false)
+              UNION ALL SELECT 'geo', count(*),
+                     count(DISTINCT json_extract_string(json, '@id'))
+              FROM read_json('/tmp/esmarc_ray_kg_oracle/jsonld/geo/*.ldj',
+                             format='newline_delimited', records=false)
+              UNION ALL SELECT 'organizations', count(*),
+                     count(DISTINCT json_extract_string(json, '@id'))
+              FROM read_json('/tmp/esmarc_ray_kg_oracle/jsonld/organizations/*.ldj',
+                             format='newline_delimited', records=false)
+              UNION ALL SELECT 'persons', count(*),
+                     count(DISTINCT json_extract_string(json, '@id'))
+              FROM read_json('/tmp/esmarc_ray_kg_oracle/jsonld/persons/*.ldj',
+                             format='newline_delimited', records=false)
+              UNION ALL SELECT 'resources', count(*),
+                     count(DISTINCT json_extract_string(json, '@id'))
+              FROM read_json('/tmp/esmarc_ray_kg_oracle/jsonld/resources/*.ldj',
+                             format='newline_delimited', records=false)
+              UNION ALL SELECT 'topics', count(*),
+                     count(DISTINCT json_extract_string(json, '@id'))
+              FROM read_json('/tmp/esmarc_ray_kg_oracle/jsonld/topics/*.ldj',
+                             format='newline_delimited', records=false)
+              UNION ALL SELECT 'works', count(*),
+                     count(DISTINCT json_extract_string(json, '@id'))
+              FROM read_json('/tmp/esmarc_ray_kg_oracle/jsonld/works/*.ldj',
+                             format='newline_delimited', records=false)
+            ) ORDER BY entity_class
         """,
         # source-level oracle: DuckDB unnests the same span parquet the Ray
         # extractor read (hardlinked by the query into .../spans)

@@ -54,3 +54,56 @@ def write_table(ds: ray.data.Dataset, path: str, *, format: str = "parquet", **k
         ds.write_lance(path, **kwargs)
     else:
         ds.write_parquet(path, **kwargs)
+
+
+def write_jsonld(
+    docs: ray.data.Dataset,
+    out_dir: str,
+    *,
+    class_column: str = "entity_class",
+    doc_column: str = "doc_json",
+    compress: bool = False,
+) -> ray.data.Dataset:
+    """Reference-format sink: per-entity-class line-delimited JSON-LD.
+
+    Layout matches the reference consumer contract
+    (``{prefix}{entity}/{worker}-records.ldj[.gz]``, reference
+    esmarc/esmarc.py:311-319) so a downstream of the reference can switch
+    without changes — but each Ray block writes its OWN uniquely-named file
+    (no append-mode contention, so re-running into a fresh dir is idempotent
+    where the reference's append sink duplicates).
+
+    Streams block-by-block; returns the small per-file manifest Dataset
+    ``(entity_class, path, n_docs)`` — consume it to drive the write.
+    """
+    import gzip
+    import pathlib
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    base = pathlib.Path(out_dir)
+    base.mkdir(parents=True, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        out = {"entity_class": [], "path": [], "n_docs": []}
+        classes = pc.unique(batch.column(class_column)).to_pylist()
+        for cls in classes:
+            rows = batch.filter(pc.equal(batch.column(class_column), cls))
+            cls_dir = base / str(cls)
+            cls_dir.mkdir(parents=True, exist_ok=True)
+            name = f"{uuid.uuid4().hex}-records.ldj" + (".gz" if compress else "")
+            path = cls_dir / name
+            payload = ("\n".join(rows.column(doc_column).to_pylist()) + "\n").encode()
+            if compress:
+                with gzip.open(path, "wb") as f:
+                    f.write(payload)
+            else:
+                path.write_bytes(payload)
+            out["entity_class"].append(str(cls))
+            out["path"].append(str(path))
+            out["n_docs"].append(rows.num_rows)
+        return pa.Table.from_pydict(out)
+
+    return docs.map_batches(write_block, batch_format="pyarrow", zero_copy_batch=True)

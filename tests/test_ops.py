@@ -1196,3 +1196,45 @@ def test_bloom_semi_join_equals_exact(ray_session):
     for row in pos:
         hit &= (bits[row >> 3] >> (row & 7).astype(np.uint8)) & 1 == 1
     assert hit.sum() < len(big) * 0.2  # ~7.5% true match rate + tiny FP rate
+
+
+def test_write_jsonld_reference_layout(ray_session, tmp_path):
+    """Per-entity-class .ldj streams in the reference consumer layout
+    ({out}/{class}/{file}-records.ldj), every line one JSON doc, gzip
+    variant readable; manifest rows account for every doc."""
+    import gzip
+    import json
+
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.io import write_jsonld
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "entity_class": ["persons", "works", "persons"],
+                "doc_json": [
+                    json.dumps({"@id": f"id{i}", "n": i}) for i in range(3)
+                ],
+            }
+        )
+    ).repartition(2)
+
+    out = tmp_path / "ldj"
+    manifest = write_jsonld(docs, str(out)).to_pandas()
+    assert int(manifest["n_docs"].sum()) == 3
+    seen = {}
+    for cls_dir in sorted(out.iterdir()):
+        for f in cls_dir.glob("*-records.ldj"):
+            for line in f.read_text().splitlines():
+                doc = json.loads(line)
+                seen[doc["@id"]] = cls_dir.name
+    assert seen == {"id0": "persons", "id1": "works", "id2": "persons"}
+
+    gz = tmp_path / "ldj_gz"
+    write_jsonld(docs, str(gz), compress=True).to_pandas()
+    files = list(gz.glob("*/*.ldj.gz"))
+    assert files
+    with gzip.open(files[0], "rt") as f:
+        json.loads(f.readline())
