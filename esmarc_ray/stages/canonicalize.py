@@ -124,13 +124,61 @@ def _make_add_part(num_partitions: int, n_salts: int | None):
     return add_part
 
 
+# shuffle-payload compression: the doc JSON dominates the canonicalize
+# exchange (~3.2 KB/doc raw, ~0.38 ratio at zlib-1, ~52+20 us/doc round
+# trip) — compressing at the map side and decompressing in the reducer cuts
+# the all-to-all bytes ~2.6x, which is network on a real cluster and shared
+# memory bandwidth on this host (the 8->32-slot saturation documented in
+# BASELINE.md)
+PAYLOAD_COMPRESS_LEVEL = 1
+
+
+def _compress_payload(batch: pa.Table) -> pa.Table:
+    """doc_json:string → doc_blob:binary (zlib) for the shuffle boundary."""
+    if "doc_json" not in batch.schema.names:
+        return batch
+    blobs = [
+        zlib.compress(s.encode(), PAYLOAD_COMPRESS_LEVEL)
+        for s in batch.column("doc_json").to_pylist()
+    ]
+    i = batch.schema.get_field_index("doc_json")
+    return batch.remove_column(i).add_column(
+        i, "doc_blob", pa.array(blobs, pa.binary())
+    )
+
+
+def _combine_compress(batch: pa.Table) -> pa.Table:
+    """Batch-local combiner + payload compression — the map side of the
+    pre-combine plan's single exchange."""
+    return _compress_payload(_merge_partition(batch))
+
+
+def _decompress_payload(batch: pa.Table) -> pa.Table:
+    """Inverse of :func:`_compress_payload`; no-op on plain batches."""
+    if "doc_blob" not in batch.schema.names:
+        return batch
+    texts = [
+        zlib.decompress(b).decode()
+        for b in batch.column("doc_blob").to_pylist()
+    ]
+    i = batch.schema.get_field_index("doc_blob")
+    return batch.remove_column(i).add_column(
+        i, "doc_json", pa.array(texts, pa.string())
+    )
+
+
 def _merge_partition(batch: pa.Table) -> pa.Table:
     """One reducer call per hash partition: merge every (canon_key[, salt])
     run inside it.  Plain-Python grouping — no per-group Arrow overhead.
 
     Also serves as the BATCH-LOCAL combiner of the pre-combine plan (applied
     via plain ``map_batches`` before any shuffle): same associative merge,
-    zero-copy pass-through when a batch holds no duplicate keys."""
+    zero-copy pass-through when a batch holds no duplicate keys.
+
+    Accepts either a plain ``doc_json`` batch or a compressed ``doc_blob``
+    one (the reduce side of a compressed exchange); always emits plain
+    ``doc_json``."""
+    batch = _decompress_payload(batch)
     names = batch.schema.names
     keys = batch.column("canon_key").to_pylist()
     if len(set(keys)) == len(keys):
@@ -276,6 +324,10 @@ def _split_merge(
     bypass = combined.map_batches(
         split, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"dup_set": dup_ref, "keep_dup": False},
+    ).map_batches(
+        # bypass rows skip the merge reducer, so undo any shuffle-payload
+        # compression here (no-op on plain batches)
+        _decompress_payload, batch_format="pyarrow", zero_copy_batch=True,
     )
     if not ray.get(dup_ref):
         return bypass
@@ -609,7 +661,7 @@ def canonicalize(
         live = _rewrite_keys(live, mapping, num_partitions=max(16, num_partitions // 16))
     if precombine:
         combined = live.map_batches(
-            _merge_partition, batch_format="pyarrow", zero_copy_batch=True
+            _combine_compress, batch_format="pyarrow", zero_copy_batch=True
         )
         return _partition_merge(combined, num_partitions=num_partitions, n_salts=None)
     if salted:

@@ -373,14 +373,23 @@ class EntityLinker:
         table = table.append_column("n_links_added", pa.array(n_added, pa.int32()))
         if self._combine_partitions is None:
             return table
-        from esmarc_ray.stages.canonicalize import _make_add_part, _merge_partition
+        from esmarc_ray.stages.canonicalize import (
+            _compress_payload,
+            _make_add_part,
+            _merge_partition,
+        )
 
         import pyarrow.compute as pc
 
         live = table.filter(
             pc.invert(pc.is_in(table.column("entity_class"), value_set=pa.array(["_error", "_dropped"])))
         )
-        return _make_add_part(self._combine_partitions, None)(_merge_partition(live))
+        # compress the doc payload for the canonicalize exchange: these
+        # bytes cross the all-to-all next, and the reducer
+        # (_merge_partition) decompresses transparently
+        return _compress_payload(
+            _make_add_part(self._combine_partitions, None)(_merge_partition(live))
+        )
 
 
 def link_entities(
