@@ -1077,6 +1077,70 @@ def q_media_frames(sf_dir: str):
     )
 
 
+def q_regional_revenue(sf_dir: str):
+    """TPC-H Q5-shaped 6-table join chain: region -> nation -> customer ->
+    orders -> lineitem -> supplier (supplier in the customer's nation),
+    revenue per nation.  Dimension tables ride broadcast merges; the
+    orders x lineitem chain is the task-only partitioned_join (native join
+    actor pools can't chain — see ops/relational.py)."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import broadcast_join, partitioned_join, partial_groupby_agg
+
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    # driver-side dim prep: 25-row nation x 5-row region
+    nations = nation.merge(
+        region.loc[region["r_name"] == "EUROPE", ["r_regionkey"]],
+        left_on="n_regionkey", right_on="r_regionkey",
+    )[["n_nationkey", "n_name"]]
+    customer = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).merge(nations, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "c_nationkey", "n_name"]
+    ]
+    supplier = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust_orders = broadcast_join(
+        orders, customer.rename(columns={"c_custkey": "o_custkey"}), "o_custkey"
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = partitioned_join(
+        lineitem.map_batches(
+            lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
+            batch_format="pandas",
+        ),
+        cust_orders,
+        "o_orderkey",
+        left_cols=["l_suppkey", "l_extendedprice", "l_discount"],
+        right_cols=["c_nationkey", "n_name"],
+    )
+    sup = supplier.rename(columns={"s_suppkey": "l_suppkey"})
+    with_sup = broadcast_join(joined, sup, "l_suppkey")
+
+    def revenue(batch):
+        batch = batch[batch["s_nationkey"] == batch["c_nationkey"]].copy()
+        batch["revenue"] = batch["l_extendedprice"] * (1.0 - batch["l_discount"])
+        return batch[["n_name", "revenue"]]
+
+    out = partial_groupby_agg(
+        with_sup.map_batches(revenue, batch_format="pandas"),
+        ["n_name"],
+        {"revenue": ("revenue", "sum"), "n_rows": ("revenue", "count")},
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
 def q_kg_jsonld_counts(sf_dir: str):
     """Reference-format JSON-LD sink check: write per-entity-class .ldj
     streams, then return Ray-side per-class doc counts; the oracle re-parses
@@ -1250,6 +1314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the fetch→decode→feature actor-pool path
         "media_ref_counts": q_media_ref_counts,
         "doc_media_features": q_doc_media_features,
+        # TPC-H Q5-shaped 6-table join chain (region/nation/supplier)
+        "regional_revenue": q_regional_revenue,
     }
 
 
@@ -1305,6 +1371,19 @@ def oracle_sql() -> dict[str, str]:
               FROM read_json('/tmp/esmarc_ray_kg_oracle/jsonld/works/*.ldj',
                              format='newline_delimited', records=false)
             ) ORDER BY entity_class
+        """,
+        "regional_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM region
+            JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+            WHERE r_name = 'EUROPE'
+            GROUP BY n_name ORDER BY n_name
         """,
         # source-level oracle: DuckDB unnests the same span parquet the Ray
         # extractor read (hardlinked by the query into .../spans)
