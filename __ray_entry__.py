@@ -1077,6 +1077,35 @@ def q_media_frames(sf_dir: str):
     )
 
 
+def q_shard_assignment(sf_dir: str):
+    """Deterministic-shuffle shard assignment (md5(seed:doc_id) — the
+    map-only 'global shuffle' for training export); fully SQL-expressible,
+    so the oracle hash-checks every (doc_id, shard) pair."""
+    import ray.data
+
+    from esmarc_ray.pipelines.export import assign_shards
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = assign_shards(docs, n_shards=8, seed=42).to_pandas()
+    return out[["doc_id", "shard"]]
+
+
+def q_shard_sizes(sf_dir: str):
+    """End-to-end shard export: write {out}/shard=k dirs + manifests, return
+    the manifest counts; the oracle recomputes expected per-shard counts
+    straight from the documents table (write-accounting check)."""
+    import ray.data
+
+    from esmarc_ray.pipelines.export import export_training_shards
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return export_training_shards(
+        docs, "/tmp/esmarc_ray_shards", n_shards=8, seed=42
+    )
+
+
 def q_regional_revenue(sf_dir: str):
     """TPC-H Q5-shaped 6-table join chain: region -> nation -> customer ->
     orders -> lineitem -> supplier (supplier in the customer's nation),
@@ -1316,6 +1345,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_media_features": q_doc_media_features,
         # TPC-H Q5-shaped 6-table join chain (region/nation/supplier)
         "regional_revenue": q_regional_revenue,
+        # deterministic-shuffle training-shard export
+        "shard_assignment": q_shard_assignment,
+        "shard_sizes": q_shard_sizes,
     }
 
 
@@ -1371,6 +1403,19 @@ def oracle_sql() -> dict[str, str]:
               FROM read_json('/tmp/esmarc_ray_kg_oracle/jsonld/works/*.ldj',
                              format='newline_delimited', records=false)
             ) ORDER BY entity_class
+        """,
+        "shard_assignment": """
+            SELECT doc_id,
+                   (('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+                    % 8)::BIGINT AS shard
+            FROM documents
+        """,
+        "shard_sizes": """
+            SELECT shard, count(*) AS n_docs FROM (
+              SELECT (('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+                      % 8)::BIGINT AS shard
+              FROM documents
+            ) GROUP BY shard ORDER BY shard
         """,
         "regional_revenue": """
             SELECT n_name,
