@@ -56,6 +56,7 @@ def curate_documents(
     id_column: str = "doc_id",
     text_column: str = "text",
     minhash_threshold: float = 0.8,
+    checkpoint_dir: "str | None" = None,
     **gate_overrides,
 ) -> tuple[ray.data.Dataset, ray.data.Dataset, pd.DataFrame]:
     """Returns ``(kept_docs, annotated_docs, attrition_report)``.
@@ -65,6 +66,11 @@ def curate_documents(
     (drop_reason, n) table, computed with the combiner idiom.  Near-dup
     removal happens after the report (its victims are not gate failures);
     the report's ``kept`` row is therefore an upper bound on final rows.
+
+    ``checkpoint_dir``: where the annotated stream parks between its three
+    consumers (default: a fresh tmp dir) — parquet checkpoint, not
+    ``materialize()``, so the corpus spills to disk and a failed run can
+    resume from it.
     """
     gates = {**DEFAULT_GATES, **gate_overrides}
     bench: set[int] = set()
@@ -104,7 +110,18 @@ def curate_documents(
         batch["drop_reason"] = reason
         return batch
 
-    annotated = docs.map_batches(annotate, batch_format="pandas").materialize()
+    # checkpoint the annotated stream: it has three consumers (report,
+    # survivor filter, caller) and a lazy Dataset re-executes its upstream
+    # once per consumer.  A parquet checkpoint is the scale-safe form — it
+    # spills to disk instead of pinning the corpus in the object store
+    # (materialize()) and a re-run can resume from it.
+    annotated = docs.map_batches(annotate, batch_format="pandas")
+    if checkpoint_dir is None:
+        import tempfile
+
+        checkpoint_dir = tempfile.mkdtemp(prefix="esmarc_ray_curate_")
+    annotated.write_parquet(checkpoint_dir)
+    annotated = ray.data.read_parquet(checkpoint_dir)
 
     report = (
         partial_groupby_agg(
