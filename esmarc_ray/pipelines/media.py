@@ -90,7 +90,7 @@ def fetch_media(
     *,
     payload_bytes: int = 2048,
     fetch_batch_rows: int = 64,
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] = (1, 2),
 ) -> ray.data.Dataset:
     return refs.map_batches(
         MediaFetcher,
@@ -107,11 +107,17 @@ def doc_media_features(
     *,
     decoder: str = "fake",
     payload_bytes: int = 2048,
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] = (1, 2),
 ) -> ray.data.Dataset:
     """Composed interleaved-media pipeline over the span table: every media
     span becomes one feature row ``(doc_id, media_ref, span_order, mime,
-    features, payload_crc)``."""
+    features, payload_crc)``.
+
+    ``concurrency`` applies to BOTH actor pools (fetch and decode) — the
+    default autoscales from 1 so the two pools' minimum claim (2 CPUs)
+    leaves headroom for the upstream read task even on a 4-CPU session; two
+    FIXED pools of 2 deadlock there (pool-vs-task starvation, the conftest
+    gotcha)."""
     from esmarc_ray.ops.multimodal import decode_media
 
     return decode_media(

@@ -44,10 +44,13 @@ def materialize_shard(
     An existing (necessarily incomplete or stale) shard dir is wiped first —
     the write is idempotent, never appending like the reference sink does.
     """
+    import time
+
     shard_path = pathlib.Path(shard_dir)
     if shard_path.exists():
         shutil.rmtree(shard_path)
     shard_path.mkdir(parents=True, exist_ok=True)
+    t_start = time.perf_counter()
     if sort:
         triples = triples.sort(["entity_class", "subj", "pred"])
     write_table(
@@ -56,6 +59,7 @@ def materialize_shard(
         format=format,
         partition_cols=["entity_class"],
     )
+    write_seconds = time.perf_counter() - t_start
 
     # lineage manifest: per-class row counts + an order-insensitive content hash
     counts: dict[str, int] = {}
@@ -76,6 +80,14 @@ def materialize_shard(
         "row_count": n_rows,
         "rows_per_class": counts,
         "content_hash": content_hash,
+        # per-partition metrics (north rule: lineage + metrics per shard)
+        "metrics": {
+            "write_seconds": round(write_seconds, 3),
+            "bytes_written": sum(
+                f.stat().st_size for f in shard_path.rglob("*.parquet")
+            ),
+            "n_files": sum(1 for _ in shard_path.rglob("*.parquet")),
+        },
     }
     (shard_path / "_manifest.json").write_text(json.dumps(manifest, indent=1, sort_keys=True))
     (shard_path / "_SUCCESS").write_text(json.dumps({"rows": n_rows}))

@@ -56,7 +56,13 @@ def test_entry_smoke(ray_session):
 
 
 def test_every_query_runs(ray_session):
+    """Smoke-run the queries that have NO DuckDB oracle (rows-only in the
+    driver); the oracled ones execute in test_query_matches_oracle, so
+    re-running them here would double the suite's heaviest cost."""
+    with_oracle = set(entrymod.oracle_sql())
     for name, fn in entrymod.queries().items():
+        if name in with_oracle:
+            continue
         df = to_pandas(fn(SF_DIR))
         assert df is not None and len(df.columns) > 0, name
 
