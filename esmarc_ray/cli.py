@@ -52,6 +52,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         help="resumable input shards for the extract phase")
     parser.add_argument("-salts", type=int, default=16,
                         help="salt count for the canonicalize shuffle")
+    parser.add_argument("-jsonld", action="store_true",
+                        help="also write reference-format per-entity-class "
+                             ".ldj JSON-LD streams under <prefix>/jsonld")
     return parser.parse_args(argv)
 
 
@@ -99,6 +102,7 @@ def run(argv: list[str] | None = None) -> int:
         config=config,
         num_shards=args.shards,
         n_salts=args.salts,
+        jsonld=args.jsonld,
     )
     print(json.dumps(manifest, indent=1, sort_keys=True))
     ray.shutdown()

@@ -54,6 +54,7 @@ def run_kg_pipeline(
     precombine: bool = True,
     resume: bool = True,
     link_concurrency: int | tuple[int, int] = (2, 8),
+    jsonld: bool = False,
 ) -> dict:
     """Run (or resume) the full pipeline; returns the run manifest."""
     out = pathlib.Path(out_dir)
@@ -87,6 +88,26 @@ def run_kg_pipeline(
     canonical = canonicalize(
         docs_ds, n_salts=n_salts, salted=salted, precombine=precombine
     )
+    jsonld_summary = None
+    if jsonld:
+        # two consumers of the canonical stream (LDJ sink + triples) — park
+        # it in a parquet checkpoint so the wide phase runs once, not twice
+        canon_dir = out / "canonical"
+        if canon_dir.exists():
+            import shutil
+
+            shutil.rmtree(canon_dir)
+        canonical.write_parquet(str(canon_dir))
+        canonical = ray.data.read_parquet(str(canon_dir))
+
+        from esmarc_ray.io import write_jsonld
+
+        files_manifest = write_jsonld(canonical, str(out / "jsonld")).to_pandas()
+        jsonld_summary = {
+            "n_files": int(len(files_manifest)),
+            "n_docs": int(files_manifest["n_docs"].sum()),
+            "classes": sorted(files_manifest["entity_class"].unique().tolist()),
+        }
     triples = docs_to_triples(canonical)
     manifest = materialize_shard(
         triples, triples_dir / "shard=00000", inputs=doc_files, sort=True
@@ -98,5 +119,7 @@ def run_kg_pipeline(
         "shards": shard_status,
         "triples": manifest,
     }
+    if jsonld_summary is not None:
+        run_manifest["jsonld"] = jsonld_summary
     (out / "_run_manifest.json").write_text(json.dumps(run_manifest, indent=1, sort_keys=True))
     return run_manifest

@@ -33,3 +33,31 @@ def test_cli_single_id(tmp_path):
     doc = json.loads(lines[0])
     assert "resources" in doc
     assert doc["resources"]["_ppn"] == "800000002"
+
+
+def test_cli_batch_jsonld(tmp_path):
+    """Batch mode with -jsonld writes the triple table AND the
+    reference-format per-class .ldj streams; run manifest accounts both."""
+    from esmarc_ray.corpus import CorpusSpec, write_corpus
+
+    corpus = tmp_path / "corpus"
+    write_corpus(str(corpus), CorpusSpec(n_docs=20, seed=42), rows_per_file=10)
+    out = tmp_path / "out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "esmarc_ray", "-input", str(corpus),
+         "-prefix", str(out), "-w", "2", "-shards", "2", "-jsonld"],
+        capture_output=True, text=True, timeout=300,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+             "RAY_ADDRESS": "local"},
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    manifest = json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert manifest["jsonld"]["n_docs"] > 0
+    ldj_files = list((out / "jsonld").glob("*/*-records.ldj"))
+    assert ldj_files
+    n_lines = sum(len(f.read_text().splitlines()) for f in ldj_files)
+    assert n_lines == manifest["jsonld"]["n_docs"]
+    for f in ldj_files[:3]:
+        for line in f.read_text().splitlines():
+            assert json.loads(line).get("@id")
