@@ -983,7 +983,9 @@ def q_media_decode(sf_dir: str):
     from esmarc_ray.ops.multimodal import decode_media, synthetic_media_table
 
     media = ray.data.from_arrow(synthetic_media_table(200))
-    return decode_media(media).select_columns(["media_id", "kind", "payload_crc"])
+    return decode_media(media).select_columns(
+        ["media_id", "kind", "payload_crc", "decode_ok"]
+    )
 
 
 def q_order_price_quartiles(sf_dir: str):
@@ -1222,15 +1224,17 @@ def q_media_ref_counts(sf_dir: str):
 
 
 def q_doc_media_features(sf_dir: str):
-    """Full interleaved path: media spans → blob-fetch actor pool (stand-in
-    payloads) → decode/feature actor pool.  Deterministic; rows-only check
-    (feature extraction is not SQL-expressible)."""
+    """Full interleaved path: media spans → blob-fetch actor pool (genuine
+    BMP payloads) → native decode/feature actor pool.  Deterministic;
+    rows-only check (feature extraction is not SQL-expressible)."""
     from esmarc_ray.io import read_documents
     from esmarc_ray.pipelines.media import doc_media_features
 
     corpus = _span_corpus(_corpus_size_for(sf_dir))
     out = doc_media_features(read_documents(corpus))
-    return out.select_columns(["doc_id", "media_ref", "span_order", "payload_crc"])
+    return out.select_columns(
+        ["doc_id", "media_ref", "span_order", "payload_crc", "decode_ok"]
+    )
 
 
 def _curate(sf_dir: str):

@@ -2,12 +2,19 @@
 
 Image/audio/video travel as ``binary`` columns with a metadata struct; the
 compute stages (decode, resize, feature-extract, frame-sample) are actor-pool
-``map_batches`` classes whose Ray-side plumbing — schema, batch sizing,
-actor signature, output layout — is real and tested, while the *codec* call
-itself defaults to ``decoder="fake"`` (deterministic synthetic pixels)
-because no image/audio libraries ship in this container; ``decoder="pil"``
-activates a real Pillow decode+resize when Pillow is importable (and raises
-NotImplementedError otherwise); ``"libav"`` remains a stub.
+``map_batches`` classes.  Decoder tiers:
+
+* ``decoder="native"`` (default for the synthetic corpus): REAL decode of
+  genuine BMP image / WAV audio bytes with the pure-numpy codecs in
+  ``ops.media_codecs`` — header parse, pixel/sample extraction,
+  nearest-neighbor resize, feature extraction.  Rows whose payload is
+  neither format (e.g. video, which needs libav) get ``decode_ok=False``
+  and zeroed features instead of failing the task (dead-letter semantics,
+  same policy as the extract stage).
+* ``decoder="fake"``: deterministic pseudo-pixels hashed from the payload —
+  plumbing-only mode, decodes anything.
+* ``decoder="pil"`` / ``"libav"``: feature-gated real libraries; raise
+  NotImplementedError in this container (no Pillow / ffmpeg binding).
 
 Batch-size guidance for binary payloads: batches are sized by BYTES not rows
 (``media_batch_size_rows``) — a 10 MB image at batch_size=1024 would put
@@ -38,32 +45,81 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media rows (payload = seeded bytes)."""
+def _synthetic_image(i: int, seed: int, w: int, h: int) -> bytes:
+    """Deterministic gradient pixels (no RNG — version-proof) → real BMP."""
+    from esmarc_ray.ops.media_codecs import encode_bmp
+
+    digest = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+    phase = np.frombuffer(digest[:3], dtype=np.uint8).astype(np.int32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    pixels = ((yy[..., None] * 5 + xx[..., None] * 3) * np.array([1, 2, 3]) + phase) % 256
+    return encode_bmp(pixels.astype(np.uint8))
+
+
+def _synthetic_audio(i: int, duration_ms: int, sample_rate: int = 8000) -> bytes:
+    """Integer triangle wave (deterministic, no libm) → real WAV."""
+    from esmarc_ray.ops.media_codecs import encode_wav
+
+    n = sample_rate * duration_ms // 1000
+    freq = 220 + (i % 32) * 15
+    p = (np.arange(n, dtype=np.int64) * freq) % sample_rate
+    tri = np.where(p < sample_rate // 2, p, sample_rate - p)
+    samples = (tri * 48_000 // sample_rate - 12_000).astype(np.int16)
+    return encode_wav(samples, sample_rate)
+
+
+def synthetic_media_table(n: int, seed: int = 42, payloads: str = "native") -> pa.Table:
+    """Deterministic media rows.
+
+    ``payloads="native"`` (default) emits GENUINE media bytes — 24-bit BMP
+    images and PCM-16 WAV audio built by ``ops.media_codecs`` — so the
+    decode stage exercises real header parsing; video payloads stay opaque
+    seeded bytes (no container-friendly video codec).  ``payloads="fake"``
+    emits seeded opaque bytes for every kind (plumbing-only mode).
+    """
+    if payloads not in ("native", "fake"):
+        raise ValueError(payloads)
     rows = {name: [] for name in MEDIA_SCHEMA.names}
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 64  # 2 KiB
+        w = h = 0
+        if kind == "image":
+            w, h = 16 + (i % 5) * 8, 12 + (i % 7) * 6
+            duration_ms = 0
+        elif kind == "audio":
+            duration_ms = 100 + (i % 16) * 25
+        else:
+            w, h, duration_ms = 64, 64, 1000 + i % 5000
+        if payloads == "native" and kind == "image":
+            payload, mime = _synthetic_image(i, seed, w, h), "image/bmp"
+        elif payloads == "native" and kind == "audio":
+            payload, mime = _synthetic_audio(i, duration_ms), "audio/wav"
+        else:
+            payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 64  # 2 KiB
+            mime = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind]
         rows["media_id"].append(f"m{i:06d}")
         rows["kind"].append(kind)
         rows["payload"].append(payload)
-        rows["mime"].append({"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind])
-        rows["width"].append(64 if kind != "audio" else 0)
-        rows["height"].append(64 if kind != "audio" else 0)
-        rows["duration_ms"].append(0 if kind == "image" else 1000 + i % 5000)
+        rows["mime"].append(mime)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(duration_ms)
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
 
 
 class MediaDecoder:
     """Actor-pool decode stage.
 
-    ``decoder="fake"``: deterministic pseudo-pixels derived from the payload
-    bytes — exercises the full Ray plumbing.  Real decoders are explicit
-    NotImplementedError stubs (no PIL/libav in this container).
+    ``decoder="native"``: REAL BMP/WAV decode via ``ops.media_codecs``
+    (magic-byte sniff per payload; undecodable rows get ``decode_ok=False``
+    + zero features, never a task failure).  ``decoder="fake"``:
+    deterministic pseudo-pixels derived from the payload bytes — exercises
+    the full Ray plumbing on any bytes.  ``"pil"``/``"libav"`` are
+    feature-gated on libraries absent from this container.
     """
 
-    def __init__(self, decoder: str = "fake", target_size: tuple[int, int] = (32, 32)):
-        if decoder not in ("fake", "pil", "libav"):
+    def __init__(self, decoder: str = "native", target_size: tuple[int, int] = (32, 32)):
+        if decoder not in ("native", "fake", "pil", "libav"):
             raise ValueError(decoder)
         if decoder == "pil":
             # feature-gated real decoder: used automatically the day PIL
@@ -98,28 +154,66 @@ class MediaDecoder:
         )
         return raw[: h * w * 3].reshape(h, w, 3)
 
+    def _native_features(self, payload: bytes) -> tuple[list[float], bool]:
+        """Sniff + decode one real payload; (6-dim features, decode_ok)."""
+        from esmarc_ray.ops import media_codecs as mc
+
+        mime = mc.sniff_mime(payload)
+        try:
+            if mime == "image/bmp":
+                pixels = mc.resize_nearest(mc.decode_bmp(payload), self.target_size)
+                return (
+                    np.concatenate([pixels.mean(axis=(0, 1)), pixels.std(axis=(0, 1))])
+                    .astype(np.float32)
+                    .tolist(),
+                    True,
+                )
+            if mime == "audio/wav":
+                samples, sr = mc.decode_wav(payload)
+                x = samples.astype(np.float64)
+                zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+                feats = [
+                    float(np.sqrt(np.mean(x**2))),  # rms
+                    zcr,
+                    len(x) / sr,  # duration seconds
+                    float(x.mean()),
+                    float(x.std()),
+                    float(np.abs(x).max(initial=0.0)),
+                ]
+                return np.asarray(feats, dtype=np.float32).tolist(), True
+        except ValueError:
+            pass  # malformed header → dead-letter row, same as unknown format
+        return [0.0] * 6, False
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats, checksums = [], []
+        feats, checksums, oks = [], [], []
         for payload in batch.column("payload").to_pylist():
-            pixels = self._decode(payload)
-            # feature-extract: channel means + std (a stand-in embedding)
-            feats.append(
-                np.concatenate([pixels.mean(axis=(0, 1)), pixels.std(axis=(0, 1))])
-                .astype(np.float32)
-                .tolist()
-            )
+            if self.decoder == "native":
+                f, ok = self._native_features(payload)
+            else:
+                pixels = self._decode(payload)
+                # feature-extract: channel means + std (a stand-in embedding)
+                f = (
+                    np.concatenate([pixels.mean(axis=(0, 1)), pixels.std(axis=(0, 1))])
+                    .astype(np.float32)
+                    .tolist()
+                )
+                ok = True
+            feats.append(f)
+            oks.append(ok)
             checksums.append(zlib.crc32(payload))
         return (
             batch.drop_columns(["payload"])  # don't carry big bytes past decode
             .append_column("features", pa.array(feats, pa.list_(pa.float32())))
             .append_column("payload_crc", pa.array(checksums, pa.uint32()))
+            .append_column("decode_ok", pa.array(oks, pa.bool_()))
         )
 
 
 def decode_media(
     media: ray.data.Dataset,
     *,
-    decoder: str = "fake",
+    decoder: str = "native",
     media_batch_size_rows: int = 32,
     concurrency: int | tuple[int, int] = 2,
 ) -> ray.data.Dataset:

@@ -12,12 +12,15 @@ module is the media half of that interleaving:
 * :class:`MediaFetcher` — actor-pool blob-fetch stage.  In a real deployment
   the actor holds a blob-store/HTTP client built once in ``__init__`` and
   ``__call__`` issues batched range reads; this container has no network, so
-  the fetch is a deterministic stand-in (payload = sha256(ref) tiled, like
-  ``ops.multimodal.synthetic_media_table``).  The Ray-side shape — actor
-  pool, byte-bounded batches, payload appended per row — is the real design.
+  the fetch deterministically synthesizes the blob — by default a GENUINE
+  24-bit BMP derived from the ref (``payload_kind="bmp"``), so the
+  downstream decode parses real image bytes; ``payload_kind="fake"`` keeps
+  the opaque sha-tile stand-in.  The Ray-side shape — actor pool,
+  byte-bounded batches, payload appended per row — is the real design.
 * :func:`doc_media_features` — the composed pipeline: refs → fetch →
-  ``decode_media`` (actor-pool decode + feature-extract, payload dropped
-  immediately after decode so big bytes never travel past that stage).
+  ``decode_media`` (actor-pool REAL BMP/WAV decode + feature-extract via
+  ``ops.media_codecs``; payload dropped immediately after decode so big
+  bytes never travel past that stage).
 
 Scale notes: the extractor and fetcher stream block-by-block; nothing
 materializes.  Fetch batches are small (``fetch_batch_rows``) because the
@@ -60,28 +63,53 @@ def media_refs(docs: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def _bmp_payload(ref: str, payload_bytes: int) -> bytes:
+    """Deterministic REAL BMP for a media ref: a square gradient image whose
+    pixel area approximately fills ``payload_bytes``, phase-shifted by the
+    ref's sha256 so distinct refs decode to distinct pixels."""
+    import numpy as np
+
+    from esmarc_ray.ops.media_codecs import encode_bmp
+
+    side = max(1, int(((payload_bytes - 54) // 3) ** 0.5))
+    phase = np.frombuffer(hashlib.sha256(ref.encode()).digest()[:3], dtype=np.uint8)
+    yy, xx = np.mgrid[0:side, 0:side]
+    pixels = ((yy[..., None] * 7 + xx[..., None] * 11) * np.array([1, 2, 3])
+              + phase.astype(np.int32)) % 256
+    return encode_bmp(pixels.astype(np.uint8))
+
+
 class MediaFetcher:
     """Actor-pool payload fetch; see module docstring for the stand-in note.
 
     ``__init__`` is where a real deployment builds its blob client (once per
     actor); ``payload_bytes`` models the media size so batch byte budgets can
-    be exercised in tests.
+    be exercised in tests.  ``payload_kind="bmp"`` (default) serves genuine
+    BMP image bytes (decodable by ``MediaDecoder(decoder="native")``);
+    ``"fake"`` serves opaque sha-tiled bytes (plumbing-only mode).
     """
 
-    def __init__(self, payload_bytes: int = 2048):
+    def __init__(self, payload_bytes: int = 2048, payload_kind: str = "bmp"):
         if payload_bytes % 32:
             raise ValueError("payload_bytes must be a multiple of 32")
+        if payload_kind not in ("bmp", "fake"):
+            raise ValueError(payload_kind)
+        self.payload_bytes = payload_bytes
+        self.payload_kind = payload_kind
         self.tile = payload_bytes // 32
 
+    def _fetch(self, ref: str) -> bytes:
+        if self.payload_kind == "bmp":
+            return _bmp_payload(ref, self.payload_bytes)
+        return hashlib.sha256(ref.encode()).digest() * self.tile
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = [
-            hashlib.sha256(r.encode()).digest() * self.tile
-            for r in batch.column("media_ref").to_pylist()
-        ]
+        payloads = [self._fetch(r) for r in batch.column("media_ref").to_pylist()]
+        mime = "image/bmp" if self.payload_kind == "bmp" else "image/jpeg"
         return batch.append_column(
             "payload", pa.array(payloads, pa.binary())
         ).append_column(
-            "mime", pa.array(["image/jpeg"] * len(payloads), pa.string())
+            "mime", pa.array([mime] * len(payloads), pa.string())
         )
 
 
@@ -89,12 +117,14 @@ def fetch_media(
     refs: ray.data.Dataset,
     *,
     payload_bytes: int = 2048,
+    payload_kind: str = "bmp",
     fetch_batch_rows: int = 64,
     concurrency: int | tuple[int, int] = (1, 2),
 ) -> ray.data.Dataset:
     return refs.map_batches(
         MediaFetcher,
-        fn_constructor_kwargs={"payload_bytes": payload_bytes},
+        fn_constructor_kwargs={"payload_bytes": payload_bytes,
+                               "payload_kind": payload_kind},
         batch_format="pyarrow",
         batch_size=fetch_batch_rows,
         concurrency=concurrency,
@@ -105,8 +135,9 @@ def fetch_media(
 def doc_media_features(
     docs: ray.data.Dataset,
     *,
-    decoder: str = "fake",
+    decoder: str = "native",
     payload_bytes: int = 2048,
+    payload_kind: str = "bmp",
     concurrency: int | tuple[int, int] = (1, 2),
 ) -> ray.data.Dataset:
     """Composed interleaved-media pipeline over the span table: every media
@@ -124,6 +155,7 @@ def doc_media_features(
         fetch_media(
             media_refs(docs),
             payload_bytes=payload_bytes,
+            payload_kind=payload_kind,
             concurrency=concurrency,
         ),
         decoder=decoder,

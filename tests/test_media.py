@@ -61,14 +61,33 @@ def test_media_refs_preserves_interleaving(ray_session):
 
 def test_fetcher_deterministic_and_validates():
     batch = pa.table({"doc_id": ["d"], "media_ref": ["u"], "span_order": [0]})
-    out1 = MediaFetcher(payload_bytes=64)(batch)
-    out2 = MediaFetcher(payload_bytes=64)(batch)
+    out1 = MediaFetcher(payload_bytes=64, payload_kind="fake")(batch)
+    out2 = MediaFetcher(payload_bytes=64, payload_kind="fake")(batch)
     payload = out1.column("payload")[0].as_py()
     assert payload == out2.column("payload")[0].as_py()
     assert len(payload) == 64
     assert payload[:32] == hashlib.sha256(b"u").digest()
     with pytest.raises(ValueError):
         MediaFetcher(payload_bytes=33)
+    with pytest.raises(ValueError):
+        MediaFetcher(payload_kind="tiff")
+
+
+def test_fetcher_serves_decodable_bmp():
+    """Default payload_kind='bmp' serves genuine image bytes: distinct per
+    ref, deterministic, and pixel-decodable by the native codec."""
+    from esmarc_ray.ops.media_codecs import decode_bmp, sniff_mime
+
+    batch = pa.table(
+        {"doc_id": ["d", "d"], "media_ref": ["u1", "u2"], "span_order": [0, 1]}
+    )
+    out = MediaFetcher(payload_bytes=2048)(batch)
+    p1, p2 = out.column("payload").to_pylist()
+    assert sniff_mime(p1) == "image/bmp" and p1 != p2
+    assert out.column("mime").to_pylist() == ["image/bmp", "image/bmp"]
+    pixels = decode_bmp(p1)
+    assert pixels.ndim == 3 and pixels.shape[2] == 3 and pixels.size > 0
+    assert p1 == MediaFetcher(payload_bytes=2048)(batch).column("payload")[0].as_py()
 
 
 def test_doc_media_features_end_to_end(ray_session):
@@ -86,8 +105,10 @@ def test_doc_media_features_end_to_end(ray_session):
     out = doc_media_features(ds, payload_bytes=64).to_pandas()
     assert len(out) == 1  # d2 has no media span
     row = out.iloc[0]
-    assert row["doc_id"] == "d1" and row["mime"] == "image/jpeg"
+    assert row["doc_id"] == "d1" and row["mime"] == "image/bmp"
     assert "payload" not in out.columns  # bytes dropped at the decode stage
     assert len(row["features"]) == 6  # 3 channel means + 3 stds
-    expected = hashlib.sha256(b"u1").digest() * 2
-    assert row["payload_crc"] == zlib.crc32(expected)
+    assert row["decode_ok"]  # the BMP payload REALLY decoded
+    from esmarc_ray.pipelines.media import _bmp_payload
+
+    assert row["payload_crc"] == zlib.crc32(_bmp_payload("u1", 64))
