@@ -596,6 +596,23 @@ def q_minhash_dups(sf_dir: str):
     return out[["doc_a", "doc_b", "jaccard"]]
 
 
+def q_jaccard_dups(sf_dir: str):
+    """EXACT token-set Jaccard pairs ≥ 0.95 — the hash-verified anchor for
+    the approximate near-dup family (minhash/simhash).  The synthetic corpus
+    is highly templated (median pairwise token-Jaccard ≈ 0.6), so the
+    threshold sits in the true near-dup tail."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.dedup import jaccard_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = jaccard_pairs(docs, threshold=0.95).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def q_simhash_dups(sf_dir: str):
     import pandas as pd
     import ray.data
@@ -1318,6 +1335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_median_price": q_approx_median_price,
         "ivf_topk": q_ivf_topk,
         "minhash_dups": q_minhash_dups,
+        "jaccard_dups": q_jaccard_dups,
         "simhash_dups": q_simhash_dups,
         "embedding_dups": q_embedding_dups,
         "langid_pred": q_langid_pred,
@@ -1468,6 +1486,31 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY substring(text, 1, 40)
+        """,
+        "jaccard_dups": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(string_split(
+                               regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                               ' ')) AS tok
+                    FROM documents
+                ) WHERE tok <> ''
+            ), sz AS (
+                SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 1e6 + 0.5) / 1e6
+                       AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = inter.doc_a
+            JOIN sz sb ON sb.doc_id = inter.doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.95
+            ORDER BY doc_a, doc_b
         """,
         "token_stats": r"""
             SELECT doc_id,

@@ -753,3 +753,110 @@ def semantic_dedup(
         ["vec_id", "dup_of", "cosine"]
     )
     return kept, dups
+
+
+# -- exact token-set Jaccard ----------------------------------------------------
+
+
+def jaccard_pairs(
+    docs: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    max_doc_freq: int | None = None,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """EXACT token-set Jaccard similarity pairs ≥ ``threshold`` — the
+    hash-verified anchor of the near-dup family (MinHash/SimHash approximate
+    this; their candidate sets are judged against it).
+
+    Plan (all distributed, nothing driver-side):
+
+    1. tokenize batch-local → distinct ``(token, doc_id, n_tok)`` rows,
+       where ``n_tok`` is the doc's token-set size carried WITH each row so
+       no sizes join is needed later;
+    2. hash-partition on token; per partition a vectorized pandas self-merge
+       emits co-occurring ``doc_a < doc_b`` pairs, locally pre-counted;
+    3. one combiner-based groupby sums intersection counts per pair;
+    4. batch-local Jaccard ``i / (n_a + n_b - i)`` + threshold filter.
+
+    Scale: the shuffle carries only (token, id, int) rows and pre-counted
+    pair rows.  The worst case is a token shared by d docs → d²/2 pairs;
+    ``max_doc_freq`` drops tokens above a document-frequency cap (stopwords
+    carry ~no Jaccard signal but dominate pair cost).  Default ``None`` is
+    fully exact and matches the SQL oracle; at 100 TB set a cap and note
+    the (tiny, one-sided) undercount.
+
+    Tokenization contract (must match the DuckDB oracle): lowercase, split
+    on non-``[a-z0-9]`` runs, drop empties, distinct per doc.
+    """
+    import re
+
+    from esmarc_ray.ops.relational import _add_hash_part, partial_groupby_agg
+
+    pat = re.compile(r"[a-z0-9]+")
+
+    def tokenize(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        toks: list[str] = []
+        sizes: list[int] = []
+        for i, t in zip(batch[id_column], batch[text_column]):
+            s = set(pat.findall((t or "").lower()))
+            ids.extend([i] * len(s))
+            toks.extend(s)
+            sizes.extend([len(s)] * len(s))
+        return pd.DataFrame({"token": toks, id_column: ids, "n_tok": sizes})
+
+    tokens = docs.map_batches(tokenize, batch_format="pandas")
+    parted = tokens.map_batches(
+        _add_hash_part(["token"], num_partitions), batch_format="pandas"
+    )
+
+    def emit_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop(columns="__part")
+        if max_doc_freq is not None:
+            df_counts = part.groupby("token")["token"].transform("size")
+            part = part[df_counts <= max_doc_freq]
+        m = part.merge(part, on="token", suffixes=("_a", "_b"))
+        m = m[m[f"{id_column}_a"] < m[f"{id_column}_b"]]
+        if m.empty:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype=part[id_column].dtype),
+                 "doc_b": pd.Series(dtype=part[id_column].dtype),
+                 "n_a": pd.Series(dtype="int64"),
+                 "n_b": pd.Series(dtype="int64"),
+                 "inter_part": pd.Series(dtype="int64")}
+            )
+        m = m.rename(
+            columns={f"{id_column}_a": "doc_a", f"{id_column}_b": "doc_b",
+                     "n_tok_a": "n_a", "n_tok_b": "n_b"}
+        )
+        # local pre-count: a pair repeats within the partition once per
+        # shared token that hashed here — combine before the wide groupby
+        return (
+            m.groupby(["doc_a", "doc_b", "n_a", "n_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "inter_part"})
+        )
+
+    pairs = parted.groupby("__part").map_groups(emit_pairs, batch_format="pandas")
+    summed = partial_groupby_agg(
+        pairs,
+        ["doc_a", "doc_b"],
+        {"inter": ("inter_part", "sum"), "n_a": ("n_a", "max"), "n_b": ("n_b", "max")},
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        union = batch["n_a"] + batch["n_b"] - batch["inter"]
+        j = batch["inter"] / union
+        batch = batch[j >= threshold].copy()
+        # deterministic half-up rounding (pandas .round is half-even while
+        # DuckDB round() is half-away — floor(x*1e6+0.5) agrees everywhere)
+        batch["jaccard"] = (
+            np.floor(batch["inter"] / (batch["n_a"] + batch["n_b"] - batch["inter"])
+                     * 1e6 + 0.5) / 1e6
+        )
+        return batch[["doc_a", "doc_b", "jaccard"]]
+
+    return summed.map_batches(finalize, batch_format="pandas")

@@ -48,6 +48,51 @@ def test_minhash_dedup_finds_planted_near_dups(dup_docs):
     assert 3 in kept and 5 in kept
 
 
+def test_jaccard_pairs_matches_duckdb(ray_session):
+    """Exact token-set Jaccard pairs are value-identical to the DuckDB
+    unnest-self-join formulation over the same parquet."""
+    import duckdb
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    got = (
+        dedup.jaccard_pairs(docs, threshold=0.9)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    exp = con.execute("""
+        WITH tok AS (SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(
+                regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS tok
+            FROM documents) WHERE tok <> ''),
+        sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 1e6 + 0.5) / 1e6 AS jaccard
+        FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a
+                   JOIN sz sb ON sb.doc_id = inter.doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
+        ORDER BY doc_a, doc_b
+    """).df()
+    assert len(got) == len(exp) and len(got) > 0
+    assert got.equals(exp)
+
+
+def test_jaccard_pairs_doc_freq_cap(dup_docs):
+    """max_doc_freq drops only pairs whose sole evidence is ubiquitous
+    tokens — surviving pairs keep EXACT (undercounted never overcounted)
+    jaccard; cap=1 kills every pair (every shared token is shared)."""
+    full = dedup.jaccard_pairs(dup_docs, threshold=0.1).to_pandas()
+    capped = dedup.jaccard_pairs(dup_docs, threshold=0.1, max_doc_freq=1).to_pandas()
+    assert len(full) > 0 and capped.empty
+
+
 def test_minhash_dedup_distributed_path_matches_broadcast(dup_docs):
     """broadcast_pair_limit=0 forces the all-Dataset plan (hash-join verify +
     connected components + anti-join); must agree with the broadcast plan."""
