@@ -596,6 +596,25 @@ def q_minhash_dups(sf_dir: str):
     return out[["doc_a", "doc_b", "jaccard"]]
 
 
+def q_orders_global_rank(sf_dir: str):
+    """Dataset-wide ROW_NUMBER via sampled range partitioning (terasort
+    pattern) — no global sort bottleneck, only partition counts reach the
+    driver."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import global_rank
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    out = global_rank(orders, ["o_totalprice", "o_orderkey"]).to_pandas()
+    return (
+        out[["o_orderkey", "global_rank"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
 def q_jaccard_dups(sf_dir: str):
     """EXACT token-set Jaccard pairs ≥ 0.95 — the hash-verified anchor for
     the approximate near-dup family (minhash/simhash).  The synthetic corpus
@@ -1336,6 +1355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": q_ivf_topk,
         "minhash_dups": q_minhash_dups,
         "jaccard_dups": q_jaccard_dups,
+        "orders_global_rank": q_orders_global_rank,
         "simhash_dups": q_simhash_dups,
         "embedding_dups": q_embedding_dups,
         "langid_pred": q_langid_pred,
@@ -1486,6 +1506,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY substring(text, 1, 40)
+        """,
+        "orders_global_rank": """
+            SELECT o_orderkey,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS global_rank
+            FROM orders ORDER BY o_orderkey
         """,
         "jaccard_dups": """
             WITH tok AS (

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -1331,3 +1332,78 @@ def sessionize(
         .groupby("__part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def global_rank(
+    ds: ray.data.Dataset,
+    order_by: list[str],
+    *,
+    descending: bool = False,
+    out_name: str = "global_rank",
+    num_partitions: int = 64,
+    sample_rows: int = 10_000,
+) -> ray.data.Dataset:
+    """Dataset-wide ``ROW_NUMBER() OVER (ORDER BY ...)`` without a global
+    sort bottleneck or any driver-side row materialization.
+
+    Terasort-style plan: (1) sample the FIRST order key and cut
+    ``num_partitions - 1`` range boundaries; (2) assign each row its range
+    partition via ``np.searchsorted`` (equal first-key values always land in
+    the same partition, so ties never straddle a boundary); (3) count rows
+    per partition — only ``num_partitions`` integers reach the driver — and
+    prefix-sum them into rank offsets; (4) each partition sorts locally on
+    the FULL key list and adds ``offset + arange``.
+
+    Include a unique tiebreaker as the last ``order_by`` key for a
+    deterministic total order (the SQL oracle needs the same).  Skew note:
+    all rows sharing one first-key value form one partition — rank by a
+    low-cardinality key through a composite first key instead.
+
+    Cost: one metadata count + one column-pruned sample scan + one full pass
+    with a one-key shuffle.  ``ds`` is re-executed per pass — hand this op a
+    read or a checkpointed dataset, not an expensive lazy pipeline.
+    """
+    key0 = order_by[0]
+    n_total = ds.count()
+    if n_total == 0:
+        return ds.map_batches(
+            lambda b: b.assign(**{out_name: pd.Series(dtype="int64")}),
+            batch_format="pandas",
+        )
+    frac = min(1.0, sample_rows / n_total)
+    sample = ds.select_columns([key0]).random_sample(frac, seed=42).take_all()
+    vals = np.sort(np.array([r[key0] for r in sample]))
+    if len(vals):
+        cuts = vals[np.linspace(0, len(vals) - 1, num_partitions + 1).astype(int)[1:-1]]
+        boundaries = np.unique(cuts)
+    else:
+        boundaries = np.array([])
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[key0].to_numpy()
+        # part is a pure function of v (equal values → same partition), and
+        # monotone in the requested direction so offsets give global ranks
+        if descending:
+            part = len(boundaries) - np.searchsorted(boundaries, v, side="left")
+        else:
+            part = np.searchsorted(boundaries, v, side="right")
+        batch["__part"] = part.astype("int32")
+        return batch
+
+    parted = ds.map_batches(assign, batch_format="pandas")
+    counts = {
+        int(r["__part"]): int(r["count()"])
+        for r in parted.groupby("__part").count().take_all()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+
+    def rank_partition(part: pd.DataFrame) -> pd.DataFrame:
+        base = offsets[int(part["__part"].iloc[0])]
+        part = part.sort_values(order_by, ascending=not descending, kind="mergesort")
+        part[out_name] = base + np.arange(1, len(part) + 1, dtype=np.int64)
+        return part.drop(columns="__part")
+
+    return parted.groupby("__part").map_groups(rank_partition, batch_format="pandas")

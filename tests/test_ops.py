@@ -48,6 +48,38 @@ def test_minhash_dedup_finds_planted_near_dups(dup_docs):
     assert 3 in kept and 5 in kept
 
 
+def test_global_rank_matches_duckdb(ray_session):
+    """Sampled-range-partition ROW_NUMBER equals DuckDB's, both directions,
+    including with so few partitions that boundaries dedup away."""
+    import duckdb
+
+    orders = ray.data.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    for desc, parts in ((False, 8), (True, 8), (False, 1)):
+        got = (
+            relational.global_rank(
+                orders, ["o_totalprice", "o_orderkey"],
+                descending=desc, num_partitions=parts,
+            )
+            .to_pandas()[["o_orderkey", "global_rank"]]
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        direction = "DESC" if desc else "ASC"
+        exp = con.execute(f"""
+            SELECT o_orderkey, ROW_NUMBER() OVER (
+                ORDER BY o_totalprice {direction}, o_orderkey {direction}
+            ) AS global_rank
+            FROM orders ORDER BY o_orderkey
+        """).df()
+        assert got.equals(exp), (desc, parts)
+
+
 def test_jaccard_pairs_matches_duckdb(ray_session):
     """Exact token-set Jaccard pairs are value-identical to the DuckDB
     unnest-self-join formulation over the same parquet."""
