@@ -596,6 +596,20 @@ def q_minhash_dups(sf_dir: str):
     return out[["doc_a", "doc_b", "jaccard"]]
 
 
+def q_user_event_entropy(sf_dir: str):
+    """Shannon entropy of each user's event-type distribution (distribution
+    skew probe) — two-level combiner aggregation."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import grouped_entropy
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    out = grouped_entropy(events, ["user_id"], "event_type").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_orders_global_rank(sf_dir: str):
     """Dataset-wide ROW_NUMBER via sampled range partitioning (terasort
     pattern) — no global sort bottleneck, only partition counts reach the
@@ -1356,6 +1370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dups": q_minhash_dups,
         "jaccard_dups": q_jaccard_dups,
         "orders_global_rank": q_orders_global_rank,
+        "user_event_entropy": q_user_event_entropy,
         "simhash_dups": q_simhash_dups,
         "embedding_dups": q_embedding_dups,
         "langid_pred": q_langid_pred,
@@ -1506,6 +1521,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY substring(text, 1, 40)
+        """,
+        "user_event_entropy": """
+            SELECT user_id, floor(entropy(event_type) * 1e6 + 0.5) / 1e6 AS entropy
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "orders_global_rank": """
             SELECT o_orderkey,

@@ -1407,3 +1407,45 @@ def global_rank(
         return part.drop(columns="__part")
 
     return parted.groupby("__part").map_groups(rank_partition, batch_format="pandas")
+
+
+def grouped_entropy(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_column: str,
+    *,
+    out_name: str = "entropy",
+    round_to: int | None = 6,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Shannon entropy (log2) of ``value_column``'s distribution per key
+    group — the distribution-skew probe of a data-quality pipeline (e.g.
+    event-type entropy per user, token entropy per language).
+
+    Two-level aggregation: batch-local combiner counts ``(keys, value)``
+    pairs (the only thing that shuffles — one int per distinct pair), then
+    one hash-partitioned vectorized reduce computes
+    ``-Σ (c/n)·log2(c/n)`` per group.  Matches DuckDB's ``entropy()``.
+    """
+    counts = partial_groupby_agg(
+        ds, keys + [value_column], {"__c": (value_column, "count")}
+    )
+
+    def reduce_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop(columns="__part")
+        n = part.groupby(keys)["__c"].transform("sum")
+        p = part["__c"] / n
+        part["__term"] = -p * np.log2(p)
+        out = part.groupby(keys, as_index=False)["__term"].sum()
+        out = out.rename(columns={"__term": out_name})
+        if round_to is not None:
+            out[out_name] = (
+                np.floor(out[out_name] * 10.0**round_to + 0.5) / 10.0**round_to
+            )
+        return out
+
+    return (
+        counts.map_batches(_add_hash_part(keys, num_partitions), batch_format="pandas")
+        .groupby("__part")
+        .map_groups(reduce_partition, batch_format="pandas")
+    )

@@ -48,6 +48,29 @@ def test_minhash_dedup_finds_planted_near_dups(dup_docs):
     assert 3 in kept and 5 in kept
 
 
+def test_grouped_entropy_matches_duckdb(ray_session):
+    import duckdb
+
+    events = ray.data.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "event_type"]
+    )
+    got = (
+        relational.grouped_entropy(events, ["user_id"], "event_type")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    exp = con.execute("""
+        SELECT user_id, floor(entropy(event_type) * 1e6 + 0.5) / 1e6 AS entropy
+        FROM events GROUP BY user_id ORDER BY user_id
+    """).df()
+    assert len(got) > 0 and got.equals(exp)
+
+
 def test_global_rank_matches_duckdb(ray_session):
     """Sampled-range-partition ROW_NUMBER equals DuckDB's, both directions,
     including with so few partitions that boundaries dedup away."""
