@@ -596,6 +596,29 @@ def q_minhash_dups(sf_dir: str):
     return out[["doc_a", "doc_b", "jaccard"]]
 
 
+def q_quality_topdecile(sf_dir: str):
+    """Curation trim composition: quality-score every doc, globally rank by
+    cleanliness (punct ratio asc, doc_id tiebreak), keep the top decile —
+    score → rank → trim without any global sort bottleneck."""
+    import math
+
+    import ray.data
+
+    from esmarc_ray.ops.relational import global_rank
+    from esmarc_ray.ops.text import quality_score
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    k = math.ceil(0.1 * docs.count())
+    scored = quality_score(docs).select_columns(["doc_id", "punct_ratio"])
+    ranked = global_rank(scored, ["punct_ratio", "doc_id"])
+    out = ranked.filter(expr=f"global_rank <= {k}").to_pandas()
+    return (
+        out[["doc_id", "global_rank"]]
+        .sort_values("global_rank")
+        .reset_index(drop=True)
+    )
+
+
 def q_user_event_entropy(sf_dir: str):
     """Shannon entropy of each user's event-type distribution (distribution
     skew probe) — two-level combiner aggregation."""
@@ -1371,6 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dups": q_jaccard_dups,
         "orders_global_rank": q_orders_global_rank,
         "user_event_entropy": q_user_event_entropy,
+        "quality_topdecile": q_quality_topdecile,
         "simhash_dups": q_simhash_dups,
         "embedding_dups": q_embedding_dups,
         "langid_pred": q_langid_pred,
@@ -1525,6 +1549,18 @@ def oracle_sql() -> dict[str, str]:
         "user_event_entropy": """
             SELECT user_id, floor(entropy(event_type) * 1e6 + 0.5) / 1e6 AS entropy
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "quality_topdecile": r"""
+            SELECT doc_id, global_rank FROM (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY len(regexp_extract_all(text, '[^\w\s]'))
+                                    / greatest(length(text), 1), doc_id
+                       ) AS global_rank
+                FROM documents
+            )
+            WHERE global_rank <= ceil(0.1 * (SELECT count(*) FROM documents))
+            ORDER BY global_rank
         """,
         "orders_global_rank": """
             SELECT o_orderkey,
