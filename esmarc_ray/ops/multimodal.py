@@ -230,29 +230,32 @@ def decode_media(
 class FrameSampler:
     """Actor-pool frame-sampling stage for video rows: emits one row per
     sampled frame (deterministic timestamps), non-video rows pass through
-    with frame_idx = -1."""
+    with frame_idx = -1.
+
+    Vectorized fan-out: per-row frame counts → one ``Table.take`` with a
+    repeat-index array (zero-copy of the payload column) — no Python loop
+    over rows."""
 
     def __init__(self, fps: float = 1.0):
         self.fps = fps
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {name: [] for name in batch.schema.names}
-        out["frame_idx"] = []
-        out["frame_ts_ms"] = []
-        for row in batch.to_pylist():
-            if row["kind"] == "video" and row["duration_ms"] > 0:
-                n_frames = max(1, int(row["duration_ms"] / 1000 * self.fps))
-                for f in range(n_frames):
-                    for name in batch.schema.names:
-                        out[name].append(row[name])
-                    out["frame_idx"].append(f)
-                    out["frame_ts_ms"].append(int(f * 1000 / self.fps))
-            else:
-                for name in batch.schema.names:
-                    out[name].append(row[name])
-                out["frame_idx"].append(-1)
-                out["frame_ts_ms"].append(-1)
-        return pa.Table.from_pydict(out)
+        kind = batch.column("kind").to_numpy(zero_copy_only=False)
+        dur = batch.column("duration_ms").to_numpy(zero_copy_only=False)
+        is_video = (kind == "video") & (dur > 0)
+        n_frames = np.where(
+            is_video, np.maximum(1, (dur / 1000 * self.fps).astype(np.int64)), 1
+        )
+        take_idx = np.repeat(np.arange(len(batch), dtype=np.int64), n_frames)
+        # frame index within each fanned-out row group: 0..n_frames-1
+        starts = np.concatenate(([0], np.cumsum(n_frames)[:-1]))
+        local = np.arange(len(take_idx), dtype=np.int64) - np.repeat(starts, n_frames)
+        frame_idx = np.where(np.repeat(is_video, n_frames), local, -1)
+        frame_ts = np.where(frame_idx >= 0, (frame_idx * 1000 / self.fps).astype(np.int64), -1)
+        out = batch.take(pa.array(take_idx))
+        return out.append_column(
+            "frame_idx", pa.array(frame_idx, pa.int64())
+        ).append_column("frame_ts_ms", pa.array(frame_ts, pa.int64()))
 
 
 def sample_frames(media: ray.data.Dataset, fps: float = 1.0,
