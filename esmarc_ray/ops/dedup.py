@@ -141,17 +141,30 @@ def minhash_candidates(
 
     Returns a dataset of (doc_a, doc_b) with doc_a < doc_b, deduplicated.
     ``concurrency=None`` (default) runs the signature stage as a plain task
-    pool — it autoscales to every free CPU; pass a value only to cap it.
+    pool — it autoscales to every free CPU; pass an int to cap the task
+    pool, or a (min, max) tuple to run it as an autoscaling actor pool
+    (Ray rejects tuple concurrency on plain functions, so the tuple form
+    routes through the ``_MinHasher`` callable class).
     """
-    kwargs = dict(
-        fn_kwargs={
-            "num_perm": num_perm, "bands": bands, "shingle_width": shingle_width,
-        },
-        batch_format="pandas",
-    )
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
-    bands_ds = docs.map_batches(_signature_batch, **kwargs)
+    if isinstance(concurrency, tuple):
+        bands_ds = docs.map_batches(
+            _MinHasher,
+            fn_constructor_kwargs={
+                "num_perm": num_perm, "bands": bands, "shingle_width": shingle_width,
+            },
+            batch_format="pandas",
+            concurrency=concurrency,
+        )
+    else:
+        kwargs = dict(
+            fn_kwargs={
+                "num_perm": num_perm, "bands": bands, "shingle_width": shingle_width,
+            },
+            batch_format="pandas",
+        )
+        if concurrency is not None:
+            kwargs["concurrency"] = concurrency
+        bands_ds = docs.map_batches(_signature_batch, **kwargs)
 
     num_partitions = 64
 
@@ -735,7 +748,9 @@ def semantic_dedup(
             if hit is None:
                 kept_idx.append(i)
                 rows["vec_id"].append(ids[i])
-                rows["dup_of"].append(-1)
+                # None, not an int sentinel: with string ids a mixed
+                # int/str object column fails the pandas→Arrow conversion
+                rows["dup_of"].append(None)
                 rows["cosine"].append(1.0)
                 rows["__kept"].append(True)
             else:
@@ -743,7 +758,15 @@ def semantic_dedup(
                 rows["dup_of"].append(ids[hit[0]])
                 rows["cosine"].append(hit[1])
                 rows["__kept"].append(False)
-        return pd.DataFrame(rows)
+        out = pd.DataFrame(rows)
+        # pin dup_of to a NULLABLE dtype matching the id column: a plain
+        # object column that happens to be all-None in one cluster becomes
+        # an Arrow null-typed block and conflicts with sibling blocks
+        if pd.api.types.is_integer_dtype(group[id_column].dtype):
+            out["dup_of"] = out["dup_of"].astype("Int64")
+        else:
+            out["dup_of"] = out["dup_of"].astype("string")
+        return out
 
     marked = assigned.groupby("cell").map_groups(
         cluster_dedup, batch_format="pandas"

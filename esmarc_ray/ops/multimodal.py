@@ -156,6 +156,8 @@ class MediaDecoder:
 
     def _native_features(self, payload: bytes) -> tuple[list[float], bool]:
         """Sniff + decode one real payload; (6-dim features, decode_ok)."""
+        import struct
+
         from esmarc_ray.ops import media_codecs as mc
 
         mime = mc.sniff_mime(payload)
@@ -181,8 +183,10 @@ class MediaDecoder:
                     float(np.abs(x).max(initial=0.0)),
                 ]
                 return np.asarray(feats, dtype=np.float32).tolist(), True
-        except ValueError:
-            pass  # malformed header → dead-letter row, same as unknown format
+        except (ValueError, struct.error):
+            # malformed/truncated header → dead-letter row, same as unknown
+            # format (struct.error is NOT a ValueError subclass)
+            pass
         return [0.0] * 6, False
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -141,8 +141,6 @@ def partitioned_join(
     merge would equate NaN==NaN) — null-key right rows are dropped, null-key
     left rows are dropped for ``how="inner"`` and kept unmatched for
     ``how="left"``."""
-    import zlib
-
     all_payload = left_cols + right_cols
 
     def tag(side: str, payload: list[str]):
@@ -154,9 +152,9 @@ def partitioned_join(
                 out[c] = batch[c] if c in payload else None
             out["__side"] = side
             out["__part"] = (
-                out["__on"].map(lambda k: zlib.crc32(str(k).encode()) % num_partitions)
-                .astype("int32")
-            )
+                pd.util.hash_pandas_object(out["__on"].astype(str), index=False)
+                .to_numpy() % num_partitions
+            ).astype("int32")
             return out
 
         return fn
@@ -332,17 +330,21 @@ def partitioned_semi_join(
     the driver — the scale path when the key set outgrows a broadcast (the
     filter-side analogue of :func:`partitioned_join`).
     """
-    import zlib
-
     key_column = key_column or on
     big_cols = list(big.schema().names)
+
+    def _parts(series: pd.Series) -> pd.Series:
+        # vectorized (pandas C siphash) — a per-row crc32 .map here runs a
+        # Python call per row on the hot shuffle path
+        return (
+            pd.util.hash_pandas_object(series.astype(str), index=False)
+            .to_numpy() % num_partitions
+        ).astype("int32")
 
     def tag_big(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["__side"] = "b"
-        batch["__part"] = (
-            batch[on].map(lambda k: zlib.crc32(str(k).encode()) % num_partitions)
-        ).astype("int32")
+        batch["__part"] = _parts(batch[on])
         return batch
 
     def tag_keys(batch: pd.DataFrame) -> pd.DataFrame:
@@ -351,9 +353,7 @@ def partitioned_semi_join(
         uniq = batch[key_column].dropna().drop_duplicates().reset_index(drop=True)
         out = pd.DataFrame({c: (uniq if c == on else None) for c in big_cols})
         out["__side"] = "k"
-        out["__part"] = (
-            out[on].map(lambda k: zlib.crc32(str(k).encode()) % num_partitions)
-        ).astype("int32")
+        out["__part"] = _parts(out[on])
         return out
 
     def filt(part: pd.DataFrame) -> pd.DataFrame:
@@ -392,9 +392,11 @@ def partitioned_asof_join(
     Right payload columns (other than ``on``/``by``) must not collide with
     left column names — rename them first.  Output columns: left columns +
     right payload columns (``on``/``by`` appear once, from the left side).
-    """
-    import zlib
 
+    NULL semantics match SQL ASOF LEFT JOIN: a null ``by`` key never
+    matches — null-key right rows are dropped, null-key LEFT rows are kept
+    unmatched (routed through a reserved left-only partition).
+    """
     left_cols = list(left.schema().names)
     right_cols = list(right.schema().names)
     right_payload = [c for c in right_cols if c not in (on, by)]
@@ -408,12 +410,18 @@ def partitioned_asof_join(
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
             out = pd.DataFrame({c: (batch[c] if c in own else None) for c in all_cols})
             out["__side"] = side
-            out["__part"] = (
-                batch[by].map(lambda k: zlib.crc32(str(k).encode()) % num_partitions)
-                .astype("int32")
-                .to_numpy()
-            )
-            return out[batch[by].notna().to_numpy()]
+            part = (
+                pd.util.hash_pandas_object(batch[by].astype(str), index=False)
+                .to_numpy() % num_partitions
+            ).astype("int32")
+            mask = batch[by].notna().to_numpy()
+            if side == "R":
+                out["__part"] = part
+                return out[mask]
+            # null-`by` LEFT rows can never match; send them to a reserved
+            # left-only partition so they surface unmatched (SQL LEFT JOIN)
+            out["__part"] = np.where(mask, part, num_partitions).astype("int32")
+            return out
 
         return fn
 

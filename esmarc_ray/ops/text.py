@@ -241,15 +241,12 @@ def pack_sequences(
     Output: one row per packed sequence —
     (part, seq_idx, n_docs, total_tokens, doc_ids:list).
     """
-    import zlib as _zlib
-
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[[id_column, token_column]].copy()
         batch["__part"] = (
-            batch[id_column]
-            .map(lambda k: _zlib.crc32(str(k).encode()) % num_partitions)
-            .astype("int32")
-        )
+            pd.util.hash_pandas_object(batch[id_column].astype(str), index=False)
+            .to_numpy() % num_partitions
+        ).astype("int32")
         return batch
 
     def pack(part: pd.DataFrame) -> pd.DataFrame:
@@ -437,9 +434,10 @@ def json_extract(
     so every downstream operator is columnar.
 
     Robust on real-world bags: malformed JSON rows yield nulls (never fail
-    the task — a dead-letter scan can recover them from the source column),
-    and numeric coercion goes through ``pd.to_numeric(errors="coerce")`` so
-    a stray string or non-integral float becomes null instead of raising.
+    the task — a dead-letter scan can recover them from the source column).
+    int64 extraction uses an exact integer path (64-bit ids above 2^53
+    survive; non-integral or out-of-range values become null); float64 goes
+    through ``pd.to_numeric(errors="coerce")``.
     """
     import json as _json
 
@@ -453,20 +451,44 @@ def json_extract(
             except (ValueError, TypeError):
                 obj = {}
             parsed.append(obj if isinstance(obj, dict) else {})
+        def _to_int(v):
+            # exact path — routing ints through Float64 would silently
+            # corrupt 64-bit ids above 2^53
+            if isinstance(v, bool):
+                return None
+            if isinstance(v, int):
+                r = v
+            elif isinstance(v, float):
+                if not v.is_integer():
+                    return None
+                r = int(v)
+            elif isinstance(v, str):
+                try:
+                    r = int(v)
+                except ValueError:
+                    try:
+                        f = float(v)
+                    except ValueError:
+                        return None
+                    if not f.is_integer():
+                        return None
+                    r = int(f)
+            else:
+                return None
+            return r if -(2**63) <= r < 2**63 else None
+
         for out, dtype in fields.items():
             key = keys.get(out, out)
             values = [obj.get(key) for obj in parsed]
-            if dtype in ("int64", "float64"):
+            if dtype == "int64":
+                col = pd.array([_to_int(v) for v in values], dtype="Int64")
+                batch[out] = pd.Series(col, index=batch.index)
+            elif dtype == "float64":
                 numeric = pd.to_numeric(
                     pd.Series(values, dtype="object"), errors="coerce"
                 ).astype("Float64")
                 numeric.index = batch.index
-                if dtype == "int64":
-                    # non-integral floats become null, not a raise
-                    fractional = numeric.notna() & (numeric % 1 != 0)
-                    batch[out] = numeric.mask(fractional).astype("Int64")
-                else:
-                    batch[out] = numeric
+                batch[out] = numeric
             else:
                 batch[out] = pd.array(
                     [v if isinstance(v, str) else None for v in values], dtype="string"

@@ -120,6 +120,14 @@ def curate_documents(
         import tempfile
 
         checkpoint_dir = tempfile.mkdtemp(prefix="esmarc_ray_curate_")
+    else:
+        # parquet file names are unique per run: a reused checkpoint dir
+        # would read old+new files and double-count every row — wipe first
+        import pathlib
+        import shutil
+
+        if pathlib.Path(checkpoint_dir).exists():
+            shutil.rmtree(checkpoint_dir)
     annotated.write_parquet(checkpoint_dir)
     annotated = ray.data.read_parquet(checkpoint_dir)
 

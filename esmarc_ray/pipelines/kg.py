@@ -102,7 +102,15 @@ def run_kg_pipeline(
 
         from esmarc_ray.io import write_jsonld
 
-        files_manifest = write_jsonld(canonical, str(out / "jsonld")).to_pandas()
+        # write_parquet/write_jsonld file names are unique per run — wipe the
+        # sink dir (like canonical/ and the triple shards) or a resumed run
+        # would accumulate a second copy of every .ldj stream
+        jsonld_dir = out / "jsonld"
+        if jsonld_dir.exists():
+            import shutil
+
+            shutil.rmtree(jsonld_dir)
+        files_manifest = write_jsonld(canonical, str(jsonld_dir)).to_pandas()
         jsonld_summary = {
             "n_files": int(len(files_manifest)),
             "n_docs": int(files_manifest["n_docs"].sum()),

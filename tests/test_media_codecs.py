@@ -75,6 +75,23 @@ def test_wav_chunk_walk_skips_extras():
     assert sr == 16000 and (out == samples).all()
 
 
+def test_native_decoder_dead_letters_truncated_wav():
+    """A payload that sniffs as WAV but has a truncated fmt chunk must
+    dead-letter (decode_ok=False), not raise through the task (struct.error
+    is not a ValueError)."""
+    import struct
+
+    bad = (
+        b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00"  # truncated body
+    )
+    dec = multimodal.MediaDecoder(decoder="native")
+    feats, ok = dec._native_features(bad)
+    assert not ok and feats == [0.0] * 6
+    out = dec(pa.table({"payload": [bad]}))
+    assert out.column("decode_ok").to_pylist() == [False]
+
+
 def test_native_decoder_real_payloads(ray_session):
     """decode_media(decoder='native') really parses the synthetic corpus's
     BMP/WAV bytes: image features equal the directly computed pixel stats,

@@ -745,6 +745,74 @@ def test_partitioned_asof_join_matches_duckdb(ray_session):
     assert got["click_id"].tolist() == expected["click_id"].tolist()
 
 
+def test_partitioned_asof_join_keeps_null_by_left_rows(ray_session):
+    """SQL ASOF LEFT JOIN: a null `by` key never matches but the LEFT row
+    survives with null right columns (it used to be dropped entirely)."""
+    left = ray.data.from_pandas(
+        pd.DataFrame(
+            {"ts": [1.0, 2.0, 3.0], "user_id": [1.0, None, 1.0], "x": [10, 20, 30]}
+        )
+    )
+    right = ray.data.from_pandas(
+        pd.DataFrame({"ts": [0.5, 2.5], "user_id": [1.0, 1.0], "y": [7, 8]})
+    )
+    out = (
+        relational.partitioned_asof_join(left, right, on="ts", by="user_id",
+                                         num_partitions=4)
+        .to_pandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3  # null-user row kept
+    null_row = out[out["user_id"].isna()].iloc[0]
+    assert null_row["x"] == 20 and pd.isna(null_row["y"])
+    assert out[out["x"] == 30]["y"].iloc[0] == 8
+
+
+def test_json_extract_preserves_big_int64(ray_session):
+    """64-bit ids above 2^53 must survive exactly (no Float64 round-trip)."""
+    from esmarc_ray.ops import text as text_ops
+
+    big = 9007199254740993  # 2^53 + 1 — rounds to ...992 through a double
+    rows = pd.DataFrame(
+        {"id": [1, 2], "props": [f'{{"k": {big}}}', f'{{"k": "{big}"}}']}
+    )
+    out = (
+        text_ops.json_extract(ray.data.from_pandas(rows), "props", {"k": "int64"})
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert out["k"].tolist() == [big, big]
+
+
+def test_semantic_dedup_string_ids(ray_session):
+    """String id columns must work: the kept-row sentinel is a typed null,
+    not int -1 (a mixed int/str object column breaks Arrow conversion)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(10, 8).astype("float32")
+    vecs = list(base) + [base[0] + 1e-4]  # one planted twin
+    df = pd.DataFrame(
+        {"vec_id": [f"v{i:02d}" for i in range(11)], "embedding": [v.tolist() for v in vecs]}
+    )
+    kept, dups = dedup.semantic_dedup(
+        ray.data.from_pandas(df), n_clusters=2, threshold=0.99,
+        id_column="vec_id", vector_column="embedding",
+    )
+    dup_df = dups.to_pandas()
+    assert len(dup_df) == 1 and dup_df["dup_of"].iloc[0] == "v00"
+    assert "v00" in set(kept.to_pandas()["vec_id"])
+
+
+def test_minhash_candidates_tuple_concurrency(dup_docs):
+    """The documented tuple form must still work now that the default
+    signature stage is a plain task (tuples route through the actor class)."""
+    pairs = dedup.minhash_candidates(dup_docs, concurrency=(1, 2)).to_pandas()
+    assert {"doc_a", "doc_b"} <= set(pairs.columns)
+    assert (0, 1) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
 def test_partitioned_asof_join_rejects_colliding_columns(ray_session):
     left = ray.data.from_pandas(pd.DataFrame({"ts": [1.0], "user_id": [1], "x": [1]}))
     right = ray.data.from_pandas(pd.DataFrame({"ts": [1.0], "user_id": [1], "x": [2]}))

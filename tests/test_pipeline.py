@@ -213,6 +213,27 @@ def test_full_pipeline_and_resume(ray_session, corpus_dir, tmp_path):
     assert "resources" in classes and "persons" in classes
 
 
+def test_jsonld_sink_rerun_does_not_accumulate(ray_session, corpus_dir, tmp_path):
+    """Re-running the pipeline with -jsonld into the same prefix must wipe
+    the jsonld sink first (LDJ file names are unique per run; a resumed run
+    would otherwise double every stream)."""
+    path, spec = corpus_dir
+    out = tmp_path / "run"
+    m1 = run_kg_pipeline(
+        path, str(out), link_tables=link_tables(spec), num_shards=2, n_salts=2,
+        jsonld=True,
+    )
+    m2 = run_kg_pipeline(
+        path, str(out), link_tables=link_tables(spec), num_shards=2, n_salts=2,
+        jsonld=True,
+    )
+    assert m2["jsonld"]["n_docs"] == m1["jsonld"]["n_docs"]
+    n_lines = sum(
+        len(f.read_text().splitlines()) for f in (out / "jsonld").glob("*/*.ldj")
+    )
+    assert n_lines == m2["jsonld"]["n_docs"]
+
+
 def test_extract_prune_equivalence(ray_session, corpus_dir):
     """Mapping-derived span pruning must not change any extracted doc."""
     path, spec = corpus_dir
@@ -505,3 +526,25 @@ def test_curate_documents_reasons_and_dedup(ray_session):
     # report, so "kept" is an upper bound on the final row count
     assert int(report.loc[report["drop_reason"] == "kept", "n"].iloc[0]) == 4
     assert sorted(kept.to_pandas()["doc_id"]) == [1, 7]
+
+
+def test_curate_documents_checkpoint_dir_reuse(ray_session, tmp_path):
+    """A reused checkpoint dir is wiped first: parquet file names are unique
+    per run, so stale files would double-count every row."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.pipelines.curate import curate_documents
+
+    text = (
+        "a completely different clean document about the weather and the "
+        "ships that sail across the wide sea when the wind is strong"
+    )
+    docs = ray.data.from_pandas(
+        pd.DataFrame([{"doc_id": 1, "text": text}, {"doc_id": 2, "text": "short"}])
+    )
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):  # second run over the same dir must not double-count
+        kept, annotated, report = curate_documents(docs, checkpoint_dir=ckpt)
+        assert int(report["n"].sum()) == 2
+        assert annotated.count() == 2
