@@ -596,6 +596,83 @@ def q_minhash_dups(sf_dir: str):
     return out[["doc_a", "doc_b", "jaccard"]]
 
 
+def _curate_exact(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.pipelines.curate import curate_documents
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return curate_documents(docs, near_dedup="jaccard", jaccard_threshold=0.9)
+
+
+def q_curated_exact_docs(sf_dir: str):
+    """Fully SQL-checkable curation: quality gates → exact text dedup →
+    EXACT token-Jaccard near-dup clustering (connected components, smallest
+    id kept).  The DuckDB oracle replicates every gate formula and resolves
+    the duplicate closure with a recursive CTE."""
+    import pandas as pd
+
+    kept, _, _ = _curate_exact(sf_dir)
+    out = kept.to_pandas()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+    return out
+
+
+def q_curated_exact_report(sf_dir: str):
+    """Attrition accounting of the exact-curation gates (reasons partition
+    the corpus exactly), hash-verified against the same SQL gate formulas."""
+    _, _, report = _curate_exact(sf_dir)
+    return report.sort_values("drop_reason").reset_index(drop=True)
+
+
+_CURATE_GATES_SQL = r"""
+    feat AS (
+        SELECT doc_id, text,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+               len(regexp_extract_all(text, '[^\w\s]'))
+                   / greatest(length(text), 1) AS punct_ratio,
+               list_filter(string_split(text, chr(10)),
+                           x -> regexp_matches(x, '\S')) AS lines,
+               regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents
+    ), feat2 AS (
+        SELECT doc_id, text, n_tokens, punct_ratio, words,
+               CASE WHEN len(lines) = 0 THEN 0.0
+                    ELSE 1.0 - len(list_distinct(lines)) / len(lines)
+               END AS dup_line_frac,
+               len(list_filter(words, w -> lower(w) IN (
+                   'a','and','as','auf','con','dans','das','de','den','der',
+                   'die','el','en','es','est','et','for','für','in','is',
+                   'ist','la','le','les','los','mit','of','on','por','pour',
+                   'que','sur','that','the','to','un','una','und','une',
+                   'von','with','y','zu')))
+                   / greatest(n_tokens, 1) AS stopword_ratio
+        FROM feat
+    ), bg AS (
+        SELECT doc_id, max(c) / greatest(any_value(nw) - 1, 1) AS top_bigram_frac
+        FROM (
+            SELECT doc_id, nw, bigram, count(*) AS c
+            FROM (
+                SELECT doc_id, len(words) AS nw,
+                       unnest(list_transform(
+                           generate_series(1, len(words) - 1),
+                           i -> words[i] || chr(31) || words[i + 1])) AS bigram
+                FROM feat2
+            ) GROUP BY doc_id, nw, bigram
+        ) GROUP BY doc_id
+    ), gated AS (
+        SELECT f.doc_id, f.text,
+               CASE WHEN f.n_tokens < 10 THEN 'too_short'
+                    WHEN f.punct_ratio > 0.20 THEN 'punct'
+                    WHEN f.stopword_ratio < 0.01 THEN 'stopwords'
+                    WHEN f.dup_line_frac > 0.30 THEN 'repetitive_lines'
+                    WHEN coalesce(bg.top_bigram_frac, 0.0) > 0.20
+                         THEN 'repetitive_bigrams'
+                    ELSE '' END AS drop_reason
+        FROM feat2 f LEFT JOIN bg USING (doc_id)
+    )
+"""
+
+
 def q_quality_topdecile(sf_dir: str):
     """Curation trim composition: quality-score every doc, globally rank by
     cleanliness (punct ratio asc, doc_id tiebreak), keep the top decile —
@@ -1395,6 +1472,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_global_rank": q_orders_global_rank,
         "user_event_entropy": q_user_event_entropy,
         "quality_topdecile": q_quality_topdecile,
+        "curated_exact_docs": q_curated_exact_docs,
+        "curated_exact_report": q_curated_exact_report,
         "simhash_dups": q_simhash_dups,
         "embedding_dups": q_embedding_dups,
         "langid_pred": q_langid_pred,
@@ -1549,6 +1628,51 @@ def oracle_sql() -> dict[str, str]:
         "user_event_entropy": """
             SELECT user_id, floor(entropy(event_type) * 1e6 + 0.5) / 1e6 AS entropy
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "curated_exact_docs": "WITH RECURSIVE " + _CURATE_GATES_SQL + r""",
+            surv AS (
+                SELECT doc_id, text FROM gated WHERE drop_reason = ''
+            ), ex AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                    FROM surv
+                ) WHERE rn = 1
+            ), tok AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id, unnest(string_split(
+                        regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                        ' ')) AS tok
+                    FROM ex
+                ) WHERE tok <> ''
+            ), sz AS (
+                SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sz sa ON sa.doc_id = inter.doc_a
+                JOIN sz sb ON sb.doc_id = inter.doc_b
+                WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
+            ), edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs
+            ), cc(node, lbl) AS (
+                SELECT doc_id, doc_id FROM ex
+                UNION
+                SELECT e.b, cc.lbl FROM cc JOIN edges e ON e.a = cc.node
+            ), comp AS (
+                SELECT node, min(lbl) AS root FROM cc GROUP BY node
+            )
+            SELECT node AS doc_id FROM comp WHERE node = root ORDER BY doc_id
+        """,
+        "curated_exact_report": "WITH " + _CURATE_GATES_SQL + r"""
+            SELECT CASE WHEN drop_reason = '' THEN 'kept' ELSE drop_reason END
+                       AS drop_reason,
+                   count(*) AS n
+            FROM gated GROUP BY 1 ORDER BY 1
         """,
         "quality_topdecile": r"""
             SELECT doc_id, global_rank FROM (

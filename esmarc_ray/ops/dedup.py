@@ -883,3 +883,82 @@ def jaccard_pairs(
         return batch[["doc_a", "doc_b", "jaccard"]]
 
     return summed.map_batches(finalize, batch_format="pandas")
+
+
+def _unionfind_drop_ids(edges) -> set:
+    """Union-find over (a, b) edges merging toward the MIN id; returns the
+    ids whose component representative is some other (smaller) id — the
+    same keep rule as the distributed connected-components path."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x for x in parent if find(x) != x}
+
+
+def jaccard_dedup(
+    docs: ray.data.Dataset,
+    *,
+    threshold: float = 0.9,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    max_doc_freq: int | None = None,
+    num_partitions: int = 64,
+    broadcast_pair_limit: int = 100_000,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """EXACT near-dup removal: :func:`jaccard_pairs` → connected components
+    → keep the smallest id per component (same keep rule as
+    :func:`minhash_dedup`, but deterministic and fully SQL-checkable — the
+    whole pipeline has a DuckDB formulation incl. a recursive-CTE closure).
+
+    Returns (deduped docs, confirmed pair table).  Same size-gated plan
+    switch as :func:`minhash_dedup`: at or under ``broadcast_pair_limit``
+    pairs the clustering is a driver union-find over the (tiny) pair table
+    — near-similarity graphs of templated corpora form long CHAINS, whose
+    diameter makes round-based label propagation pay one Ray round per hop;
+    union-find collapses that in milliseconds.  Above the limit everything
+    stays a Dataset op (distributed components + hash anti-join).
+    """
+    from esmarc_ray.ops.graph import connected_components
+    from esmarc_ray.ops.relational import partitioned_join
+
+    pairs = jaccard_pairs(
+        docs, threshold=threshold, id_column=id_column, text_column=text_column,
+        max_doc_freq=max_doc_freq, num_partitions=num_partitions,
+    ).materialize()
+    if pairs.count() <= broadcast_pair_limit:
+        drop_ids = _unionfind_drop_ids(
+            (r["doc_a"], r["doc_b"]) for r in pairs.take_all()
+        )
+        deduped = docs.map_batches(
+            lambda b: b[~b[id_column].isin(drop_ids)], batch_format="pandas"
+        )
+        return deduped, pairs
+    components = connected_components(pairs, u="doc_a", v="doc_b")
+    drop = components.filter(expr="node != component").map_batches(
+        lambda b: pd.DataFrame({"__key": b["node"], "__drop": 1}),
+        batch_format="pandas",
+    )
+    doc_cols = list(docs.columns())
+    keyed = docs.map_batches(
+        lambda b: b.assign(__key=b[id_column].astype(str)), batch_format="pandas"
+    )
+    deduped = (
+        partitioned_join(
+            keyed, drop, "__key",
+            left_cols=doc_cols, right_cols=["__drop"],
+            how="left", num_partitions=num_partitions,
+        )
+        .map_batches(lambda b: b[b["__drop"].isna()], batch_format="pandas")
+        .drop_columns(["__key", "__drop"])
+    )
+    return deduped, pairs

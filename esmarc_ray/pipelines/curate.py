@@ -56,6 +56,8 @@ def curate_documents(
     id_column: str = "doc_id",
     text_column: str = "text",
     minhash_threshold: float = 0.8,
+    near_dedup: "str | None" = "minhash",
+    jaccard_threshold: float = 0.9,
     checkpoint_dir: "str | None" = None,
     **gate_overrides,
 ) -> tuple[ray.data.Dataset, ray.data.Dataset, pd.DataFrame]:
@@ -67,11 +69,19 @@ def curate_documents(
     removal happens after the report (its victims are not gate failures);
     the report's ``kept`` row is therefore an upper bound on final rows.
 
+    ``near_dedup`` selects the near-duplicate stage: ``"minhash"``
+    (default; LSH-approximate, the 100 TB path), ``"jaccard"`` (EXACT
+    token-set Jaccard + connected components — deterministic and fully
+    SQL-checkable end to end, the correctness anchor), or ``None`` (gates +
+    exact dedup only).
+
     ``checkpoint_dir``: where the annotated stream parks between its three
     consumers (default: a fresh tmp dir) — parquet checkpoint, not
     ``materialize()``, so the corpus spills to disk and a failed run can
     resume from it.
     """
+    if near_dedup not in ("minhash", "jaccard", None):
+        raise ValueError(near_dedup)
     gates = {**DEFAULT_GATES, **gate_overrides}
     bench: set[int] = set()
     for t in benchmark_texts or []:
@@ -151,5 +161,15 @@ def curate_documents(
         [id_column, text_column]
     )
     deduped = exact_dedup(survivors, text_column, id_column)
-    kept, _clusters = minhash_dedup(deduped, threshold=minhash_threshold)
+    if near_dedup == "minhash":
+        kept, _clusters = minhash_dedup(deduped, threshold=minhash_threshold)
+    elif near_dedup == "jaccard":
+        from esmarc_ray.ops.dedup import jaccard_dedup
+
+        kept, _clusters = jaccard_dedup(
+            deduped, threshold=jaccard_threshold,
+            id_column=id_column, text_column=text_column,
+        )
+    else:
+        kept = deduped
     return kept, annotated, report

@@ -528,6 +528,37 @@ def test_curate_documents_reasons_and_dedup(ray_session):
     assert sorted(kept.to_pandas()["doc_id"]) == [1, 7]
 
 
+def test_curate_documents_exact_variant_matches_sql(ray_session):
+    """near_dedup='jaccard' end to end equals the recursive-CTE DuckDB
+    formulation (gates + exact dedup + exact-Jaccard closure)."""
+    import importlib.util
+
+    import duckdb
+    import ray.data
+
+    spec = importlib.util.spec_from_file_location("entry", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sf = "/root/testdata/sf0.001"
+    got = mod.queries()["curated_exact_docs"](sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    exp = con.execute(mod.oracle_sql()["curated_exact_docs"]).df()
+    assert len(got) > 0 and got.reset_index(drop=True).equals(exp)
+
+
+def test_unionfind_drop_matches_chain_closure(ray_session):
+    """Chain graph a-b-c-d: union-find keeps only the minimum of the chain —
+    the same closure the recursive CTE computes (the long-diameter case that
+    made round-based label propagation pathological)."""
+    from esmarc_ray.ops.dedup import _unionfind_drop_ids
+
+    drops = _unionfind_drop_ids([("b", "c"), ("a", "b"), ("c", "d"), ("x", "y")])
+    assert drops == {"b", "c", "d", "y"}
+
+
 def test_curate_documents_checkpoint_dir_reuse(ray_session, tmp_path):
     """A reused checkpoint dir is wiped first: parquet file names are unique
     per run, so stale files would double-count every row."""
