@@ -4,21 +4,27 @@ Used for the sameAs closure in canonicalization (north rule: canonical keys
 are "GND ID, ISIL, sameAs closure"): entities transitively linked through
 shared identifiers must merge even when their direct keys differ.
 
-Algorithm: min-label propagation — every node starts labeled with itself;
-each round every node takes the minimum label among itself and its
-neighbors, implemented with the repo's hash-partition pattern (tag rows,
-union, ``groupby(part)``, pandas merge/min inside the partition — one
-reducer call per partition, never per key).  Converged when an
-order-insensitive checksum of the (node, label) set stops changing.
-Rounds ≈ graph diameter; identifier graphs are near-star-shaped
-(diameter ≤ 3-4).  Each round materializes only the two-string-column
-label table — payload tables never enter the loop.
+Algorithm: min-label propagation fused with pointer jumping — every node
+starts labeled with itself; each round every node takes the minimum of
+(a) its own label, (b) its neighbors' labels (one-hop propagation), and
+(c) its label's label (pointer-jump shortcut).  (b) spans new nodes, (c)
+halves the remaining pointer-chain depth, so rounds needed ≈ log2(diameter)
+instead of diameter — long similarity CHAINS (templated corpora) converge
+as fast as the star-shaped sameAs closure.
+
+Both updates are computed in ONE co-partitioned exchange per round: edge
+rows keyed by src, jump-query rows keyed by the current label, label rows
+keyed by node, all hash-partitioned on the key and resolved with a pandas
+merge inside each partition (one reducer call per partition, never per
+key).  A second exchange takes the per-node min.  Only the two-string-column
+label table shuffles per round; the tagged edge table is materialized once
+outside the loop.  Converged when an order-insensitive checksum of the
+(node, label) set stops changing.
 """
 
 from __future__ import annotations
 
-import zlib
-
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -26,21 +32,29 @@ _EMPTY = {"node": pd.Series(dtype="object"), "label": pd.Series(dtype="object")}
 
 
 def _part_series(keys: pd.Series, num_partitions: int) -> pd.Series:
-    return keys.map(lambda k: zlib.crc32(str(k).encode()) % num_partitions).astype("int32")
+    # vectorized (pandas C siphash) — a per-row crc32 .map here would run a
+    # Python loop inside the hot tag stage
+    return (
+        pd.util.hash_pandas_object(keys.astype(str), index=False) % num_partitions
+    ).astype("int32")
 
 
 def _label_checksum(labels: ray.data.Dataset) -> int:
-    """Order-insensitive checksum of (node, label) — XOR of row CRCs."""
+    """Order-insensitive checksum of (node, label): wraparound SUM of
+    64-bit siphash row hashes.  NOT xor-of-crc32 — crc32 is affine over
+    GF(2), so xor-aggregating it collides SYSTEMATICALLY on same-length
+    label tables (two different propagation rounds hashed equal and broke
+    the convergence loop early)."""
 
     def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        acc = 0
-        for s in batch["node"] + "\x1f" + batch["label"]:
-            acc ^= zlib.crc32(s.encode())
-        return pd.DataFrame({"crc": [acc]})
+        h = pd.util.hash_pandas_object(
+            batch["node"] + "\x1f" + batch["label"], index=False
+        ).to_numpy()
+        return pd.DataFrame({"h": [int(np.sum(h, dtype=np.uint64))]})
 
     acc = 0
     for row in labels.map_batches(per_batch, batch_format="pandas").take_all():
-        acc ^= row["crc"]
+        acc = (acc + int(row["h"])) & 0xFFFFFFFFFFFFFFFF  # wraparound add
     return acc
 
 
@@ -75,12 +89,15 @@ def connected_components(
     Returns a Dataset (node, component) where component = min node id (string
     order) of the node's component.  ``max_rounds`` bounds the propagation.
 
-    Partitioning/convergence assumption: propagation moves labels one hop per
-    round (each round = two hash-partitioned shuffles of the two-column label
-    table), so rounds needed = graph diameter.  The intended workload — the
-    sameAs/identifier closure — is a doc↔identifier bipartite graph whose
-    components are star-shaped (diameter ≤ ~4); for general graphs with long
-    chains raise ``max_rounds`` or switch to star-contraction.
+    Each round fuses one-hop label propagation with a pointer-jumping
+    shortcut in a single co-partitioned exchange (see module docstring):
+    propagation spans neighbors, shortcutting halves the remaining pointer
+    depth, so rounds needed ≈ log2(diameter) — the default ``max_rounds=8``
+    covers diameters up to ~2^8 (long similarity chains from templated
+    corpora included), while the star-shaped sameAs closure still converges
+    in 2-3 rounds.  Exactly two shuffles per round (resolve + per-node min),
+    each moving only two-string-column tables; every intermediate referenced
+    more than once is materialized so no lineage re-executes.
     """
 
     def to_directed(batch: pd.DataFrame) -> pd.DataFrame:
@@ -91,7 +108,20 @@ def connected_components(
         out["dst"] = out["dst"].astype(str)
         return out
 
-    directed = edges.map_batches(to_directed, batch_format="pandas").materialize()
+    directed = edges.map_batches(to_directed, batch_format="pandas")
+
+    def tag_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": batch["src"],
+                "other": batch["dst"],
+                "side": "e",
+                "part": _part_series(batch["src"], num_partitions),
+            }
+        )
+
+    # the tagged edge table never changes across rounds — shuffle-tag it once
+    tagged_edges = directed.map_batches(tag_edges, batch_format="pandas").materialize()
 
     def init_labels(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": batch["src"], "label": batch["src"]})
@@ -100,46 +130,55 @@ def connected_components(
         directed.map_batches(init_labels, batch_format="pandas"), num_partitions
     ).materialize()
 
+    def tag_labels_and_queries(batch: pd.DataFrame) -> pd.DataFrame:
+        # one pass over labels emits BOTH row kinds: the label row itself
+        # (key = node) and the pointer-jump query (key = current label,
+        # asking "what is my label's label?")
+        lab = pd.DataFrame(
+            {
+                "key": batch["node"],
+                "other": batch["label"],
+                "side": "l",
+                "part": _part_series(batch["node"], num_partitions),
+            }
+        )
+        q = pd.DataFrame(
+            {
+                "key": batch["label"],
+                "other": batch["node"],
+                "side": "q",
+                "part": _part_series(batch["label"], num_partitions),
+            }
+        )
+        return pd.concat([lab, q], ignore_index=True)
+
+    def resolve(part: pd.DataFrame) -> pd.DataFrame:
+        """One partition of the fused exchange: label rows pass through as
+        (node, label) candidates; edge rows become (dst, label-of-src);
+        query rows become (node, label-of-label).  All three feed the
+        per-node min — labels only ever decrease within a component."""
+        lab = part[part["side"] == "l"][["key", "other"]]
+        out = [pd.DataFrame({"node": lab["key"], "label": lab["other"]})]
+        if not lab.empty:
+            lut = lab.rename(columns={"other": "label"})
+            for side in ("e", "q"):
+                rows = part[part["side"] == side][["key", "other"]]
+                if rows.empty:
+                    continue
+                merged = rows.merge(lut, on="key", how="inner")
+                out.append(
+                    pd.DataFrame({"node": merged["other"], "label": merged["label"]})
+                )
+        res = pd.concat(out, ignore_index=True)
+        return res if not res.empty else pd.DataFrame(_EMPTY)
+
     checksum = _label_checksum(labels)
     for _ in range(max_rounds):
-        # propagate: every dst receives src's current label.  The join is the
-        # tag-union-partition pattern: edge rows keyed by src, label rows keyed
-        # by node, co-partitioned by crc32(key) % P, merged per partition.
-        def tag_edges(batch: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "key": batch["src"],
-                    "other": batch["dst"],
-                    "side": "e",
-                    "part": _part_series(batch["src"], num_partitions),
-                }
-            )
-
-        def tag_labels(batch: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "key": batch["node"],
-                    "other": batch["label"],
-                    "side": "l",
-                    "part": _part_series(batch["node"], num_partitions),
-                }
-            )
-
-        def partition_messages(part: pd.DataFrame) -> pd.DataFrame:
-            lab = part[part["side"] == "l"][["key", "other"]].rename(
-                columns={"other": "label"}
-            )
-            edge = part[part["side"] == "e"][["key", "other"]]
-            if lab.empty or edge.empty:
-                return pd.DataFrame(_EMPTY)
-            merged = edge.merge(lab, on="key", how="inner")
-            return pd.DataFrame({"node": merged["other"], "label": merged["label"]})
-
-        tagged = directed.map_batches(tag_edges, batch_format="pandas").union(
-            labels.map_batches(tag_labels, batch_format="pandas")
+        tagged = tagged_edges.union(
+            labels.map_batches(tag_labels_and_queries, batch_format="pandas")
         )
-        msgs = tagged.groupby("part").map_groups(partition_messages, batch_format="pandas")
-        new_labels = _min_by_node(labels.union(msgs), num_partitions).materialize()
+        msgs = tagged.groupby("part").map_groups(resolve, batch_format="pandas")
+        new_labels = _min_by_node(msgs, num_partitions).materialize()
         new_checksum = _label_checksum(new_labels)
         labels = new_labels
         if new_checksum == checksum:

@@ -54,3 +54,18 @@ def test_connected_components_matches_union_find(ray_session):
     ).to_pandas()
     got = dict(zip(got_df["node"], got_df["component"]))
     assert got == expected
+
+
+def test_connected_components_long_chain(ray_session):
+    """A 100-node chain (diameter 99) must converge within the default
+    max_rounds=8 — only possible with the pointer-jumping shortcut
+    (one-hop propagation alone needs 99 rounds).  This is the shape of
+    near-dup similarity graphs over templated corpora."""
+    nodes = [f"c{i:03d}" for i in range(100)]
+    edges = list(zip(nodes, nodes[1:]))
+    got_df = connected_components(
+        ray.data.from_pandas(pd.DataFrame(edges, columns=["u", "v"])),
+        num_partitions=4,
+    ).to_pandas()
+    assert set(got_df["component"]) == {"c000"}
+    assert len(got_df) == 100
