@@ -1415,6 +1415,96 @@ def q_curation_report(sf_dir: str):
     return report
 
 
+def q_source_quota(sf_dir: str):
+    """Per-source quota cap (the per-domain cap of web curation): at most 40
+    docs per source, chosen deterministically by md5(42:doc_id) order —
+    hash-partitioned reducer over GROUPS, SQL-checkable via ROW_NUMBER."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import quota_per_group
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return quota_per_group(
+        docs, ["source"], 40, id_column="doc_id", seed=42, num_partitions=16
+    )
+
+
+def q_events_value_hist(sf_dir: str):
+    """Fixed-width histogram of events.value (bin width 25 over [0, 500)):
+    map-only binning + combiner aggregation; bin formula is IEEE-double
+    identical to the SQL oracle's."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import value_histogram
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return value_histogram(events, "value", lo=0.0, hi=500.0, width=25.0)
+
+
+def q_norm_text_md5(sf_dir: str):
+    """Text normalization checked VALUE-exactly on every row: the oracle
+    recomputes lower→collapse-whitespace→trim in SQL and compares md5s."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.text import normalize_text
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def digest(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_md5": [
+                    hashlib.md5(t.encode()).hexdigest() if isinstance(t, str) else None
+                    for t in batch["norm_text"]
+                ],
+            }
+        )
+
+    return normalize_text(docs, "text").map_batches(digest, batch_format="pandas")
+
+
+def q_urgent_low_outer(sf_dir: str):
+    """FULL OUTER JOIN of two disjoint-domain aggregates (customers with
+    urgent orders vs customers with low-priority orders): exercises the
+    outer path of partitioned_join — both sides preserved unmatched."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    urgent = partial_groupby_agg(
+        orders.filter(expr="o_orderpriority == '1-URGENT'"),
+        ["o_custkey"],
+        {"n_urgent": ("o_orderpriority", "count")},
+    )
+    low = partial_groupby_agg(
+        orders.filter(expr="o_orderpriority == '5-LOW'"),
+        ["o_custkey"],
+        {"n_low": ("o_orderpriority", "count")},
+    )
+    out = partitioned_join(
+        urgent, low, "o_custkey",
+        left_cols=["n_urgent"], right_cols=["n_low"],
+        how="outer", num_partitions=16,
+    ).to_pandas()
+    import pandas as pd
+
+    for c in ("n_urgent", "n_low"):
+        out[c] = pd.to_numeric(out[c]).fillna(0).astype("int64")
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -1508,6 +1598,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic-shuffle training-shard export
         "shard_assignment": q_shard_assignment,
         "shard_sizes": q_shard_sizes,
+        # per-group quota cap / histogram / normalization / full outer join
+        "source_quota": q_source_quota,
+        "events_value_hist": q_events_value_hist,
+        "norm_text_md5": q_norm_text_md5,
+        "urgent_low_outer": q_urgent_low_outer,
     }
 
 
@@ -2049,5 +2144,39 @@ def oracle_sql() -> dict[str, str]:
                       WHEN '3-MEDIUM' THEN 1000
                       ELSE 200
                   END
+        """,
+        "source_quota": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 40
+        """,
+        "events_value_hist": """
+            SELECT CAST(floor((value - 0.0) / 25.0) AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM events
+            WHERE value >= 0.0 AND value < 500.0
+            GROUP BY bin
+        """,
+        "norm_text_md5": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text),
+                                           '[ \t\n\r\f\v]+', ' ', 'g'),
+                            ' ')) AS norm_md5
+            FROM documents
+        """,
+        "urgent_low_outer": """
+            WITH u AS (SELECT o_custkey, count(*) AS n_urgent FROM orders
+                       WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+                 l AS (SELECT o_custkey, count(*) AS n_low FROM orders
+                       WHERE o_orderpriority = '5-LOW' GROUP BY o_custkey)
+            SELECT COALESCE(u.o_custkey, l.o_custkey) AS o_custkey,
+                   COALESCE(n_urgent, 0) AS n_urgent,
+                   COALESCE(n_low, 0) AS n_low
+            FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey
         """,
     }

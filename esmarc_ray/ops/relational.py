@@ -137,15 +137,20 @@ def partitioned_join(
     chains freely.  ``left_cols`` / ``right_cols`` are the payload columns of
     each side (disjoint names; ``on`` excluded).
 
+    ``how`` ∈ {"inner", "left", "outer"} ("full" is an alias for "outer").
+
     NULL semantics match SQL: rows with a null join key never match (pandas
-    merge would equate NaN==NaN) — null-key right rows are dropped, null-key
-    left rows are dropped for ``how="inner"`` and kept unmatched for
-    ``how="left"``."""
+    merge would equate NaN==NaN) — null-key rows are dropped on sides the
+    join does not preserve and kept unmatched on sides it does (left side
+    for ``how="left"``, both for ``how="outer"``)."""
+    if how == "full":
+        how = "outer"
     all_payload = left_cols + right_cols
 
     def tag(side: str, payload: list[str]):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            if side == "R" or how == "inner":
+            preserved = how == "outer" or (how == "left" and side == "L")
+            if not preserved:
                 batch = batch[batch[on].notna()]
             out = pd.DataFrame({"__on": batch[on]})
             for c in all_payload:
@@ -162,7 +167,17 @@ def partitioned_join(
     def merge(part: pd.DataFrame) -> pd.DataFrame:
         lf = part[part["__side"] == "L"][["__on"] + left_cols]
         rf = part[part["__side"] == "R"][["__on"] + right_cols]
-        out = lf.merge(rf, on="__on", how=how)
+        # null keys never equi-match (SQL): merge only non-null keys, then
+        # append preserved null-key rows unmatched (payload of the other
+        # side NaN-filled).  Tagging already dropped nulls on non-preserved
+        # sides, so these frames are empty unless the join keeps them.
+        lnull, rnull = lf[lf["__on"].isna()], rf[rf["__on"].isna()]
+        out = lf[lf["__on"].notna()].merge(rf[rf["__on"].notna()], on="__on", how=how)
+        for nulls in (lnull, rnull):
+            if not nulls.empty:
+                out = pd.concat(
+                    [out, nulls.reindex(columns=out.columns)], ignore_index=True
+                )
         return out.rename(columns={"__on": on})
 
     tagged = left.map_batches(tag("L", left_cols), batch_format="pandas").union(
@@ -1457,3 +1472,80 @@ def grouped_entropy(
         .groupby("__part")
         .map_groups(reduce_partition, batch_format="pandas")
     )
+
+
+def quota_per_group(
+    ds: ray.data.Dataset,
+    group_keys: list[str],
+    k: int,
+    *,
+    id_column: str,
+    seed: int = 42,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-group quota cap — web-corpus curation's "at most ``k`` docs per
+    domain/source" step.  Rows are chosen deterministically by
+    ``md5(seed:id)`` order, so the selection is reproducible across runs AND
+    SQL-expressible for the driver oracle
+    (``ROW_NUMBER() OVER (PARTITION BY g ORDER BY md5(...), id) <= k``).
+
+    Two-phase, like :func:`topk_per_group` but without its per-group reducer:
+    each batch first prunes to its own per-group quota (the shuffle then
+    carries ≤ k rows per group × batch), and the final pass hash-partitions
+    GROUPS across ``num_partitions`` reducers that re-apply the quota with
+    one vectorized ``sort_values().groupby().head()`` per PARTITION — at web
+    scale the group key is a domain with millions of distinct values, so one
+    UDF call per group would be ruinous.
+    """
+    import hashlib
+
+    order = ["__qk", id_column]
+    add_part = _add_hash_part(group_keys, num_partitions)
+
+    def local_quota(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__qk"] = [
+            hashlib.md5(f"{seed}:{v}".encode()).hexdigest() for v in batch[id_column]
+        ]
+        batch = (
+            batch.sort_values(order).groupby(group_keys, sort=False).head(k)
+        )
+        return add_part(batch)
+
+    def partition_quota(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.sort_values(order).groupby(group_keys, sort=False).head(k)
+        return out.drop(columns=["__qk", "__part"])
+
+    return (
+        ds.map_batches(local_quota, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(partition_quota, batch_format="pandas")
+    )
+
+
+def value_histogram(
+    ds: ray.data.Dataset,
+    column: str,
+    *,
+    lo: float,
+    hi: float,
+    width: float,
+    out_name: str = "n",
+) -> ray.data.Dataset:
+    """Fixed-width histogram of a numeric column: one row per occupied bin,
+    ``bin = floor((v - lo) / width)`` for ``lo <= v < hi`` (out-of-range rows
+    are dropped; empty bins are absent).  The bin formula runs in IEEE-double
+    arithmetic identical to SQL's, so the driver oracle recomputes it exactly.
+
+    Map-only binning + the :func:`partial_groupby_agg` combiner: the shuffle
+    moves at most one row per (batch × occupied bin), never the values.
+    """
+
+    def binify(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[column].to_numpy(dtype="float64")
+        mask = (v >= lo) & (v < hi)
+        bins = np.floor((v[mask] - lo) / width).astype("int64")
+        return pd.DataFrame({"bin": bins})
+
+    binned = ds.map_batches(binify, batch_format="pandas")
+    return partial_groupby_agg(binned, ["bin"], {out_name: ("bin", "count")})

@@ -571,3 +571,27 @@ def paragraph_dedup(
         .groupby("__part")
         .map_groups(rebuild, batch_format="pandas")
     )
+
+
+def normalize_text(
+    ds: "ray.data.Dataset", column: str = "text", out: str = "norm_text"
+) -> "ray.data.Dataset":
+    """Canonical text normalization (the step before exact/near dedup):
+    lowercase, collapse runs of ASCII whitespace to one space, trim.  The
+    transform is restricted to RE2/SQL-expressible pieces on purpose so the
+    driver oracle can recompute it verbatim
+    (``trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ')``);
+    null input stays null.  Map-only, vectorized pandas str kernels.
+    """
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[out] = (
+            batch[column]
+            .str.lower()
+            .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True)
+            .str.strip(" ")
+        )
+        return batch
+
+    return ds.map_batches(norm, batch_format="pandas")

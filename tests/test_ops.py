@@ -1437,3 +1437,73 @@ def test_export_training_shards_deterministic(ray_session, tmp_path):
     a0 = assign_shards(docs, n_shards=4, seed=7).to_pandas()
     a1 = assign_shards(docs, n_shards=4, seed=8).to_pandas()
     assert not a0["shard"].equals(a1["shard"])  # seed actually reshuffles
+
+
+def test_quota_per_group_matches_rownumber(ray_session):
+    """quota_per_group == SQL ROW_NUMBER() OVER (PARTITION BY g ORDER BY
+    md5(seed:id), id) <= k, including a group smaller than the quota."""
+    import hashlib
+
+    rows = [{"g": f"s{i % 3}", "id": i} for i in range(40)] + [{"g": "tiny", "id": 99}]
+    df = pd.DataFrame(rows)
+    got = (
+        relational.quota_per_group(
+            ray.data.from_pandas(df), ["g"], 4, id_column="id", num_partitions=4
+        )
+        .to_pandas()
+        .sort_values(["g", "id"])
+        .reset_index(drop=True)
+    )
+    df["__qk"] = [hashlib.md5(f"42:{v}".encode()).hexdigest() for v in df["id"]]
+    want = (
+        df.sort_values(["__qk", "id"]).groupby("g", sort=False).head(4)
+        [["g", "id"]].sort_values(["g", "id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "id"]], want)
+    assert (got.groupby("g").size() <= 4).all()
+    assert (got["g"] == "tiny").sum() == 1  # under-quota group kept whole
+
+
+def test_value_histogram_matches_numpy(ray_session):
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([rng.uniform(-10, 110, 500), [0.0, 99.999, 100.0, -0.001]])
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals}))
+    got = relational.value_histogram(ds, "v", lo=0.0, hi=100.0, width=10.0).to_pandas()
+    in_range = vals[(vals >= 0.0) & (vals < 100.0)]
+    want = pd.Series(np.floor(in_range / 10.0).astype("int64")).value_counts()
+    assert dict(zip(got["bin"], got["n"])) == want.to_dict()
+    assert got["bin"].between(0, 9).all()  # 100.0 / -0.001 excluded
+
+
+def test_normalize_text(ray_session):
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["  Hello\t\tWORLD \n", "a  b", "already clean"]}
+    )
+    got = (
+        text.normalize_text(ray.data.from_pandas(df), "text")
+        .to_pandas()
+        .sort_values("doc_id")["norm_text"]
+        .tolist()
+    )
+    assert got == ["hello world", "a b", "already clean"]
+
+
+def test_partitioned_join_outer_null_semantics(ray_session):
+    """FULL OUTER: unmatched rows of BOTH sides preserved; null keys never
+    equi-match (SQL), even when both sides carry nulls."""
+    left = pd.DataFrame({"k": ["a", "b", None], "lv": [1, 2, 3]})
+    right = pd.DataFrame({"k": ["b", "c", None], "rv": [10, 20, 30]})
+    got = relational.partitioned_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), "k",
+        left_cols=["lv"], right_cols=["rv"], how="outer", num_partitions=4,
+    ).to_pandas()
+    assert len(got) == 5  # a, b(matched), c, null-left, null-right
+    b = got[got["k"] == "b"]
+    assert len(b) == 1 and b["lv"].iloc[0] == 2 and b["rv"].iloc[0] == 10
+    a = got[got["k"] == "a"]
+    assert a["rv"].isna().all()
+    c = got[got["k"] == "c"]
+    assert c["lv"].isna().all()
+    nulls = got[got["k"].isna()]
+    assert len(nulls) == 2  # kept, but never matched to each other
+    assert not ((nulls["lv"].notna()) & (nulls["rv"].notna())).any()
