@@ -25,12 +25,19 @@ def partial_groupby_agg(
     aggs: dict[str, tuple[str, str]],
     *,
     pre_map: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    num_partitions: int = 32,
 ) -> ray.data.Dataset:
     """Partial/final groupby aggregation.
 
     ``aggs``: output column → (input column, fn) with fn ∈ {sum, count, min,
     max, mean}.  mean is computed as a (sum, count) pair and finalized after
     the shuffle, so the partial step stays associative.
+
+    The final merge hash-partitions KEYS across ``num_partitions`` reducers
+    and re-aggregates each partition with one vectorized pandas groupby —
+    never one UDF call per distinct key (a groupby(keys).map_groups final
+    pays per-group Python dispatch: ~2.5× slower at 15k groups, ruinous at
+    web-scale key cardinalities).
     """
     plan: list[tuple[str, str, str]] = []  # (out, src, fn)
     for out, (src, fn) in aggs.items():
@@ -54,27 +61,26 @@ def partial_groupby_agg(
                 out[name] = grouped[src].agg(fn)[src].to_numpy()
         return out
 
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        # column-wise scalar: group.iloc[0][k] extracts a ROW Series, which
-        # upcasts int keys to float when sibling columns are float
-        row: dict[str, Any] = {k: [group[k].iloc[0]] for k in keys}
-        partials: dict[str, Any] = {}
+    def final_partition(part: pd.DataFrame) -> pd.DataFrame:
+        grouped = part.groupby(keys, as_index=False, sort=False)
+        out = grouped.size()[keys]
         for name, _, fn in plan:
-            if fn in ("sum", "count"):
-                partials[name] = group[name].sum()
-            elif fn == "min":
-                partials[name] = group[name].min()
-            elif fn == "max":
-                partials[name] = group[name].max()
-        for out, (src, fn) in aggs.items():
+            merge_fn = "sum" if fn in ("sum", "count") else fn
+            out[name] = grouped[name].agg(merge_fn)[name].to_numpy()
+        for name, (src, fn) in aggs.items():
             if fn == "mean":
-                row[out] = [partials[f"__{out}_sum"] / partials[f"__{out}_cnt"]]
-            else:
-                row[out] = [partials[out]]
-        return pd.DataFrame(row)
+                out[name] = out[f"__{name}_sum"] / out[f"__{name}_cnt"]
+                out = out.drop(columns=[f"__{name}_sum", f"__{name}_cnt"])
+        return out
 
-    return ds.map_batches(partial, batch_format="pandas").groupby(keys).map_groups(
-        final, batch_format="pandas"
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(_add_hash_part(keys, num_partitions), batch_format="pandas")
+        .groupby("__part")
+        .map_groups(
+            lambda part: final_partition(part.drop(columns="__part")),
+            batch_format="pandas",
+        )
     )
 
 
@@ -219,13 +225,16 @@ def topk_per_group(
             .head(k)
         )
 
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(by, ascending=ascending).head(k)
+    def final_topk(part: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized sort+head per PARTITION of groups, not per group
+        return (
+            part.sort_values(by, ascending=ascending)
+            .groupby(group_keys, sort=False)
+            .head(k)
+        )
 
-    return (
-        ds.map_batches(local_topk, batch_format="pandas")
-        .groupby(group_keys)
-        .map_groups(final_topk, batch_format="pandas")
+    return partitioned_final(
+        ds.map_batches(local_topk, batch_format="pandas"), group_keys, final_topk
     )
 
 
@@ -243,15 +252,14 @@ def distinct_count(
     def local_distinct(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[cols].drop_duplicates()
 
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        row = {key: [group[key].iloc[0]] for key in group_keys}
-        row[out_name] = [group[value_column].nunique()]
-        return pd.DataFrame(row)
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.groupby(group_keys, as_index=False, sort=False)[
+            value_column
+        ].nunique()
+        return out.rename(columns={value_column: out_name})
 
-    return (
-        ds.map_batches(local_distinct, batch_format="pandas")
-        .groupby(group_keys)
-        .map_groups(final, batch_format="pandas")
+    return partitioned_final(
+        ds.map_batches(local_distinct, batch_format="pandas"), group_keys, final
     )
 
 
@@ -311,6 +319,31 @@ def broadcast_asof_join(
         return merged.loc[original_order].reset_index(drop=True)
 
     return left.map_batches(join, batch_format="pandas")
+
+
+def partitioned_final(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    final_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Run a final/merge step once per hash-PARTITION of the keys instead of
+    once per distinct key: replaces ``groupby(keys).map_groups(per_key_fn)``,
+    which pays Ray block-slice + Python dispatch per group (ruinous at
+    web-scale key cardinalities).  ``final_fn`` receives every partial row of
+    every key hashed to the partition and must group internally (vectorized
+    ``df.groupby`` — or a plain Python loop over groups when the per-key merge
+    is irreducibly scalar: that loop runs inside ONE task, not one task per
+    key)."""
+
+    def run(part: pd.DataFrame) -> pd.DataFrame:
+        return final_fn(part.drop(columns="__part"))
+
+    return (
+        ds.map_batches(_add_hash_part(keys, num_partitions), batch_format="pandas")
+        .groupby("__part")
+        .map_groups(run, batch_format="pandas")
+    )
 
 
 def _add_hash_part(keys: list[str], num_partitions: int):
@@ -636,20 +669,23 @@ def approx_quantile(
             rows.append(dict(zip(group_keys, key_vals)) | dict(zip(bin_cols, counts)))
         return pd.DataFrame(rows, columns=group_keys + bin_cols)
 
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        row = {key: [group[key].iloc[0]] for key in group_keys}
-        hist = group[bin_cols].to_numpy().sum(axis=0)
-        cdf = np.cumsum(hist)
-        rank = q * cdf[-1]
-        b = int(np.searchsorted(cdf, rank, side="left"))
-        row[out_name] = [lo + (b + 0.5) * width]
-        return pd.DataFrame(row)
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        # merge histograms for EVERY group in the partition at once: 2-D
+        # cumsum + row-wise searchsorted, no per-group Python dispatch
+        out = part.groupby(group_keys, as_index=False, sort=False)[bin_cols].sum()
+        cdf = np.cumsum(out[bin_cols].to_numpy(), axis=1)
+        rank = q * cdf[:, -1]
+        b = (cdf < rank[:, None]).sum(axis=1)  # == searchsorted(side="left")
+        out = out.drop(columns=bin_cols)
+        out[out_name] = lo + (b + 0.5) * width
+        return out
 
-    return (
-        ds.select_columns(group_keys + [value_column])
-        .map_batches(partial, batch_format="pandas")
-        .groupby(group_keys)
-        .map_groups(final, batch_format="pandas")
+    return partitioned_final(
+        ds.select_columns(group_keys + [value_column]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        group_keys,
+        final,
     )
 
 
@@ -893,7 +929,10 @@ def grouped_corr(
         agg["__n"] = agg["__n"].astype("float64")
         return agg
 
-    def final(group: pd.DataFrame) -> pd.DataFrame:
+    def merge_one(group: pd.DataFrame) -> float:
+        # Chan pairwise-moment merge: irreducibly sequential over a group's
+        # partials (one per batch that saw the group), but runs inside the
+        # partition task — no Ray dispatch per key
         n = mx = my = m2x = m2y = cxy = 0.0
         for p in group[part_cols].itertuples(index=False):
             n2, mx2, my2, m2x2, m2y2, cxy2 = p
@@ -908,14 +947,18 @@ def grouped_corr(
             n = tot
         denom = np.sqrt(m2x * m2y)
         val = cxy / denom if denom > 0 else float("nan")
-        if round_to is not None:
-            val = round(val, round_to)
-        row = {k: [group[k].iloc[0]] for k in keys}
-        row[out_name] = [val]
-        return pd.DataFrame(row)
+        return round(val, round_to) if round_to is not None else val
 
-    return ds.map_batches(partial, batch_format="pandas").groupby(keys).map_groups(
-        final, batch_format="pandas"
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key_vals, group in part.groupby(keys, sort=False):
+            if not isinstance(key_vals, tuple):
+                key_vals = (key_vals,)
+            rows.append(dict(zip(keys, key_vals)) | {out_name: merge_one(group)})
+        return pd.DataFrame(rows, columns=keys + [out_name])
+
+    return partitioned_final(
+        ds.map_batches(partial, batch_format="pandas"), keys, final
     )
 
 

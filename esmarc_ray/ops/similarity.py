@@ -136,21 +136,22 @@ def embedding_dim_stats(
             }
         )
 
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        n = group["__n"].sum()
-        s = group["__s"].sum()
-        s2 = group["__s2"].sum()
-        mean = s / n
-        var = max(s2 / n - mean * mean, 0.0)
-        std = float(np.sqrt(var))
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        # all dims of the partition merged in one vectorized groupby
+        out = part.groupby("dim", as_index=False, sort=False)[
+            ["__n", "__s", "__s2"]
+        ].sum()
+        mean = out["__s"] / out["__n"]
+        var = (out["__s2"] / out["__n"] - mean * mean).clip(lower=0.0)
+        std = np.sqrt(var)
         if round_to is not None:
-            mean, std = round(mean, round_to), round(std, round_to)
+            mean, std = mean.round(round_to), std.round(round_to)
         return pd.DataFrame(
-            {"dim": [group["dim"].iloc[0]], "dim_mean": [mean], "dim_std": [std]}
+            {"dim": out["dim"], "dim_mean": mean, "dim_std": std}
         )
 
-    return (
-        embeddings.map_batches(partial, batch_format="pandas")
-        .groupby("dim")
-        .map_groups(final, batch_format="pandas")
+    from esmarc_ray.ops.relational import partitioned_final
+
+    return partitioned_final(
+        embeddings.map_batches(partial, batch_format="pandas"), ["dim"], final
     )

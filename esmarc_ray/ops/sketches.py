@@ -86,16 +86,23 @@ def hll_distinct_count(
             )
         return pd.DataFrame(rows, columns=group_keys + ["__regs"])
 
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        regs = np.zeros(_HLL_M, dtype=np.int8)
-        for blob in group["__regs"]:
-            np.maximum(regs, np.frombuffer(blob, dtype=np.int8), out=regs)
-        row = {k: [group[k].iloc[0]] for k in group_keys}
-        row[out_name] = [_hll_estimate(regs)]
-        return pd.DataFrame(row)
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        # register-max merge per group, looped INSIDE the partition task —
+        # no Ray dispatch per distinct key
+        rows = []
+        for key_vals, group in part.groupby(group_keys, sort=False):
+            if not isinstance(key_vals, tuple):
+                key_vals = (key_vals,)
+            regs = np.zeros(_HLL_M, dtype=np.int8)
+            for blob in group["__regs"]:
+                np.maximum(regs, np.frombuffer(blob, dtype=np.int8), out=regs)
+            rows.append(dict(zip(group_keys, key_vals)) | {out_name: _hll_estimate(regs)})
+        return pd.DataFrame(rows, columns=group_keys + [out_name])
 
-    return ds.map_batches(partial, batch_format="pandas").groupby(group_keys).map_groups(
-        final, batch_format="pandas"
+    from esmarc_ray.ops.relational import partitioned_final
+
+    return partitioned_final(
+        ds.map_batches(partial, batch_format="pandas"), group_keys, final
     )
 
 

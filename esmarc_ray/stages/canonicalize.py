@@ -395,17 +395,22 @@ def closure_keys(
     def partial_min(batch: "pd.DataFrame") -> "pd.DataFrame":
         return batch.groupby("component", as_index=False, sort=False)["node"].min()
 
-    def final_min(batch: "pd.DataFrame") -> pa.Table:
-        out = batch.groupby("component", as_index=False, sort=False)["node"].min()
+    def final_min(part: "pd.DataFrame") -> pa.Table:
+        # one vectorized min per PARTITION of components (hash-partitioned),
+        # not one Ray map_groups dispatch per component
+        out = part.groupby("component", as_index=False, sort=False)["node"].min()
         return pa.Table.from_pydict(
             {"component": out["component"].tolist(), "canon_root": out["node"].tolist()},
             schema=_reps_schema,
         )
 
-    reps = (
-        keys_only.map_batches(partial_min, batch_format="pandas")
-        .groupby("component")
-        .map_groups(final_min, batch_format="pandas")
+    from esmarc_ray.ops.relational import partitioned_final
+
+    reps = partitioned_final(
+        keys_only.map_batches(partial_min, batch_format="pandas"),
+        ["component"],
+        final_min,
+        num_partitions=num_partitions,
     )
 
     # keys_only ⋈ reps on component — tag-union-partition join (Dataset.join
