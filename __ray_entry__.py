@@ -1505,6 +1505,22 @@ def q_urgent_low_outer(sf_dir: str):
     return out
 
 
+def q_weighted_sample_docs(sf_dir: str):
+    """Deterministic weighted sampling without replacement (A-ES keys from
+    integer-hash uniforms): 200 docs with P(pick) ∝ n_chars — the
+    data-mixing step; oracle recomputes the identical pow-key top-k."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import weighted_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_sample(
+        docs, 200, id_column="doc_id", weight_column="n_chars", seed=42
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -1603,6 +1619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_hist": q_events_value_hist,
         "norm_text_md5": q_norm_text_md5,
         "urgent_low_outer": q_urgent_low_outer,
+        "weighted_sample_docs": q_weighted_sample_docs,
     }
 
 
@@ -2178,5 +2195,15 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(n_urgent, 0) AS n_urgent,
                    COALESCE(n_low, 0) AS n_low
             FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey
+        """,
+        "weighted_sample_docs": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       pow(((doc_id * 2654435761 + 42) % 4294967296)
+                               / 4294967296.0,
+                           1.0 / n_chars) AS wkey
+                FROM documents WHERE n_chars > 0
+                ORDER BY wkey DESC LIMIT 200
+            )
         """,
     }

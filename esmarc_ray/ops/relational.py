@@ -1592,3 +1592,40 @@ def value_histogram(
 
     binned = ds.map_batches(binify, batch_format="pandas")
     return partial_groupby_agg(binned, ["bin"], {out_name: ("bin", "count")})
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    k: int,
+    *,
+    id_column: str,
+    weight_column: str,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row gets key ``u ** (1/w)`` with ``u`` a
+    reproducible uniform from the same Knuth multiplicative-hash arithmetic
+    as :func:`stratified_sample`; the global top-k keys are the sample.
+    P(selected) ∝ weight — the data-mixing step of a pretraining pipeline
+    (e.g. weight = doc length or a per-source mixture factor), stateless and
+    SQL-expressible so the driver oracle can recompute the exact pick.
+
+    Distributed as :func:`sort_topk`: each batch prunes to its local top-k,
+    the global sort sees ≤ k × n_batches rows — no full shuffle.  Rows with
+    weight ≤ 0 are never selected (u^(1/w) → key 0, and dropped up front so
+    1/0 weights can't poison the sort).
+    """
+
+    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[weight_column].to_numpy(dtype="float64")
+        h = (
+            (batch[id_column].to_numpy().astype(np.uint64) * np.uint64(2654435761))
+            + np.uint64(seed)
+        ) % np.uint64(2**32)
+        u = h.astype("float64") / 4294967296.0
+        batch = batch[w > 0].copy()
+        batch["__wkey"] = np.power(u[w > 0], 1.0 / w[w > 0])
+        return batch
+
+    keyed = ds.map_batches(add_key, batch_format="pandas")
+    return sort_topk(keyed, "__wkey", k, descending=True).drop_columns(["__wkey"])

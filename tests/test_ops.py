@@ -1507,3 +1507,29 @@ def test_partitioned_join_outer_null_semantics(ray_session):
     nulls = got[got["k"].isna()]
     assert len(nulls) == 2  # kept, but never matched to each other
     assert not ((nulls["lv"].notna()) & (nulls["rv"].notna())).any()
+
+
+def test_weighted_sample_matches_reference_topk(ray_session):
+    """A-ES sample == numpy-computed top-k of the identical pow keys; rows
+    with non-positive weight are never selected."""
+    n = 500
+    df = pd.DataFrame({"id": np.arange(n, dtype="int64")})
+    df["w"] = (df["id"] % 7 + 1).astype("float64") * 10
+    df.loc[df["id"] % 50 == 0, "w"] = 0.0  # never selectable
+    got = (
+        relational.weighted_sample(
+            ray.data.from_pandas(df), 40, id_column="id", weight_column="w", seed=42
+        )
+        .to_pandas()["id"]
+        .sort_values()
+        .to_numpy()
+    )
+    h = (df["id"].to_numpy().astype(np.uint64) * np.uint64(2654435761) + np.uint64(42)) % np.uint64(2**32)
+    u = h.astype("float64") / 4294967296.0
+    w = df["w"].to_numpy()
+    keys = np.where(w > 0, np.power(u, 1.0 / np.where(w > 0, w, 1.0)), -1.0)
+    want = np.sort(df["id"].to_numpy()[np.argsort(-keys)[:40]])
+    assert (got == want).all()
+    assert not set(got) & set(df[df["w"] == 0]["id"])
+    # heavier rows win more often: mean weight of sample >> population mean
+    assert df.set_index("id").loc[got, "w"].mean() > df["w"].mean()
