@@ -45,10 +45,9 @@ def exact_dedup(
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
         batch["part"] = (
-            batch[key_column]
-            .map(lambda k: zlib.crc32(str(k).encode()) % num_partitions)
-            .astype("int32")
-        )
+            pd.util.hash_pandas_object(batch[key_column].astype(str), index=False)
+            .to_numpy() % num_partitions
+        ).astype("int32")
         return batch
 
     def keep_first(part: pd.DataFrame) -> pd.DataFrame:
@@ -194,7 +193,9 @@ def minhash_candidates(
 
     def add_pair_part(batch: pd.DataFrame) -> pd.DataFrame:
         key = batch["doc_a"].astype(str) + "\x1f" + batch["doc_b"].astype(str)
-        batch["part"] = key.map(lambda k: zlib.crc32(k.encode()) % num_partitions).astype("int32")
+        batch["part"] = (
+            pd.util.hash_pandas_object(key, index=False).to_numpy() % num_partitions
+        ).astype("int32")
         return batch
 
     def distinct_pairs(part: pd.DataFrame) -> pd.DataFrame:
@@ -245,7 +246,9 @@ def _distinct_on(ds: ray.data.Dataset, columns: list[str], num_partitions: int =
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[columns].drop_duplicates()
         key = batch[columns].astype(str).agg("\x1f".join, axis=1)
-        batch["part"] = key.map(lambda k: zlib.crc32(k.encode()) % num_partitions).astype("int32")
+        batch["part"] = (
+            pd.util.hash_pandas_object(key, index=False).to_numpy() % num_partitions
+        ).astype("int32")
         return batch
 
     return (

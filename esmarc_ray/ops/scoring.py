@@ -46,7 +46,9 @@ def triple_pr(
             + "\x1f" + batch["pred"].astype(str)
             + "\x1f" + batch["obj"].astype(str)
         )
-        batch["part"] = key.map(lambda k: zlib.crc32(k.encode()) % num_partitions).astype("int32")
+        batch["part"] = (
+            pd.util.hash_pandas_object(key, index=False).to_numpy() % num_partitions
+        ).astype("int32")
         return batch
 
     def score_partition(part: pd.DataFrame) -> pd.DataFrame:

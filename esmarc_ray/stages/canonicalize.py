@@ -421,8 +421,9 @@ def closure_keys(
         return pd.DataFrame(
             {
                 "component": df["component"], "payload": df["node"], "side": "k",
-                "part": df["component"].map(
-                    lambda c: zlib.crc32(c.encode()) % num_partitions
+                "part": (
+                    pd.util.hash_pandas_object(df["component"], index=False)
+                    .to_numpy() % num_partitions
                 ).astype("int32"),
             }
         )
@@ -432,8 +433,9 @@ def closure_keys(
         return pd.DataFrame(
             {
                 "component": df["component"], "payload": df["canon_root"], "side": "r",
-                "part": df["component"].map(
-                    lambda c: zlib.crc32(c.encode()) % num_partitions
+                "part": (
+                    pd.util.hash_pandas_object(df["component"], index=False)
+                    .to_numpy() % num_partitions
                 ).astype("int32"),
             }
         )
@@ -684,7 +686,12 @@ def dedup_triples(
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
         key = batch["subj"] + "\x1f" + batch["pred"] + "\x1f" + batch["obj"]
-        batch["part"] = key.map(lambda k: zlib.crc32(k.encode()) % num_partitions).astype("int32")
+        # vectorized (pandas C siphash): a per-row crc32 .map here runs a
+        # Python loop over every emitted triple — the hottest key count in
+        # the engine (~23 triples/doc)
+        batch["part"] = (
+            pd.util.hash_pandas_object(key, index=False).to_numpy() % num_partitions
+        ).astype("int32")
         return batch
 
     def drop_dups(part: pd.DataFrame) -> pd.DataFrame:
