@@ -122,6 +122,17 @@ def connected_components(
 
     # the tagged edge table never changes across rounds — shuffle-tag it once
     tagged_edges = directed.map_batches(tag_edges, batch_format="pandas").materialize()
+    if tagged_edges.count() == 0:
+        # empty edge list (e.g. a near-dup verify pass that rejected every
+        # candidate): nothing to propagate — return an empty label table
+        # instead of looping groupby over an empty union.  Explicit Arrow
+        # schema: from_pandas drops the columns of an all-object empty frame.
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.string()),
+                      "component": pa.array([], pa.string())})
+        )
 
     def init_labels(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": batch["src"], "label": batch["src"]})

@@ -69,3 +69,15 @@ def test_connected_components_long_chain(ray_session):
     ).to_pandas()
     assert set(got_df["component"]) == {"c000"}
     assert len(got_df) == 100
+
+
+def test_connected_components_empty_edges(ray_session):
+    """An all-candidates-rejected verify pass hands CC an empty edge list —
+    must return an empty (node, component) table, not crash in the loop."""
+    empty = ray.data.from_pandas(pd.DataFrame({"u": [], "v": []}))
+    comp = connected_components(empty, num_partitions=2)
+    assert comp.count() == 0
+    # schema survives at the Dataset level (to_pandas drops columns on any
+    # zero-block dataset), so downstream expr filters still bind
+    assert sorted(comp.schema().names) == ["component", "node"]
+    assert comp.filter(expr="node != component").count() == 0
