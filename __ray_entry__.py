@@ -1521,6 +1521,53 @@ def q_weighted_sample_docs(sf_dir: str):
     )
 
 
+def q_events_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS — explicit subsets (type+day, type, day, ()):
+    one input shuffle into the finest level, every set re-aggregated from
+    its small output."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import grouping_sets_agg
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def add_day(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["day"] = batch["ts"].dt.strftime("%Y-%m-%d")
+        return batch[["event_type", "day", "value"]]
+
+    return grouping_sets_agg(
+        events,
+        [["event_type", "day"], ["event_type"], ["day"], []],
+        {"n": ("value", "count")},
+        pre_map=add_day,
+    )
+
+
+def q_embedding_unnest(sf_dir: str):
+    """Generic UNNEST of a list<float> column (zero-copy Arrow flatten +
+    parent-index take), positions included; values rounded to 6 so the
+    float32→double stringification agrees with the SQL oracle."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import explode
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(expr="vec_id < 500")
+    out = explode(emb, "embedding", out_column="val", with_position=True)
+
+    def round_val(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["val"] = batch["val"].astype("float64").round(6)
+        return batch
+
+    return out.map_batches(round_val, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -1620,6 +1667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "norm_text_md5": q_norm_text_md5,
         "urgent_low_outer": q_urgent_low_outer,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "events_grouping_sets": q_events_grouping_sets,
+        "embedding_unnest": q_embedding_unnest,
     }
 
 
@@ -2205,5 +2254,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE n_chars > 0
                 ORDER BY wkey DESC LIMIT 200
             )
+        """,
+        "events_grouping_sets": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(day, 'ALL') AS day,
+                   count(value) AS n
+            FROM (SELECT event_type,
+                         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                         value
+                  FROM events)
+            GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+        """,
+        "embedding_unnest": """
+            SELECT vec_id,
+                   round(CAST(unnest(embedding) AS DOUBLE), 6) AS val,
+                   unnest(range(0, len(embedding))) AS pos
+            FROM embeddings WHERE vec_id < 500
         """,
     }

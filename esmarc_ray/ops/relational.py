@@ -839,6 +839,70 @@ def cube_agg(
     return out
 
 
+def grouping_sets_agg(
+    ds: ray.data.Dataset,
+    sets: list[list[str]],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    pre_map: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    all_label: str = "ALL",
+) -> ray.data.Dataset:
+    """GROUP BY GROUPING SETS(sets): aggregates at each EXPLICIT key subset —
+    the general form of :func:`rollup_agg` (prefixes) and :func:`cube_agg`
+    (all subsets).  The input shuffles ONCE into the finest level (union of
+    all keys named by any set); every requested set re-aggregates that
+    (small) output.  Absent key columns of a set carry ``all_label``.  Same
+    re-aggregability restriction (sum/count/min/max; no mean)."""
+    for out, (_, fn) in aggs.items():
+        if fn == "mean":
+            raise ValueError(
+                "grouping_sets_agg: mean is not re-aggregable; compute sum+count"
+            )
+    keys: list[str] = []
+    for s in sets:
+        for k in s:
+            if k not in keys:
+                keys.append(k)
+
+    finest = partial_groupby_agg(ds, keys, aggs, pre_map=pre_map).materialize()
+    realised = {
+        out: (out, "sum" if fn in ("sum", "count") else fn)
+        for out, (_, fn) in aggs.items()
+    }
+    levels = []
+    for kept in sets:
+        if sorted(kept) == sorted(keys):
+            level = finest
+        elif kept:
+            level = partial_groupby_agg(finest, list(kept), realised)
+        else:
+
+            def grand_total(batch: pd.DataFrame) -> pd.DataFrame:
+                row = {}
+                for out, (_, fn) in realised.items():
+                    row[out] = [getattr(batch[out], fn)()]
+                return pd.DataFrame(row)
+
+            level = (
+                finest.map_batches(grand_total, batch_format="pandas")
+                .repartition(1)
+                .map_batches(grand_total, batch_format="pandas")
+            )
+
+        def fill(batch: pd.DataFrame, _kept=tuple(kept)) -> pd.DataFrame:
+            for key in keys:
+                if key not in _kept:
+                    batch[key] = all_label
+            return batch[keys + list(aggs)]
+
+        levels.append(level.map_batches(fill, batch_format="pandas"))
+
+    out = levels[0]
+    for level in levels[1:]:
+        out = out.union(level)
+    return out
+
+
 def grouped_stddev(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -1629,3 +1693,50 @@ def weighted_sample(
 
     keyed = ds.map_batches(add_key, batch_format="pandas")
     return sort_topk(keyed, "__wkey", k, descending=True).drop_columns(["__wkey"])
+
+
+def explode(
+    ds: ray.data.Dataset,
+    list_column: str,
+    *,
+    out_column: str | None = None,
+    with_position: bool = False,
+    position_column: str = "pos",
+) -> ray.data.Dataset:
+    """UNNEST a list column: one output row per element, scalar columns
+    repeated (SQL ``unnest``).  Zero-copy Arrow kernels end to end —
+    ``list_flatten`` for the elements, ``list_parent_indices`` + ``take``
+    for the parent columns; no Python loop, no pandas object conversion.
+    ``with_position`` adds the 0-based element index (pairs with DuckDB's
+    zipped ``unnest(range(...))`` idiom).  Null/empty lists produce no rows,
+    matching SQL unnest."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_name = out_column or list_column
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        col = batch.column(list_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col)
+        parents = pc.list_parent_indices(col)
+        cols: dict = {}
+        for name in batch.column_names:
+            if name == list_column:
+                continue
+            cols[name] = batch.column(name).take(parents)
+        cols[out_name] = flat
+        if with_position:
+            lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            lengths = np.nan_to_num(lengths, nan=0).astype("int64")
+            ends = np.cumsum(lengths)
+            # element index within its own list: global arange minus the
+            # start offset of the owning list, repeated per element
+            starts = np.repeat(ends - lengths, lengths)
+            cols[position_column] = pa.array(
+                np.arange(int(ends[-1]) if len(ends) else 0, dtype="int64") - starts
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)

@@ -1533,3 +1533,41 @@ def test_weighted_sample_matches_reference_topk(ray_session):
     assert not set(got) & set(df[df["w"] == 0]["id"])
     # heavier rows win more often: mean weight of sample >> population mean
     assert df.set_index("id").loc[got, "w"].mean() > df["w"].mean()
+
+
+def test_grouping_sets_matches_manual(ray_session):
+    df = pd.DataFrame(
+        {"a": ["x", "x", "y", "y", "y"], "b": ["p", "q", "p", "p", "q"], "v": [1, 2, 3, 4, 5]}
+    )
+    got = relational.grouping_sets_agg(
+        ray.data.from_pandas(df), [["a", "b"], ["b"], []], {"s": ("v", "sum")}
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    finest = df.groupby(["a", "b"], as_index=False)["v"].sum().rename(columns={"v": "s"})
+    by_b = df.groupby("b", as_index=False)["v"].sum().rename(columns={"v": "s"})
+    by_b.insert(0, "a", "ALL")
+    total = pd.DataFrame({"a": ["ALL"], "b": ["ALL"], "s": [df["v"].sum()]})
+    want = (
+        pd.concat([finest, by_b, total], ignore_index=True)
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"s": "int64"}), want.astype({"s": "int64"})
+    )
+
+
+def test_explode_unnest_with_position(ray_session):
+    df = pd.DataFrame(
+        {"id": [1, 2, 3, 4], "xs": [[10, 20], [30], [], None], "tag": ["a", "b", "c", "d"]}
+    )
+    got = (
+        relational.explode(
+            ray.data.from_pandas(df), "xs", out_column="x", with_position=True
+        )
+        .to_pandas()
+        .sort_values(["id", "pos"])
+        .reset_index(drop=True)
+    )
+    assert got["id"].tolist() == [1, 1, 2]  # empty + null lists emit nothing
+    assert got["x"].tolist() == [10, 20, 30]
+    assert got["pos"].tolist() == [0, 1, 0]
+    assert got["tag"].tolist() == ["a", "a", "b"]  # scalars repeated
