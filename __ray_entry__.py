@@ -1568,6 +1568,26 @@ def q_embedding_unnest(sf_dir: str):
     return out.map_batches(round_val, batch_format="pandas")
 
 
+def q_kmeans_cluster_sizes(sf_dir: str):
+    """Fully-distributed Lloyd's k-means over the embeddings table (no
+    sample-training): deterministic seed → stable cluster sizes.  Iterative,
+    so rows-only for the driver; purity/inertia are pytest-gated."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+    from esmarc_ray.ops.similarity import kmeans
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    assigned, _centroids, _inertia = kmeans(emb, 8, n_iter=5, seed=5)
+    return partial_groupby_agg(
+        assigned.select_columns(["cluster", "vec_id"]),
+        ["cluster"],
+        {"n": ("vec_id", "count")},
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -1669,6 +1689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": q_weighted_sample_docs,
         "events_grouping_sets": q_events_grouping_sets,
         "embedding_unnest": q_embedding_unnest,
+        "kmeans_cluster_sizes": q_kmeans_cluster_sizes,
     }
 
 

@@ -155,3 +155,93 @@ def embedding_dim_stats(
     return partitioned_final(
         embeddings.map_batches(partial, batch_format="pandas"), ["dim"], final
     )
+
+
+def kmeans(
+    embeddings: ray.data.Dataset,
+    k: int,
+    *,
+    n_iter: int = 10,
+    tol: float = 1e-4,
+    seed: int = 5,
+    vector_column: str = "embedding",
+    init_sample: int = 20000,
+) -> tuple[ray.data.Dataset, np.ndarray, float]:
+    """Fully-distributed Lloyd's k-means (Euclidean) over the WHOLE dataset —
+    the scale path beyond :class:`IvfIndex`'s driver-sample training.
+
+    Per iteration: centroids broadcast in the task closure; one map_batches
+    pass computes each batch's per-centroid (count, vector-sum, inertia)
+    partials (vectorized: the ``|x|² − 2xCᵀ`` argmin form, ``np.add.at``
+    scatter); the k×n_batches partial rows — k·(d+2) floats per batch,
+    independent of row count — are summed on the driver, which updates the
+    k×d centroid matrix.  No shuffle at any point; the payload never moves.
+    Empty clusters keep their previous centroid.  Stops early when the max
+    centroid shift drops below ``tol``.
+
+    Returns ``(assignments, centroids, inertia)``: the input with a
+    ``cluster`` column (one final broadcast pass), the k×d float64 centroid
+    matrix, and the summed squared distance from the last E-step (i.e.
+    under the centroids that produced the final update).
+    """
+    sample_rows = embeddings.limit(init_sample).take_all()
+    sample = np.stack([r[vector_column] for r in sample_rows]).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), k, replace=False)].copy()
+
+    def make_partial(cents: np.ndarray):
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            mat = np.stack(batch[vector_column].to_numpy()).astype(np.float64)
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * (mat @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            counts = np.bincount(assign, minlength=k).astype("float64")
+            sums = np.zeros((k, cents.shape[1]))
+            np.add.at(sums, assign, mat)
+            inertia = float(d2[np.arange(len(mat)), assign].sum())
+            return pd.DataFrame(
+                {
+                    "cid": np.arange(k, dtype="int64"),
+                    "count": counts,
+                    "vsum": list(sums),
+                    "inertia": inertia / k,  # spread so sum over rows == total
+                }
+            )
+
+        return partial
+
+    inertia = float("inf")
+    for _ in range(n_iter):
+        parts = embeddings.map_batches(
+            make_partial(centroids), batch_format="pandas"
+        ).to_pandas()
+        counts = parts.groupby("cid")["count"].sum().to_numpy()
+        sums = np.zeros_like(centroids)
+        for cid, grp in parts.groupby("cid"):
+            sums[cid] = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0)
+        inertia = float(parts["inertia"].sum())
+        new_centroids = centroids.copy()
+        nonzero = counts > 0
+        new_centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+        shift = float(np.abs(new_centroids - centroids).max())
+        centroids = new_centroids
+        if shift < tol:
+            break
+
+    final = centroids
+
+    def label(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch[vector_column].to_numpy()).astype(np.float64)
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * (mat @ final.T)
+            + (final * final).sum(axis=1)[None, :]
+        )
+        batch = batch.copy()
+        batch["cluster"] = d2.argmin(axis=1).astype("int32")
+        return batch
+
+    return embeddings.map_batches(label, batch_format="pandas"), centroids, inertia

@@ -1571,3 +1571,25 @@ def test_explode_unnest_with_position(ray_session):
     assert got["x"].tolist() == [10, 20, 30]
     assert got["pos"].tolist() == [0, 1, 0]
     assert got["tag"].tolist() == ["a", "a", "b"]  # scalars repeated
+
+
+def test_kmeans_recovers_planted_clusters(ray_session):
+    """Distributed Lloyd's: three well-separated Gaussian blobs in 8-D must
+    be recovered with perfect purity, and inertia must beat the init."""
+    rng = np.random.default_rng(11)
+    centers = np.array([[10.0] * 8, [-10.0] * 8, [10.0, -10.0] * 4])
+    rows = []
+    for label, c in enumerate(centers):
+        for i in range(60):
+            rows.append({"vec_id": label * 60 + i, "truth": label,
+                         "embedding": (c + rng.normal(0, 0.5, 8)).tolist()})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    assigned, centroids, inertia = similarity.kmeans(ds, 3, n_iter=10, seed=7)
+    got = assigned.to_pandas()
+    # perfect purity: each truth label maps to exactly one cluster id
+    purity = got.groupby("truth")["cluster"].nunique()
+    assert (purity == 1).all()
+    assert got.groupby("cluster")["truth"].nunique().eq(1).all()
+    assert centroids.shape == (3, 8)
+    # inertia ~ n * d * sigma^2 = 180*8*0.25 = 360; far below separation scale
+    assert inertia < 1000
