@@ -61,16 +61,36 @@ def export_training_shards(
     n_shards: int,
     seed: int = 42,
     id_column: str = "doc_id",
+    resume: bool = False,
 ) -> pd.DataFrame:
     """Write ``{out}/shard={k}/*.parquet`` (pseudorandom within-shard order)
     plus a ``_manifest.json`` per shard; returns the manifest table
-    ``(shard, n_docs)``.  Idempotent: an existing out_dir is wiped."""
+    ``(shard, n_docs)``.
+
+    ``resume=False`` (default): an existing out_dir is wiped and every shard
+    rewritten.  ``resume=True``: shards whose ``_manifest.json`` already
+    exists are SKIPPED — the checkpoint/restart semantics of the triple sink
+    (a killed export run re-does only unfinished shards; the manifest is
+    written after the parquet, so a torn shard has no manifest and is
+    redone).  The returned table covers every shard either way, finished
+    shards read back from their manifests."""
     base = pathlib.Path(out_dir)
-    if base.exists():
+    done: dict[int, int] = {}
+    if base.exists() and not resume:
         shutil.rmtree(base)
+    elif base.exists():
+        for mf in base.glob("shard=*/_manifest.json"):
+            meta = json.loads(mf.read_text())
+            if meta.get("seed") == seed:
+                done[int(meta["shard"])] = int(meta["n_docs"])
+            else:  # stale checkpoint from a different shuffle seed: redo
+                shutil.rmtree(mf.parent)
     assigned = assign_shards(
         docs, n_shards=n_shards, seed=seed, id_column=id_column
     )
+    if done:
+        finished = sorted(done)
+        assigned = assigned.filter(expr=f"shard not in {finished}")
     # ONE keyed exchange: group rows by shard and write each shard dir in
     # its reducer (sorted by sort_key = the deterministic shuffle order)
     def write_shard(group: pd.DataFrame) -> pd.DataFrame:
@@ -84,11 +104,20 @@ def export_training_shards(
         )
         return pd.DataFrame({"shard": [shard], "n_docs": [len(group)]})
 
-    manifest = (
-        assigned.groupby("shard")
-        .map_groups(write_shard, batch_format="pandas")
-        .to_pandas()
+    written = assigned.groupby("shard").map_groups(
+        write_shard, batch_format="pandas"
+    ).to_pandas()
+    if done:  # fold finished shards back in from their manifests
+        prior = pd.DataFrame(
+            {"shard": list(done.keys()), "n_docs": list(done.values())}
+        )
+        written = (
+            pd.concat([written, prior], ignore_index=True)
+            if len(written)
+            else prior
+        )
+    return (
+        written.astype({"shard": "int64", "n_docs": "int64"})
         .sort_values("shard")
         .reset_index(drop=True)
     )
-    return manifest

@@ -1593,3 +1593,30 @@ def test_kmeans_recovers_planted_clusters(ray_session):
     assert centroids.shape == (3, 8)
     # inertia ~ n * d * sigma^2 = 180*8*0.25 = 360; far below separation scale
     assert inertia < 1000
+
+
+def test_export_shards_resume_skips_finished(ray_session, tmp_path):
+    """resume=True redoes only shards without a manifest (torn/killed run),
+    and the final manifest + bytes equal a from-scratch export."""
+    import shutil as _shutil
+
+    from esmarc_ray.pipelines.export import export_training_shards
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(200), "text": [f"t{i}" for i in range(200)]})
+    )
+    full = export_training_shards(docs, str(tmp_path / "full"), n_shards=4)
+    # simulate a killed run: one shard torn (no manifest), one missing
+    part = tmp_path / "part"
+    _shutil.copytree(tmp_path / "full", part)
+    (part / "shard=1" / "_manifest.json").unlink()
+    _shutil.rmtree(part / "shard=3")
+    before = (part / "shard=0" / "part-0.parquet").stat().st_mtime_ns
+    resumed = export_training_shards(docs, str(part), n_shards=4, resume=True)
+    pd.testing.assert_frame_equal(resumed, full)
+    # finished shards untouched; torn/missing shards rewritten byte-equal
+    assert (part / "shard=0" / "part-0.parquet").stat().st_mtime_ns == before
+    for k in range(4):
+        a = (part / f"shard={k}" / "part-0.parquet").read_bytes()
+        b = (tmp_path / "full" / f"shard={k}" / "part-0.parquet").read_bytes()
+        assert a == b
