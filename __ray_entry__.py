@@ -1588,6 +1588,56 @@ def q_kmeans_cluster_sizes(sf_dir: str):
     )
 
 
+def q_order_price_dense_rank(sf_dir: str):
+    """DENSE_RANK with real ties (price bucketed to 1000s): ties share a
+    rank with no gaps — value-ranked, not row-numbered."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import window_rank
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        batch = batch.copy()
+        batch["price_k"] = np.floor(batch["o_totalprice"] / 1000).astype("int64")
+        return batch[["o_orderkey", "o_orderpriority", "price_k"]]
+
+    return window_rank(
+        orders.map_batches(bucket, batch_format="pandas"),
+        partition_by="o_orderpriority",
+        order_by=["price_k", "o_orderkey"],
+        dense_rank_name="dr",
+        num_partitions=16,
+    )
+
+
+def q_lineitem_melt(sf_dir: str):
+    """UNPIVOT three measure columns into (metric, value) rows — map-only
+    reshape, the inverse of the pivot family."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import melt
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    ).filter(expr="l_orderkey < 1000")
+    return melt(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        var_name="metric",
+        value_name="value",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -1690,6 +1740,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_grouping_sets": q_events_grouping_sets,
         "embedding_unnest": q_embedding_unnest,
         "kmeans_cluster_sizes": q_kmeans_cluster_sizes,
+        "order_price_dense_rank": q_order_price_dense_rank,
+        "lineitem_melt": q_lineitem_melt,
     }
 
 
@@ -2291,5 +2343,31 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(unnest(embedding) AS DOUBLE), 6) AS val,
                    unnest(range(0, len(embedding))) AS pos
             FROM embeddings WHERE vec_id < 500
+        """,
+        "order_price_dense_rank": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY CAST(floor(o_totalprice / 1000) AS BIGINT),
+                                o_orderkey) AS row_number,
+                   DENSE_RANK() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY CAST(floor(o_totalprice / 1000) AS BIGINT)
+                   ) AS dr
+            FROM orders
+        """,
+        "lineitem_melt": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                   CAST(l_quantity AS DOUBLE) AS value
+            FROM lineitem WHERE l_orderkey < 1000
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   CAST(l_extendedprice AS DOUBLE)
+            FROM lineitem WHERE l_orderkey < 1000
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   CAST(l_discount AS DOUBLE)
+            FROM lineitem WHERE l_orderkey < 1000
         """,
     }

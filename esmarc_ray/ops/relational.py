@@ -1196,6 +1196,7 @@ def window_rank(
     row_number_name: str = "row_number",
     ntile_name: str = "ntile",
     percent_rank_name: str | None = None,
+    dense_rank_name: str | None = None,
     num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """``row_number()`` (optionally ``ntile(k)`` and ``percent_rank()``) per
@@ -1236,6 +1237,13 @@ def window_rank(
             # with a unique order_by tie-break, rank == row_number
             n = grouped[order_by[0]].transform("size").to_numpy()
             out[percent_rank_name] = rn0 / np.maximum(n - 1, 1)
+        if dense_rank_name:
+            # SQL DENSE_RANK() OVER (... ORDER BY order_by[0]): ties (equal
+            # first-order-key values) share a rank, no gaps — ranked by VALUE,
+            # so it genuinely differs from row_number when ties exist
+            out[dense_rank_name] = (
+                grouped[order_by[0]].rank(method="dense").astype("int64")
+            )
         return out
 
     return (
@@ -1740,3 +1748,29 @@ def explode(
         return pa.table(cols)
 
     return ds.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def melt(
+    ds: ray.data.Dataset,
+    id_vars: list[str],
+    value_vars: list[str],
+    *,
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> ray.data.Dataset:
+    """UNPIVOT: turn ``value_vars`` columns into (variable, value) rows —
+    the inverse of :func:`pivot_counts`.  Map-only (pandas ``melt`` is a
+    vectorized reshape; no shuffle, row count multiplies by
+    ``len(value_vars)``); matches SQL ``UNPIVOT`` / a UNION ALL of one
+    SELECT per source column."""
+
+    def unpivot(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.melt(
+            batch,
+            id_vars=id_vars,
+            value_vars=value_vars,
+            var_name=var_name,
+            value_name=value_name,
+        )
+
+    return ds.map_batches(unpivot, batch_format="pandas")

@@ -1620,3 +1620,32 @@ def test_export_shards_resume_skips_finished(ray_session, tmp_path):
         a = (part / f"shard={k}" / "part-0.parquet").read_bytes()
         b = (tmp_path / "full" / f"shard={k}" / "part-0.parquet").read_bytes()
         assert a == b
+
+
+def test_melt_inverse_of_pivot_shape(ray_session):
+    df = pd.DataFrame({"k": [1, 2], "a": [10, 20], "b": [0.5, 1.5]})
+    got = (
+        relational.melt(ray.data.from_pandas(df), ["k"], ["a", "b"])
+        .to_pandas()
+        .sort_values(["k", "variable"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 4
+    assert got["variable"].tolist() == ["a", "b", "a", "b"]
+    assert got["value"].tolist() == [10.0, 0.5, 20.0, 1.5]
+
+
+def test_window_dense_rank_ties_share(ray_session):
+    df = pd.DataFrame(
+        {"g": ["x"] * 5, "v": [10, 10, 20, 30, 30], "id": [1, 2, 3, 4, 5]}
+    )
+    got = (
+        relational.window_rank(
+            ray.data.from_pandas(df), partition_by="g", order_by=["v", "id"],
+            dense_rank_name="dr", num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert got["dr"].tolist() == [1, 1, 2, 3, 3]  # ties share, no gaps
+    assert got["row_number"].tolist() == [1, 2, 3, 4, 5]
