@@ -1638,6 +1638,40 @@ def q_lineitem_melt(sf_dir: str):
     )
 
 
+def q_kg_pagerank_top(sf_dir: str):
+    """Entity importance in the constructed KG: PageRank over the
+    subj → obj @id reference edges of the emitted triples (top 20).
+    Iterative → rows-only for the driver; the operator itself is verified
+    against dense power iteration in tests/test_graph.py."""
+    import pandas as pd
+
+    from esmarc_ray.ops.graph import pagerank
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir))
+
+    def to_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        nodes = batch[batch["obj_kind"] == "node"]
+        ids = nodes["obj"].str.extract(r'"@id": "([^"]+)"', expand=False)
+        keep = ids.notna()
+        return pd.DataFrame({"u": nodes["subj"][keep], "v": ids[keep]})
+
+    ranks = pagerank(
+        triples.map_batches(to_edges, batch_format="pandas"),
+        n_iter=8, num_partitions=16,
+    )
+
+    def round_rank(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["rank"] = batch["rank"].round(10)
+        return batch
+
+    return (
+        ranks.map_batches(round_rank, batch_format="pandas")
+        .sort(["rank", "node"], descending=[True, False])
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -1742,6 +1776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_cluster_sizes": q_kmeans_cluster_sizes,
         "order_price_dense_rank": q_order_price_dense_rank,
         "lineitem_melt": q_lineitem_melt,
+        "kg_pagerank_top": q_kg_pagerank_top,
     }
 
 

@@ -1,4 +1,4 @@
-"""Distributed graph operators: connected components over an edge list.
+"""Distributed graph operators: connected components and PageRank over an edge list.
 
 Used for the sameAs closure in canonicalization (north rule: canonical keys
 are "GND ID, ISIL, sameAs closure"): entities transitively linked through
@@ -199,3 +199,213 @@ def connected_components(
     return labels.map_batches(
         lambda b: b.rename(columns={"label": "component"}), batch_format="pandas"
     )
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    *,
+    u: str = "u",
+    v: str = "v",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Distributed PageRank over a directed edge list — entity importance in
+    the constructed KG (rank entities by how much reference mass flows into
+    them through triples).
+
+    Same machinery as :func:`connected_components`: the tagged edge table is
+    shuffled ONCE outside the loop; each iteration co-partitions the
+    two-column (node, rank) table with it (tag-union-partition), computes
+    per-destination contribution sums ``rank/out_degree`` with one vectorized
+    merge per PARTITION, and re-adds the teleport term.  Dangling mass
+    (nodes with no out-edges) is redistributed uniformly — its scalar sum is
+    the only thing that touches the driver each round (one aggregate row).
+    Returns (node, rank) with ranks summing to 1.
+    """
+    import pyarrow as pa
+
+    def to_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[u, v]].rename(columns={u: "src", v: "dst"})
+        out["src"] = out["src"].astype(str)
+        out["dst"] = out["dst"].astype(str)
+        return out
+
+    dir_edges = edges.map_batches(to_edges, batch_format="pandas").materialize()
+
+    # out-degree per src (combiner), then tag each edge with its src degree
+    def deg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby("src", as_index=False, sort=False).size()
+        return out.rename(columns={"size": "deg"})
+
+    def tag_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": batch["src"],
+                "other": batch["dst"],
+                "side": "e",
+                "val": 0.0,
+                "part": _part_series(batch["src"], num_partitions),
+            }
+        )
+
+    tagged_edges = dir_edges.map_batches(tag_edges, batch_format="pandas").materialize()
+
+    # node universe: every src and dst once
+    def both_sides(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.concat([batch["src"], batch["dst"]], ignore_index=True)}
+        )
+
+    def node_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates("node")
+
+    nodes = (
+        dir_edges.map_batches(both_sides, batch_format="pandas")
+        .map_batches(node_partial, batch_format="pandas")
+        .map_batches(
+            lambda b: b.assign(part=_part_series(b["node"], num_partitions)),
+            batch_format="pandas",
+        )
+        .groupby("part")
+        .map_groups(
+            lambda p: p.drop_duplicates("node").drop(columns="part"),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    n_nodes = nodes.count()
+
+    degrees = (
+        dir_edges.map_batches(deg_partial, batch_format="pandas")
+        .map_batches(
+            lambda b: b.assign(part=_part_series(b["src"], num_partitions)),
+            batch_format="pandas",
+        )
+        .groupby("part")
+        .map_groups(
+            lambda p: p.groupby("src", as_index=False, sort=False)["deg"].sum(),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    init = 1.0 / n_nodes
+    ranks = nodes.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"], "rank": init}),
+        batch_format="pandas",
+    ).materialize()
+
+    def tag_deg(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": batch["src"],
+                "other": "",
+                "side": "d",
+                "val": batch["deg"].astype("float64"),
+                "part": _part_series(batch["src"], num_partitions),
+            }
+        )
+
+    tagged_deg = degrees.map_batches(tag_deg, batch_format="pandas").materialize()
+
+    for _ in range(n_iter):
+
+        def tag_ranks(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": batch["node"],
+                    "other": "",
+                    "side": "r",
+                    "val": batch["rank"],
+                    "part": _part_series(batch["node"], num_partitions),
+                }
+            )
+
+        def contribute(part: pd.DataFrame) -> pd.DataFrame:
+            """One co-partition: rank/deg per src, fanned to its out-edges;
+            src rows with NO degree row emit their rank as dangling mass."""
+            r = part[part["side"] == "r"][["key", "val"]].rename(
+                columns={"val": "rank"}
+            )
+            d = part[part["side"] == "d"][["key", "val"]].rename(
+                columns={"val": "deg"}
+            )
+            e = part[part["side"] == "e"][["key", "other"]]
+            rd = r.merge(d, on="key", how="left")
+            dangling = float(rd.loc[rd["deg"].isna(), "rank"].sum())
+            out = [pd.DataFrame({"node": ["__dangling__"], "contrib": [dangling]})]
+            live = rd[rd["deg"].notna()]
+            if not e.empty and not live.empty:
+                m = e.merge(live, on="key", how="inner")
+                contrib = (
+                    pd.DataFrame(
+                        {"node": m["other"], "contrib": m["rank"] / m["deg"]}
+                    )
+                    .groupby("node", as_index=False, sort=False)["contrib"]
+                    .sum()
+                )
+                out.append(contrib)
+            return pd.concat(out, ignore_index=True)
+
+        tagged = tagged_edges.union(tagged_deg).union(
+            ranks.map_batches(tag_ranks, batch_format="pandas")
+        )
+        sums = (
+            tagged.groupby("part")
+            .map_groups(contribute, batch_format="pandas")
+            .materialize()
+        )
+        dangling_total = sum(
+            row["contrib"]
+            for row in sums.filter(expr="node == '__dangling__'").take_all()
+        )
+        base = (1.0 - damping) / n_nodes + damping * dangling_total / n_nodes
+
+        # new rank = base + damping * inbound contributions (nodes with no
+        # inbound rows simply get base) — tag-union-partition against nodes
+        def tag_contrib(batch: pd.DataFrame) -> pd.DataFrame:
+            kept = batch[batch["node"] != "__dangling__"]
+            return pd.DataFrame(
+                {
+                    "key": kept["node"],
+                    "side": "c",
+                    "val": kept["contrib"],
+                    "part": _part_series(kept["node"], num_partitions),
+                }
+            )
+
+        def tag_nodes(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": batch["node"],
+                    "side": "n",
+                    "val": 0.0,
+                    "part": _part_series(batch["node"], num_partitions),
+                }
+            )
+
+        def apply_update(part: pd.DataFrame) -> pd.DataFrame:
+            c = (
+                part[part["side"] == "c"]
+                .groupby("key", as_index=False, sort=False)["val"]
+                .sum()
+            )
+            n = part[part["side"] == "n"][["key"]]
+            m = n.merge(c, on="key", how="left")
+            return pd.DataFrame(
+                {
+                    "node": m["key"],
+                    "rank": base + damping * m["val"].fillna(0.0),
+                }
+            )
+
+        ranks = (
+            sums.map_batches(tag_contrib, batch_format="pandas")
+            .union(nodes.map_batches(tag_nodes, batch_format="pandas"))
+            .groupby("part")
+            .map_groups(apply_update, batch_format="pandas")
+            .materialize()
+        )
+
+    return ranks

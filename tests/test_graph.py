@@ -81,3 +81,37 @@ def test_connected_components_empty_edges(ray_session):
     # zero-block dataset), so downstream expr filters still bind
     assert sorted(comp.schema().names) == ["component", "node"]
     assert comp.filter(expr="node != component").count() == 0
+
+
+def test_pagerank_matches_power_iteration(ray_session):
+    """Distributed PageRank == dense numpy power iteration (same damping,
+    same dangling-mass redistribution), to 1e-9 after 20 rounds."""
+    import numpy as np
+
+    from esmarc_ray.ops.graph import pagerank
+
+    # e is dangling: inbound edge only, no out-edges
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"), ("c", "e")]
+    nodes = sorted({x for e in edges for x in e})
+    got_df = pagerank(
+        ray.data.from_pandas(pd.DataFrame(edges, columns=["u", "v"])),
+        damping=0.85, n_iter=20, num_partitions=4,
+    ).to_pandas()
+    got = dict(zip(got_df["node"], got_df["rank"]))
+
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[idx[d], idx[s]] += 1.0
+    out_deg = A.sum(axis=0)
+    # out= is required: np.divide(..., where=...) leaves unselected entries
+    # UNINITIALIZED, which silently corrupts the dangling column
+    P = np.divide(A, out_deg, out=np.zeros_like(A), where=out_deg > 0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(20):
+        dangling = r[out_deg == 0].sum()
+        r = (1 - 0.85) / n + 0.85 * (P @ r + dangling / n)
+    for name, i in idx.items():
+        assert abs(got[name] - r[i]) < 1e-9, name
+    assert abs(sum(got.values()) - 1.0) < 1e-9
