@@ -1672,6 +1672,41 @@ def q_kg_pagerank_top(sf_dir: str):
     )
 
 
+def q_media_phash_dups(sf_dir: str):
+    """Format-variant media dedup: perceptual aHash (native BMP decode) +
+    the shared 16-bit-chunk hamming machinery.  Every 10th image gets a
+    deterministic re-encoded +2-brightness variant planted (the re-encode /
+    mild-processing duplicate class aHash targets); those pairs must (and
+    do) surface.  Rows-only (no SQL image decode)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from esmarc_ray.ops.media_codecs import decode_bmp, encode_bmp
+    from esmarc_ray.ops.multimodal import media_phash_dups, synthetic_media_table
+
+    table = synthetic_media_table(150)
+    ids = table.column("media_id").to_pylist()
+    kinds = table.column("kind").to_pylist()
+    payloads = table.column("payload").to_pylist()
+    extra_ids, extra_payloads = [], []
+    for mid, kind, payload in zip(ids, kinds, payloads):
+        if kind == "image" and int(mid[1:]) % 10 == 0:
+            px = decode_bmp(payload)
+            variant = np.clip(px.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+            extra_ids.append(f"{mid}_v")
+            extra_payloads.append(encode_bmp(variant))
+    media = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(ids + extra_ids, pa.string()),
+                "payload": pa.array(payloads + extra_payloads, pa.binary()),
+            }
+        )
+    )
+    return media_phash_dups(media, max_hamming=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -1777,6 +1812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_dense_rank": q_order_price_dense_rank,
         "lineitem_melt": q_lineitem_melt,
         "kg_pagerank_top": q_kg_pagerank_top,
+        "media_phash_dups": q_media_phash_dups,
     }
 
 

@@ -554,23 +554,29 @@ def simhash_signatures(docs: ray.data.Dataset, **kwargs) -> ray.data.Dataset:
     return docs.map_batches(add_sig, batch_format="pandas", **kwargs)
 
 
-def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Dataset:
-    """Candidate generation by 16-bit chunk buckets + exact hamming verify.
-
-    Returns a Dataset (doc_a, doc_b, hamming), deduplicated distributively."""
-    sigs = simhash_signatures(docs).select_columns(["doc_id", "simhash"])
+def hamming_near_dups(
+    sigs: ray.data.Dataset,
+    *,
+    id_column: str = "doc_id",
+    sig_column: str = "simhash",
+    max_hamming: int = 3,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Near-dup pairs over ANY 64-bit signature column (SimHash text
+    fingerprints, perceptual image hashes, …): candidate generation by
+    16-bit chunk buckets (pigeonhole: hamming ≤ 3 ⇒ at least one of the 4
+    chunks is identical) + exact per-bucket hamming verify, everything
+    hash-partitioned.  Returns (doc_a, doc_b, hamming), distinct."""
 
     def chunk_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"doc_id": [], "chunk": [], "chunk_val": [], "simhash": []}
-        for doc_id, sig in zip(batch["doc_id"], batch["simhash"]):
+        out = {"id": [], "chunk": [], "chunk_val": [], "sig": []}
+        for row_id, sig in zip(batch[id_column], batch[sig_column]):
             for c in range(4):
-                out["doc_id"].append(doc_id)
+                out["id"].append(row_id)
                 out["chunk"].append(c)
                 out["chunk_val"].append(int((int(sig) >> (16 * c)) & 0xFFFF))
-                out["simhash"].append(int(sig))
+                out["sig"].append(int(sig))
         return pd.DataFrame(out)
-
-    num_partitions = 64
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
         batch["part"] = (
@@ -582,9 +588,9 @@ def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.
     def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
         out = {"doc_a": [], "doc_b": [], "hamming": []}
         for _, group in part.groupby(["chunk", "chunk_val"], sort=False):
-            rows = group.drop_duplicates("doc_id").sort_values("doc_id")
-            ids = rows["doc_id"].tolist()
-            hs = rows["simhash"].tolist()
+            rows = group.drop_duplicates("id").sort_values("id")
+            ids = rows["id"].tolist()
+            hs = rows["sig"].tolist()
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     d = bin(int(hs[i]) ^ int(hs[j])).count("1")
@@ -604,6 +610,16 @@ def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.
     # (it is a function of the two signatures), so a distributed DISTINCT
     # over all three columns dedups exactly — no driver collection
     return _distinct_on(pairs, ["doc_a", "doc_b", "hamming"])
+
+
+def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Dataset:
+    """Candidate generation by 16-bit chunk buckets + exact hamming verify.
+
+    Returns a Dataset (doc_a, doc_b, hamming), deduplicated distributively."""
+    sigs = simhash_signatures(docs).select_columns(["doc_id", "simhash"])
+    return hamming_near_dups(
+        sigs, id_column="doc_id", sig_column="simhash", max_hamming=max_hamming
+    )
 
 
 # -- embedding near-dup -----------------------------------------------------------

@@ -271,3 +271,70 @@ def sample_frames(media: ray.data.Dataset, fps: float = 1.0,
         batch_size=16,
         concurrency=concurrency,
     )
+
+
+def ahash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual average-hash of an RGB (H, W, 3) uint8 image:
+    grayscale mean → deterministic 8×8 nearest resize → mean threshold →
+    row-major bit pack.  Stable under re-encode, mild noise and modest
+    resizes (the transformations format-variant media dups actually have);
+    pure numpy, no codec libraries."""
+    from esmarc_ray.ops.media_codecs import resize_nearest
+
+    gray = pixels.astype(np.float64).mean(axis=2)
+    small = resize_nearest(gray[..., None], (8, 8))[..., 0]
+    bits = (small >= small.mean()).flatten()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+def phash_media(
+    media: ray.data.Dataset, *, concurrency=(2, 8), batch_size: int = 64
+) -> ray.data.Dataset:
+    """Perceptual-hash stage: (media_id, phash, phash_ok) per row.  BMP
+    payloads (magic-sniffed) decode with the native codec and hash via
+    :func:`ahash64`; non-image / undecodable payloads get ``phash_ok=False``
+    (never a task failure).  Actor pool, byte-sized batches — the payload
+    column is dropped on output so only 16 bytes/row leave the stage."""
+    from esmarc_ray.ops.media_codecs import decode_bmp, sniff_mime
+
+    class Hasher:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("media_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            hashes, ok = [], []
+            for p in payloads:
+                try:
+                    if sniff_mime(p) != "image/bmp":
+                        raise ValueError("not a decodable image")
+                    hashes.append(ahash64(decode_bmp(p)))
+                    ok.append(True)
+                except (ValueError, IndexError):
+                    hashes.append(0)
+                    ok.append(False)
+            return pa.Table.from_pydict(
+                {
+                    "media_id": pa.array(ids, pa.string()),
+                    "phash": pa.array(hashes, pa.uint64()),
+                    "phash_ok": pa.array(ok, pa.bool_()),
+                }
+            )
+
+    return media.map_batches(
+        Hasher, batch_size=batch_size, concurrency=concurrency,
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def media_phash_dups(
+    media: ray.data.Dataset, *, max_hamming: int = 4, concurrency=(2, 8)
+) -> ray.data.Dataset:
+    """Near-duplicate media detection across format variants (re-encodes,
+    resizes, mild noise): perceptual hash per payload, then the generic
+    16-bit-chunk bucket + exact-hamming machinery shared with SimHash text
+    dedup.  Returns (doc_a, doc_b, hamming) media-id pairs."""
+    from esmarc_ray.ops.dedup import hamming_near_dups
+
+    sigs = phash_media(media, concurrency=concurrency).filter(expr="phash_ok")
+    return hamming_near_dups(
+        sigs, id_column="media_id", sig_column="phash", max_hamming=max_hamming
+    )

@@ -117,3 +117,64 @@ def test_native_decoder_real_payloads(ray_session):
     assert (feats[:, 2] > 0).all()  # duration seconds
     # durations match the metadata column
     assert np.allclose(feats[:, 2] * 1000, src.loc[aud.index, "duration_ms"], atol=1)
+
+
+def _split_image(h, w, vertical=True):
+    """High-structure test image: dark half / bright half."""
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    if vertical:
+        img[:, w // 2 :] = 220
+    else:
+        img[h // 2 :, :] = 220
+    return img
+
+
+def test_ahash64_stable_under_reencode_resize_noise():
+    base = _split_image(48, 64, vertical=True)
+    h0 = multimodal.ahash64(base)
+    # re-encode round-trip: identical hash
+    assert multimodal.ahash64(mc.decode_bmp(mc.encode_bmp(base))) == h0
+    # integer-factor resize: near-identical hash (non-integer factors can
+    # shift the 8x8 quantization boundary — the chunk-bucket recall
+    # guarantee is hamming <= 3, so the planted variants use exact factors)
+    resized = mc.resize_nearest(base, (24, 32))
+    assert bin(multimodal.ahash64(resized) ^ h0).count("1") <= 2
+    # mild additive noise: near-identical hash
+    noisy = np.clip(base.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+    assert bin(multimodal.ahash64(noisy) ^ h0).count("1") <= 2
+    # structurally different image: far hash
+    other = _split_image(48, 64, vertical=False)
+    assert bin(multimodal.ahash64(other) ^ h0).count("1") > 10
+
+
+def test_media_phash_dups_finds_planted_variants(ray_session):
+    """A resized re-encode of an image pairs with its original; structurally
+    different images don't pair."""
+    rows = {"media_id": [], "payload": []}
+    imgs = {
+        "v0": _split_image(40, 60, vertical=True),
+        "h0": _split_image(40, 60, vertical=False),
+        "c0": np.tile(
+            np.kron(np.indices((4, 6)).sum(0) % 2, np.ones((10, 10)))[..., None] * 255,
+            (1, 1, 3),
+        ).astype(np.uint8),
+    }
+    for name, img in imgs.items():
+        rows["media_id"].append(name)
+        rows["payload"].append(mc.encode_bmp(img))
+    # planted variant: v0 downsampled 2x and re-encoded
+    rows["media_id"].append("v0_small")
+    rows["payload"].append(mc.encode_bmp(mc.resize_nearest(imgs["v0"], (20, 30))))
+    # one undecodable payload: must be skipped, not crash
+    rows["media_id"].append("junk")
+    rows["payload"].append(b"\x00" * 64)
+    media = ray.data.from_arrow(
+        pa.table({"media_id": pa.array(rows["media_id"]),
+                  "payload": pa.array(rows["payload"], pa.binary())})
+    )
+    pairs = multimodal.media_phash_dups(media, max_hamming=3).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert ("v0", "v0_small") in got
+    assert all("junk" not in p for p in got)
+    # no structurally-different pair
+    assert ("h0", "v0") not in got and ("c0", "v0") not in got and ("c0", "h0") not in got
