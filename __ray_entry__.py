@@ -1707,6 +1707,37 @@ def q_media_phash_dups(sf_dir: str):
     return media_phash_dups(media, max_hamming=3)
 
 
+def q_priority_revenue_skew(sf_dir: str):
+    """Same answer as a plain orders⋈lineitem revenue rollup, computed by
+    the SKEW-AWARE plan: Misra–Gries finds head orderkeys, their rows join
+    map-side against broadcast right rows, the cold rest takes the
+    partitioned join — hash-verified identical to the plain SQL join."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, skew_join
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+    joined = skew_join(
+        lineitem, orders, "l_orderkey",
+        left_cols=["l_extendedprice"], right_cols=["o_orderpriority"],
+        hot_k=64, hot_min_count=7, num_partitions=16,
+    )
+    out = partial_groupby_agg(
+        joined, ["o_orderpriority"], {"revenue": ("l_extendedprice", "sum")}
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -1813,6 +1844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_melt": q_lineitem_melt,
         "kg_pagerank_top": q_kg_pagerank_top,
         "media_phash_dups": q_media_phash_dups,
+        "priority_revenue_skew": q_priority_revenue_skew,
     }
 
 
@@ -2042,6 +2074,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority,
                    round(sum(l_extendedprice), 2) AS revenue,
                    count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "priority_revenue_skew": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice), 2) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
         """,

@@ -1774,3 +1774,73 @@ def melt(
         )
 
     return ds.map_batches(unpivot, batch_format="pandas")
+
+
+def skew_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    *,
+    left_cols: list[str],
+    right_cols: list[str],
+    hot_k: int = 32,
+    hot_min_count: int = 1000,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Skew-aware inner equi-join: identical RESULT to
+    :func:`partitioned_join`, different PLAN for head keys.
+
+    A hash-partitioned join sends every row of a key to one reducer — a web
+    corpus's head key (the GND entity held by ~2% of all docs, the domain
+    with 10^9 pages) turns that reducer into the job's straggler.  Plan:
+
+    1. a Misra–Gries pass over the left side finds the ≤ ``hot_k`` keys with
+       count ≥ ``hot_min_count`` (sketch + exact recount — never a full
+       groupby);
+    2. HOT left rows join map-side against the (few) broadcast right rows of
+       those keys — the head key never enters a shuffle;
+    3. COLD rows take the normal partitioned join.
+
+    The union is the exact inner join, so the driver oracle checks it with
+    plain SQL.  ``hot_min_count`` should exceed rows-per-reducer-you-can-
+    tolerate; keys below it are harmless in a partition."""
+    from esmarc_ray.ops.sketches import heavy_hitters
+
+    hh = heavy_hitters(
+        left.select_columns([on]), on, k=hot_k, split_tokens=False
+    )
+    hot_keys = set(hh[hh["n"] >= hot_min_count]["term"].astype(str))
+
+    if not hot_keys:
+        return partitioned_join(
+            left, right, on,
+            left_cols=left_cols, right_cols=right_cols,
+            num_partitions=num_partitions, how="inner",
+        )
+
+    def is_hot(batch: pd.DataFrame) -> pd.Series:
+        return batch[on].astype(str).isin(hot_keys)
+
+    cold = partitioned_join(
+        left.map_batches(lambda b: b[~is_hot(b)], batch_format="pandas"),
+        right.map_batches(lambda b: b[~is_hot(b)], batch_format="pandas"),
+        on,
+        left_cols=left_cols, right_cols=right_cols,
+        num_partitions=num_partitions, how="inner",
+    )
+    # right side of the hot keys: tiny by construction (hot = head of the
+    # LEFT); collect once, broadcast into a map over the hot left rows
+    hot_right = (
+        right.map_batches(lambda b: b[is_hot(b)], batch_format="pandas")
+        .select_columns([on] + right_cols)
+        .to_pandas()
+    )
+    hot = broadcast_join(
+        left.map_batches(
+            lambda b: b[is_hot(b)][[on] + left_cols], batch_format="pandas"
+        ),
+        hot_right,
+        on,
+        how="inner",
+    )
+    return cold.union(hot)

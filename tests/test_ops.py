@@ -1649,3 +1649,37 @@ def test_window_dense_rank_ties_share(ray_session):
     )
     assert got["dr"].tolist() == [1, 1, 2, 3, 3]  # ties share, no gaps
     assert got["row_number"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_skew_join_equals_partitioned_join(ray_session):
+    """Skew plan (hot keys broadcast, cold keys partitioned) returns the
+    exact inner join on a head-heavy keyspace."""
+    rng = np.random.default_rng(3)
+    # head key "hot" holds half the left rows
+    keys = ["hot"] * 500 + [f"k{i}" for i in rng.integers(0, 50, 500)]
+    left = pd.DataFrame({"k": keys, "lv": range(len(keys))})
+    right = pd.DataFrame(
+        {"k": ["hot"] + [f"k{i}" for i in range(50)] + ["only_right"],
+         "rv": range(52)}
+    )
+    got = (
+        relational.skew_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), "k",
+            left_cols=["lv"], right_cols=["rv"],
+            hot_k=8, hot_min_count=100, num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on="k", how="inner")
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    # partitioned-join payload columns surface as object dtype (the tag
+    # stage None-fills the other side's columns); values are what matters
+    pd.testing.assert_frame_equal(
+        got[["k", "lv", "rv"]].astype({"lv": "int64", "rv": "int64"}), want
+    )
+    assert (got["k"] == "hot").sum() == 500  # the hot path really ran
