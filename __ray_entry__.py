@@ -1738,6 +1738,19 @@ def q_priority_revenue_skew(sf_dir: str):
     return out
 
 
+def q_doc_chunks(sf_dir: str):
+    """Context-window chunking (64-token windows, 16-token overlap) —
+    reconstructed verbatim by the oracle via string_split + list_slice."""
+    import ray.data
+
+    from esmarc_ray.ops.text import chunk_documents
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -1845,6 +1858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank_top": q_kg_pagerank_top,
         "media_phash_dups": q_media_phash_dups,
         "priority_revenue_skew": q_priority_revenue_skew,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -2082,6 +2096,32 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice), 2) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        # chunking: stride 48 = 64 - 16; n_chunks = ceil((n-64)/48) + 1
+        # (clamped at 1); list_slice is 1-based inclusive
+        "doc_chunks": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split(
+                           trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'),
+                                ' '), ' ') AS t
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, t, len(t) AS n
+                FROM toks WHERE NOT (len(t) = 1 AND t[1] = '')
+            ), chunks AS (
+                SELECT doc_id, t, n,
+                       unnest(range(0,
+                           CAST(greatest(0, ceil((n - 64.0) / 48.0)) AS BIGINT)
+                           + 1)) AS ci
+                FROM sized
+            )
+            SELECT doc_id, ci AS chunk_id,
+                   array_to_string(
+                       list_slice(t, ci * 48 + 1, ci * 48 + 64), ' ')
+                       AS chunk_text,
+                   len(list_slice(t, ci * 48 + 1, ci * 48 + 64)) AS n_tokens
+            FROM chunks
         """,
         "topk_events_per_type": """
             SELECT event_type, event_id, value FROM events

@@ -595,3 +595,48 @@ def normalize_text(
         return batch
 
     return ds.map_batches(norm, batch_format="pandas")
+
+
+def chunk_documents(
+    ds: "ray.data.Dataset",
+    *,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> "ray.data.Dataset":
+    """Split documents into fixed-size token windows with ``overlap`` —
+    the context-window chunking step before embedding / training-example
+    assembly.  Tokens are the whitespace-collapsed split of the text (run
+    :func:`normalize_text` semantics inline so the token stream is
+    SQL-reconstructible: DuckDB ``string_split`` on single spaces +
+    ``list_slice`` + ``array_to_string`` recomputes every chunk verbatim).
+
+    Emits (id, chunk_id, chunk_text, n_tokens); stride = chunk_tokens −
+    overlap; the final window keeps its tail even when short; empty/null
+    docs emit nothing.  Map-only (flat_map shape, no shuffle); the
+    vectorized outer loop is per DOCUMENT, not per token.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {id_column: [], "chunk_id": [], "chunk_text": [], "n_tokens": []}
+        for row_id, text in zip(batch[id_column], batch[text_column]):
+            if not isinstance(text, str):
+                continue
+            tokens = text.split()
+            if not tokens:
+                continue
+            for ci, start in enumerate(range(0, len(tokens), stride)):
+                window = tokens[start : start + chunk_tokens]
+                out[id_column].append(row_id)
+                out["chunk_id"].append(ci)
+                out["chunk_text"].append(" ".join(window))
+                out["n_tokens"].append(len(window))
+                if start + chunk_tokens >= len(tokens):
+                    break
+        return pd.DataFrame(out)
+
+    return ds.map_batches(chunk, batch_format="pandas")

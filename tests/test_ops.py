@@ -1683,3 +1683,28 @@ def test_skew_join_equals_partitioned_join(ray_session):
         got[["k", "lv", "rv"]].astype({"lv": "int64", "rv": "int64"}), want
     )
     assert (got["k"] == "hot").sum() == 500  # the hot path really ran
+
+
+def test_chunk_documents_boundaries(ray_session):
+    """Window/stride boundary cases: exact fit = one chunk, one extra token
+    spills into a short tail chunk, overlap repeats the seam tokens."""
+    toks = lambda n: " ".join(f"w{i}" for i in range(n))
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": [toks(4), toks(5), toks(9), "   "]}
+    )
+    got = (
+        text.chunk_documents(
+            ray.data.from_pandas(df), chunk_tokens=4, overlap=1
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    by_doc = {k: g for k, g in got.groupby("doc_id")}
+    assert len(by_doc[1]) == 1 and by_doc[1]["n_tokens"].tolist() == [4]
+    # 5 tokens, stride 3: windows [0:4], [3:5]
+    assert by_doc[2]["chunk_text"].tolist() == ["w0 w1 w2 w3", "w3 w4"]
+    # 9 tokens: [0:4], [3:7], [6:9] — seam token repeats at each boundary
+    assert by_doc[3]["n_tokens"].tolist() == [4, 4, 3]
+    assert by_doc[3]["chunk_text"].iloc[1].startswith("w3")
+    assert 4 not in by_doc  # whitespace-only doc emits nothing
