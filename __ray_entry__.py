@@ -1751,6 +1751,29 @@ def q_doc_chunks(sf_dir: str):
     return chunk_documents(docs, chunk_tokens=64, overlap=16)
 
 
+def q_doc_perplexity(sf_dir: str):
+    """CCNet-style quality signal: bigram LM trained distributed on the
+    corpus (deterministic min-count threshold), broadcast once, every doc
+    scored with interpolated backoff.  Model-dependent arithmetic →
+    rows-only; separation behavior is pytest-gated."""
+    import ray
+    import ray.data
+
+    from esmarc_ray.ops.text import perplexity_score, train_bigram_lm
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    model_ref = ray.put(train_bigram_lm(docs, min_count=5))
+    scored = perplexity_score(docs, model_ref)
+
+    def round_ppl(batch):
+        batch["ppl"] = batch["ppl"].round(6)
+        return batch
+
+    return scored.map_batches(round_ppl, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -1859,6 +1882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_dups": q_media_phash_dups,
         "priority_revenue_skew": q_priority_revenue_skew,
         "doc_chunks": q_doc_chunks,
+        "doc_perplexity": q_doc_perplexity,
     }
 
 

@@ -640,3 +640,100 @@ def chunk_documents(
         return pd.DataFrame(out)
 
     return ds.map_batches(chunk, batch_format="pandas")
+
+
+def train_bigram_lm(
+    docs: "ray.data.Dataset",
+    *,
+    text_column: str = "text",
+    min_count: int = 5,
+) -> dict:
+    """Distributed bigram language model for perplexity filtering (the
+    CCNet-style quality signal: templated/boilerplate text scores low,
+    gibberish scores high).
+
+    Counts are combiner-shaped wordcounts over (w1, w2) pairs and unigrams;
+    only terms with count ≥ ``min_count`` enter the model (a deterministic
+    threshold, unlike a top-k whose tie boundary is unstable), so the
+    collected model is bounded by the corpus' head vocabulary, not its row
+    count.  Returns a plain dict — ``ray.put`` it once and read it in every
+    scoring task."""
+    import numpy as np
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    def pair_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"w1": [], "w2": []}
+        for text in batch[text_column]:
+            if not isinstance(text, str):
+                continue
+            toks = text.lower().split()
+            out["w1"].extend(toks[:-1])
+            out["w2"].extend(toks[1:])
+        return pd.DataFrame(out)
+
+    def uni_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for text in batch[text_column]:
+            if isinstance(text, str):
+                out.extend(text.lower().split())
+        return pd.DataFrame({"w": out})
+
+    bi = partial_groupby_agg(
+        docs.map_batches(pair_rows, batch_format="pandas"),
+        ["w1", "w2"], {"n": ("w1", "count")},
+    ).filter(expr=f"n >= {min_count}").to_pandas()
+    uni = partial_groupby_agg(
+        docs.map_batches(uni_rows, batch_format="pandas"),
+        ["w"], {"n": ("w", "count")},
+    ).filter(expr=f"n >= {min_count}").to_pandas()
+
+    total = float(uni["n"].sum())
+    uni_logp = {
+        w: float(np.log(n / total)) for w, n in zip(uni["w"], uni["n"])
+    }
+    uni_count = dict(zip(uni["w"], uni["n"].astype(float)))
+    bi_logp = {
+        (a, b): float(np.log(n / uni_count[a]))
+        for a, b, n in zip(bi["w1"], bi["w2"], bi["n"])
+        if a in uni_count
+    }
+    return {"unigram": uni_logp, "bigram": bi_logp, "floor": float(np.log(1.0 / total))}
+
+
+def perplexity_score(
+    docs: "ray.data.Dataset",
+    model,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    out_name: str = "ppl",
+) -> "ray.data.Dataset":
+    """Per-doc bigram perplexity under a :func:`train_bigram_lm` model with
+    interpolated backoff (0.8·bigram + 0.15·unigram + 0.05·floor).  ``model``
+    may be the dict itself or a ``ray.ObjectRef`` to it (broadcast once, not
+    re-shipped per batch).  Docs with < 2 tokens get the floor perplexity."""
+    import numpy as np
+    import ray as _ray
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(model) if isinstance(model, _ray.ObjectRef) else model
+        uni, bi, floor = m["unigram"], m["bigram"], m["floor"]
+        ppls = []
+        for text in batch[text_column]:
+            toks = text.lower().split() if isinstance(text, str) else []
+            if len(toks) < 2:
+                ppls.append(float(np.exp(-floor)))
+                continue
+            lp = 0.0
+            for a, b in zip(toks[:-1], toks[1:]):
+                p = (
+                    0.8 * np.exp(bi.get((a, b), -np.inf))
+                    + 0.15 * np.exp(uni.get(b, -np.inf))
+                    + 0.05 * np.exp(floor)
+                )
+                lp += np.log(p)
+            ppls.append(float(np.exp(-lp / (len(toks) - 1))))
+        return pd.DataFrame({id_column: batch[id_column], out_name: ppls})
+
+    return docs.map_batches(score, batch_format="pandas")

@@ -1708,3 +1708,33 @@ def test_chunk_documents_boundaries(ray_session):
     assert by_doc[3]["n_tokens"].tolist() == [4, 4, 3]
     assert by_doc[3]["chunk_text"].iloc[1].startswith("w3")
     assert 4 not in by_doc  # whitespace-only doc emits nothing
+
+
+def test_bigram_perplexity_separates_template_from_gibberish(ray_session):
+    """Text drawn from the training distribution scores far lower perplexity
+    than shuffled/gibberish tokens — the CCNet-style filter signal."""
+    sent = "the quick brown fox jumps over the lazy dog"
+    corpus = pd.DataFrame(
+        {"doc_id": range(40), "text": [sent] * 40}
+    )
+    model = text.train_bigram_lm(
+        ray.data.from_pandas(corpus), min_count=2
+    )
+    probe = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                sent,  # in-distribution
+                "dog lazy the over jumps fox brown quick the",  # shuffled
+                "zxq wvu tsr qpo nml",  # out-of-vocab gibberish
+            ],
+        }
+    )
+    got = (
+        text.perplexity_score(ray.data.from_pandas(probe), model)
+        .to_pandas()
+        .set_index("doc_id")["ppl"]
+    )
+    assert got[0] < got[1] < got[2]
+    assert got[0] < 5  # near-deterministic bigrams
+    assert got[2] > 100  # pure floor mass
