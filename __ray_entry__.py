@@ -1774,6 +1774,23 @@ def q_doc_perplexity(sf_dir: str):
     return scored.map_batches(round_ppl, batch_format="pandas")
 
 
+def q_orders_profile(sf_dir: str):
+    """Data-profiling pass: per-column (n, n_null, n_distinct, min, max)
+    over three differently-typed columns — combiner pass + distributed
+    DISTINCT, result is |columns| rows."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import profile_columns
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    return profile_columns(
+        orders, ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -1883,6 +1900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_revenue_skew": q_priority_revenue_skew,
         "doc_chunks": q_doc_chunks,
         "doc_perplexity": q_doc_perplexity,
+        "orders_profile": q_orders_profile,
     }
 
 
@@ -2146,6 +2164,27 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk_text,
                    len(list_slice(t, ci * 48 + 1, ci * 48 + 64)) AS n_tokens
             FROM chunks
+        """,
+        "orders_profile": """
+            SELECT 'o_orderkey' AS column, count(*) AS n,
+                   count(*) - count(o_orderkey) AS n_null,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority),
+                   min(o_orderpriority), max(o_orderpriority)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*),
+                   count(*) - count(o_totalprice),
+                   count(DISTINCT o_totalprice),
+                   CAST(min(o_totalprice) AS VARCHAR),
+                   CAST(max(o_totalprice) AS VARCHAR)
+            FROM orders
         """,
         "topk_events_per_type": """
             SELECT event_type, event_id, value FROM events

@@ -1844,3 +1844,63 @@ def skew_join(
         how="inner",
     )
     return cold.union(hot)
+
+
+def profile_columns(
+    ds: ray.data.Dataset,
+    columns: list[str],
+    *,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Data-profiling summary: one row per column with (n, n_null,
+    n_distinct, min, max) — the schema-sanity pass before a big pipeline
+    run.  n/n_null/min/max are a single combiner pass (one partial row per
+    batch × column); n_distinct is the distributed DISTINCT count
+    (hash-partitioned, never a driver-side unique()).  min/max stringify so
+    heterogeneous column types fit one result table.  Returns a small pandas
+    DataFrame (|columns| rows) — driver-sized by construction."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in columns:
+            col = batch[c]
+            non_null = col.dropna()
+            # keep NATIVE values here — stringifying before the cross-batch
+            # merge would make numeric min/max lexicographic ("100" < "99")
+            rows.append(
+                {
+                    "column": c,
+                    "n": len(col),
+                    "n_null": int(col.isna().sum()),
+                    "min": non_null.min() if len(non_null) else None,
+                    "max": non_null.max() if len(non_null) else None,
+                }
+            )
+        return pd.DataFrame(rows).astype({"min": "object", "max": "object"})
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = partials.groupby("column", as_index=False).agg(
+        n=("n", "sum"), n_null=("n_null", "sum"),
+        min=("min", "min"), max=("max", "max"),
+    )
+    for c in ("min", "max"):
+        agg[c] = agg[c].map(lambda v: None if v is None else str(v))
+
+    from esmarc_ray.ops.dedup import _distinct_on
+
+    distinct_counts = {}
+    for c in columns:
+        distinct_counts[c] = _distinct_on(
+            ds.select_columns([c]).map_batches(
+                lambda b, _c=c: b[b[_c].notna()], batch_format="pandas"
+            ),
+            [c],
+            num_partitions=num_partitions,
+        ).count()
+    agg["n_distinct"] = agg["column"].map(distinct_counts)
+    return (
+        agg[["column", "n", "n_null", "n_distinct", "min", "max"]]
+        .sort_values("column")
+        .reset_index(drop=True)
+        .astype({"n": "int64", "n_null": "int64", "n_distinct": "int64"})
+    )

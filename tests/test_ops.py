@@ -1738,3 +1738,19 @@ def test_bigram_perplexity_separates_template_from_gibberish(ray_session):
     assert got[0] < got[1] < got[2]
     assert got[0] < 5  # near-deterministic bigrams
     assert got[2] > 100  # pure floor mass
+
+
+def test_profile_columns_cross_batch_minmax(ray_session):
+    """Numeric min/max must merge numerically across batches (a stringified
+    partial would make '100' < '99'); nulls and distincts counted exactly."""
+    df = pd.DataFrame(
+        {"a": [99, 100, 5, None, 5], "s": ["b", None, "a", "a", "c"]}
+    )
+    got = relational.profile_columns(
+        ray.data.from_pandas(df).repartition(3), ["a", "s"]
+    ).set_index("column")
+    assert got.loc["a", "min"] == "5.0" and got.loc["a", "max"] == "100.0"
+    assert got.loc["a", "n"] == 5 and got.loc["a", "n_null"] == 1
+    assert got.loc["a", "n_distinct"] == 3
+    assert got.loc["s", "min"] == "a" and got.loc["s", "max"] == "c"
+    assert got.loc["s", "n_distinct"] == 3
