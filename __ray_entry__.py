@@ -1791,6 +1791,38 @@ def q_orders_profile(sf_dir: str):
     )
 
 
+def q_store_upsert(sf_dir: str):
+    """Incremental upsert sink: batch 1 writes a key range, batch 2 updates
+    an overlapping range (+1 to the price) and adds new keys — only touched
+    hash buckets rewrite.  The read-back store equals the SQL last-writer
+    union, hash-checked."""
+    import shutil
+
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.io import read_partitioned_store, upsert_partitioned
+
+    store = "/tmp/esmarc_ray_upsert_store"
+    shutil.rmtree(store, ignore_errors=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    b1 = orders.filter(expr="o_orderkey < 2000")
+
+    def bump(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["o_totalprice"] = batch["o_totalprice"] + 1
+        return batch
+
+    b2 = orders.filter(expr="o_orderkey >= 1000 and o_orderkey < 3000").map_batches(
+        bump, batch_format="pandas"
+    )
+    upsert_partitioned(b1, store, ["o_orderkey"], num_buckets=16)
+    upsert_partitioned(b2, store, ["o_orderkey"], num_buckets=16)
+    return read_partitioned_store(store, columns=["o_orderkey", "o_totalprice"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -1901,6 +1933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": q_doc_chunks,
         "doc_perplexity": q_doc_perplexity,
         "orders_profile": q_orders_profile,
+        "store_upsert": q_store_upsert,
     }
 
 
@@ -2164,6 +2197,17 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk_text,
                    len(list_slice(t, ci * 48 + 1, ci * 48 + 64)) AS n_tokens
             FROM chunks
+        """,
+        "store_upsert": """
+            WITH b1 AS (SELECT o_orderkey, o_totalprice FROM orders
+                        WHERE o_orderkey < 2000),
+                 b2 AS (SELECT o_orderkey, o_totalprice + 1 AS o_totalprice
+                        FROM orders
+                        WHERE o_orderkey >= 1000 AND o_orderkey < 3000)
+            SELECT * FROM b2
+            UNION ALL
+            SELECT * FROM b1
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
         """,
         "orders_profile": """
             SELECT 'o_orderkey' AS column, count(*) AS n,

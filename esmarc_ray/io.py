@@ -107,3 +107,81 @@ def write_jsonld(
         return pa.Table.from_pydict(out)
 
     return docs.map_batches(write_block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def upsert_partitioned(
+    ds: ray.data.Dataset,
+    store_dir: str,
+    key_cols: list[str],
+    *,
+    num_buckets: int = 64,
+    sort_within: "list[str] | None" = None,
+) -> "Any":
+    """Incremental merge of new rows into a hash-bucketed parquet store —
+    the delta-maintenance sink for a continuously-rebuilt KG: a daily
+    increment touches (and rewrites) ONLY the buckets its keys hash into;
+    everything else is untouched bytes on disk.
+
+    Layout: ``{store}/bucket={k}/part-0.parquet`` with bucket =
+    siphash(key_cols) % num_buckets.  Each touched bucket's reducer reads
+    the existing bucket file, unions the incoming rows, keeps the LAST
+    writer per key (upsert semantics — incoming replaces stored), sorts by
+    ``sort_within`` (default: the key) for deterministic bytes, and
+    rewrites the file.  Raise ``num_buckets`` with store size so a bucket
+    stays worker-sized; the per-bucket rewrite is the unit of both
+    parallelism and incremental cost.
+
+    Returns a pandas manifest (bucket, n_rows) of the TOUCHED buckets.
+    """
+    import pathlib
+
+    import pandas as pd
+
+    base = pathlib.Path(store_dir)
+    base.mkdir(parents=True, exist_ok=True)
+    order = list(sort_within or key_cols)
+
+    def add_bucket(batch: "pd.DataFrame") -> "pd.DataFrame":
+        key = (
+            batch[key_cols[0]].astype(str)
+            if len(key_cols) == 1
+            else batch[key_cols].astype(str).agg("\x1f".join, axis=1)
+        )
+        batch = batch.copy()
+        batch["__bucket"] = (
+            pd.util.hash_pandas_object(key, index=False).to_numpy() % num_buckets
+        ).astype("int32")
+        return batch
+
+    def merge_bucket(group: "pd.DataFrame") -> "pd.DataFrame":
+        bucket = int(group["__bucket"].iloc[0])
+        incoming = group.drop(columns="__bucket")
+        bucket_dir = base / f"bucket={bucket}"
+        path = bucket_dir / "part-0.parquet"
+        if path.exists():
+            existing = pd.read_parquet(path)
+            # upsert: incoming rows REPLACE stored rows with the same key
+            merged = pd.concat([existing, incoming], ignore_index=True)
+            merged = merged.drop_duplicates(key_cols, keep="last")
+        else:
+            bucket_dir.mkdir(parents=True, exist_ok=True)
+            merged = incoming.drop_duplicates(key_cols, keep="last")
+        merged = merged.sort_values(order).reset_index(drop=True)
+        merged.to_parquet(path, index=False)
+        return pd.DataFrame({"bucket": [bucket], "n_rows": [len(merged)]})
+
+    manifest = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return manifest.sort_values("bucket").reset_index(drop=True)
+
+
+def read_partitioned_store(
+    store_dir: str, *, columns: "list[str] | None" = None
+) -> ray.data.Dataset:
+    """Read every bucket of an :func:`upsert_partitioned` store back as one
+    Dataset (bucket files are self-contained parquet)."""
+    return ray.data.read_parquet(store_dir, columns=columns)

@@ -1754,3 +1754,39 @@ def test_profile_columns_cross_batch_minmax(ray_session):
     assert got.loc["a", "n_distinct"] == 3
     assert got.loc["s", "min"] == "a" and got.loc["s", "max"] == "c"
     assert got.loc["s", "n_distinct"] == 3
+
+
+def test_upsert_partitioned_incremental(ray_session, tmp_path):
+    """Second upsert replaces same-key rows (last writer wins), adds new
+    keys, and rewrites ONLY the buckets its keys hash into."""
+    import os
+
+    from esmarc_ray.io import read_partitioned_store, upsert_partitioned
+
+    store = str(tmp_path / "store")
+    b1 = pd.DataFrame({"k": [f"k{i}" for i in range(40)], "v": [1] * 40})
+    upsert_partitioned(ray.data.from_pandas(b1), store, ["k"], num_buckets=8)
+    mtimes = {
+        d: os.stat(f"{store}/{d}/part-0.parquet").st_mtime_ns
+        for d in os.listdir(store)
+    }
+    # overlap k0..k9 (updated), new keys n0..n4
+    b2 = pd.DataFrame(
+        {"k": [f"k{i}" for i in range(10)] + [f"n{i}" for i in range(5)],
+         "v": [2] * 15}
+    )
+    manifest = upsert_partitioned(
+        ray.data.from_pandas(b2), store, ["k"], num_buckets=8
+    )
+    got = read_partitioned_store(store).to_pandas().set_index("k")["v"]
+    assert len(got) == 45
+    assert (got[[f"k{i}" for i in range(10)]] == 2).all()  # replaced
+    assert (got[[f"k{i}" for i in range(10, 40)]] == 1).all()  # kept
+    assert (got[[f"n{i}" for i in range(5)]] == 2).all()  # inserted
+    touched = {f"bucket={b}" for b in manifest["bucket"]}
+    for d, old in mtimes.items():
+        now = os.stat(f"{store}/{d}/part-0.parquet").st_mtime_ns
+        if d in touched:
+            assert now != old
+        else:
+            assert now == old  # untouched bytes
