@@ -1823,6 +1823,24 @@ def q_store_upsert(sf_dir: str):
     return read_partitioned_store(store, columns=["o_orderkey", "o_totalprice"])
 
 
+def q_events_trailing_7d(sf_dir: str):
+    """Trailing-7-day per-user value sum (RANGE frame, peers included) —
+    checked against DuckDB's RANGE BETWEEN INTERVAL frame."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import range_window
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return range_window(
+        events, "user_id", "ts", "value",
+        span=pd.Timedelta(days=7), fn="sum", out_name="win_sum",
+        num_partitions=16,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -1934,6 +1952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_perplexity": q_doc_perplexity,
         "orders_profile": q_orders_profile,
         "store_upsert": q_store_upsert,
+        "events_trailing_7d": q_events_trailing_7d,
     }
 
 
@@ -2197,6 +2216,14 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk_text,
                    len(list_slice(t, ci * 48 + 1, ci * 48 + 64)) AS n_tokens
             FROM chunks
+        """,
+        "events_trailing_7d": """
+            SELECT user_id, ts, value,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+                   ), 4) AS win_sum
+            FROM events
         """,
         "store_upsert": """
             WITH b1 AS (SELECT o_orderkey, o_totalprice FROM orders

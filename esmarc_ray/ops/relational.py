@@ -1904,3 +1904,62 @@ def profile_columns(
         .reset_index(drop=True)
         .astype({"n": "int64", "n_null": "int64", "n_distinct": "int64"})
     )
+
+
+def range_window(
+    ds: ray.data.Dataset,
+    partition_by: str,
+    ts_column: str,
+    value_column: str,
+    *,
+    span,
+    fn: str = "sum",
+    out_name: str = "range_value",
+    round_to: int | None = 4,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """RANGE-frame window aggregate: ``fn(value) OVER (PARTITION BY k ORDER
+    BY ts RANGE BETWEEN span PRECEDING AND CURRENT ROW)`` — the trailing-
+    time-window metric (revenue over the last 7 days per user) the
+    ROWS-frame :func:`moving_window` cannot express.
+
+    SQL RANGE semantics exactly, ties included: the frame of row *i* is
+    every row with ``ts ∈ [ts_i − span, ts_i]`` INCLUDING later-sorted peer
+    rows that share ``ts_i`` (computed with two ``searchsorted`` bounds on
+    the sorted timestamps + prefix sums — vectorized per key inside one
+    reducer per hash-bucket of keys).  ``fn`` ∈ {sum, count, mean} (prefix-
+    sum computable; sliding min/max would need a deque pass).  ``span`` is a
+    ``pd.Timedelta`` (or anything subtractable from the ts dtype)."""
+    if fn not in ("sum", "count", "mean"):
+        raise ValueError(f"range_window: unsupported fn {fn!r}")
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            part.drop(columns="__part")
+            .sort_values([partition_by, ts_column], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        results = np.empty(len(out), dtype="float64")
+        pos = 0
+        for _, g in out.groupby(partition_by, sort=False):
+            ts = g[ts_column].to_numpy()
+            vals = g[value_column].to_numpy(dtype="float64")
+            csum = np.concatenate([[0.0], np.cumsum(vals)])
+            lo = np.searchsorted(ts, ts - span, side="left")
+            hi = np.searchsorted(ts, ts, side="right")  # includes all peers
+            if fn == "sum":
+                res = csum[hi] - csum[lo]
+            elif fn == "count":
+                res = (hi - lo).astype("float64")
+            else:  # mean
+                res = (csum[hi] - csum[lo]) / (hi - lo)
+            results[pos : pos + len(g)] = res
+            pos += len(g)
+        out[out_name] = np.round(results, round_to) if round_to is not None else results
+        return out
+
+    return (
+        ds.map_batches(_add_hash_part([partition_by], num_partitions), batch_format="pandas")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

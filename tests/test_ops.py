@@ -1790,3 +1790,29 @@ def test_upsert_partitioned_incremental(ray_session, tmp_path):
             assert now != old
         else:
             assert now == old  # untouched bytes
+
+
+def test_range_window_ties_and_bounds(ray_session):
+    """RANGE semantics: tied timestamps are mutual peers (both rows see
+    both values); the span bound is CLOSED (a row exactly span old is in)."""
+    ts0 = pd.Timestamp("2026-01-10")
+    df = pd.DataFrame(
+        {
+            "u": ["a"] * 4,
+            "ts": [ts0, ts0 + pd.Timedelta(days=7), ts0 + pd.Timedelta(days=7),
+                   ts0 + pd.Timedelta(days=20)],
+            "v": [1.0, 10.0, 100.0, 1000.0],
+        }
+    )
+    got = (
+        relational.range_window(
+            ray.data.from_pandas(df), "u", "ts", "v",
+            span=pd.Timedelta(days=7), fn="sum", out_name="s", num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["ts", "v"])["s"]
+        .tolist()
+    )
+    # row0: just itself; rows 1+2: peers include each other AND row0 (exactly
+    # 7 days old — closed bound); row3: alone again
+    assert got == [1.0, 111.0, 111.0, 1000.0]
