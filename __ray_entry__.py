@@ -1841,6 +1841,34 @@ def q_events_trailing_7d(sf_dir: str):
     )
 
 
+def q_fuzzy_name_links(sf_dir: str):
+    """Record-linkage join: block customers × suppliers on nation, verify
+    with char-set Jaccard ≥ 0.4 — exactly DuckDB's jaccard(), so the whole
+    ER operator hash-checks against SQL."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import blocked_fuzzy_join
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.rename(columns={"c_nationkey": "nationkey"}),
+        batch_format="pandas",
+    )
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).map_batches(
+        lambda b: b.rename(columns={"s_nationkey": "nationkey"}),
+        batch_format="pandas",
+    )
+    return blocked_fuzzy_join(
+        customer, supplier,
+        block_on="nationkey", left_text="c_name", right_text="s_name",
+        threshold=0.4, left_cols=["c_custkey"], right_cols=["s_suppkey"],
+        num_partitions=16,
+    ).select_columns(["c_custkey", "s_suppkey", "similarity"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -1953,6 +1981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_profile": q_orders_profile,
         "store_upsert": q_store_upsert,
         "events_trailing_7d": q_events_trailing_7d,
+        "fuzzy_name_links": q_fuzzy_name_links,
     }
 
 
@@ -2216,6 +2245,12 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk_text,
                    len(list_slice(t, ci * 48 + 1, ci * 48 + 64)) AS n_tokens
             FROM chunks
+        """,
+        "fuzzy_name_links": """
+            SELECT c_custkey, s_suppkey,
+                   round(jaccard(c_name, s_name), 6) AS similarity
+            FROM customer JOIN supplier ON c_nationkey = s_nationkey
+            WHERE round(jaccard(c_name, s_name), 6) >= 0.4
         """,
         "events_trailing_7d": """
             SELECT user_id, ts, value,

@@ -1963,3 +1963,48 @@ def range_window(
         .groupby("__part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def blocked_fuzzy_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    block_on: str,
+    left_text: str,
+    right_text: str,
+    threshold: float,
+    left_cols: list[str],
+    right_cols: list[str],
+    sim_name: str = "similarity",
+    round_to: int = 6,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Record-linkage join: equality BLOCKING on ``block_on`` (the classic
+    ER trick — only same-block pairs are ever compared, so the cross
+    product is per-block, not global) + a character-set Jaccard verify on
+    the text columns (DuckDB's ``jaccard()`` definition, so the whole
+    operator is SQL-oracle-checkable).  Emits matched pairs with the
+    similarity appended; pairs below ``threshold`` are dropped.
+
+    Scale shape: one partitioned equi-join on the blocking key, then a
+    map-only filter — no all-pairs stage anywhere.  Pick ``block_on`` with
+    enough selectivity that a block fits a reducer (the ER blocking-design
+    problem, documented here rather than hidden)."""
+    joined = partitioned_join(
+        left, right, block_on,
+        left_cols=[left_text] + left_cols,
+        right_cols=[right_text] + right_cols,
+        num_partitions=num_partitions, how="inner",
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        sims = np.empty(len(batch), dtype="float64")
+        for i, (a, b) in enumerate(zip(batch[left_text], batch[right_text])):
+            sa, sb = set(a), set(b)
+            union = len(sa | sb)
+            sims[i] = len(sa & sb) / union if union else 1.0
+        batch = batch.copy()
+        batch[sim_name] = np.round(sims, round_to)
+        return batch[batch[sim_name] >= threshold]
+
+    return joined.map_batches(verify, batch_format="pandas")

@@ -1816,3 +1816,27 @@ def test_range_window_ties_and_bounds(ray_session):
     # row0: just itself; rows 1+2: peers include each other AND row0 (exactly
     # 7 days old — closed bound); row3: alone again
     assert got == [1.0, 111.0, 111.0, 1000.0]
+
+
+def test_blocked_fuzzy_join_blocks_and_verifies(ray_session):
+    """Only same-block pairs are compared; char-set Jaccard matches the
+    reference formula; sub-threshold pairs drop."""
+    left = pd.DataFrame(
+        {"blk": [1, 1, 2], "lname": ["abcd", "wxyz", "abcd"], "lid": [1, 2, 3]}
+    )
+    right = pd.DataFrame({"blk": [1, 1], "rname": ["abce", "zzzz"], "rid": [10, 20]})
+    got = (
+        relational.blocked_fuzzy_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            block_on="blk", left_text="lname", right_text="rname",
+            threshold=0.5, left_cols=["lid"], right_cols=["rid"],
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    # abcd~abce: |{a,b,c}|/|{a,b,c,d,e}| = 0.6 ✓; wxyz~zzzz: 1/4 < 0.5 ✗;
+    # lid=3 is in block 2 with no right rows — blocked out entirely
+    assert got[["lid", "rid"]].values.tolist() == [[1, 10]]
+    assert abs(got["similarity"].iloc[0] - 0.6) < 1e-9
