@@ -1869,6 +1869,32 @@ def q_fuzzy_name_links(sf_dir: str):
     ).select_columns(["c_custkey", "s_suppkey", "similarity"])
 
 
+def q_copurchase_triangles(sf_dir: str):
+    """Triangle count of the part co-purchase graph (parts sharing an
+    order are linked): degree-ordered distributed counting, hash-checked
+    against DuckDB's three-way self-join."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.graph import triangle_count
+    from esmarc_ray.ops.relational import partitioned_final
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).filter(expr="l_orderkey < 3000")
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        m = part.merge(part, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        return m[["l_partkey_a", "l_partkey_b"]].drop_duplicates()
+
+    edges = partitioned_final(li, ["l_orderkey"], pairs, num_partitions=16)
+    n = triangle_count(
+        edges, u="l_partkey_a", v="l_partkey_b", num_partitions=16
+    )
+    return pd.DataFrame({"n_triangles": [n]})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -1982,6 +2008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_upsert": q_store_upsert,
         "events_trailing_7d": q_events_trailing_7d,
         "fuzzy_name_links": q_fuzzy_name_links,
+        "copurchase_triangles": q_copurchase_triangles,
     }
 
 
@@ -2245,6 +2272,19 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk_text,
                    len(list_slice(t, ci * 48 + 1, ci * 48 + 64)) AS n_tokens
             FROM chunks
+        """,
+        "copurchase_triangles": """
+            WITH pairs AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                WHERE a.l_orderkey < 3000 AND b.l_orderkey < 3000
+            )
+            SELECT count(*) AS n_triangles
+            FROM pairs e1
+            JOIN pairs e2 ON e1.v = e2.u
+            JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
         """,
         "fuzzy_name_links": """
             SELECT c_custkey, s_suppkey,

@@ -409,3 +409,152 @@ def pagerank(
         )
 
     return ranks
+
+
+def triangle_count(
+    edges: ray.data.Dataset,
+    *,
+    u: str = "u",
+    v: str = "v",
+    num_partitions: int = 32,
+) -> int:
+    """Global triangle count of the undirected simple graph in ``edges``.
+
+    Degree-ordered orientation (Schank/Wagner): every edge points from its
+    (degree, id)-smaller endpoint to the larger, so each triangle is counted
+    exactly once AND the wedge fan-out per node is bounded by its ORIENTED
+    out-degree — O(√m) on skewed graphs, which keeps the hub node from
+    generating degree² wedge candidates (the failure mode of naive id-
+    ordered counting on power-law graphs).
+
+    Three co-partitioned exchanges: (1) degrees joined onto both endpoints,
+    (2) wedges built per oriented source, (3) wedge candidates matched
+    against the oriented edge set on the composite key.  Self-loops and
+    duplicate/reverse edges are dropped up front.
+    """
+
+    def undirect(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[u].astype(str)
+        b = batch[v].astype(str)
+        lo = a.where(a < b, b)
+        hi = b.where(a < b, a)
+        out = pd.DataFrame({"a": lo, "b": hi})
+        return out[out["a"] != out["b"]].drop_duplicates()
+
+    from esmarc_ray.ops.dedup import _distinct_on
+
+    und = _distinct_on(
+        edges.map_batches(undirect, batch_format="pandas"), ["a", "b"],
+        num_partitions=num_partitions,
+    ).materialize()
+
+    # degree per node: each undirected edge contributes to both endpoints
+    def deg_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.concat([batch["a"], batch["b"]], ignore_index=True)}
+        )
+
+    def deg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby("node", as_index=False, sort=False).size()
+        return out.rename(columns={"size": "deg"})
+
+    def deg_final(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("node", as_index=False, sort=False)["deg"].sum()
+
+    from esmarc_ray.ops.relational import partitioned_final, partitioned_join
+
+    degrees = partitioned_final(
+        und.map_batches(deg_rows, batch_format="pandas").map_batches(
+            deg_partial, batch_format="pandas"
+        ),
+        ["node"],
+        deg_final,
+        num_partitions=num_partitions,
+    ).materialize()
+
+    # join degree onto both endpoints, then orient by (deg, id)
+    with_da = partitioned_join(
+        und, degrees.map_batches(
+            lambda b: b.rename(columns={"node": "a", "deg": "deg_a"}),
+            batch_format="pandas",
+        ),
+        "a", left_cols=["b"], right_cols=["deg_a"],
+        num_partitions=num_partitions,
+    )
+    with_both = partitioned_join(
+        with_da, degrees.map_batches(
+            lambda b: b.rename(columns={"node": "b", "deg": "deg_b"}),
+            batch_format="pandas",
+        ),
+        "b", left_cols=["a", "deg_a"], right_cols=["deg_b"],
+        num_partitions=num_partitions,
+    )
+
+    def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        da = batch["deg_a"].astype("int64")
+        db = batch["deg_b"].astype("int64")
+        a_first = (da < db) | ((da == db) & (batch["a"] < batch["b"]))
+        return pd.DataFrame(
+            {
+                "lo": batch["a"].where(a_first, batch["b"]),
+                "hi": batch["b"].where(a_first, batch["a"]),
+                "deg_lo": da.where(a_first, db),
+                "deg_hi": db.where(a_first, da),
+            }
+        )
+
+    oriented = with_both.map_batches(orient, batch_format="pandas").materialize()
+
+    # wedges per oriented source: for each lo, all (deg,id)-ordered pairs of
+    # its out-neighbors form candidate closing edges
+    def tag_src(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["part"] = _part_series(batch["lo"], num_partitions)
+        return batch
+
+    def wedges(part: pd.DataFrame) -> pd.DataFrame:
+        # ONE ROW PER WEDGE (never dedup: two wedges from different sources
+        # closing the same edge are two distinct triangles).  Keeping only
+        # the (deg, id)-ordered direction of each neighbor pair emits each
+        # wedge exactly once, already oriented like the edge set.
+        m = part.merge(part, on="lo", suffixes=("_1", "_2"))
+        keep = (m["deg_hi_1"] < m["deg_hi_2"]) | (
+            (m["deg_hi_1"] == m["deg_hi_2"]) & (m["hi_1"] < m["hi_2"])
+        )
+        m = m[keep]
+        if not len(m):
+            return pd.DataFrame(
+                {"lo": pd.Series(dtype="object"), "hi": pd.Series(dtype="object")}
+            )
+        return pd.DataFrame({"lo": m["hi_1"], "hi": m["hi_2"]})
+
+    candidates = (
+        oriented.map_batches(tag_src, batch_format="pandas")
+        .groupby("part")
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+    def tag_cand(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["lo"].astype(str) + "\x1f" + batch["hi"].astype(str)
+        return pd.DataFrame(
+            {"key": key, "side": "c", "part": _part_series(key, num_partitions)}
+        )
+
+    def tag_edge(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["lo"].astype(str) + "\x1f" + batch["hi"].astype(str)
+        return pd.DataFrame(
+            {"key": key, "side": "e", "part": _part_series(key, num_partitions)}
+        )
+
+    def count_matches(part: pd.DataFrame) -> pd.DataFrame:
+        edge_keys = set(part.loc[part["side"] == "e", "key"])
+        n = int(part.loc[part["side"] == "c", "key"].isin(edge_keys).sum())
+        return pd.DataFrame({"n": [n]})
+
+    matched = (
+        candidates.map_batches(tag_cand, batch_format="pandas")
+        .union(oriented.map_batches(tag_edge, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(count_matches, batch_format="pandas")
+    )
+    return int(sum(row["n"] for row in matched.take_all()))

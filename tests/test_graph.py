@@ -115,3 +115,36 @@ def test_pagerank_matches_power_iteration(ray_session):
     for name, i in idx.items():
         assert abs(got[name] - r[i]) < 1e-9, name
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    """Degree-ordered distributed count == itertools brute force on a graph
+    with a hub, shared-edge triangles, and triangle-free appendages."""
+    from itertools import combinations
+
+    from esmarc_ray.ops.graph import triangle_count
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),          # triangle a-b-c
+        ("c", "d"), ("d", "a"),                        # triangle a-c-d (shares edge a-c)
+        ("h", "x1"), ("h", "x2"), ("h", "x3"), ("h", "x4"),  # hub, no closures
+        ("x1", "x2"),                                  # closes one hub triangle
+        ("p", "q"),                                    # isolated edge
+        ("b", "a"), ("a", "b"),                        # duplicates/reverse
+        ("z", "z"),                                    # self-loop
+    ]
+    adj = set()
+    for s, t in edges:
+        if s != t:
+            adj.add((min(s, t), max(s, t)))
+    nodes = sorted({x for e in adj for x in e})
+    want = sum(
+        1
+        for x, y, z in combinations(nodes, 3)
+        if (x, y) in adj and (y, z) in adj and (x, z) in adj
+    )
+    got = triangle_count(
+        ray.data.from_pandas(pd.DataFrame(edges, columns=["u", "v"])),
+        num_partitions=4,
+    )
+    assert got == want == 3
