@@ -1895,6 +1895,21 @@ def q_copurchase_triangles(sf_dir: str):
     return pd.DataFrame({"n_triangles": [n]})
 
 
+def q_top_collocations(sf_dir: str):
+    """Top-50 PMI collocations over the documents table — oracle recomputes
+    the identical ln(n_pair·N/(n1·n2)) ranking in SQL."""
+    import ray.data
+
+    from esmarc_ray.ops.text import pmi_collocations
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pmi_collocations(docs, min_count=10, k=50).select_columns(
+        ["w1", "w2", "n", "pmi"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -2009,6 +2024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trailing_7d": q_events_trailing_7d,
         "fuzzy_name_links": q_fuzzy_name_links,
         "copurchase_triangles": q_copurchase_triangles,
+        "top_collocations": q_top_collocations,
     }
 
 
@@ -2272,6 +2288,32 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk_text,
                    len(list_slice(t, ci * 48 + 1, ci * 48 + 64)) AS n_tokens
             FROM chunks
+        """,
+        "top_collocations": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '\s+') AS t
+                FROM documents
+            ), pairs AS (
+                SELECT t[i] AS w1, t[i + 1] AS w2
+                FROM toks, unnest(range(1, len(t))) AS u(i)
+                WHERE t[i] <> '' AND t[i + 1] <> ''
+            ), uni AS (
+                SELECT term, count(*) AS n
+                FROM (SELECT unnest(t) AS term FROM toks)
+                WHERE term <> '' GROUP BY term
+            ), tot AS (SELECT sum(n) AS total FROM uni),
+            bi AS (
+                SELECT w1, w2, count(*) AS n FROM pairs GROUP BY w1, w2
+                HAVING count(*) >= 10
+            )
+            SELECT w1, w2, bi.n,
+                   round(ln(bi.n * tot.total / (u1.n * u2.n)), 6) AS pmi
+            FROM bi, tot
+            JOIN uni u1 ON bi.w1 = u1.term
+            JOIN uni u2 ON bi.w2 = u2.term
+            ORDER BY pmi DESC, w1, w2
+            LIMIT 50
         """,
         "copurchase_triangles": """
             WITH pairs AS (

@@ -737,3 +737,74 @@ def perplexity_score(
         return pd.DataFrame({id_column: batch[id_column], out_name: ppls})
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+def pmi_collocations(
+    docs: "ray.data.Dataset",
+    *,
+    text_column: str = "text",
+    min_count: int = 10,
+    k: int = 50,
+    round_to: int = 6,
+) -> "ray.data.Dataset":
+    """Top-k collocations by pointwise mutual information:
+    ``pmi(w1, w2) = ln(n_pair · N / (n_w1 · n_w2))`` over consecutive
+    lowercased whitespace tokens — the phrase-mining pass (word2vec-style
+    bigram promotion) of a text pipeline.
+
+    Counting is the combiner wordcount shape (pairs and unigrams each
+    shuffle one row per batch × term); only pairs with count ≥ ``min_count``
+    are scored, and the unigram table is collected bounded by the SAME
+    threshold (a word in a surviving pair has count ≥ min_count), so the
+    broadcast lookup is head-vocab-sized.  Deterministic output: sorted by
+    (pmi desc, w1, w2), top k."""
+    import numpy as np
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, sort_topk
+
+    def pair_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"w1": [], "w2": []}
+        for text in batch[text_column]:
+            if not isinstance(text, str):
+                continue
+            toks = text.lower().split()
+            out["w1"].extend(toks[:-1])
+            out["w2"].extend(toks[1:])
+        return pd.DataFrame(out)
+
+    def uni_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for text in batch[text_column]:
+            if isinstance(text, str):
+                out.extend(text.lower().split())
+        return pd.DataFrame({"w": out})
+
+    uni_ds = partial_groupby_agg(
+        docs.map_batches(uni_rows, batch_format="pandas"), ["w"], {"n": ("w", "count")}
+    ).materialize()
+    total = float(uni_ds.sum("n"))
+    # any word of a surviving pair has count ≥ min_count (pair ≤ word), so
+    # the driver-collected lookup is bounded by the head vocabulary
+    uni = uni_ds.filter(expr=f"n >= {min_count}").to_pandas()
+    counts = dict(zip(uni["w"], uni["n"].astype(float)))
+
+    bi = partial_groupby_agg(
+        docs.map_batches(pair_rows, batch_format="pandas"),
+        ["w1", "w2"], {"n": ("w1", "count")},
+    ).filter(expr=f"n >= {min_count}")
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        n1 = batch["w1"].map(counts).astype("float64")
+        n2 = batch["w2"].map(counts).astype("float64")
+        batch = batch.copy()
+        batch["pmi"] = np.round(
+            np.log(batch["n"].astype("float64") * total / (n1 * n2)), round_to
+        )
+        return batch
+
+    scored = bi.map_batches(score, batch_format="pandas")
+    # top-k by pmi with a deterministic (w1, w2) tie order
+    top = sort_topk(scored, "pmi", k * 4).sort(
+        ["pmi", "w1", "w2"], descending=[True, False, False]
+    ).limit(k)
+    return top

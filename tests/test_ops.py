@@ -1840,3 +1840,24 @@ def test_blocked_fuzzy_join_blocks_and_verifies(ray_session):
     # lid=3 is in block 2 with no right rows — blocked out entirely
     assert got[["lid", "rid"]].values.tolist() == [[1, 10]]
     assert abs(got["similarity"].iloc[0] - 0.6) < 1e-9
+
+
+def test_pmi_collocations_finds_planted_phrase(ray_session):
+    """A rigid two-word phrase ("neural network" always adjacent) ranks top
+    by PMI over words that co-occur only as often as chance."""
+    rng = np.random.default_rng(5)
+    filler = [f"w{i}" for i in range(20)]
+    rows = []
+    for i in range(200):
+        words = list(rng.choice(filler, 8))
+        words[3:3] = ["neural", "network"]  # always adjacent
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    got = (
+        text.pmi_collocations(
+            ray.data.from_pandas(pd.DataFrame(rows)), min_count=10, k=5
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert got.loc[0, ["w1", "w2"]].tolist() == ["neural", "network"]
+    assert got.loc[0, "pmi"] > got.loc[1, "pmi"] + 1.0  # clear margin
