@@ -148,7 +148,14 @@ def partitioned_join(
     NULL semantics match SQL: rows with a null join key never match (pandas
     merge would equate NaN==NaN) — null-key rows are dropped on sides the
     join does not preserve and kept unmatched on sides it does (left side
-    for ``how="left"``, both for ``how="outer"``)."""
+    for ``how="left"``, both for ``how="outer"``).
+
+    Caveat: partition routing stringifies the key, so BOTH sides must carry
+    the same key dtype — a float-upcast int column (``4.0``, the NaN-
+    nullable-int artifact) will not co-partition with an int ``4`` on the
+    other side.  Use pandas nullable ``Int64`` when a nullable int key is
+    needed (SQL engines type-unify join inputs; this operator asks the
+    caller to)."""
     if how == "full":
         how = "outer"
     all_payload = left_cols + right_cols

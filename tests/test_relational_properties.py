@@ -209,3 +209,97 @@ def test_sessionize_matches_per_key_reference(ray_session, rows):
         exp_rows, columns=["user_id", "n_sessions", "n_events", "longest_session_events"]
     ).sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+@st.composite
+def outer_join_inputs(draw):
+    n_left = draw(st.integers(min_value=0, max_value=12))
+    n_right = draw(st.integers(min_value=0, max_value=8))
+    nullable_keys = st.one_of(st.none(), st.integers(min_value=0, max_value=4))
+    # nullable Int64 on BOTH sides: a plain int column with None upcasts to
+    # float ("4.0"), which would not co-partition with the other side's int
+    # "4" — the documented dtype-alignment requirement of partitioned_join
+    left = pd.DataFrame(
+        {"k": pd.array([draw(nullable_keys) for _ in range(n_left)], dtype="Int64"),
+         "x": [draw(_VALS) for _ in range(n_left)]}
+    )
+    right = pd.DataFrame(
+        {"k": pd.array([draw(nullable_keys) for _ in range(n_right)], dtype="Int64"),
+         "y": [draw(_VALS) for _ in range(n_right)]}
+    )
+    return left, right
+
+
+@settings(max_examples=12, deadline=None)
+@given(outer_join_inputs())
+def test_full_outer_join_row_accounting(ray_session, inputs):
+    """|outer| = |matches| + unmatched-left + unmatched-right, with null
+    keys never matching but always preserved."""
+    left, right = inputs
+    got = relational.partitioned_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), "k",
+        left_cols=["x"], right_cols=["y"], how="outer", num_partitions=3,
+    ).to_pandas()
+    lk = left["k"].dropna().value_counts()
+    rk = right["k"].dropna().value_counts()
+    matches = sum(int(lk[k]) * int(rk[k]) for k in lk.index if k in rk.index)
+    unmatched_l = int(lk.drop(rk.index, errors="ignore").sum()) + int(left["k"].isna().sum())
+    unmatched_r = int(rk.drop(lk.index, errors="ignore").sum()) + int(right["k"].isna().sum())
+    assert len(got) == matches + unmatched_l + unmatched_r
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.floats(min_value=-50, max_value=150, allow_nan=False),
+                min_size=0, max_size=60))
+def test_value_histogram_conserves_mass(ray_session, vals):
+    """Sum of bin counts == number of in-range rows; bins within [0, n_bins)."""
+    df = pd.DataFrame({"v": pd.Series(vals, dtype="float64")})
+    got = relational.value_histogram(
+        ray.data.from_pandas(df), "v", lo=0.0, hi=100.0, width=20.0
+    ).to_pandas()
+    in_range = sum(1 for v in vals if 0.0 <= v < 100.0)
+    # a zero-block result drops columns in to_pandas (Ray quirk) — that IS
+    # the empty histogram
+    total = int(got["n"].sum()) if "n" in got.columns else 0
+    assert total == in_range
+    if len(got):
+        assert got["bin"].between(0, 4).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+                min_size=1, max_size=50))
+def test_quota_per_group_size_and_determinism(ray_session, rows):
+    """Each group keeps min(|group|, k) rows and the pick is stable across
+    runs (md5 order is a pure function of the ids)."""
+    df = pd.DataFrame(rows, columns=["g", "id"]).drop_duplicates("id")
+    a = relational.quota_per_group(
+        ray.data.from_pandas(df), ["g"], 3, id_column="id", num_partitions=2
+    ).to_pandas().sort_values(["g", "id"]).reset_index(drop=True)
+    b = relational.quota_per_group(
+        ray.data.from_pandas(df), ["g"], 3, id_column="id", num_partitions=4
+    ).to_pandas().sort_values(["g", "id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # partition count can't change the pick
+    sizes = df.groupby("g").size().clip(upper=3)
+    got_sizes = a.groupby("g").size()
+    assert got_sizes.reindex(sizes.index, fill_value=0).equals(sizes)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50),
+                          st.integers(-20, 20)),
+                min_size=1, max_size=40))
+def test_range_window_matches_bruteforce(ray_session, rows):
+    """RANGE-frame sum == per-row brute force over [ts-span, ts]."""
+    df = pd.DataFrame(rows, columns=["u", "t", "v"])
+    df["ts"] = pd.Timestamp("2026-01-01") + pd.to_timedelta(df["t"], unit="D")
+    df["v"] = df["v"].astype("float64")
+    span = pd.Timedelta(days=7)
+    got = relational.range_window(
+        ray.data.from_pandas(df[["u", "ts", "v"]]), "u", "ts", "v",
+        span=span, fn="sum", out_name="s", num_partitions=2, round_to=6,
+    ).to_pandas()
+    for _, row in got.iterrows():
+        grp = df[df["u"] == row["u"]]
+        want = grp[(grp["ts"] >= row["ts"] - span) & (grp["ts"] <= row["ts"])]["v"].sum()
+        assert abs(row["s"] - round(want, 6)) < 1e-9
