@@ -30,6 +30,10 @@ import ray.data
 
 _EMPTY = {"node": pd.Series(dtype="object"), "label": pd.Series(dtype="object")}
 
+# pagerank-internal sentinel row: \x1f cannot appear in str()-derived node
+# ids, so a real node can never collide with it
+_DANGLING = "\x1fdangling\x1f"
+
 
 def _part_series(keys: pd.Series, num_partitions: int) -> pd.Series:
     # vectorized (pandas C siphash) — a per-row crc32 .map here would run a
@@ -334,7 +338,7 @@ def pagerank(
             e = part[part["side"] == "e"][["key", "other"]]
             rd = r.merge(d, on="key", how="left")
             dangling = float(rd.loc[rd["deg"].isna(), "rank"].sum())
-            out = [pd.DataFrame({"node": ["__dangling__"], "contrib": [dangling]})]
+            out = [pd.DataFrame({"node": [_DANGLING], "contrib": [dangling]})]
             live = rd[rd["deg"].notna()]
             if not e.empty and not live.empty:
                 m = e.merge(live, on="key", how="inner")
@@ -358,14 +362,16 @@ def pagerank(
         )
         dangling_total = sum(
             row["contrib"]
-            for row in sums.filter(expr="node == '__dangling__'").take_all()
+            for row in sums.map_batches(
+                lambda b: b[b["node"] == _DANGLING], batch_format="pandas"
+            ).take_all()
         )
         base = (1.0 - damping) / n_nodes + damping * dangling_total / n_nodes
 
         # new rank = base + damping * inbound contributions (nodes with no
         # inbound rows simply get base) — tag-union-partition against nodes
         def tag_contrib(batch: pd.DataFrame) -> pd.DataFrame:
-            kept = batch[batch["node"] != "__dangling__"]
+            kept = batch[batch["node"] != _DANGLING]
             return pd.DataFrame(
                 {
                     "key": kept["node"],
