@@ -1910,6 +1910,26 @@ def q_top_collocations(sf_dir: str):
     )
 
 
+def q_interleave_chunks(sf_dir: str):
+    """Media-aware context windows over the interleaved span corpus: text
+    token budget per window, media refs kept at their positions.  The
+    oracle recomputes span→chunk assignment with a window cumsum over the
+    SAME span parquet (source-level check)."""
+    import shutil
+
+    from esmarc_ray.io import read_documents
+    from esmarc_ray.pipelines.media import interleave_chunks
+
+    corpus = _span_corpus(_corpus_size_for(sf_dir))
+    mirror = _KG_ORACLE_DIR / "spans_il"
+    if mirror.exists():
+        shutil.rmtree(mirror)
+    mirror.mkdir(parents=True)
+    for f in pathlib.Path(corpus).glob("*.parquet"):
+        (mirror / f.name).hardlink_to(f)
+    return interleave_chunks(read_documents(corpus), chunk_tokens=64)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -2025,6 +2045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_links": q_fuzzy_name_links,
         "copurchase_triangles": q_copurchase_triangles,
         "top_collocations": q_top_collocations,
+        "interleave_chunks": q_interleave_chunks,
     }
 
 
@@ -2288,6 +2309,37 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk_text,
                    len(list_slice(t, ci * 48 + 1, ci * 48 + 64)) AS n_tokens
             FROM chunks
+        """,
+        "interleave_chunks": r"""
+            WITH s AS (
+                SELECT doc_id, u.s.kind AS kind, u.s.text AS text,
+                       u.s.media_ref AS media_ref, u.s."offset" AS off
+                FROM (SELECT doc_id, unnest(spans) AS s
+                      FROM read_parquet(
+                          '/tmp/esmarc_ray_kg_oracle/spans_il/*.parquet')) u
+            ), t AS (
+                SELECT doc_id, kind, media_ref, off,
+                       CASE WHEN kind = 'text' THEN len(list_filter(
+                                string_split_regex(text, '\s+'),
+                                x -> x <> ''))
+                            ELSE 0 END AS ntok
+                FROM s
+            ), c AS (
+                SELECT doc_id, kind, media_ref, off, ntok,
+                       CAST(floor(COALESCE(sum(ntok) OVER (
+                           PARTITION BY doc_id ORDER BY off
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) / 64) AS BIGINT) AS chunk_id
+                FROM t
+            )
+            SELECT doc_id, chunk_id,
+                   CAST(sum(ntok) AS BIGINT) AS n_text_tokens,
+                   CAST(count(*) FILTER (WHERE kind = 'media') AS BIGINT)
+                       AS n_media,
+                   COALESCE(string_agg(media_ref, ',' ORDER BY off)
+                                FILTER (WHERE kind = 'media'), '')
+                       AS media_refs
+            FROM c GROUP BY doc_id, chunk_id
         """,
         "top_collocations": r"""
             WITH toks AS (

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -160,4 +161,84 @@ def doc_media_features(
         ),
         decoder=decoder,
         concurrency=concurrency,
+    )
+
+
+def interleave_chunks(
+    docs: ray.data.Dataset,
+    *,
+    chunk_tokens: int = 64,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Media-aware context-window assembly over the interleaved span table:
+    walk each document's spans in offset order, cut a new window every
+    ``chunk_tokens`` whitespace tokens of TEXT, and keep media spans at
+    their interleaved positions — the training-example assembly step for
+    interleaved text+image corpora (each example = its text token budget
+    plus the media refs that occur inside it).
+
+    Span→chunk assignment is by the cumulative text-token count BEFORE the
+    span (a span straddling the boundary is not split — it belongs to the
+    window it starts in), which makes the whole op SQL-expressible: the
+    oracle recomputes it with a window cumsum over the same span parquet.
+
+    One exchange: spans flatten zero-copy, docs hash-partition, and each
+    partition does one vectorized sort + groupby-cumsum + aggregate.
+    Output: (doc_id, chunk_id, n_text_tokens, n_media, media_refs) with
+    media_refs comma-joined in offset order ('' when none).
+    """
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        col = batch.column("spans")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten()
+        parents = pa.compute.list_parent_indices(col)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(parents),
+                "kind": flat.field("kind"),
+                "text": flat.field("text"),
+                "media_ref": flat.field("media_ref"),
+                "off": flat.field("offset"),
+            }
+        )
+
+    flat = docs.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)
+
+    def add_tokens_and_part(batch: "pd.DataFrame") -> "pd.DataFrame":
+        is_text = batch["kind"] == "text"
+        ntok = batch["text"].fillna("").str.split().str.len().fillna(0).astype("int64")
+        batch = batch.copy()
+        batch["ntok"] = ntok.where(is_text, 0)
+        batch["is_media"] = (batch["kind"] == "media").astype("int64")
+        batch["part"] = (
+            pd.util.hash_pandas_object(batch["doc_id"].astype(str), index=False)
+            .to_numpy() % num_partitions
+        ).astype("int32")
+        return batch
+
+    def assemble(part: "pd.DataFrame") -> "pd.DataFrame":
+        part = part.sort_values(["doc_id", "off"], kind="mergesort")
+        grouped = part.groupby("doc_id", sort=False)
+        cum_before = grouped["ntok"].cumsum() - part["ntok"]
+        part = part.assign(chunk_id=(cum_before // chunk_tokens).astype("int64"))
+        agg = part.groupby(["doc_id", "chunk_id"], as_index=False, sort=False).agg(
+            n_text_tokens=("ntok", "sum"), n_media=("is_media", "sum")
+        )
+        media = part[part["kind"] == "media"]
+        if len(media):
+            joined = media.groupby(["doc_id", "chunk_id"], as_index=False, sort=False)[
+                "media_ref"
+            ].agg(",".join)
+            agg = agg.merge(joined, on=["doc_id", "chunk_id"], how="left")
+            agg["media_refs"] = agg.pop("media_ref").fillna("")
+        else:
+            agg["media_refs"] = ""
+        return agg
+
+    return (
+        flat.map_batches(add_tokens_and_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(assemble, batch_format="pandas")
     )

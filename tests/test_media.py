@@ -112,3 +112,44 @@ def test_doc_media_features_end_to_end(ray_session):
     from esmarc_ray.pipelines.media import _bmp_payload
 
     assert row["payload_crc"] == zlib.crc32(_bmp_payload("u1", 64))
+
+
+def test_interleave_chunks_media_positions(ray_session):
+    """Windows cut on text-token budget; media spans ride at their
+    interleaved positions; a straddling span stays in its starting window."""
+    import pyarrow as pa
+
+    from esmarc_ray.pipelines.media import interleave_chunks
+
+    spans = [
+        {"kind": "text", "text": "a b c", "media_ref": "", "offset": 0},
+        {"kind": "media", "text": "", "media_ref": "m1", "offset": 1},
+        {"kind": "text", "text": "d e", "media_ref": "", "offset": 2},   # cum_before=3
+        {"kind": "text", "text": "f g", "media_ref": "", "offset": 3},   # cum_before=5 -> chunk 1
+        {"kind": "media", "text": "", "media_ref": "m2", "offset": 4},   # cum_before=7 -> chunk 1
+        {"kind": "text", "text": "h", "media_ref": "", "offset": 5},     # cum_before=7 -> chunk 1
+    ]
+    table = pa.table(
+        {"doc_id": ["d1"],
+         "spans": [[tuple(s.values()) for s in spans]]},
+        schema=pa.schema([
+            ("doc_id", pa.string()),
+            ("spans", pa.list_(pa.struct([
+                ("kind", pa.string()), ("text", pa.string()),
+                ("media_ref", pa.string()), ("offset", pa.int32()),
+            ]))),
+        ]),
+    )
+    got = (
+        interleave_chunks(ray.data.from_arrow(table), chunk_tokens=4)
+        .to_pandas()
+        .sort_values("chunk_id")
+        .reset_index(drop=True)
+    )
+    # chunk 0: "a b c" (3) + m1 + "d e" (2, starts at cum 3 < 4 -> straddles
+    # but stays) = 5 text tokens, media m1
+    # chunk 1: "f g" (cum 5) + m2 + "h" = 3 text tokens, media m2
+    assert got["chunk_id"].tolist() == [0, 1]
+    assert got["n_text_tokens"].tolist() == [5, 3]
+    assert got["media_refs"].tolist() == ["m1", "m2"]
+    assert got["n_media"].tolist() == [1, 1]
