@@ -109,7 +109,10 @@ def run_bench() -> dict:
                  # window/join family: hash-partitioned reducers + the
                  # distributed asof/anti joins (scale-path timings)
                  "running_total", "sessions_per_user", "order_price_quartiles",
-                 "purchase_last_click", "customers_no_urgent"):
+                 "purchase_last_click", "customers_no_urgent",
+                 # round-2 continuation ops: chunking, weighted mixing,
+                 # RANGE window (all oracle-checked in the contract)
+                 "doc_chunks", "weighted_sample_docs", "events_trailing_7d"):
         t0 = time.perf_counter()
         result = queries[name](SF_DIR)
         if hasattr(result, "count"):
