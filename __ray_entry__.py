@@ -1930,6 +1930,28 @@ def q_interleave_chunks(sf_dir: str):
     return interleave_chunks(read_documents(corpus), chunk_tokens=64)
 
 
+def q_orders_expectations(sf_dir: str):
+    """Data-quality gate: three named expectations over orders evaluated in
+    one pass — the oracle recomputes each violation count in SQL."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import expectations
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    )
+    priorities = {"1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"}
+    return expectations(
+        orders,
+        {
+            "orderkey_not_null": lambda b: b["o_orderkey"].notna(),
+            "price_positive": lambda b: b["o_totalprice"] > 0,
+            "priority_in_domain": lambda b: b["o_orderpriority"].isin(priorities),
+        },
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -2046,6 +2068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_triangles": q_copurchase_triangles,
         "top_collocations": q_top_collocations,
         "interleave_chunks": q_interleave_chunks,
+        "orders_expectations": q_orders_expectations,
     }
 
 
@@ -2309,6 +2332,19 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk_text,
                    len(list_slice(t, ci * 48 + 1, ci * 48 + 64)) AS n_tokens
             FROM chunks
+        """,
+        "orders_expectations": """
+            SELECT 'orderkey_not_null' AS check, count(*) AS n_rows,
+                   count(*) - count(o_orderkey) AS n_violations FROM orders
+            UNION ALL
+            SELECT 'price_positive', count(*),
+                   count(*) FILTER (WHERE o_totalprice <= 0
+                                       OR o_totalprice IS NULL) FROM orders
+            UNION ALL
+            SELECT 'priority_in_domain', count(*),
+                   count(*) FILTER (WHERE o_orderpriority NOT IN
+                       ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED',
+                        '5-LOW') OR o_orderpriority IS NULL) FROM orders
         """,
         "interleave_chunks": r"""
             WITH s AS (

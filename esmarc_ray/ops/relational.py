@@ -2015,3 +2015,40 @@ def blocked_fuzzy_join(
         return batch[batch[sim_name] >= threshold]
 
     return joined.map_batches(verify, batch_format="pandas")
+
+
+def expectations(
+    ds: ray.data.Dataset,
+    checks: "dict[str, Callable[[pd.DataFrame], pd.Series]]",
+) -> ray.data.Dataset:
+    """Data-quality gate: evaluate named row-level expectations and return
+    one row per check — (check, n_rows, n_violations) — the
+    assert-before-you-train pass of a data pipeline.  Each check is a
+    vectorized predicate (batch → boolean Series, True = row PASSES); all
+    checks run in ONE pass over the data and reduce via the combiner (one
+    partial row per batch × check), so adding checks is free of extra
+    scans."""
+    names = list(checks)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for name in names:
+            ok = checks[name](batch)
+            rows.append(
+                {
+                    "check": name,
+                    "n_rows": len(batch),
+                    "n_violations": int((~ok.fillna(False)).sum()),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("check", as_index=False, sort=False)[
+            ["n_rows", "n_violations"]
+        ].sum()
+
+    return partitioned_final(
+        ds.map_batches(partial, batch_format="pandas"), ["check"], final,
+        num_partitions=4,
+    )

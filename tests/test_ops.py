@@ -1861,3 +1861,21 @@ def test_pmi_collocations_finds_planted_phrase(ray_session):
     )
     assert got.loc[0, ["w1", "w2"]].tolist() == ["neural", "network"]
     assert got.loc[0, "pmi"] > got.loc[1, "pmi"] + 1.0  # clear margin
+
+
+def test_expectations_counts_violations(ray_session):
+    df = pd.DataFrame({"x": [1, -2, None, 4], "s": ["a", "b", "zz", "a"]})
+    got = (
+        relational.expectations(
+            ray.data.from_pandas(df),
+            {
+                "x_positive": lambda b: b["x"] > 0,
+                "s_in_domain": lambda b: b["s"].isin({"a", "b"}),
+            },
+        )
+        .to_pandas()
+        .set_index("check")
+    )
+    assert got.loc["x_positive", "n_rows"] == 4
+    assert got.loc["x_positive", "n_violations"] == 2  # -2 and the null
+    assert got.loc["s_in_domain", "n_violations"] == 1
