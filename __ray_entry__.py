@@ -1952,6 +1952,37 @@ def q_orders_expectations(sf_dir: str):
     )
 
 
+def q_purchase_next_click(sf_dir: str):
+    """FORWARD as-of with a 1-hour tolerance: for every purchase, the next
+    click by the same user within the hour (bounded staleness) — the oracle
+    emulates forward ASOF by negating the time axis + a CASE filter."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partitioned_asof_join
+
+    purchases = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    ).filter(expr="event_type == 'purchase'").select_columns(["event_id", "ts", "user_id"])
+    clicks = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+        )
+        .filter(expr="event_type == 'click'")
+        .select_columns(["event_id", "ts", "user_id"])
+        .map_batches(
+            lambda b: b.rename(columns={"event_id": "click_id"}), batch_format="pandas"
+        )
+    )
+    out = partitioned_asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        direction="forward", tolerance=pd.Timedelta(hours=1), num_partitions=16,
+    ).to_pandas()
+    out["click_id"] = out["click_id"].fillna(-1).astype("int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    return out[["event_id", "click_id"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -2069,6 +2100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_collocations": q_top_collocations,
         "interleave_chunks": q_interleave_chunks,
         "orders_expectations": q_orders_expectations,
+        "purchase_next_click": q_purchase_next_click,
     }
 
 
@@ -2332,6 +2364,20 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk_text,
                    len(list_slice(t, ci * 48 + 1, ci * 48 + 64)) AS n_tokens
             FROM chunks
+        """,
+        "purchase_next_click": """
+            WITH p AS (SELECT event_id, ts, user_id,
+                              -epoch_us(ts) AS nts
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id, ts, user_id,
+                              -epoch_us(ts) AS nts
+                       FROM events WHERE event_type = 'click')
+            SELECT p.event_id,
+                   CASE WHEN c.ts IS NOT NULL
+                         AND c.ts - p.ts <= INTERVAL 1 HOUR
+                        THEN c.event_id ELSE -1 END AS click_id
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.nts >= c.nts
         """,
         "orders_expectations": """
             SELECT 'orderkey_not_null' AS check, count(*) AS n_rows,

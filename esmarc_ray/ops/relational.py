@@ -430,6 +430,7 @@ def partitioned_asof_join(
     on: str,
     by: str,
     direction: str = "backward",
+    tolerance=None,
     suffix: str = "_right",
     num_partitions: int = 64,
 ) -> ray.data.Dataset:
@@ -438,6 +439,11 @@ def partitioned_asof_join(
     scale path when the right side is itself a big event stream (the
     broadcast variant :func:`broadcast_asof_join` assumes an index-sized
     right table).  Left-join semantics: unmatched left rows keep nulls.
+
+    ``direction`` ∈ {"backward", "forward", "nearest"} and ``tolerance``
+    (e.g. ``pd.Timedelta("1h")``) pass through to ``merge_asof``: forward =
+    the NEXT right event at or after the left row; tolerance turns matches
+    staler than the bound into non-matches (bounded-staleness semantics).
 
     Partitioning assumption at scale: one ``by``-bucket's rows from BOTH
     sides fit in a task (true for per-user event streams); raise
@@ -489,7 +495,8 @@ def partitioned_asof_join(
                 out[c] = None
             return out.reset_index(drop=True)
         return pd.merge_asof(
-            lf, rf, on=on, by=by, direction=direction, suffixes=("", suffix)
+            lf, rf, on=on, by=by, direction=direction, tolerance=tolerance,
+            suffixes=("", suffix),
         ).reset_index(drop=True)
 
     tagged = left.map_batches(tag("L", left_cols), batch_format="pandas").union(

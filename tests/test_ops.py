@@ -1879,3 +1879,33 @@ def test_expectations_counts_violations(ray_session):
     assert got.loc["x_positive", "n_rows"] == 4
     assert got.loc["x_positive", "n_violations"] == 2  # -2 and the null
     assert got.loc["s_in_domain", "n_violations"] == 1
+
+
+def test_asof_forward_tolerance(ray_session):
+    """direction='forward' picks the NEXT right event; tolerance bounds the
+    staleness (a match 2h out becomes a non-match at 1h tolerance)."""
+    t0 = pd.Timestamp("2026-03-01 12:00:00")
+    left = pd.DataFrame(
+        {"ts": [t0, t0 + pd.Timedelta(hours=3)], "user_id": [1, 1], "pid": [100, 101]}
+    )
+    right = pd.DataFrame(
+        {
+            "ts": [t0 - pd.Timedelta(minutes=5), t0 + pd.Timedelta(minutes=30),
+                   t0 + pd.Timedelta(hours=5, minutes=30)],
+            "user_id": [1, 1, 1],
+            "cid": [7, 8, 9],
+        }
+    )
+    got = (
+        relational.partitioned_asof_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on="ts", by="user_id", direction="forward",
+            tolerance=pd.Timedelta(hours=1), num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("pid")
+    )
+    # pid 100 -> next click at +30min (8); the earlier click (7) is behind.
+    # pid 101's next click is 2.5h out -> outside tolerance -> unmatched
+    assert got["cid"].tolist()[0] == 8
+    assert pd.isna(got["cid"].tolist()[1])
