@@ -1983,6 +1983,22 @@ def q_purchase_next_click(sf_dir: str):
     return out[["event_id", "click_id"]]
 
 
+def q_containment_dups(sf_dir: str):
+    """EXACT token-set CONTAINMENT pairs ≥ 0.9 — excerpt/quote duplication
+    that resemblance (Jaccard) misses when a short doc sits inside a long
+    one.  Shares the distributed intersection plan with jaccard_dups."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.dedup import containment_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = containment_pairs(docs, threshold=0.9).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(columns=["doc_a", "doc_b", "containment"])
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -2101,6 +2117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleave_chunks": q_interleave_chunks,
         "orders_expectations": q_orders_expectations,
         "purchase_next_click": q_purchase_next_click,
+        "containment_dups": q_containment_dups,
     }
 
 
@@ -2284,6 +2301,31 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
                        AS global_rank
             FROM orders ORDER BY o_orderkey
+        """,
+        "containment_dups": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(string_split(
+                               regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                               ' ')) AS tok
+                    FROM documents
+                ) WHERE tok <> ''
+            ), sz AS (
+                SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   floor(CAST(i AS DOUBLE) / least(sa.n, sb.n) * 1e6 + 0.5) / 1e6
+                       AS containment
+            FROM inter
+            JOIN sz sa ON sa.doc_id = inter.doc_a
+            JOIN sz sb ON sb.doc_id = inter.doc_b
+            WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= 0.9
+            ORDER BY doc_a, doc_b
         """,
         "jaccard_dups": """
             WITH tok AS (

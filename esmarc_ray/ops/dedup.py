@@ -800,16 +800,15 @@ def semantic_dedup(
 # -- exact token-set Jaccard ----------------------------------------------------
 
 
-def jaccard_pairs(
+def _pair_intersections(
     docs: ray.data.Dataset,
     *,
-    threshold: float = 0.5,
-    id_column: str = "doc_id",
-    text_column: str = "text",
-    max_doc_freq: int | None = None,
-    num_partitions: int = 64,
+    id_column: str,
+    text_column: str,
+    max_doc_freq: "int | None",
+    num_partitions: int,
 ) -> ray.data.Dataset:
-    """EXACT token-set Jaccard similarity pairs ≥ ``threshold`` — the
+    """EXACT token-set intersection counts — see :func:`jaccard_pairs` — the
     hash-verified anchor of the near-dup family (MinHash/SimHash approximate
     this; their candidate sets are judged against it).
 
@@ -821,7 +820,7 @@ def jaccard_pairs(
     2. hash-partition on token; per partition a vectorized pandas self-merge
        emits co-occurring ``doc_a < doc_b`` pairs, locally pre-counted;
     3. one combiner-based groupby sums intersection counts per pair;
-    4. batch-local Jaccard ``i / (n_a + n_b - i)`` + threshold filter.
+    4. callers finalize batch-local (Jaccard or containment + filter).
 
     Scale: the shuffle carries only (token, id, int) rows and pre-counted
     pair rows.  The worst case is a token shared by d docs → d²/2 pairs;
@@ -883,10 +882,29 @@ def jaccard_pairs(
         )
 
     pairs = parted.groupby("__part").map_groups(emit_pairs, batch_format="pandas")
-    summed = partial_groupby_agg(
+    return partial_groupby_agg(
         pairs,
         ["doc_a", "doc_b"],
         {"inter": ("inter_part", "sum"), "n_a": ("n_a", "max"), "n_b": ("n_b", "max")},
+    )
+
+
+def jaccard_pairs(
+    docs: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    max_doc_freq: int | None = None,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """EXACT token-set Jaccard similarity pairs ≥ ``threshold`` — the
+    hash-verified anchor of the near-dup family (see
+    :func:`_pair_intersections` for the shared distributed plan and the
+    tokenization contract)."""
+    summed = _pair_intersections(
+        docs, id_column=id_column, text_column=text_column,
+        max_doc_freq=max_doc_freq, num_partitions=num_partitions,
     )
 
     def finalize(batch: pd.DataFrame) -> pd.DataFrame:
@@ -900,6 +918,43 @@ def jaccard_pairs(
                      * 1e6 + 0.5) / 1e6
         )
         return batch[["doc_a", "doc_b", "jaccard"]]
+
+    return summed.map_batches(finalize, batch_format="pandas")
+
+
+def containment_pairs(
+    docs: ray.data.Dataset,
+    *,
+    threshold: float = 0.8,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    max_doc_freq: int | None = None,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """EXACT token-set CONTAINMENT pairs: ``|A∩B| / min(|A|, |B|)`` ≥
+    ``threshold`` — catches excerpt/quote duplication (a short doc fully
+    contained in a long one scores containment 1.0 but tiny Jaccard, so
+    resemblance-based dedup misses it entirely).
+
+    Same distributed plan as :func:`jaccard_pairs` (shared token-partition
+    intersection counting; only the finalizer differs), same tokenization
+    contract, same SQL-oracle checkability.
+    """
+    summed = _pair_intersections(
+        docs, id_column=id_column, text_column=text_column,
+        max_doc_freq=max_doc_freq, num_partitions=num_partitions,
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        denom = np.minimum(batch["n_a"], batch["n_b"])
+        c = batch["inter"] / denom
+        batch = batch[c >= threshold].copy()
+        batch["containment"] = (
+            np.floor(
+                batch["inter"] / np.minimum(batch["n_a"], batch["n_b"]) * 1e6 + 0.5
+            ) / 1e6
+        )
+        return batch[["doc_a", "doc_b", "containment"]]
 
     return summed.map_batches(finalize, batch_format="pandas")
 

@@ -1909,3 +1909,20 @@ def test_asof_forward_tolerance(ray_session):
     # pid 101's next click is 2.5h out -> outside tolerance -> unmatched
     assert got["cid"].tolist()[0] == 8
     assert pd.isna(got["cid"].tolist()[1])
+
+
+def test_containment_catches_excerpt_jaccard_misses(ray_session):
+    """A short excerpt fully inside a long doc: containment 1.0 although
+    Jaccard is far below any dedup threshold."""
+    long_text = " ".join(f"tok{i}" for i in range(100))
+    excerpt = " ".join(f"tok{i}" for i in range(10))  # subset of long
+    other = " ".join(f"zzz{i}" for i in range(50))
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [long_text, excerpt, other]})
+    cont = dedup.containment_pairs(
+        ray.data.from_pandas(df), threshold=0.9
+    ).to_pandas()
+    assert len(cont) == 1
+    assert (cont.iloc[0]["doc_a"], cont.iloc[0]["doc_b"]) == (1, 2)
+    assert cont.iloc[0]["containment"] == 1.0
+    jac = dedup.jaccard_pairs(ray.data.from_pandas(df), threshold=0.5).to_pandas()
+    assert len(jac) == 0  # resemblance misses the excerpt (10/100 = 0.1)
