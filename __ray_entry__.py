@@ -1999,6 +1999,34 @@ def q_containment_dups(sf_dir: str):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def q_orders_diff(sf_dir: str):
+    """Data diff between two derived runs of the orders table (dropped
+    tail, added range, even-key price bump): (status, n) regression
+    summary, oracle-checked via FULL OUTER + CASE."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import diff_datasets
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    left = orders.filter(expr="o_orderkey < 2900")
+
+    def bump_even(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        even = batch["o_orderkey"] % 2 == 0
+        batch.loc[even, "o_totalprice"] = batch.loc[even, "o_totalprice"] + 1
+        return batch
+
+    right = orders.filter(expr="o_orderkey >= 100 and o_orderkey < 3000").map_batches(
+        bump_even, batch_format="pandas"
+    )
+    return diff_datasets(
+        left, right, ["o_orderkey"], ["o_totalprice"], num_partitions=16
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -2118,6 +2146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_expectations": q_orders_expectations,
         "purchase_next_click": q_purchase_next_click,
         "containment_dups": q_containment_dups,
+        "orders_diff": q_orders_diff,
     }
 
 
@@ -2301,6 +2330,31 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
                        AS global_rank
             FROM orders ORDER BY o_orderkey
+        """,
+        "orders_diff": """
+            WITH l AS (SELECT o_orderkey, o_totalprice FROM orders
+                       WHERE o_orderkey < 2900),
+                 r AS (SELECT o_orderkey,
+                              CASE WHEN o_orderkey % 2 = 0
+                                   THEN o_totalprice + 1
+                                   ELSE o_totalprice END AS o_totalprice
+                       FROM orders
+                       WHERE o_orderkey >= 100 AND o_orderkey < 3000),
+                 j AS (SELECT l.o_orderkey AS lk, r.o_orderkey AS rk,
+                              l.o_totalprice AS lv, r.o_totalprice AS rv
+                       FROM l FULL OUTER JOIN r
+                         ON l.o_orderkey = r.o_orderkey)
+            SELECT all_status.status, COALESCE(cnt.n, 0) AS n
+            FROM (VALUES ('added'), ('removed'), ('changed'), ('unchanged'))
+                 AS all_status(status)
+            LEFT JOIN (
+                SELECT status, count(*) AS n FROM (
+                    SELECT CASE WHEN lk IS NULL THEN 'added'
+                                WHEN rk IS NULL THEN 'removed'
+                                WHEN lv = rv THEN 'unchanged'
+                                ELSE 'changed' END AS status
+                    FROM j)
+                GROUP BY status) cnt USING (status)
         """,
         "containment_dups": """
             WITH tok AS (

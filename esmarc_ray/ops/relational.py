@@ -2059,3 +2059,71 @@ def expectations(
         ds.map_batches(partial, batch_format="pandas"), ["check"], final,
         num_partitions=4,
     )
+
+
+def diff_datasets(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_cols: list[str],
+    compare_cols: list[str],
+    *,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Data diff between two runs/stores: classify every key as ``added``
+    (right only), ``removed`` (left only), ``changed`` (present in both,
+    any compare column differs) or ``unchanged`` — the regression gate when
+    a pipeline change should (or should not) move the output.  Returns
+    (status, n), always emitting all four statuses (0 rows count too).
+
+    One co-partitioned exchange on the key (the partitioned-join pattern)
+    + a combiner count; per-partition comparison is a vectorized pandas
+    merge, NaN==NaN counts as equal (a null field that stays null is
+    unchanged).  Inputs must be KEY-UNIQUE on each side (true for stores /
+    deduped outputs; duplicate keys would cross-product in the merge)."""
+
+    def tag(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[key_cols + compare_cols].copy()
+            out.columns = key_cols + [f"{c}__{side}" for c in compare_cols]
+            out["__side"] = side
+            key = (
+                out[key_cols[0]].astype(str)
+                if len(key_cols) == 1
+                else out[key_cols].astype(str).agg("\x1f".join, axis=1)
+            )
+            out["__part"] = (
+                pd.util.hash_pandas_object(key, index=False).to_numpy()
+                % num_partitions
+            ).astype("int32")
+            return out
+
+        return fn
+
+    def classify(part: pd.DataFrame) -> pd.DataFrame:
+        lf = part[part["__side"] == "L"][
+            key_cols + [f"{c}__L" for c in compare_cols]
+        ]
+        rf = part[part["__side"] == "R"][
+            key_cols + [f"{c}__R" for c in compare_cols]
+        ]
+        m = lf.merge(rf, on=key_cols, how="outer", indicator=True)
+        counts = {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}
+        counts["added"] = int((m["_merge"] == "right_only").sum())
+        counts["removed"] = int((m["_merge"] == "left_only").sum())
+        both = m[m["_merge"] == "both"]
+        if len(both):
+            same = pd.Series(True, index=both.index)
+            for c in compare_cols:
+                a, b = both[f"{c}__L"], both[f"{c}__R"]
+                same &= (a == b) | (a.isna() & b.isna())
+            counts["changed"] = int((~same).sum())
+            counts["unchanged"] = int(same.sum())
+        return pd.DataFrame(
+            {"status": list(counts), "n": list(counts.values())}
+        )
+
+    parts = left.map_batches(tag("L"), batch_format="pandas").union(
+        right.map_batches(tag("R"), batch_format="pandas")
+    )
+    partials = parts.groupby("__part").map_groups(classify, batch_format="pandas")
+    return partial_groupby_agg(partials, ["status"], {"n": ("n", "sum")})

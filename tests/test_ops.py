@@ -1926,3 +1926,20 @@ def test_containment_catches_excerpt_jaccard_misses(ray_session):
     assert cont.iloc[0]["containment"] == 1.0
     jac = dedup.jaccard_pairs(ray.data.from_pandas(df), threshold=0.5).to_pandas()
     assert len(jac) == 0  # resemblance misses the excerpt (10/100 = 0.1)
+
+
+def test_diff_datasets_classifies_all_statuses(ray_session):
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "v": [10.0, 20.0, None, 40.0]})
+    right = pd.DataFrame({"k": [2, 3, 4, 5], "v": [99.0, None, 40.0, 50.0]})
+    got = (
+        relational.diff_datasets(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            ["k"], ["v"], num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("status")["n"]
+    )
+    # k=1 removed; k=5 added; k=2 changed (20->99); k=3 unchanged
+    # (null==null); k=4 unchanged
+    assert got["removed"] == 1 and got["added"] == 1
+    assert got["changed"] == 1 and got["unchanged"] == 2
