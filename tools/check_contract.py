@@ -45,7 +45,10 @@ def to_pandas(result):
 
 
 def main() -> int:
+    # usage: check_contract.py [sf_dir] [query_name ...] — names restrict
+    # the run to those queries (fast single-query iteration)
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     import duckdb
     import ray
 
@@ -65,6 +68,12 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 2
+        queries = {k: v for k, v in queries.items() if k in only}
     report = {}
     fails = 0
     for name, fn in queries.items():
