@@ -2027,6 +2027,23 @@ def q_orders_diff(sf_dir: str):
     )
 
 
+def q_source_token_quota(sf_dir: str):
+    """Token-budgeted mixing: each source keeps docs in md5 order while the
+    running n_chars total before the doc is under 4k — oracle recomputes
+    the window cumsum over the identical order."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import token_quota_per_group
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return token_quota_per_group(
+        docs, ["source"], 4_000,
+        token_column="n_chars", id_column="doc_id", num_partitions=16,
+    ).select_columns(["doc_id", "source", "n_chars"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -2147,6 +2164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_next_click": q_purchase_next_click,
         "containment_dups": q_containment_dups,
         "orders_diff": q_orders_diff,
+        "source_token_quota": q_source_token_quota,
     }
 
 
@@ -2330,6 +2348,18 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
                        AS global_rank
             FROM orders ORDER BY o_orderkey
+        """,
+        "source_token_quota": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       COALESCE(sum(n_chars) OVER (
+                           PARTITION BY source
+                           ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+                                    doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cum_before
+                FROM documents
+            ) WHERE cum_before < 4000
         """,
         "orders_diff": """
             WITH l AS (SELECT o_orderkey, o_totalprice FROM orders

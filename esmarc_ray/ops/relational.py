@@ -2127,3 +2127,51 @@ def diff_datasets(
     )
     partials = parts.groupby("__part").map_groups(classify, batch_format="pandas")
     return partial_groupby_agg(partials, ["status"], {"n": ("n", "sum")})
+
+
+def token_quota_per_group(
+    ds: ray.data.Dataset,
+    group_keys: list[str],
+    budget: int,
+    *,
+    token_column: str,
+    id_column: str,
+    seed: int = 42,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Token-budgeted per-group cap — the data-MIXING variant of
+    :func:`quota_per_group`: each group (source/domain) keeps docs in
+    deterministic md5 order while the cumulative token count BEFORE the doc
+    is under ``budget`` (the straddling doc is kept, so every non-empty
+    group contributes at least one doc; a "≤ budget" rule would silently
+    zero out groups whose first doc exceeds it).
+
+    SQL-expressible: ``SUM(tokens) OVER (... ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING) < budget`` over the same md5 order.  Groups
+    hash-partition; each partition runs one vectorized sort + groupby-cumsum
+    + filter.  Unlike the doc-count quota there is no per-batch prune (the
+    budget needs the global per-group order), so the shuffle carries the
+    group's candidate rows — at web scale pre-filter obviously-over-budget
+    tails with a per-batch doc-count cap first."""
+    import hashlib
+
+    add_part = _add_hash_part(group_keys, num_partitions)
+
+    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__qk"] = [
+            hashlib.md5(f"{seed}:{v}".encode()).hexdigest() for v in batch[id_column]
+        ]
+        return add_part(batch)
+
+    def partition_budget(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["__qk", id_column], kind="mergesort")
+        grouped = part.groupby(group_keys, sort=False)
+        cum_before = grouped[token_column].cumsum() - part[token_column]
+        return part[cum_before < budget].drop(columns=["__qk", "__part"])
+
+    return (
+        ds.map_batches(add_key, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(partition_budget, batch_format="pandas")
+    )

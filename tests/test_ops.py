@@ -1943,3 +1943,25 @@ def test_diff_datasets_classifies_all_statuses(ray_session):
     # (null==null); k=4 unchanged
     assert got["removed"] == 1 and got["added"] == 1
     assert got["changed"] == 1 and got["unchanged"] == 2
+
+
+def test_token_quota_budget_rule(ray_session):
+    """Keep while cum-before < budget: the straddling doc stays, every
+    non-empty group keeps at least one doc even when it alone exceeds the
+    budget, and the pick is md5-order deterministic."""
+    import hashlib
+
+    df = pd.DataFrame(
+        {"g": ["a"] * 5 + ["b"], "id": [1, 2, 3, 4, 5, 6],
+         "tok": [40, 40, 40, 40, 40, 999]}
+    )
+    got = relational.token_quota_per_group(
+        ray.data.from_pandas(df), ["g"], 100,
+        token_column="tok", id_column="id", num_partitions=2,
+    ).to_pandas()
+    # group b: single doc over budget still kept
+    assert set(got[got["g"] == "b"]["id"]) == {6}
+    # group a: md5 order, cum-before < 100 -> exactly 3 docs (0,40,80)
+    a_ids = df[df["g"] == "a"]["id"].tolist()
+    order = sorted(a_ids, key=lambda v: (hashlib.md5(f"42:{v}".encode()).hexdigest(), v))
+    assert sorted(got[got["g"] == "a"]["id"]) == sorted(order[:3])
