@@ -2044,6 +2044,19 @@ def q_source_token_quota(sf_dir: str):
     ).select_columns(["doc_id", "source", "n_chars"])
 
 
+def q_event_funnel(sf_dir: str):
+    """First-occurrence funnel signup → view → click → purchase: users
+    whose first timestamps strictly increase through each prefix."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import funnel_counts
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_counts(events, ["signup", "view", "click", "purchase"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -2165,6 +2178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_dups": q_containment_dups,
         "orders_diff": q_orders_diff,
         "source_token_quota": q_source_token_quota,
+        "event_funnel": q_event_funnel,
     }
 
 
@@ -2348,6 +2362,26 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
                        AS global_rank
             FROM orders ORDER BY o_orderkey
+        """,
+        "event_funnel": """
+            WITH firsts AS (
+                SELECT user_id,
+                       min(ts) FILTER (WHERE event_type = 'signup')  AS t0,
+                       min(ts) FILTER (WHERE event_type = 'view')    AS t1,
+                       min(ts) FILTER (WHERE event_type = 'click')   AS t2,
+                       min(ts) FILTER (WHERE event_type = 'purchase') AS t3
+                FROM events GROUP BY user_id
+            )
+            SELECT 'signup' AS step, 0 AS step_index,
+                   count(*) FILTER (WHERE t0 IS NOT NULL) AS n_users
+            FROM firsts
+            UNION ALL SELECT 'view', 1,
+                   count(*) FILTER (WHERE t0 < t1) FROM firsts
+            UNION ALL SELECT 'click', 2,
+                   count(*) FILTER (WHERE t0 < t1 AND t1 < t2) FROM firsts
+            UNION ALL SELECT 'purchase', 3,
+                   count(*) FILTER (WHERE t0 < t1 AND t1 < t2 AND t2 < t3)
+            FROM firsts
         """,
         "source_token_quota": """
             SELECT doc_id, source, n_chars FROM (

@@ -2175,3 +2175,61 @@ def token_quota_per_group(
         .groupby("__part")
         .map_groups(partition_budget, batch_format="pandas")
     )
+
+
+def funnel_counts(
+    events: ray.data.Dataset,
+    steps: list[str],
+    *,
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    type_column: str = "event_type",
+) -> ray.data.Dataset:
+    """Ordered funnel by FIRST OCCURRENCE: for each step prefix, count users
+    whose first-occurrence timestamps strictly increase through it
+    (first(step1) < first(step2) < …).  One combiner pass (per-batch min-ts
+    per user × step — the shuffle carries |users|·|steps| small rows, never
+    events), then a vectorized per-partition comparison.  Returns
+    (step, n_users) with one row per step, n_users monotonically
+    non-increasing.
+
+    Semantics note (SQL-matching, deterministic): this is the
+    first-occurrence funnel — a user who purchases BEFORE their first view
+    and again after still fails view→purchase (min-ts ordering), unlike a
+    subsequence-matching funnel.  That is the classic cheap variant; the
+    oracle recomputes it with min() FILTER chains."""
+    step_cols = [f"__t{i}" for i in range(len(steps))]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        kept = batch[batch[type_column].isin(steps)]
+        out = kept.groupby([user_column, type_column], as_index=False, sort=False)[
+            ts_column
+        ].min()
+        return out
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        firsts = (
+            part.groupby([user_column, type_column], as_index=False, sort=False)[
+                ts_column
+            ].min()
+            .pivot(index=user_column, columns=type_column, values=ts_column)
+        )
+        counts = []
+        ok = pd.Series(True, index=firsts.index)
+        prev = None
+        for i, step in enumerate(steps):
+            col = firsts[step] if step in firsts else pd.Series(pd.NaT, index=firsts.index)
+            ok = ok & col.notna() & (True if prev is None else (prev < col))
+            counts.append({"step": step, "step_index": i, "n_users": int(ok.sum())})
+            prev = col
+        return pd.DataFrame(counts)
+
+    partials = events.map_batches(partial, batch_format="pandas")
+    # per-user rows co-partition on user; the per-partition pivot counts
+    # locally and a last combiner sums the (|steps|) rows per partition
+    staged = partitioned_final(
+        partials, [user_column], final, num_partitions=16
+    )
+    return partial_groupby_agg(
+        staged, ["step", "step_index"], {"n_users": ("n_users", "sum")}
+    )

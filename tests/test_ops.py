@@ -1965,3 +1965,27 @@ def test_token_quota_budget_rule(ray_session):
     a_ids = df[df["g"] == "a"]["id"].tolist()
     order = sorted(a_ids, key=lambda v: (hashlib.md5(f"42:{v}".encode()).hexdigest(), v))
     assert sorted(got[got["g"] == "a"]["id"]) == sorted(order[:3])
+
+
+def test_funnel_first_occurrence_semantics(ray_session):
+    """Strict first-occurrence ordering: an early out-of-order purchase
+    fails the user even if a later in-order purchase exists."""
+    t = lambda m: pd.Timestamp("2026-05-01") + pd.Timedelta(minutes=m)
+    rows = [
+        # u1 completes in order
+        (1, t(0), "signup"), (1, t(1), "view"), (1, t(2), "purchase"),
+        # u2: purchase BEFORE first view -> fails view->purchase
+        (2, t(0), "signup"), (2, t(1), "purchase"), (2, t(2), "view"),
+        (2, t(3), "purchase"),
+        # u3 never signs up
+        (3, t(0), "view"), (3, t(1), "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    got = (
+        relational.funnel_counts(
+            ray.data.from_pandas(df), ["signup", "view", "purchase"]
+        )
+        .to_pandas()
+        .sort_values("step_index")
+    )
+    assert got["n_users"].tolist() == [2, 2, 1]  # u1+u2 signup/view, u1 full
