@@ -564,19 +564,37 @@ def hamming_near_dups(
 ) -> ray.data.Dataset:
     """Near-dup pairs over ANY 64-bit signature column (SimHash text
     fingerprints, perceptual image hashes, …): candidate generation by
-    16-bit chunk buckets (pigeonhole: hamming ≤ 3 ⇒ at least one of the 4
-    chunks is identical) + exact per-bucket hamming verify, everything
-    hash-partitioned.  Returns (doc_a, doc_b, hamming), distinct."""
+    chunk buckets + exact per-bucket hamming verify, everything
+    hash-partitioned.  Returns (doc_a, doc_b, hamming), distinct.
+
+    The pigeonhole guarantee needs ``n_chunks ≥ max_hamming + 1`` (hamming ≤
+    h over n chunks ⇒ at least one chunk identical only when n > h), so the
+    chunk count scales with the requested radius: 4 16-bit chunks up to
+    hamming 3, more (narrower) chunks — and therefore denser candidate
+    buckets — for larger radii, up to the 64-bit limit."""
+    if max_hamming >= 64:
+        raise ValueError(f"max_hamming={max_hamming} exceeds the 64-bit signature")
+    n_chunks = max(4, max_hamming + 1)
+    base_bits = 64 // n_chunks
+
+    def _chunk_spec(c: int) -> tuple[int, int]:
+        shift = c * base_bits
+        width = base_bits if c < n_chunks - 1 else 64 - base_bits * (n_chunks - 1)
+        return shift, (1 << width) - 1
 
     def chunk_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"id": [], "chunk": [], "chunk_val": [], "sig": []}
-        for row_id, sig in zip(batch[id_column], batch[sig_column]):
-            for c in range(4):
-                out["id"].append(row_id)
-                out["chunk"].append(c)
-                out["chunk_val"].append(int((int(sig) >> (16 * c)) & 0xFFFF))
-                out["sig"].append(int(sig))
-        return pd.DataFrame(out)
+        sig = batch[sig_column].to_numpy().astype("uint64")
+        ids = batch[id_column].to_numpy()
+        frames = []
+        for c in range(n_chunks):
+            shift, mask = _chunk_spec(c)
+            frames.append(pd.DataFrame({
+                "id": ids,
+                "chunk": np.full(len(ids), c, dtype="int64"),
+                "chunk_val": ((sig >> np.uint64(shift)) & np.uint64(mask)).astype("int64"),
+                "sig": sig,
+            }))
+        return pd.concat(frames, ignore_index=True)
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
         batch["part"] = (
@@ -743,7 +761,10 @@ def semantic_dedup(
     from esmarc_ray.ops.similarity import IvfIndex
 
     index = IvfIndex(n_cells=n_clusters, seed=seed).train(
-        embeddings, sample_limit=sample_limit, vector_column=vector_column
+        # cluster quality barely moves SemDeDup recall; skip the distributed
+        # Lloyd refinement passes and keep the cheap sample-seeded quantizer
+        embeddings, sample_limit=sample_limit, vector_column=vector_column,
+        refine_iters=0,
     )
     assigned = index.assign(
         embeddings, id_column=id_column, vector_column=vector_column

@@ -326,7 +326,7 @@ def phash_media(
 
 
 def media_phash_dups(
-    media: ray.data.Dataset, *, max_hamming: int = 4, concurrency=(2, 8)
+    media: ray.data.Dataset, *, max_hamming: int = 3, concurrency=(2, 8)
 ) -> ray.data.Dataset:
     """Near-duplicate media detection across format variants (re-encodes,
     resizes, mild noise): perceptual hash per payload, then the generic

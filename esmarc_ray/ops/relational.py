@@ -19,6 +19,18 @@ import pandas as pd
 import ray.data
 
 
+def _round_half_up(values, n_digits: int):
+    """Half-AWAY-FROM-ZERO rounding (the ANSI-SQL / DuckDB ``round()``
+    convention), vectorized.  ``np.round`` / Python ``round`` are half-EVEN:
+    a value landing exactly on a .5 boundary would flip the oracle hash
+    check nondeterministically by data — every oracle-compared float in this
+    module must round through here (same form as grouped_entropy)."""
+    scale = 10.0 ** n_digits
+    arr = np.asarray(values, dtype="float64")
+    out = np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+    return out if out.ndim else float(out)
+
+
 def partial_groupby_agg(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -730,6 +742,20 @@ def pivot_counts(
     return partial_groupby_agg(ds, group_keys, aggs, pre_map=indicators)
 
 
+def _stringify_keys(keys: list[str]):
+    """Cast grouping key columns to string so rolled-up levels (which write
+    the string ``all_label`` into absent keys) union with consistent Arrow
+    types — numeric keys would otherwise produce int64-vs-string blocks that
+    fail at execution."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        for k in keys:
+            batch[k] = batch[k].astype(str)
+        return batch
+
+    return fn
+
+
 def rollup_agg(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -748,7 +774,9 @@ def rollup_agg(
         if fn == "mean":
             raise ValueError("rollup_agg: mean is not re-aggregable; compute sum+count")
 
-    finest = partial_groupby_agg(ds, keys, aggs, pre_map=pre_map).materialize()
+    finest = partial_groupby_agg(ds, keys, aggs, pre_map=pre_map).map_batches(
+        _stringify_keys(keys), batch_format="pandas"
+    ).materialize()
     # re-aggregate the finest level upward: at each coarser level, partials
     # re-combine (count -> sum of counts)
     levels = [finest]
@@ -812,7 +840,9 @@ def cube_agg(
         if fn == "mean":
             raise ValueError("cube_agg: mean is not re-aggregable; compute sum+count")
 
-    finest = partial_groupby_agg(ds, keys, aggs, pre_map=pre_map).materialize()
+    finest = partial_groupby_agg(ds, keys, aggs, pre_map=pre_map).map_batches(
+        _stringify_keys(keys), batch_format="pandas"
+    ).materialize()
     realised = {
         out: (out, "sum" if fn in ("sum", "count") else fn)
         for out, (_, fn) in aggs.items()
@@ -878,7 +908,9 @@ def grouping_sets_agg(
             if k not in keys:
                 keys.append(k)
 
-    finest = partial_groupby_agg(ds, keys, aggs, pre_map=pre_map).materialize()
+    finest = partial_groupby_agg(ds, keys, aggs, pre_map=pre_map).map_batches(
+        _stringify_keys(keys), batch_format="pandas"
+    ).materialize()
     realised = {
         out: (out, "sum" if fn in ("sum", "count") else fn)
         for out, (_, fn) in aggs.items()
@@ -960,7 +992,7 @@ def grouped_stddev(
             var = var * n / np.maximum(n - 1, 1)
         out = batch[keys].copy()
         std = np.sqrt(var)
-        out[out_name] = std if ddof_round is None else np.round(std, ddof_round)
+        out[out_name] = std if ddof_round is None else _round_half_up(std, ddof_round)
         return out
 
     return partials.map_batches(finalize, batch_format="pandas")
@@ -1025,7 +1057,7 @@ def grouped_corr(
             n = tot
         denom = np.sqrt(m2x * m2y)
         val = cxy / denom if denom > 0 else float("nan")
-        return round(val, round_to) if round_to is not None else val
+        return _round_half_up(val, round_to) if round_to is not None else val
 
     def final(part: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -1247,10 +1279,22 @@ def window_rank(
             )
             out[ntile_name] = buckets.astype("int64")
         if percent_rank_name:
-            # SQL percent_rank: (rank - 1) / (n - 1), 0 for single-row groups;
-            # with a unique order_by tie-break, rank == row_number
+            # SQL percent_rank: (rank - 1) / (n - 1), 0 for single-row groups.
+            # rank is method='min' over the FULL order_by tuple: tied rows
+            # (equal on every order key) share the rank of their first row —
+            # computed as the row_number at the start of each tie run, which
+            # the sort above makes contiguous.
             n = grouped[order_by[0]].transform("size").to_numpy()
-            out[percent_rank_name] = rn0 / np.maximum(n - 1, 1)
+            change = np.ones(len(out), dtype=bool)
+            if len(out):
+                change[1:] = False
+                for col in [partition_by] + order_by:
+                    v = out[col].to_numpy()
+                    change[1:] |= v[1:] != v[:-1]
+            run_id = np.cumsum(change) - 1
+            run_start_rank = rn0[change]
+            rank0 = run_start_rank[run_id] if len(out) else rn0
+            out[percent_rank_name] = rank0 / np.maximum(n - 1, 1)
         if dense_rank_name:
             # SQL DENSE_RANK() OVER (... ORDER BY order_by[0]): ties (equal
             # first-order-key values) share a rank, no gaps — ranked by VALUE,
@@ -1334,7 +1378,7 @@ def moving_window(
             .rolling(window=preceding + 1, min_periods=1),
             fn,
         )().reset_index(drop=True)
-        out[out_name] = rolled.round(round_to) if round_to is not None else rolled
+        out[out_name] = _round_half_up(rolled, round_to) if round_to is not None else rolled
         return out
 
     return (
@@ -1591,9 +1635,7 @@ def grouped_entropy(
         out = part.groupby(keys, as_index=False)["__term"].sum()
         out = out.rename(columns={"__term": out_name})
         if round_to is not None:
-            out[out_name] = (
-                np.floor(out[out_name] * 10.0**round_to + 0.5) / 10.0**round_to
-            )
+            out[out_name] = _round_half_up(out[out_name], round_to)
         return out
 
     return (
@@ -1969,7 +2011,7 @@ def range_window(
                 res = (csum[hi] - csum[lo]) / (hi - lo)
             results[pos : pos + len(g)] = res
             pos += len(g)
-        out[out_name] = np.round(results, round_to) if round_to is not None else results
+        out[out_name] = _round_half_up(results, round_to) if round_to is not None else results
         return out
 
     return (
@@ -2018,7 +2060,7 @@ def blocked_fuzzy_join(
             union = len(sa | sb)
             sims[i] = len(sa & sb) / union if union else 1.0
         batch = batch.copy()
-        batch[sim_name] = np.round(sims, round_to)
+        batch[sim_name] = _round_half_up(sims, round_to)
         return batch[batch[sim_name] >= threshold]
 
     return joined.map_batches(verify, batch_format="pandas")

@@ -65,7 +65,27 @@ def brute_force_topk(
 
 
 class IvfIndex:
-    """IVF(flat) coarse index: k-means cells over a sample, probe-limited search."""
+    """IVF(flat) coarse index: spherical k-means cells, probe-limited search.
+
+    Scale shape (the 100-TB design, replacing the round-1/2 driver-sample
+    index):
+
+    * **train** — seeds from a small bounded sample (``sample_limit`` rows,
+      the only driver materialization, centroid-count sized), then refines
+      with DISTRIBUTED Lloyd passes: each pass is one ``map_batches`` over
+      the full dataset emitting per-cell (count, vector-sum) partials —
+      k·(d+1) floats per batch — folded on the driver.  The driver holds
+      only the k×d centroid matrix, never the vectors.
+    * **write_index / load / search_index** — the sharded on-disk form: the
+      assigned table is written PARTITIONED BY cell (hive layout) next to a
+      ``centroids.json``; a probe reads only the ``cell=<c>`` directories the
+      query's ``n_probe`` nearest centroids name — partition pruning at the
+      read, so a search touches n_probe/n_cells of the corpus regardless of
+      total size, and each shard's exact re-rank runs as a broadcast-queries
+      ``map_batches`` stage.
+    * **search** — in-memory variant over an ``assign``-ed Dataset; same
+      broadcast-queries re-rank, probe narrowed by a cell filter.
+    """
 
     def __init__(self, n_cells: int = 16, n_iter: int = 8, seed: int = 5):
         self.n_cells = n_cells
@@ -74,18 +94,48 @@ class IvfIndex:
         self.centroids: np.ndarray | None = None
 
     def train(self, embeddings: ray.data.Dataset, *, sample_limit: int = 20000,
-              vector_column: str = "embedding") -> "IvfIndex":
-        sample_rows = embeddings.limit(sample_limit).take_all()
-        sample = _normalize(np.stack([r[vector_column] for r in sample_rows]).astype(np.float32))
+              vector_column: str = "embedding", refine_iters: int | None = None) -> "IvfIndex":
+        seed_rows = embeddings.limit(sample_limit).take_all()
+        sample = _normalize(np.stack([r[vector_column] for r in seed_rows]).astype(np.float32))
         rng = np.random.RandomState(self.seed)
         centroids = sample[rng.choice(len(sample), self.n_cells, replace=False)]
-        for _ in range(self.n_iter):  # Lloyd iterations, cosine metric
+        for _ in range(self.n_iter):  # local Lloyd warm-up on the seed sample
             assign = (sample @ centroids.T).argmax(axis=1)
             for c in range(self.n_cells):
                 members = sample[assign == c]
                 if len(members):
                     centroids[c] = members.mean(axis=0)
             centroids = _normalize(centroids)
+
+        # distributed refinement over the FULL dataset: per-batch per-cell
+        # moment partials, driver folds k rows per batch — no vector ever
+        # reaches the driver
+        n_refine = self.n_iter if refine_iters is None else refine_iters
+        k = self.n_cells
+        for _ in range(n_refine):
+            cents = centroids
+
+            def moment_partial(batch: pd.DataFrame) -> pd.DataFrame:
+                mat = _normalize(
+                    np.stack(batch[vector_column].to_numpy()).astype(np.float32)
+                )
+                assign = (mat @ cents.T).argmax(axis=1)
+                counts = np.bincount(assign, minlength=k).astype("float64")
+                sums = np.zeros((k, cents.shape[1]))
+                np.add.at(sums, assign, mat.astype(np.float64))
+                return pd.DataFrame(
+                    {"cid": np.arange(k, dtype="int64"), "n": counts, "vsum": list(sums)}
+                )
+
+            parts = embeddings.map_batches(
+                moment_partial, batch_format="pandas"
+            ).to_pandas()
+            counts = parts.groupby("cid")["n"].sum().to_numpy()
+            new = centroids.astype(np.float64).copy()
+            for cid, grp in parts.groupby("cid"):
+                if counts[cid] > 0:
+                    new[cid] = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0) / counts[cid]
+            centroids = _normalize(new).astype(np.float32)
         self.centroids = centroids
         return self
 
@@ -100,15 +150,72 @@ class IvfIndex:
 
         return embeddings.map_batches(add_cell, batch_format="pandas")
 
+    def _probe_cells(self, queries: np.ndarray, n_probe: int) -> list[int]:
+        q = _normalize(np.asarray(queries, dtype=np.float32))
+        cells = np.argsort(-(q @ self.centroids.T), axis=1)[:, :n_probe]
+        return sorted({int(c) for row in cells for c in row})
+
     def search(self, assigned: ray.data.Dataset, queries: np.ndarray, k: int = 10,
                n_probe: int = 4, *, id_column: str = "vec_id",
                vector_column: str = "embedding") -> pd.DataFrame:
         """Probe the n_probe closest cells per query; exact cosine inside."""
         q = _normalize(np.asarray(queries, dtype=np.float32))
-        cells = np.argsort(-(q @ self.centroids.T), axis=1)[:, :n_probe]
-        wanted = sorted({int(c) for row in cells for c in row})
+        wanted = self._probe_cells(q, n_probe)
         subset = assigned.filter(expr=f"cell in {list(wanted)}")
         return brute_force_topk(subset, q, k, id_column=id_column, vector_column=vector_column)
+
+    # ------------------------------------------------------------------ #
+    # sharded on-disk index                                               #
+    # ------------------------------------------------------------------ #
+
+    def write_index(self, embeddings: ray.data.Dataset, path: str, *,
+                    id_column: str = "vec_id",
+                    vector_column: str = "embedding") -> str:
+        """Materialize the sharded index: hive-partitioned by cell + centroids."""
+        import json
+        import pathlib
+
+        root = pathlib.Path(path)
+        root.mkdir(parents=True, exist_ok=True)
+        self.assign(
+            embeddings, id_column=id_column, vector_column=vector_column
+        ).write_parquet(str(root / "vectors"), partition_cols=["cell"])
+        (root / "centroids.json").write_text(
+            json.dumps({"n_cells": self.n_cells,
+                        "centroids": self.centroids.tolist()})
+        )
+        return str(root)
+
+    @classmethod
+    def load(cls, path: str) -> "IvfIndex":
+        import json
+        import pathlib
+
+        meta = json.loads((pathlib.Path(path) / "centroids.json").read_text())
+        index = cls(n_cells=meta["n_cells"])
+        index.centroids = np.asarray(meta["centroids"], dtype=np.float32)
+        return index
+
+    def search_index(self, path: str, queries: np.ndarray, k: int = 10,
+                     n_probe: int = 4, *, id_column: str = "vec_id",
+                     vector_column: str = "embedding") -> pd.DataFrame:
+        """Partition-pruned probe: read ONLY the probed ``cell=<c>`` shards."""
+        import pathlib
+
+        q = _normalize(np.asarray(queries, dtype=np.float32))
+        wanted = self._probe_cells(q, n_probe)
+        root = pathlib.Path(path) / "vectors"
+        # a path LIST is treated as files by the reader — expand each probed
+        # cell dir to its parquet files
+        shard_files = [
+            str(f)
+            for c in wanted
+            for f in sorted((root / f"cell={c}").glob("*.parquet"))
+            if (root / f"cell={c}").exists()
+        ]
+        subset = ray.data.read_parquet(shard_files)
+        return brute_force_topk(subset, q, k, id_column=id_column,
+                                vector_column=vector_column)
 
 
 def embedding_dim_stats(

@@ -127,9 +127,21 @@ def curate_documents(
     # (materialize()) and a re-run can resume from it.
     annotated = docs.map_batches(annotate, batch_format="pandas")
     if checkpoint_dir is None:
+        # deterministic per-process scratch path: reused (and wiped) by every
+        # unnamed run in this process rather than leaking one corpus-sized
+        # checkpoint per invocation; removed at interpreter exit too
+        import atexit
+        import os
+        import pathlib
+        import shutil
         import tempfile
 
-        checkpoint_dir = tempfile.mkdtemp(prefix="esmarc_ray_curate_")
+        checkpoint_dir = str(
+            pathlib.Path(tempfile.gettempdir()) / f"esmarc_ray_curate_{os.getpid()}"
+        )
+        if pathlib.Path(checkpoint_dir).exists():
+            shutil.rmtree(checkpoint_dir)
+        atexit.register(shutil.rmtree, checkpoint_dir, True)
     else:
         # parquet file names are unique per run: a reused checkpoint dir
         # would read old+new files and double-count every row — wipe first

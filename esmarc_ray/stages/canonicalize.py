@@ -32,6 +32,7 @@ import zlib
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -57,12 +58,20 @@ def merge_docs(docs: list[tuple[str, dict]]) -> tuple[str, dict]:
     Union dedup is SET-keyed on the canonical JSON of each element — a
     linear-scan ``not in`` here is quadratic in group size and turns a head
     entity (10^4+ docs behind one GND key) into a straggler task.
+
+    Plan-invariance: whenever a union actually GROWS the representative's
+    list, the result is re-sorted by the element dedup key.  That makes the
+    merged list a pure function of the element SET — any merge tree (unsalted
+    single-phase, salted two-phase, block-local pre-combine) yields either
+    the representative's raw order (nothing added) or ``sorted(final set)``,
+    so every plan agrees bit-for-bit regardless of how docs were grouped.
     """
     docs = sorted(docs, key=lambda pair: pair[0])
     rep_id, merged = docs[0][0], dict(docs[0][1])
     members = merged.pop("_merged_from", None) or [rep_id]
     member_set = set(members)
     seen: dict[str, set[str]] = {}
+    grew: set[str] = set()
 
     def union_into(pred: str, value) -> None:
         acc = merged[pred]
@@ -77,6 +86,7 @@ def merge_docs(docs: list[tuple[str, dict]]) -> tuple[str, dict]:
             if key not in keys:
                 keys.add(key)
                 acc.append(element)
+                grew.add(pred)
 
     for doc_id, doc in docs[1:]:
         for member in doc.get("_merged_from") or [doc_id]:
@@ -92,33 +102,51 @@ def merge_docs(docs: list[tuple[str, dict]]) -> tuple[str, dict]:
             elif pred in MERGEABLE or isinstance(merged.get(pred), list):
                 union_into(pred, value)
             # scalar conflict: representative wins (deterministic)
+    for pred in grew:
+        merged[pred] = sorted(merged[pred], key=_dedup_key)
     if len(members) > 1 or docs[0][1].get("_merged_from"):
         merged["_merged_from"] = sorted(members)
     return rep_id, merged
 
 
-def _salt(doc_id: str, n_salts: int) -> int:
-    return zlib.crc32(doc_id.encode()) % n_salts
+def _hash_mod_col(col, mod: int):
+    """Vectorized deterministic ``hash(key) % mod`` over an Arrow string
+    column (pandas C siphash — same kernel as dedup_triples below; a per-row
+    Python crc32 here was the #2 profile cost since add_part runs on every
+    extracted doc in every plan)."""
+    import pandas as pd
+
+    series = pd.Series(col.to_pandas() if hasattr(col, "to_pandas") else col)
+    return (
+        pd.util.hash_pandas_object(series, index=False).to_numpy() % mod
+    ).astype("int32")
 
 
 def _part_of(key: str, num_partitions: int) -> int:
-    return zlib.crc32(key.encode()) % num_partitions
+    """Scalar twin of :func:`_hash_mod_col` — kept consistent so scalar and
+    columnar call sites co-partition."""
+    import pandas as pd
+
+    return int(
+        pd.util.hash_pandas_object(pd.Series([key]), index=False).iloc[0]
+        % num_partitions
+    )
 
 
 def _make_add_part(num_partitions: int, n_salts: int | None):
     """Stateless batch fn adding the hash-partition id over (canon_key[, salt])."""
+    import pandas as pd
 
     def add_part(batch: pa.Table) -> pa.Table:
-        keys = batch.column("canon_key").to_pylist()
+        keys = pd.Series(batch.column("canon_key").to_pandas())
         if n_salts:
-            doc_ids = batch.column("doc_id").to_pylist()
-            salts = [_salt(d, n_salts) for d in doc_ids]
-            parts = [
-                _part_of(f"{k}#{s}", num_partitions) for k, s in zip(keys, salts)
-            ]
+            salts = _hash_mod_col(batch.column("doc_id"), n_salts)
+            parts = _hash_mod_col(
+                keys + "#" + pd.Series(salts).astype(str), num_partitions
+            )
             batch = batch.append_column("salt", pa.array(salts, pa.int32()))
         else:
-            parts = [_part_of(k, num_partitions) for k in keys]
+            parts = _hash_mod_col(batch.column("canon_key"), num_partitions)
         return batch.append_column("part", pa.array(parts, pa.int32()))
 
     return add_part
@@ -224,6 +252,8 @@ def _merge_partition(batch: pa.Table) -> pa.Table:
             for i in idxs:
                 gnd_union = merge_value(gnd_union, list(gnd_lists[i] or []))
             gnd_union = gnd_union if isinstance(gnd_union, list) else [gnd_union]
+            # canonical order — plan-invariant under any merge tree
+            gnd_union = sorted(gnd_union)
             n_links = sum(links[i] or 0 for i in idxs) if has_links else 0
         out["doc_id"].append(rep_id)
         out["entity_class"].append(classes[idxs[0]])
@@ -365,18 +395,19 @@ def closure_keys(
 
     from esmarc_ray.ops.graph import connected_components
 
-    def to_edges(batch: pa.Table) -> "pd.DataFrame":
-        us: list[str] = []
-        vs: list[str] = []
-        for key, gnds in zip(
-            batch.column("canon_key").to_pylist(), batch.column("gnd_ids").to_pylist()
-        ):
-            for gnd in gnds or []:
-                us.append(key)
-                vs.append(f"xid:gnd:{gnd}")
-        return pd.DataFrame({"u": us, "v": vs})
+    def to_edges(batch: pa.Table) -> pa.Table:
+        # zero-copy Arrow list flatten (same list_parent_indices pattern as
+        # pipelines/media.py::media_refs) — no per-doc Python loop
+        gnds = batch.column("gnd_ids")
+        if isinstance(gnds, pa.ChunkedArray):
+            gnds = gnds.combine_chunks()
+        flat = pc.list_flatten(gnds)
+        parents = pc.list_parent_indices(gnds)
+        us = pc.take(batch.column("canon_key"), parents)
+        vs = pc.binary_join_element_wise("xid:gnd:", pc.cast(flat, pa.string()), "")
+        return pa.table({"u": pc.cast(us, pa.string()), "v": vs})
 
-    edges = docs.map_batches(to_edges, batch_format="pyarrow")
+    edges = docs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
     comp = connected_components(
         edges, num_partitions=num_partitions, max_rounds=max_rounds
     )
@@ -496,11 +527,11 @@ def _rewrite_keys_distributed(
 
     def tag_docs(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        keys = batch.column("canon_key").to_pylist()
         batch = batch.append_column("canon_root", pa.nulls(n, pa.string()))
         batch = batch.append_column("__side", pa.array(["d"] * n, pa.string()))
         return batch.append_column(
-            "part", pa.array([_part_of(k, num_partitions) for k in keys], pa.int32())
+            "part",
+            pa.array(_hash_mod_col(batch.column("canon_key"), num_partitions), pa.int32()),
         )
 
     def tag_map(batch: pa.Table) -> pa.Table:
@@ -512,8 +543,9 @@ def _rewrite_keys_distributed(
             )
         cols["canon_root"] = batch.column("canon_root")
         cols["__side"] = pa.array(["m"] * n, pa.string())
-        keys = batch.column("canon_key").to_pylist()
-        cols["part"] = pa.array([_part_of(k, num_partitions) for k in keys], pa.int32())
+        cols["part"] = pa.array(
+            _hash_mod_col(batch.column("canon_key"), num_partitions), pa.int32()
+        )
         return pa.Table.from_pydict(cols)
 
     def rewrite(part: pa.Table) -> pa.Table:

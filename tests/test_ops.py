@@ -166,6 +166,23 @@ def test_simhash_near_dups(dup_docs):
     assert any({a, b} == {0, 1} for a, b in zip(pairs["doc_a"], pairs["doc_b"]))
 
 
+def test_hamming_near_dups_pigeonhole_at_radius_4(ray_session):
+    """Two signatures differing in EXACTLY 4 bits, one per 16-bit chunk —
+    the adversarial case for 4-chunk bucketing: no chunk is identical, so a
+    fixed 4-chunk scheme would silently miss the pair.  The chunk count must
+    scale with the radius (5 chunks at hamming 4) to keep the pigeonhole
+    guarantee."""
+    a = 0x0123_4567_89AB_CDEF
+    b = a ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))  # 1 bit per 16-bit chunk
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "simhash": np.array([a, b], dtype="uint64")}
+    ))
+    pairs = dedup.hamming_near_dups(
+        ds, id_column="doc_id", sig_column="simhash", max_hamming=4
+    ).to_pandas()
+    assert len(pairs) == 1 and int(pairs.iloc[0]["hamming"]) == 4
+
+
 def test_embedding_near_dups(ray_session):
     rng = np.random.RandomState(3)
     base = rng.randn(20, 16).astype(np.float32)
@@ -211,6 +228,29 @@ def test_ivf_recall_vs_bruteforce(ray_session):
         a = set(approx[approx["query_id"] == qi]["vec_id"])
         recall += len(e & a) / 5
     assert recall / 3 >= 0.6
+
+
+def test_ivf_sharded_store_matches_in_memory(ray_session, tmp_path):
+    """write_index → load → search_index (partition-pruned read of only the
+    probed cell shards) must return exactly the in-memory search results."""
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = ds.take(2)
+    queries = np.array([r["embedding"] for r in rows])
+    index = similarity.IvfIndex(n_cells=8).train(ds, refine_iters=2)
+    in_mem = index.search(index.assign(ds), queries, k=5, n_probe=3)
+
+    store = index.write_index(ds, str(tmp_path / "ivf"))
+    loaded = similarity.IvfIndex.load(store)
+    np.testing.assert_allclose(loaded.centroids, index.centroids, rtol=1e-6)
+    from_store = loaded.search_index(store, queries, k=5, n_probe=3)
+    key = ["query_id", "vec_id"]
+    pd.testing.assert_frame_equal(
+        in_mem.sort_values(key).reset_index(drop=True)[key],
+        from_store.sort_values(key).reset_index(drop=True)[key],
+    )
+    # pruning is real: only the probed cell dirs exist to be read
+    probed = index._probe_cells(queries, 3)
+    assert len(probed) < 8
 
 
 def test_text_ops(ray_session):
