@@ -73,9 +73,16 @@ def _kg_docs(sf_dir: str):
 
 
 def q_kg_triples(sf_dir: str):
+    """Full extracted triple table, every value hash-checked: the pipeline
+    output is mirrored to parquet and DuckDB re-reads the mirror — a
+    sink-fidelity oracle over ALL columns (subj/pred/obj/obj_kind/class/doc),
+    the same pattern as kg_jsonld_counts (two independent readers must agree
+    on every emitted value)."""
     from esmarc_ray.stages.extract import docs_to_triples
 
-    return docs_to_triples(_kg_docs(sf_dir))
+    triples = docs_to_triples(_kg_docs(sf_dir)).materialize()
+    _kg_oracle_table(sf_dir, "triples_full", triples)
+    return triples
 
 
 _KG_ORACLE_DIR = pathlib.Path("/tmp/esmarc_ray_kg_oracle")
@@ -124,35 +131,51 @@ def q_kg_pred_counts(sf_dir: str):
     return out.sort_values("pred").reset_index(drop=True)
 
 
-def q_kg_canonical(sf_dir: str):
+def _kg_canonical_with_mirror(sf_dir: str, mirror: str, **canon_kwargs):
+    """Run canonicalize over the extracted docs, mirroring the PRE-merge
+    keyed doc table so the oracle can independently re-derive the canonical
+    grouping in SQL (GROUP BY canon_key, representative = min member doc_id)
+    — a true second implementation of the merge semantics, not a re-read of
+    the output."""
     from esmarc_ray.stages.canonicalize import canonicalize
 
-    return canonicalize(_kg_docs(sf_dir), precombine=True).select_columns(
+    docs = _kg_docs(sf_dir).materialize()
+    _kg_oracle_table(
+        sf_dir, mirror,
+        docs.select_columns(["doc_id", "entity_class", "canon_key", "gnd_ids"]),
+    )
+    return canonicalize(docs, **canon_kwargs).select_columns(
         ["doc_id", "entity_class", "canon_key"]
     )
+
+
+def q_kg_canonical(sf_dir: str):
+    return _kg_canonical_with_mirror(sf_dir, "keyed_docs", precombine=True)
 
 
 def q_kg_canonical_split(sf_dir: str):
     """Same canonical entity set through the dup-key split plan (unique-key
     docs bypass the payload shuffle); bit-for-bit equality with the other
-    plans is pytest-gated (test_canonicalize_split_equals_precombine)."""
-    from esmarc_ray.stages.canonicalize import canonicalize
-
-    return canonicalize(_kg_docs(sf_dir), precombine="split").select_columns(
-        ["doc_id", "entity_class", "canon_key"]
-    )
+    plans is pytest-gated (test_canonicalize_split_equals_precombine) AND
+    oracle-checked against the same independent SQL derivation."""
+    return _kg_canonical_with_mirror(sf_dir, "keyed_docs_split", precombine="split")
 
 
 def q_kg_canonical_closure(sf_dir: str):
-    """Canonicalization with the sameAs/identifier connected-component closure."""
-    from esmarc_ray.stages.canonicalize import canonicalize
-
-    return canonicalize(_kg_docs(sf_dir), precombine=True, closure=True).select_columns(
-        ["doc_id", "entity_class", "canon_key"]
+    """Canonicalization with the sameAs/identifier connected-component
+    closure; the oracle re-derives the closure with a recursive CTE
+    (min-label propagation over shared-GND edges) — an independent SQL
+    implementation of the distributed connected-components rewrite."""
+    return _kg_canonical_with_mirror(
+        sf_dir, "keyed_docs_closure", precombine=True, closure=True
     )
 
 
 def q_kg_linked(sf_dir: str):
+    """Linker output (per-doc links-added counts), mirrored to parquet so
+    DuckDB hash-checks every (doc_id, entity_class, n_links_added) value
+    through an independent reader — sink-fidelity over the enrichment stage's
+    full output."""
     import ray
 
     from esmarc_ray.corpus import CorpusSpec, link_tables
@@ -161,7 +184,9 @@ def q_kg_linked(sf_dir: str):
     spec = CorpusSpec(n_docs=_corpus_size_for(sf_dir), seed=42)
     indexes = ray.put(build_link_indexes(link_tables(spec)))
     linked = link_entities(_kg_docs(sf_dir), indexes, concurrency=2)
-    return linked.select_columns(["doc_id", "entity_class", "n_links_added"])
+    out = linked.select_columns(["doc_id", "entity_class", "n_links_added"]).materialize()
+    _kg_oracle_table(sf_dir, "linked_docs", out)
+    return out
 
 
 def q_lineitem_agg(sf_dir: str):
@@ -2198,6 +2223,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred, count(*) AS n_triples
             FROM read_parquet('/tmp/esmarc_ray_kg_oracle/triples/*.parquet')
             GROUP BY pred ORDER BY pred
+        """,
+        # sink-fidelity oracle over the FULL triple table: DuckDB re-reads the
+        # mirror the Ray pipeline wrote — both readers must agree on every
+        # value of every column
+        "kg_triples": """
+            SELECT subj, pred, obj, obj_kind, entity_class, doc_id
+            FROM read_parquet('/tmp/esmarc_ray_kg_oracle/triples_full/*.parquet')
+        """,
+        # independent SQL re-derivation of the canonical merge: group the
+        # PRE-merge keyed docs by canon_key; representative = min member
+        # doc_id, class = the representative's class (groups are class-uniform
+        # by key construction, so arg_min is exact)
+        "kg_canonical": """
+            SELECT min(doc_id) AS doc_id,
+                   arg_min(entity_class, doc_id) AS entity_class,
+                   canon_key
+            FROM read_parquet('/tmp/esmarc_ray_kg_oracle/keyed_docs/*.parquet')
+            GROUP BY canon_key
+        """,
+        "kg_canonical_split": """
+            SELECT min(doc_id) AS doc_id,
+                   arg_min(entity_class, doc_id) AS entity_class,
+                   canon_key
+            FROM read_parquet('/tmp/esmarc_ray_kg_oracle/keyed_docs_split/*.parquet')
+            GROUP BY canon_key
+        """,
+        # independent SQL re-derivation of the sameAs closure: recursive-CTE
+        # min-label propagation over shared-GND edges (two canon_keys join
+        # when any GND id co-occurs), then the same min-doc_id merge per root
+        "kg_canonical_closure": """
+            WITH RECURSIVE
+            keyed AS (
+              SELECT * FROM read_parquet(
+                '/tmp/esmarc_ray_kg_oracle/keyed_docs_closure/*.parquet')
+            ),
+            kg AS (
+              SELECT DISTINCT canon_key AS k, unnest(gnd_ids) AS g FROM keyed
+            ),
+            edges AS (
+              SELECT DISTINCT a.k AS u, b.k AS v
+              FROM kg a JOIN kg b ON a.g = b.g
+            ),
+            cc AS (
+              SELECT DISTINCT canon_key AS node, canon_key AS lbl FROM keyed
+              UNION
+              SELECT e.v AS node, cc.lbl FROM cc JOIN edges e ON cc.node = e.u
+            ),
+            roots AS (
+              SELECT node AS canon_key, min(lbl) AS canon_root
+              FROM cc GROUP BY node
+            )
+            SELECT min(k.doc_id) AS doc_id,
+                   arg_min(k.entity_class, k.doc_id) AS entity_class,
+                   r.canon_root AS canon_key
+            FROM keyed k JOIN roots r USING (canon_key)
+            GROUP BY r.canon_root
+        """,
+        # sink-fidelity oracle over the linker's full per-doc output
+        "kg_linked": """
+            SELECT doc_id, entity_class, n_links_added
+            FROM read_parquet('/tmp/esmarc_ray_kg_oracle/linked_docs/*.parquet')
         """,
         # sink-fidelity oracle: DuckDB re-parses the per-class .ldj streams
         # the Ray sink just wrote — every line valid JSON, one distinct @id

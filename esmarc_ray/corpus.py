@@ -26,7 +26,7 @@ from esmarc_ray.codec import records_to_table
 
 # bump when generation changes shape/content — cache directories embed this
 # so stale on-disk corpora are never mixed with new code (v2: media fan-out)
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 _SURNAMES = ["Mueller", "Schmidt", "Vogel", "Winter", "Hartmann", "Krause", "Lehmann", "Becker"]
 _FORENAMES = ["Anna", "Karl", "Marie", "Otto", "Clara", "Hans", "Ida", "Paul"]
@@ -114,6 +114,11 @@ def _base(
         # authority records carry their own GND id in 035 — the source of the
         # doc-level sameAs link and of the canonical entity key
         record["035"].insert(0, {"__": [{"a": f"(DE-588){own_gnd}"}]})
+        if record_idx % 41 == 13:
+            # merged/redirected authority record: a second DE-588 identity
+            # (the GND-redirect case) — its sameAs bridges two canonical
+            # keys, so the sameAs closure has real components to collapse
+            record["035"].insert(1, {"__": [{"a": f"(DE-588){int(own_gnd) + 1}"}]})
     if entity_code:
         record["079"] = [{"__": [{"a": "g"}, {"b": entity_code}, {"c": "v"}, {"q": "f"}]}]
     return record

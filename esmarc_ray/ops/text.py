@@ -642,22 +642,51 @@ def chunk_documents(
     return ds.map_batches(chunk, batch_format="pandas")
 
 
+def _det_topk(
+    ds: "ray.data.Dataset", k: int, n_col: str, key_cols: list[str]
+) -> "ray.data.Dataset":
+    """Exact deterministic top-k under the TOTAL order (n desc, keys asc):
+    per-batch prune (any global top-k row is in its batch's top-k under the
+    same total order), then one global sort + limit.  Unlike
+    ``relational.sort_topk`` (single-column order), boundary ties cut
+    identically on every run and every partitioning."""
+    cols = [n_col] + key_cols
+    ascending = [False] + [True] * len(key_cols)
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(cols, ascending=ascending).head(k)
+
+    return (
+        ds.map_batches(prune, batch_format="pandas")
+        .sort(cols, descending=[not a for a in ascending])
+        .limit(k)
+    )
+
+
 def train_bigram_lm(
     docs: "ray.data.Dataset",
     *,
     text_column: str = "text",
     min_count: int = 5,
+    max_vocab: int = 100_000,
+    max_bigrams: int = 500_000,
 ) -> dict:
     """Distributed bigram language model for perplexity filtering (the
     CCNet-style quality signal: templated/boilerplate text scores low,
     gibberish scores high).
 
-    Counts are combiner-shaped wordcounts over (w1, w2) pairs and unigrams;
-    only terms with count ≥ ``min_count`` enter the model (a deterministic
-    threshold, unlike a top-k whose tie boundary is unstable), so the
-    collected model is bounded by the corpus' head vocabulary, not its row
-    count.  Returns a plain dict — ``ray.put`` it once and read it in every
-    scoring task."""
+    Counts are combiner-shaped wordcounts over (w1, w2) pairs and unigrams.
+    Two bounds gate what the driver collects: ``min_count`` (terms below it
+    never enter the model) and a HARD budget — the ``max_vocab`` unigrams /
+    ``max_bigrams`` pairs with the highest counts, selected by a distributed
+    top-k (ties broken lexicographically, so the cut is deterministic).  The
+    min_count filter alone does NOT bound memory as the corpus grows (a
+    min_count=5 vocab over 100 TB is itself huge); the budget makes the
+    collected model O(max_vocab + max_bigrams) regardless of corpus size,
+    with everything below the cut backing off to the unigram/floor terms —
+    exactly the head-vocab truncation production KenLM-style filters apply.
+    Returns a plain dict — ``ray.put`` it once and read it in every scoring
+    task."""
     import numpy as np
 
     from esmarc_ray.ops.relational import partial_groupby_agg
@@ -679,16 +708,21 @@ def train_bigram_lm(
                 out.extend(text.lower().split())
         return pd.DataFrame({"w": out})
 
-    bi = partial_groupby_agg(
+    bi_ds = partial_groupby_agg(
         docs.map_batches(pair_rows, batch_format="pandas"),
         ["w1", "w2"], {"n": ("w1", "count")},
-    ).filter(expr=f"n >= {min_count}").to_pandas()
-    uni = partial_groupby_agg(
+    ).filter(expr=f"n >= {min_count}")
+    uni_ds = partial_groupby_agg(
         docs.map_batches(uni_rows, batch_format="pandas"),
         ["w"], {"n": ("w", "count")},
-    ).filter(expr=f"n >= {min_count}").to_pandas()
-
-    total = float(uni["n"].sum())
+    ).materialize()  # referenced twice (total + head cut) — avoid re-execution
+    # full-corpus total BEFORE any truncation: log-probs stay true frequencies
+    total = float(uni_ds.sum("n"))
+    # deterministic head cut: distributed top-k by count, lexicographic ties
+    uni = _det_topk(
+        uni_ds.filter(expr=f"n >= {min_count}"), max_vocab, "n", ["w"]
+    ).to_pandas()
+    bi = _det_topk(bi_ds, max_bigrams, "n", ["w1", "w2"]).to_pandas()
     uni_logp = {
         w: float(np.log(n / total)) for w, n in zip(uni["w"], uni["n"])
     }
@@ -754,13 +788,19 @@ def pmi_collocations(
 
     Counting is the combiner wordcount shape (pairs and unigrams each
     shuffle one row per batch × term); only pairs with count ≥ ``min_count``
-    are scored, and the unigram table is collected bounded by the SAME
-    threshold (a word in a surviving pair has count ≥ min_count), so the
-    broadcast lookup is head-vocab-sized.  Deterministic output: sorted by
-    (pmi desc, w1, w2), top k."""
+    are scored.  The unigram counts reach the pair table through two
+    DISTRIBUTED hash joins (on w1, then w2) — the driver never collects a
+    vocabulary at any threshold, so the op is insensitive to vocabulary
+    size; the only driver-side data is the final top-k.  Deterministic
+    output: sorted by (pmi desc, w1, w2), top k."""
     import numpy as np
 
-    from esmarc_ray.ops.relational import partial_groupby_agg, sort_topk
+    from esmarc_ray.ops.relational import (
+        _round_half_up,
+        partial_groupby_agg,
+        partitioned_join,
+        sort_topk,
+    )
 
     def pair_rows(batch: pd.DataFrame) -> pd.DataFrame:
         out = {"w1": [], "w2": []}
@@ -781,28 +821,49 @@ def pmi_collocations(
 
     uni_ds = partial_groupby_agg(
         docs.map_batches(uni_rows, batch_format="pandas"), ["w"], {"n": ("w", "count")}
-    ).materialize()
+    ).materialize()  # referenced three times (total + two join sides)
     total = float(uni_ds.sum("n"))
-    # any word of a surviving pair has count ≥ min_count (pair ≤ word), so
-    # the driver-collected lookup is bounded by the head vocabulary
-    uni = uni_ds.filter(expr=f"n >= {min_count}").to_pandas()
-    counts = dict(zip(uni["w"], uni["n"].astype(float)))
+
+    def rename_uni(key: str, out: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.rename(columns={"w": key, "n": out})
+
+        return fn
 
     bi = partial_groupby_agg(
         docs.map_batches(pair_rows, batch_format="pandas"),
         ["w1", "w2"], {"n": ("w1", "count")},
     ).filter(expr=f"n >= {min_count}")
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        n1 = batch["w1"].map(counts).astype("float64")
-        n2 = batch["w2"].map(counts).astype("float64")
-        batch = batch.copy()
-        batch["pmi"] = np.round(
-            np.log(batch["n"].astype("float64") * total / (n1 * n2)), round_to
-        )
-        return batch
+    # unigram counts attach via distributed joins — no driver-side vocab.
+    # A surviving pair's words always have unigram rows (count(w) >= count
+    # of any pair containing w >= min_count), so the inner joins drop nothing.
+    with_n1 = partitioned_join(
+        bi,
+        uni_ds.map_batches(rename_uni("w1", "n1"), batch_format="pandas"),
+        "w1", left_cols=["w2", "n"], right_cols=["n1"],
+    )
+    with_n2 = partitioned_join(
+        with_n1,
+        uni_ds.map_batches(rename_uni("w2", "n2"), batch_format="pandas"),
+        "w2", left_cols=["w1", "n", "n1"], right_cols=["n2"],
+    )
 
-    scored = bi.map_batches(score, batch_format="pandas")
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["pmi"] = _round_half_up(
+            np.log(
+                batch["n"].astype("float64") * total
+                / (batch["n1"].astype("float64") * batch["n2"].astype("float64"))
+            ),
+            round_to,
+        )
+        # tag-union join padding leaves ints object-dtype — pin for the
+        # value-hash compare
+        batch["n"] = batch["n"].astype("int64")
+        return batch[["w1", "w2", "n", "pmi"]]
+
+    scored = with_n2.map_batches(score, batch_format="pandas")
     # top-k by pmi with a deterministic (w1, w2) tie order
     top = sort_topk(scored, "pmi", k * 4).sort(
         ["pmi", "w1", "w2"], descending=[True, False, False]
