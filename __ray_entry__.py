@@ -1375,6 +1375,63 @@ def q_kg_jsonld_counts(sf_dir: str):
     return counts
 
 
+def q_schema_typing(sf_dir: str):
+    """Declared output-schema typing gate: the reference types every emitted
+    subfield in per-class ES index mappings (reference
+    mapping/persons.json:53-77 — birthDate.@value is a date); the engine
+    enforces that contract over the triple table.  The triples are mirrored
+    to parquet; the distributed report (per-(class, pred) node/value/valid
+    counts) and the DuckDB oracle (json_extract_string + the same ISO-date
+    regex) must agree on every count."""
+    import ray.data
+
+    from esmarc_ray.ops.schema_gate import schema_typing_report
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir))
+    path = _kg_oracle_table(sf_dir, "triples_typing", triples)
+    rep = schema_typing_report(ray.data.read_parquet(path)).to_pandas()
+    return rep.sort_values(["entity_class", "pred"]).reset_index(drop=True)
+
+
+def _schema_typing_oracle() -> str:
+    """DuckDB re-derivation of the typing report from the mirrored triples:
+    the declared (class, pred, subfield) table is inlined as VALUES rows from
+    the same extracted reference declarations the engine enforces."""
+    from esmarc_ray.ops.schema_gate import date_typed_fields
+
+    declared = ",\n              ".join(
+        f"('{c}', '{p}', '{s}')" for c, p, s in date_typed_fields()
+    )
+    return f"""
+            WITH declared(entity_class, pred, subfield) AS (
+              VALUES {declared}
+            ),
+            t AS (
+              SELECT x.entity_class, x.pred,
+                     x.obj_kind = 'node' AS is_node,
+                     CASE WHEN x.obj_kind = 'node'
+                          THEN json_extract_string(x.obj, '$."' || d.subfield || '"')
+                     END AS v
+              FROM read_parquet('/tmp/esmarc_ray_kg_oracle/triples_typing/*.parquet') x
+              JOIN declared d
+                ON d.entity_class = x.entity_class AND d.pred = x.pred
+            )
+            SELECT entity_class, pred,
+                   count(*)::BIGINT AS n_triples,
+                   sum(CASE WHEN is_node THEN 1 ELSE 0 END)::BIGINT AS n_node,
+                   sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_value,
+                   sum(CASE WHEN v IS NOT NULL
+                            AND regexp_full_match(v, '\\d{{4}}(-\\d{{2}}(-\\d{{2}})?)?')
+                       THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+                   sum(CASE WHEN v IS NOT NULL
+                            AND NOT regexp_full_match(v, '\\d{{4}}(-\\d{{2}}(-\\d{{2}})?)?')
+                       THEN 1 ELSE 0 END)::BIGINT AS n_invalid
+            FROM t GROUP BY entity_class, pred
+            ORDER BY entity_class, pred
+        """
+
+
 def q_media_ref_counts(sf_dir: str):
     """Interleaved-media extraction: media spans per doc via the zero-copy
     Arrow extractor.  The oracle independently unnests the SAME span parquet
@@ -2094,6 +2151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonical_closure": q_kg_canonical_closure,
         "kg_linked": q_kg_linked,
         "kg_jsonld_counts": q_kg_jsonld_counts,
+        "schema_typing": q_schema_typing,
         # relational operators (SQL-checkable)
         "lineitem_agg": q_lineitem_agg,
         "orders_by_segment": q_orders_by_segment,
@@ -2224,6 +2282,9 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/tmp/esmarc_ray_kg_oracle/triples/*.parquet')
             GROUP BY pred ORDER BY pred
         """,
+        # declared output-schema typing gate: DuckDB re-derives the
+        # per-(class, pred) date-conformance counts from the mirrored triples
+        "schema_typing": _schema_typing_oracle(),
         # sink-fidelity oracle over the FULL triple table: DuckDB re-reads the
         # mirror the Ray pipeline wrote — both readers must agree on every
         # value of every column

@@ -8,7 +8,8 @@ make sense in a Ray-Data engine).
 
 Differences from the reference, by design:
 * ``-input`` is a Lance/Parquet span-document table, not an Elasticsearch
-  index (``-host/-server/-query`` have no equivalent here);
+  index (``-host/-server`` have no equivalent here; ``-query`` takes a
+  pyarrow ``filters`` DNF pushed into the scan instead of an ES query body);
 * ``-w`` sizes the local Ray session (num_cpus) instead of a process pool;
 * output is the partitioned, resumable triple table (never appends, so
   reruns cannot duplicate output like the reference's ``open(.., "at")``
@@ -37,6 +38,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         help="map a single document, given by id (implies -debug)")
     parser.add_argument("-idfile", type=str, default=None,
                         help="path to a file with ids to process (one per line)")
+    parser.add_argument("-query", type=str, default=None,
+                        help="JSON source prefilter in pandas/pyarrow filters DNF, "
+                             "e.g. '[[\"doc_id\", \">=\", \"80\"]]' — pushed into the "
+                             "parquet/lance scan (the reference CLI's ES query body)")
     parser.add_argument("-debug", action="store_true",
                         help="dump mapped docs to stdout instead of writing the triple table")
     parser.add_argument("-w", type=int, default=8,
@@ -83,7 +88,9 @@ def run(argv: list[str] | None = None) -> int:
     if args.debug or args.id:
         # single-id / debug mode: print mapped docs as JSON lines
         # (reference esmarc/esmarc.py:258-265 — minus its TypeError bug)
-        docs = extract_docs(read_documents(args.input, doc_ids=doc_ids), config)
+        docs = extract_docs(
+            read_documents(args.input, doc_ids=doc_ids, query=args.query), config
+        )
         for row in docs.iter_rows():
             if row["entity_class"].startswith("_"):
                 print(json.dumps({row["doc_id"]: {"status": row["entity_class"],
@@ -103,6 +110,7 @@ def run(argv: list[str] | None = None) -> int:
         num_shards=args.shards,
         n_salts=args.salts,
         jsonld=args.jsonld,
+        query=args.query,
     )
     print(json.dumps(manifest, indent=1, sort_keys=True))
     ray.shutdown()

@@ -24,11 +24,39 @@ except ImportError:
     HAVE_LANCE = False
 
 
+def compile_query_filter(query: Any) -> Any:
+    """Compile a JSON query prefilter to a pyarrow Expression.
+
+    The engine counterpart of the reference CLI's arbitrary ES query body
+    (reference esmarc/cli.py:31-34): instead of an ES DSL dict it takes the
+    standard pandas/pyarrow ``filters`` DNF — ``[[col, op, value], ...]``
+    (conjunction) or a list of such lists (disjunction of conjunctions), with
+    ops ``== != < > <= >= in not in``.  The compiled expression is pushed
+    into the parquet/lance scan, so row groups whose column statistics
+    exclude the predicate never leave storage.
+    """
+    import pyarrow.parquet as pq
+
+    if isinstance(query, str):
+        import json
+
+        query = json.loads(query)
+    if not query:
+        return None
+    # normalize JSON lists to the tuple shape filters_to_expression expects
+    if all(isinstance(f, (list, tuple)) and len(f) == 3 and isinstance(f[0], str) for f in query):
+        filters = [tuple(f) for f in query]
+    else:
+        filters = [[tuple(f) for f in clause] for clause in query]
+    return pq.filters_to_expression(filters)
+
+
 def read_documents(
     path: str | list[str],
     *,
     columns: list[str] | None = None,
     doc_ids: "list[str] | None" = None,
+    query: Any = None,
     format: str = "parquet",
     **kwargs: Any,
 ) -> ray.data.Dataset:
@@ -36,14 +64,20 @@ def read_documents(
 
     ``doc_ids`` restricts the read to the listed ids — the reference's
     ``IDFile`` mode (esmarc/esmarc.py:269-270) — pushed down as a parquet
-    row-group/fragment predicate, not a post-read filter.
+    row-group/fragment predicate, not a post-read filter.  ``query`` is a
+    generic prefilter (see :func:`compile_query_filter`), ANDed with
+    ``doc_ids`` when both are given.
     """
     if columns is None:
         columns = ["doc_id", "spans"]
+    predicate = compile_query_filter(query) if query is not None else None
     if doc_ids is not None:
         import pyarrow.compute as pc
 
-        kwargs["filter"] = pc.field("doc_id").isin(list(doc_ids))
+        id_pred = pc.field("doc_id").isin(list(doc_ids))
+        predicate = id_pred if predicate is None else (predicate & id_pred)
+    if predicate is not None:
+        kwargs["filter"] = predicate
     if format == "lance" and HAVE_LANCE:
         return ray.data.read_lance(path, columns=columns, **kwargs)
     return ray.data.read_parquet(path, columns=columns, **kwargs)

@@ -55,8 +55,14 @@ def run_kg_pipeline(
     resume: bool = True,
     link_concurrency: int | tuple[int, int] = (2, 8),
     jsonld: bool = False,
+    query: "list | str | None" = None,
 ) -> dict:
-    """Run (or resume) the full pipeline; returns the run manifest."""
+    """Run (or resume) the full pipeline; returns the run manifest.
+
+    ``query`` is a pushed-down source prefilter (pandas/pyarrow ``filters``
+    DNF; see :func:`esmarc_ray.io.compile_query_filter`) — the engine's
+    counterpart of the reference CLI's ES query body (reference
+    esmarc/cli.py:31-34)."""
     out = pathlib.Path(out_dir)
     docs_dir = out / "docs"
     triples_dir = out / "triples"
@@ -72,7 +78,7 @@ def run_kg_pipeline(
         if resume and shard_is_complete(shard_dir):
             shard_status.append({"shard": k, "status": "skipped(resume)"})
             continue
-        docs = extract_docs(read_documents(files), config)
+        docs = extract_docs(read_documents(files, query=query), config)
         if indexes_ref is not None:
             docs = link_entities(docs, indexes_ref, concurrency=link_concurrency)
         shard_dir.mkdir(parents=True, exist_ok=True)

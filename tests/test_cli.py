@@ -35,6 +35,30 @@ def test_cli_single_id(tmp_path):
     assert doc["resources"]["_ppn"] == "800000002"
 
 
+def test_cli_query_prefilter(tmp_path):
+    """-query forwards a pushed-down scan predicate (the reference CLI's ES
+    query body, reference esmarc/cli.py:31-34, re-expressed as pyarrow
+    filters DNF)."""
+    from esmarc_ray.corpus import CorpusSpec, write_corpus
+
+    corpus = tmp_path / "corpus"
+    write_corpus(str(corpus), CorpusSpec(n_docs=20, seed=42), rows_per_file=10)
+    query = '[["doc_id", ">=", "800000002"], ["doc_id", "<", "800000004"]]'
+    proc = subprocess.run(
+        [sys.executable, "-m", "esmarc_ray", "-input", str(corpus),
+         "-query", query, "-debug", "-w", "2"],
+        capture_output=True, text=True, timeout=300,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+             "RAY_ADDRESS": "local"},
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 2
+    ppns = {list(json.loads(l).values())[0]["_ppn"] for l in lines}
+    assert ppns == {"800000002", "800000003"}
+
+
 def test_cli_batch_jsonld(tmp_path):
     """Batch mode with -jsonld writes the triple table AND the
     reference-format per-class .ldj streams; run manifest accounts both."""

@@ -253,6 +253,40 @@ def test_idfile_read(ray_session, corpus_dir):
     assert sorted(subset["doc_id"]) == wanted
 
 
+def test_query_prefilter_pushdown(ray_session, corpus_dir):
+    """-query DNF prefilter: correct subset AND scan-level pushdown — the
+    read operator alone emits the filtered row count (no downstream Filter
+    stage materializes the unfiltered table)."""
+    from esmarc_ray.io import compile_query_filter
+
+    path, spec = corpus_dir
+    all_ids = sorted(read_documents(path).to_pandas()["doc_id"])
+    lo, hi = all_ids[3], all_ids[12]
+
+    ds = read_documents(path, query=[["doc_id", ">=", lo], ["doc_id", "<", hi]])
+    got = sorted(ds.to_pandas()["doc_id"])
+    assert got == [i for i in all_ids if lo <= i < hi]
+    # pushdown evidence: the plan is a bare read — the predicate ran inside
+    # the parquet scanner (where row-group statistics prune), not as a
+    # post-read Ray Filter operator over the full table
+    stats = ds.stats()
+    assert "Filter" not in stats
+    assert f"{len(got)} rows output" in stats or len(got) == ds.count()
+
+    # disjunction-of-conjunctions + `in` compile too
+    expr = compile_query_filter(
+        [[["doc_id", "==", lo]], [["doc_id", "in", [hi]]]]
+    )
+    two = read_documents(path, filter=expr).to_pandas()
+    assert sorted(two["doc_id"]) == sorted([lo, hi])
+
+    # query ANDs with doc_ids (reference: query + IDFile compose)
+    both = read_documents(
+        path, doc_ids=[lo, hi], query=[["doc_id", ">", lo]]
+    ).to_pandas()
+    assert both["doc_id"].tolist() == [hi]
+
+
 def test_triple_pr_scorer(ray_session, corpus_dir):
     import pandas as pd
     import ray as _ray
