@@ -820,6 +820,22 @@ def q_top_terms(sf_dir: str):
     return top_terms(docs, k=50)
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR data-selection weights: target = English docs, features = the
+    top-2000 raw unigram vocabulary, weight = Σ ln(p_target/p_raw)."""
+    import ray.data
+
+    from esmarc_ray.ops.text import dsir_weights
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    out = dsir_weights(
+        docs, target_column="lang", target_value="en", vocab_size=2000
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_quality(sf_dir: str):
     import ray.data
 
@@ -2184,6 +2200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_modal_event": q_user_modal_event,
         "custs_no_urgent_bloom": q_custs_no_urgent_bloom,
         "quality": q_quality,
+        "dsir_weights": q_dsir_weights,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,
@@ -3075,6 +3092,50 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY n DESC, term
             LIMIT 10
+        """,
+        # DSIR importance weights: same top-V vocabulary cut (c_raw desc,
+        # term asc), same +1 smoothing over the ACTUAL vocab size, and the
+        # same ln(a)-ln(b) float path as the engine
+        "dsir_weights": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     lang,
+                     unnest(string_split_regex(lower(text), '\s+')) AS term
+              FROM documents
+            ),
+            tok2 AS (SELECT * FROM tok WHERE term <> ''),
+            counts AS (
+              SELECT term,
+                     count(*) AS c_raw,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+              FROM tok2 GROUP BY term
+            ),
+            vocab AS (
+              SELECT term, c_raw, c_tgt FROM counts
+              ORDER BY c_raw DESC, term LIMIT 2000
+            ),
+            tot AS (
+              SELECT sum(c_raw)::DOUBLE AS n_raw,
+                     sum(c_tgt)::DOUBLE AS n_tgt,
+                     count(*)::DOUBLE AS v
+              FROM vocab
+            ),
+            ratios AS (
+              SELECT term,
+                     ln((c_tgt + 1.0) / (tot.n_tgt + tot.v))
+                     - ln((c_raw + 1.0) / (tot.n_raw + tot.v)) AS lr
+              FROM vocab, tot
+            ),
+            per_doc AS (
+              SELECT tok2.doc_id, sum(r.lr) AS w, count(*) AS n_hits
+              FROM tok2 JOIN ratios r USING (term)
+              GROUP BY tok2.doc_id
+            )
+            SELECT d.doc_id,
+                   round(coalesce(p.w, 0.0), 6) AS dsir_weight,
+                   coalesce(p.n_hits, 0)::BIGINT AS n_vocab_tokens
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            ORDER BY doc_id
         """,
         "quality": r"""
             SELECT doc_id,

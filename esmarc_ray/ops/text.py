@@ -417,6 +417,92 @@ def tfidf_topk(
     return top.map_batches(finalize, batch_format="pandas")
 
 
+def dsir_weights(
+    docs: ray.data.Dataset,
+    *,
+    target_column: str,
+    target_value: str,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    vocab_size: int = 10_000,
+) -> ray.data.Dataset:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): score
+    every document by how much more likely its unigrams are under a TARGET
+    distribution (rows where ``target_column == target_value``) than under
+    the RAW corpus distribution — weight = Σ_tok ln(p_target/p_raw), additive
+    +1 smoothing, features restricted to the top-``vocab_size`` raw-corpus
+    vocabulary so the broadcast model is O(vocab_size) at any corpus scale.
+
+    Distribution shape: ONE combiner pass counts raw+target occurrences per
+    term (tokens never leave their batch); the vocabulary cut is the
+    deterministic distributed top-k (count desc, term asc — same total order
+    as :func:`train_bigram_lm`); only the V-row log-ratio table reaches the
+    driver and ships to the scoring stage.  Weights round half-away-from-zero
+    to 6 decimals (oracle convention).  Output: (id, dsir_weight,
+    n_vocab_tokens) — resample/filter by weight downstream.
+    """
+    from collections import Counter
+
+    from esmarc_ray.ops.relational import _round_half_up, partial_groupby_agg
+
+    def count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        raw: Counter = Counter()
+        tgt: Counter = Counter()
+        for text, marker in zip(
+            batch[text_column].fillna(""), batch[target_column]
+        ):
+            toks = text.lower().split()
+            raw.update(toks)
+            if marker == target_value:
+                tgt.update(toks)
+        terms = list(raw.keys())
+        return pd.DataFrame(
+            {
+                "term": terms,
+                "c_raw": [raw[t] for t in terms],
+                "c_tgt": [tgt.get(t, 0) for t in terms],
+            }
+        )
+
+    counts = partial_groupby_agg(
+        docs.map_batches(count_batch, batch_format="pandas"),
+        ["term"],
+        {"c_raw": ("c_raw", "sum"), "c_tgt": ("c_tgt", "sum")},
+    )
+    vocab = _det_topk(counts, vocab_size, "c_raw", ["term"]).to_pandas()
+    v = float(len(vocab))
+    n_raw = float(vocab["c_raw"].sum())
+    n_tgt = float(vocab["c_tgt"].sum())
+    lr = np.log((vocab["c_tgt"].to_numpy() + 1.0) / (n_tgt + v)) - np.log(
+        (vocab["c_raw"].to_numpy() + 1.0) / (n_raw + v)
+    )
+    ratio_by_term = dict(zip(vocab["term"], lr))
+
+    def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        weights = []
+        n_hits = []
+        for text in batch[text_column].fillna(""):
+            w = 0.0
+            n = 0
+            for tok in text.lower().split():
+                r = ratio_by_term.get(tok)
+                if r is not None:
+                    w += r
+                    n += 1
+            weights.append(w)
+            n_hits.append(n)
+        return pd.DataFrame(
+            {
+                id_column: batch[id_column].to_numpy(),
+                "dsir_weight": _round_half_up(weights, 6),
+                "n_vocab_tokens": pd.array(n_hits, dtype="int64"),
+            }
+        )
+
+    return docs.map_batches(score_batch, batch_format="pandas")
+
+
 def json_extract(
     ds: ray.data.Dataset,
     json_column: str,

@@ -1903,6 +1903,45 @@ def test_pmi_collocations_finds_planted_phrase(ray_session):
     assert got.loc[0, "pmi"] > got.loc[1, "pmi"] + 1.0  # clear margin
 
 
+def test_dsir_weights_separate_target_like_docs(ray_session):
+    """DSIR importance weights rank target-distribution-like documents above
+    off-distribution ones, and the vocabulary budget caps the model."""
+    rng = np.random.default_rng(11)
+    tgt_vocab = [f"t{i}" for i in range(30)]
+    raw_vocab = [f"r{i}" for i in range(30)]
+    rows = []
+    for i in range(120):
+        is_tgt = i % 3 == 0
+        words = rng.choice(tgt_vocab if is_tgt else raw_vocab, 12)
+        rows.append(
+            {
+                "doc_id": i,
+                "text": " ".join(words),
+                "lang": "en" if is_tgt else "xx",
+            }
+        )
+    # held-out docs from each distribution, unlabeled (lang never matches)
+    rows.append({"doc_id": 900, "text": " ".join(tgt_vocab[:12]), "lang": "??"})
+    rows.append({"doc_id": 901, "text": " ".join(raw_vocab[:12]), "lang": "??"})
+    docs = ray.data.from_pandas(pd.DataFrame(rows))
+    got = (
+        text.dsir_weights(docs, target_column="lang", target_value="en", vocab_size=40)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert len(got) == 122
+    # target-like text scores strictly higher than raw-like text
+    assert got.loc[900, "dsir_weight"] > got.loc[901, "dsir_weight"]
+    labeled = got.drop([900, 901])
+    tgt_mean = labeled.loc[[i for i in labeled.index if i % 3 == 0], "dsir_weight"].mean()
+    raw_mean = labeled.loc[[i for i in labeled.index if i % 3 != 0], "dsir_weight"].mean()
+    assert tgt_mean > 0 > raw_mean
+    # vocab budget binds: 60 distinct terms, only 40 enter the model, so
+    # every doc still gets a weight but hit counts stay <= token count
+    assert (got["n_vocab_tokens"] <= 12).all()
+    assert got["n_vocab_tokens"].sum() < 122 * 12
+
+
 def test_expectations_counts_violations(ray_session):
     df = pd.DataFrame({"x": [1, -2, None, 4], "s": ["a", "b", "zz", "a"]})
     got = (
