@@ -836,6 +836,33 @@ def q_dsir_weights(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_store_dedup(sf_dir: str):
+    """Incremental dedup against a persisted hash store: even-doc_id docs
+    seed the store, odd-doc_id docs are the new increment; kept = odd docs
+    whose text the store has never seen, smallest doc_id per new text."""
+    import shutil
+
+    import ray.data
+
+    from esmarc_ray.ops.dedup import dedup_against_store
+
+    store = _KG_ORACLE_DIR / "dedup_store"
+    if store.exists():
+        shutil.rmtree(store)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    seed = docs.map_batches(lambda b: b[b["doc_id"] % 2 == 0], batch_format="pandas")
+    # consume the seed pass so the store is fully built before probing
+    dedup_against_store(seed, str(store), num_buckets=16).count()
+    increment = docs.map_batches(
+        lambda b: b[b["doc_id"] % 2 == 1], batch_format="pandas"
+    )
+    kept = dedup_against_store(increment, str(store), num_buckets=16)
+    out = kept.select_columns(["doc_id", "content_md5"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_quality(sf_dir: str):
     import ray.data
 
@@ -2201,6 +2228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custs_no_urgent_bloom": q_custs_no_urgent_bloom,
         "quality": q_quality,
         "dsir_weights": q_dsir_weights,
+        "store_dedup": q_store_dedup,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,
@@ -3092,6 +3120,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY n DESC, term
             LIMIT 10
+        """,
+        # incremental store dedup: the store holds every DISTINCT even-doc
+        # text's md5 after the seed pass; kept = odd docs with unseen text,
+        # min doc_id per text within the increment
+        "store_dedup": """
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+            seen AS (SELECT DISTINCT text FROM d WHERE doc_id % 2 = 0),
+            fresh AS (
+              SELECT * FROM d
+              WHERE doc_id % 2 = 1 AND text NOT IN (SELECT text FROM seen)
+            )
+            SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
+            FROM fresh GROUP BY text ORDER BY doc_id
         """,
         # DSIR importance weights: same top-V vocabulary cut (c_raw desc,
         # term asc), same +1 smoothing over the ACTUAL vocab size, and the

@@ -64,6 +64,78 @@ def exact_dedup(
     )
 
 
+def dedup_against_store(
+    docs: ray.data.Dataset,
+    store_dir: str,
+    *,
+    key_column: str = "text",
+    id_column: str = "doc_id",
+    num_buckets: int = 64,
+    update_store: bool = True,
+) -> ray.data.Dataset:
+    """Incremental exact dedup of a NEW batch against a persisted corpus
+    store — the continuous-crawl shape: yesterday's 100 TB never reshuffles;
+    today's increment pays only (its own shuffle + a read of the store
+    buckets it hashes into).
+
+    Store layout: ``{store}/bucket={k}/part-*.parquet`` holding one
+    ``content_md5`` (+ provenance ``id``) row per known document, bucket =
+    ``int(md5[:8], 16) % num_buckets`` — engine-independent, so any reader
+    can probe it.  Each per-bucket task set-probes ONLY its own bucket's
+    hash column, drops incoming rows already known, keeps the smallest id
+    per new hash (intra-batch dedup), and — with ``update_store`` —
+    APPENDS the surviving hashes as a new part file: no bucket rewrite, so
+    incremental cost scales with the increment, never the store.
+
+    Returns the kept rows (original columns + ``content_md5``), ready to
+    flow into the rest of the pipeline.
+    """
+    import glob as globmod
+    import hashlib
+    import pathlib
+    import uuid
+
+    base = pathlib.Path(store_dir)
+    base.mkdir(parents=True, exist_ok=True)
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        md5s = [
+            hashlib.md5(str(v).encode("utf-8")).hexdigest()
+            for v in batch[key_column].fillna("")
+        ]
+        batch = batch.copy()
+        batch["content_md5"] = md5s
+        batch["__bucket"] = pd.array(
+            [int(h[:8], 16) % num_buckets for h in md5s], dtype="int32"
+        )
+        return batch
+
+    def probe_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(group["__bucket"].iloc[0])
+        bucket_dir = base / f"bucket={bucket}"
+        known: set = set()
+        for path in sorted(globmod.glob(str(bucket_dir / "part-*.parquet"))):
+            known.update(pd.read_parquet(path, columns=["content_md5"])["content_md5"])
+        fresh = group[~group["content_md5"].isin(known)]
+        # intra-increment dedup: smallest id wins per new hash
+        fresh = fresh.sort_values(["content_md5", id_column]).drop_duplicates(
+            "content_md5"
+        )
+        if update_store and len(fresh):
+            bucket_dir.mkdir(parents=True, exist_ok=True)
+            part = bucket_dir / f"part-{uuid.uuid4().hex}.parquet"
+            fresh[["content_md5", id_column]].rename(
+                columns={id_column: "id"}
+            ).to_parquet(part, index=False)
+        return fresh.drop(columns="__bucket")
+
+    return (
+        docs.map_batches(add_hash, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(probe_bucket, batch_format="pandas")
+    )
+
+
 # -- shingles + MinHash ----------------------------------------------------------
 
 

@@ -1903,6 +1903,47 @@ def test_pmi_collocations_finds_planted_phrase(ray_session):
     assert got.loc[0, "pmi"] > got.loc[1, "pmi"] + 1.0  # clear margin
 
 
+def test_dedup_against_store_incremental(ray_session, tmp_path):
+    """Store probe drops previously-seen texts, intra-increment dups keep
+    the smallest id, and the append-only store update makes a SECOND
+    increment see the first increment's survivors."""
+    from esmarc_ray.ops.dedup import dedup_against_store
+
+    store = str(tmp_path / "store")
+    seed = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["alpha", "beta", "alpha"]})
+    )
+    kept0 = dedup_against_store(seed, store, num_buckets=4).to_pandas()
+    assert sorted(kept0["doc_id"]) == [1, 2]  # intra-seed dup dropped
+
+    inc1 = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13],
+                "text": ["alpha", "gamma", "gamma", "delta"],
+            }
+        )
+    )
+    kept1 = dedup_against_store(inc1, store, num_buckets=4).to_pandas()
+    # alpha known from the store; gamma deduped within the increment
+    assert sorted(kept1["doc_id"]) == [11, 13]
+
+    inc2 = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [20, 21], "text": ["gamma", "epsilon"]})
+    )
+    kept2 = dedup_against_store(inc2, store, num_buckets=4).to_pandas()
+    # gamma entered the store via increment 1's append — dropped now
+    assert sorted(kept2["doc_id"]) == [21]
+
+    # update_store=False probes without mutating
+    inc3 = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [30], "text": ["zeta"]})
+    )
+    dedup_against_store(inc3, store, num_buckets=4, update_store=False).count()
+    again = dedup_against_store(inc3, store, num_buckets=4).to_pandas()
+    assert sorted(again["doc_id"]) == [30]  # zeta was never persisted
+
+
 def test_dsir_weights_separate_target_like_docs(ray_session):
     """DSIR importance weights rank target-distribution-like documents above
     off-distribution ones, and the vocabulary budget caps the model."""
