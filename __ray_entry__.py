@@ -1475,6 +1475,51 @@ def _schema_typing_oracle() -> str:
         """
 
 
+def q_lineage_report(sf_dir: str):
+    """Per-partition lineage audit over the PRODUCTION pipeline sink: run
+    run_kg_pipeline end-to-end, return the lineage manifest's per-class row
+    counts; the oracle independently recounts the written triple partitions
+    with DuckDB's parquet reader — the manifest must match the data it
+    describes (north rule: per-partition lineage + metrics)."""
+    import shutil
+
+    import pandas as pd
+
+    from esmarc_ray.pipelines.kg import run_kg_pipeline
+
+    corpus = _span_corpus(_corpus_size_for("/root/testdata/sf0.001"))
+    out = _KG_ORACLE_DIR / "lineage_run"
+    if out.exists():
+        shutil.rmtree(out)
+    manifest = run_kg_pipeline(corpus, str(out), num_shards=2)
+    rows = [
+        {"entity_class": cls, "n_triples": n}
+        for cls, n in manifest["triples"]["rows_per_class"].items()
+    ]
+    # metrics must be present and sane (lineage + metrics, not just counts)
+    m = manifest["triples"]["metrics"]
+    assert m["n_files"] > 0 and m["bytes_written"] > 0
+    out_df = pd.DataFrame(rows).sort_values("entity_class").reset_index(drop=True)
+    return out_df
+
+
+def q_pred_cooccurrence(sf_dir: str):
+    """KG schema analysis: top-50 predicate pairs co-occurring on the same
+    subject document, per entity class; DuckDB re-derives via a distinct
+    self-join over the mirrored triple table."""
+    import ray.data
+
+    from esmarc_ray.ops.graph import predicate_cooccurrence
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["doc_id", "entity_class", "pred"]
+    )
+    path = _kg_oracle_table(sf_dir, "triples_cooc", triples)
+    out = predicate_cooccurrence(ray.data.read_parquet(path), k=50).to_pandas()
+    return out.reset_index(drop=True)
+
+
 def q_media_ref_counts(sf_dir: str):
     """Interleaved-media extraction: media spans per doc via the zero-copy
     Arrow extractor.  The oracle independently unnests the SAME span parquet
@@ -2229,6 +2274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "dsir_weights": q_dsir_weights,
         "store_dedup": q_store_dedup,
+        "lineage_report": q_lineage_report,
+        "pred_cooccurrence": q_pred_cooccurrence,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,
@@ -3120,6 +3167,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY n DESC, term
             LIMIT 10
+        """,
+        # KG schema analysis: distinct (doc, class, pred) self-join; same
+        # total order as the engine's deterministic top-k cut
+        "pred_cooccurrence": """
+            WITH p AS (
+              SELECT DISTINCT doc_id, entity_class, pred
+              FROM read_parquet('/tmp/esmarc_ray_kg_oracle/triples_cooc/*.parquet')
+            )
+            SELECT a.entity_class, a.pred AS pred_a, b.pred AS pred_b,
+                   count(*)::BIGINT AS n_docs
+            FROM p a JOIN p b
+              ON a.doc_id = b.doc_id AND a.pred < b.pred
+            GROUP BY 1, 2, 3
+            ORDER BY n_docs DESC, a.entity_class, pred_a, pred_b
+            LIMIT 50
+        """,
+        # lineage audit: DuckDB independently recounts the triple partitions
+        # the production sink wrote; the Ray side returns what the lineage
+        # manifest CLAIMS — hash equality proves manifest-data consistency
+        "lineage_report": """
+            SELECT entity_class, count(*)::BIGINT AS n_triples
+            FROM read_parquet(
+              '/tmp/esmarc_ray_kg_oracle/lineage_run/triples/shard=00000/*/*.parquet',
+              hive_partitioning=true)
+            GROUP BY entity_class ORDER BY entity_class
         """,
         # incremental store dedup: the store holds every DISTINCT even-doc
         # text's md5 after the seed pass; kept = odd docs with unseen text,

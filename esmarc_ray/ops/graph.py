@@ -564,3 +564,61 @@ def triangle_count(
         .map_groups(count_matches, batch_format="pandas")
     )
     return int(sum(row["n"] for row in matched.take_all()))
+
+
+def predicate_cooccurrence(
+    triples: ray.data.Dataset,
+    k: int = 50,
+    *,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Top-k predicate pairs that co-occur on the same subject document,
+    per entity class — the KG schema-analysis view (which properties travel
+    together predicts mapping gaps and type confusions).
+
+    Scale shape: batch-local distinct on (doc_id, class, pred) first (a
+    combiner — repeated predicates never leave their batch), then ONE
+    hash-partition shuffle on doc_id so each document's predicate set meets
+    in a single reducer (no assumption that a document's triples share a
+    block), pair counts re-aggregate through the partial groupby, and the
+    cut is the deterministic distributed top-k (n desc, keys asc).
+    """
+    from itertools import combinations
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+    from esmarc_ray.ops.text import _det_topk
+
+    def local_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["doc_id", "entity_class", "pred"]].drop_duplicates()
+
+    def pairs_per_doc(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates()
+        rows: dict[tuple, int] = {}
+        for (_, cls), grp in part.groupby(["doc_id", "entity_class"], sort=False):
+            for a, b in combinations(sorted(set(grp["pred"])), 2):
+                key = (cls, a, b)
+                rows[key] = rows.get(key, 0) + 1
+        if not rows:
+            return pd.DataFrame(
+                {"entity_class": [], "pred_a": [], "pred_b": [], "n_docs": []}
+            )
+        keys = list(rows.keys())
+        return pd.DataFrame(
+            {
+                "entity_class": [x[0] for x in keys],
+                "pred_a": [x[1] for x in keys],
+                "pred_b": [x[2] for x in keys],
+                "n_docs": list(rows.values()),
+            }
+        )
+
+    distinct = triples.map_batches(local_distinct, batch_format="pandas")
+    pair_partials = partitioned_final(
+        distinct, ["doc_id"], pairs_per_doc, num_partitions=num_partitions
+    )
+    totals = partial_groupby_agg(
+        pair_partials,
+        ["entity_class", "pred_a", "pred_b"],
+        {"n_docs": ("n_docs", "sum")},
+    )
+    return _det_topk(totals, k, "n_docs", ["entity_class", "pred_a", "pred_b"])
