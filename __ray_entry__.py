@@ -863,6 +863,23 @@ def q_store_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_nb_lang_scores(sf_dir: str):
+    """Distributed multinomial Naive Bayes (fastText-shaped filter model):
+    train on (text, lang) with a top-2000 vocabulary, emit the full
+    per-(doc, label) log-score table — every trained parameter is exercised
+    and hash-checked against the DuckDB re-derivation."""
+    import ray.data
+
+    from esmarc_ray.ops.text import nb_scores, nb_train
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    model = nb_train(docs, label_column="lang", vocab_size=2000)
+    out = nb_scores(docs, model).to_pandas()
+    return out.sort_values(["doc_id", "label"]).reset_index(drop=True)
+
+
 def q_quality(sf_dir: str):
     import ray.data
 
@@ -2276,6 +2293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_dedup": q_store_dedup,
         "lineage_report": q_lineage_report,
         "pred_cooccurrence": q_pred_cooccurrence,
+        "nb_lang_scores": q_nb_lang_scores,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,
@@ -3205,6 +3223,69 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM fresh GROUP BY text ORDER BY doc_id
+        """,
+        # Naive Bayes log-scores: DuckDB independently re-trains the whole
+        # model — same top-2000 vocabulary cut (count desc, term asc), +1
+        # smoothing over the ACTUAL vocab size, per-label token-count
+        # denominators, ln priors — and re-scores every (doc, label) pair.
+        "nb_lang_scores": r"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     unnest(string_split_regex(lower(text), '\s+')) AS term
+              FROM documents
+            ),
+            tok2 AS (SELECT * FROM tok WHERE term <> ''),
+            counts AS (
+              SELECT term, lang AS label, count(*) AS c
+              FROM tok2 GROUP BY term, lang
+            ),
+            vocab AS (
+              SELECT term FROM (
+                SELECT term, sum(c) AS ct FROM counts GROUP BY term
+              ) ORDER BY ct DESC, term LIMIT 2000
+            ),
+            labels AS (SELECT DISTINCT lang AS label FROM documents),
+            priors AS (
+              SELECT lang AS label,
+                     ln(count(*)::DOUBLE
+                        / (SELECT count(*) FROM documents)) AS lp
+              FROM documents GROUP BY lang
+            ),
+            v AS (SELECT count(*)::DOUBLE AS v FROM vocab),
+            denom AS (
+              SELECT l.label,
+                     coalesce(sum(vc.c), 0)::DOUBLE + (SELECT v FROM v) AS dn
+              FROM labels l
+              LEFT JOIN (SELECT c.label, c.c
+                         FROM counts c JOIN vocab USING (term)) vc
+                USING (label)
+              GROUP BY l.label
+            ),
+            cond AS (
+              SELECT vt.term, d.label,
+                     ln((coalesce(c.c, 0) + 1.0) / d.dn) AS lc
+              FROM vocab vt
+              CROSS JOIN denom d
+              LEFT JOIN counts c
+                ON c.term = vt.term AND c.label = d.label
+            ),
+            doc_term AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM tok2 JOIN vocab USING (term)
+              GROUP BY doc_id, term
+            ),
+            doc_scores AS (
+              SELECT dt.doc_id, cond.label, sum(dt.tf * cond.lc) AS s
+              FROM doc_term dt JOIN cond USING (term)
+              GROUP BY dt.doc_id, cond.label
+            )
+            SELECT d.doc_id, p.label,
+                   round(p.lp + coalesce(ds.s, 0.0), 6) AS nb_score
+            FROM documents d
+            CROSS JOIN priors p
+            LEFT JOIN doc_scores ds
+              ON ds.doc_id = d.doc_id AND ds.label = p.label
+            ORDER BY d.doc_id, p.label
         """,
         # DSIR importance weights: same top-V vocabulary cut (c_raw desc,
         # term asc), same +1 smoothing over the ACTUAL vocab size, and the

@@ -503,6 +503,184 @@ def dsir_weights(
     return docs.map_batches(score_batch, batch_format="pandas")
 
 
+def nb_train(
+    docs: ray.data.Dataset,
+    *,
+    label_column: str,
+    text_column: str = "text",
+    vocab_size: int = 10_000,
+) -> dict:
+    """Train a multinomial Naive Bayes text classifier distributed — the
+    fastText-shaped filter model of LLM data pipelines (language/quality/
+    domain gating), trained with counts instead of SGD so a single combiner
+    pass over the corpus is the whole training job.
+
+    ONE ``map_batches`` pass emits per-batch (term, label, count) partials;
+    the vocabulary is the deterministic top-``vocab_size`` by total count
+    (count desc, term asc); only the V×C log-probability table and the class
+    priors reach the driver.  Returns a plain broadcastable dict:
+    ``{"labels": [...], "log_prior": {label: lp}, "vocab": {term: {label:
+    log_cond}}, "v": V}`` with +1 smoothing over the ACTUAL vocab size.
+    """
+    from collections import Counter
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    def count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        counts: Counter = Counter()
+        doc_counts: Counter = Counter()
+        for text, label in zip(
+            batch[text_column].fillna(""), batch[label_column]
+        ):
+            doc_counts[label] += 1
+            for tok in text.lower().split():
+                counts[(tok, label)] += 1
+        keys = list(counts.keys())
+        out = pd.DataFrame(
+            {
+                "term": [k[0] for k in keys],
+                "label": [k[1] for k in keys],
+                "c": [counts[k] for k in keys],
+                "n_docs": 0,
+            }
+        )
+        docs_rows = pd.DataFrame(
+            {
+                "term": "",
+                "label": list(doc_counts.keys()),
+                "c": 0,
+                "n_docs": list(doc_counts.values()),
+            }
+        )
+        return pd.concat([out, docs_rows], ignore_index=True)
+
+    counts = partial_groupby_agg(
+        docs.map_batches(count_batch, batch_format="pandas"),
+        ["term", "label"],
+        {"c": ("c", "sum"), "n_docs": ("n_docs", "sum")},
+    ).materialize()
+
+    term_totals = partial_groupby_agg(
+        counts.map_batches(
+            lambda b: b[b["term"] != ""][["term", "c"]], batch_format="pandas"
+        ),
+        ["term"],
+        {"c": ("c", "sum")},
+    )
+    vocab_terms = set(
+        _det_topk(term_totals, vocab_size, "c", ["term"]).to_pandas()["term"]
+    )
+
+    kept = counts.map_batches(
+        lambda b, keep=vocab_terms: b[(b["term"] == "") | b["term"].isin(keep)],
+        batch_format="pandas",
+    ).to_pandas()
+
+    doc_rows = kept[kept["term"] == ""]
+    n_docs_by_label = doc_rows.groupby("label")["n_docs"].sum()
+    labels = sorted(n_docs_by_label.index)
+    n_total = float(n_docs_by_label.sum())
+    log_prior = {
+        lab: float(np.log(n_docs_by_label[lab] / n_total)) for lab in labels
+    }
+
+    term_rows = kept[kept["term"] != ""]
+    # actual vocab size (smoothing denominator): the terms that survived the
+    # cut — equals vocab_size unless the corpus has fewer distinct terms
+    v = float(len(set(term_rows["term"])))
+    n_by_label = term_rows.groupby("label")["c"].sum()
+    denom = {
+        lab: float(n_by_label.get(lab, 0)) + v for lab in labels
+    }
+    pivot = term_rows.pivot_table(
+        index="term", columns="label", values="c", aggfunc="sum", fill_value=0
+    )
+    vocab: dict[str, dict[str, float]] = {}
+    for term, row in pivot.iterrows():
+        vocab[term] = {
+            lab: float(np.log((row.get(lab, 0) + 1.0) / denom[lab]))
+            for lab in labels
+        }
+    unseen = {lab: float(np.log(1.0 / denom[lab])) for lab in labels}
+    return {
+        "labels": labels,
+        "log_prior": log_prior,
+        "vocab": vocab,
+        "unseen": unseen,
+        "v": v,
+    }
+
+
+def nb_scores(
+    docs: ray.data.Dataset,
+    model: dict,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-(doc, label) Naive Bayes log-scores: ln prior + Σ_tok∈vocab
+    ln p(tok|label), rounded half-away-from-zero to 6 decimals (tokens
+    outside the vocabulary are ignored — the model is O(V), not O(corpus)).
+    Long output (one row per doc per label) so an oracle can re-derive every
+    value; argmax downstream with :func:`nb_predict`."""
+    from esmarc_ray.ops.relational import _round_half_up
+
+    labels = model["labels"]
+    vocab = model["vocab"]
+    log_prior = model["log_prior"]
+
+    def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        labs: list[str] = []
+        scores: list[float] = []
+        for doc_id, text in zip(batch[id_column], batch[text_column].fillna("")):
+            sums = {lab: log_prior[lab] for lab in labels}
+            for tok in text.lower().split():
+                cond = vocab.get(tok)
+                if cond is not None:
+                    for lab in labels:
+                        sums[lab] += cond[lab]
+            for lab in labels:
+                ids.append(doc_id)
+                labs.append(lab)
+                scores.append(sums[lab])
+        return pd.DataFrame(
+            {
+                id_column: ids,
+                "label": labs,
+                "nb_score": _round_half_up(scores, 6),
+            }
+        )
+
+    return docs.map_batches(score_batch, batch_format="pandas")
+
+
+def nb_predict(
+    docs: ray.data.Dataset,
+    model: dict,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> ray.data.Dataset:
+    """Argmax over :func:`nb_scores` (ties break on the label string):
+    one (id, label_pred) row per document."""
+    scored = nb_scores(docs, model, text_column=text_column, id_column=id_column)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        best = (
+            batch.sort_values([id_column, "nb_score", "label"],
+                              ascending=[True, False, True])
+            .drop_duplicates(id_column)
+        )
+        return best.rename(columns={"label": "label_pred"})[
+            [id_column, "label_pred", "nb_score"]
+        ]
+
+    # scores for one doc stay in the emitting batch (score_batch appends all
+    # labels of a doc consecutively), so the argmax is batch-local
+    return scored.map_batches(pick, batch_format="pandas", batch_size=None)
+
+
 def json_extract(
     ds: ray.data.Dataset,
     json_column: str,

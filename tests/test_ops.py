@@ -2109,3 +2109,56 @@ def test_funnel_first_occurrence_semantics(ray_session):
         .sort_values("step_index")
     )
     assert got["n_users"].tolist() == [2, 2, 1]  # u1+u2 signup/view, u1 full
+
+
+def test_nb_classifier_train_score_predict(ray_session):
+    """Naive Bayes: predictions recover the generating language on every
+    doc, scores match a direct closed-form recomputation, and the vocab
+    budget caps the model."""
+    import math
+
+    rng = np.random.default_rng(7)
+    vocab_a = [f"a{i}" for i in range(20)]
+    vocab_b = [f"b{i}" for i in range(20)]
+    rows = []
+    for i in range(90):
+        lab = "aa" if i % 3 else "bb"
+        words = rng.choice(vocab_a if lab == "aa" else vocab_b, 10)
+        rows.append({"doc_id": i, "text": " ".join(words), "lang": lab})
+    docs = ray.data.from_pandas(pd.DataFrame(rows))
+
+    model = text.nb_train(docs, label_column="lang", vocab_size=1000)
+    assert model["labels"] == ["aa", "bb"]
+    assert model["v"] == 40.0  # budget not binding: all 40 distinct terms
+    pred = text.nb_predict(docs, model).to_pandas().set_index("doc_id")
+    df = pd.DataFrame(rows).set_index("doc_id")
+    assert (pred.loc[df.index, "label_pred"] == df["lang"]).all()
+
+    # closed-form recomputation of one doc's scores from raw counts
+    scored = text.nb_scores(docs, model).to_pandas()
+    tok_counts = {}
+    n_docs = {"aa": 0, "bb": 0}
+    for r in rows:
+        n_docs[r["lang"]] += 1
+        for tok in r["text"].split():
+            tok_counts[(tok, r["lang"])] = tok_counts.get((tok, r["lang"]), 0) + 1
+    denom = {
+        lab: sum(c for (t, l), c in tok_counts.items() if l == lab) + 40.0
+        for lab in ("aa", "bb")
+    }
+    probe = rows[0]
+    for lab in ("aa", "bb"):
+        want = math.log(n_docs[lab] / 90.0)
+        for tok in probe["text"].split():
+            want += math.log((tok_counts.get((tok, lab), 0) + 1.0) / denom[lab])
+        got = scored[
+            (scored["doc_id"] == probe["doc_id"]) & (scored["label"] == lab)
+        ]["nb_score"].iloc[0]
+        assert abs(got - want) < 1e-5
+
+    # vocab budget binds: only top-10 terms survive, unseen terms ignored
+    small = text.nb_train(docs, label_column="lang", vocab_size=10)
+    assert small["v"] == 10.0
+    assert len(small["vocab"]) == 10
+    pred_small = text.nb_predict(docs, small).to_pandas()
+    assert len(pred_small) == 90
