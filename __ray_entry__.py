@@ -1180,12 +1180,16 @@ def q_redact_pii(sf_dir: str):
 def q_repetition(sf_dir: str):
     import ray.data
 
+    from esmarc_ray.ops.relational import _round_half_up
     from esmarc_ray.ops.text import repetition_stats
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = repetition_stats(docs).to_pandas()
+    # half-away-from-zero, the repo-wide oracle rounding convention: a doc
+    # with 129 words and a unique max bigram lands exactly on 1/128 — a tie
+    # at the 6th decimal that half-even would flip against DuckDB round()
     for col in ("dup_line_frac", "dup_para_frac", "top_bigram_frac"):
-        out[col] = out[col].round(6)
+        out[col] = _round_half_up(out[col], 6)
     return out[["doc_id", "dup_line_frac", "dup_para_frac", "top_bigram_frac"]]
 
 
@@ -1489,6 +1493,47 @@ def _schema_typing_oracle() -> str:
                        THEN 1 ELSE 0 END)::BIGINT AS n_invalid
             FROM t GROUP BY entity_class, pred
             ORDER BY entity_class, pred
+        """
+
+
+def _langid_oracle() -> str:
+    """DuckDB re-derivation of the stopword-profile language-ID heuristic:
+    the per-language profiles are inlined as VALUES rows from the SAME
+    ``_STOPWORDS`` table the engine scores with, so the two can never
+    drift."""
+    from esmarc_ray.ops.text import _STOPWORDS
+
+    profiles = ",\n              ".join(
+        f"('{lang}', '{tok}')"
+        for lang in sorted(_STOPWORDS)
+        for tok in sorted(_STOPWORDS[lang])
+    )
+    return f"""
+            WITH profiles(lang, t) AS (
+              VALUES {profiles}
+            ),
+            tok AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(coalesce(text, '')),
+                                               '\\s+')) AS t
+              FROM documents
+            ),
+            hits AS (
+              SELECT tok.doc_id, p.lang, count(*) AS s
+              FROM tok JOIN profiles p USING (t)
+              GROUP BY tok.doc_id, p.lang
+            ),
+            best AS (
+              SELECT doc_id, lang, s,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY s DESC, lang ASC) AS rn
+              FROM hits
+            )
+            SELECT d.doc_id,
+                   coalesce(b.lang, 'und') AS lang_pred
+            FROM documents d
+            LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+            ORDER BY d.doc_id
         """
 
 
@@ -3223,6 +3268,108 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM fresh GROUP BY text ORDER BY doc_id
+        """,
+        # Language-ID heuristic re-derived: per-lang stopword hit counts
+        # (token multiplicity kept), argmax with first-lang-wins ties over
+        # the sorted lang list, 0 hits -> 'und' — integer-only, no float risk
+        "langid_pred": _langid_oracle(),
+        # Repetition filters re-derived: line/para splits on LF / LF LF with
+        # the same any-non-whitespace keep rule, bigram max over \x1f-joined
+        # consecutive word pairs, same 1 - distinct/total float path
+        "repetition": r"""
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+            ln2 AS (
+              SELECT doc_id, line
+              FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                    FROM d)
+              WHERE regexp_matches(line, '\S')
+            ),
+            lstat AS (
+              SELECT doc_id, count(*) AS n, count(DISTINCT line) AS nd
+              FROM ln2 GROUP BY doc_id
+            ),
+            pr2 AS (
+              SELECT doc_id, para
+              FROM (SELECT doc_id,
+                           unnest(string_split(text, chr(10) || chr(10))) AS para
+                    FROM d)
+              WHERE regexp_matches(para, '\S')
+            ),
+            pstat AS (
+              SELECT doc_id, count(*) AS n, count(DISTINCT para) AS nd
+              FROM pr2 GROUP BY doc_id
+            ),
+            w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS ws
+              FROM d
+            ),
+            bg AS (
+              SELECT doc_id, len(ws) AS nw,
+                     unnest(list_transform(range(1, len(ws)),
+                                           i -> ws[i] || chr(31) || ws[i+1])) AS b
+              FROM w WHERE len(ws) >= 2
+            ),
+            bcount AS (
+              SELECT doc_id, b, count(*) AS c, any_value(nw) AS nw
+              FROM bg GROUP BY doc_id, b
+            ),
+            bstat AS (
+              SELECT doc_id,
+                     max(c)::DOUBLE / (any_value(nw) - 1)::DOUBLE AS tb
+              FROM bcount GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   round(coalesce(1.0 - l.nd::DOUBLE / l.n::DOUBLE, 0.0), 6)
+                     AS dup_line_frac,
+                   round(coalesce(1.0 - p.nd::DOUBLE / p.n::DOUBLE, 0.0), 6)
+                     AS dup_para_frac,
+                   round(coalesce(b.tb, 0.0), 6) AS top_bigram_frac
+            FROM d
+            LEFT JOIN lstat l USING (doc_id)
+            LEFT JOIN pstat p USING (doc_id)
+            LEFT JOIN bstat b USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # Benchmark decontamination re-derived on shingle STRINGS (the
+        # engine intersects crc32 hash sets — identical answer absent a
+        # 1-in-2^32 cross-collision): distinct lowercased space-joined word
+        # 8-grams per doc, whole-doc shingle when < 8 words, benchmark = the
+        # union of the 5 lowest-doc_id docs' shingles
+        "contamination": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(CASE
+                         WHEN len(ws) = 0 THEN []::VARCHAR[]
+                         WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+                         ELSE list_transform(range(1, len(ws) - 6),
+                                             i -> array_to_string(ws[i:i+7], ' '))
+                       END) AS g
+                FROM d)
+            ),
+            bench AS (
+              SELECT DISTINCT g FROM sh
+              WHERE doc_id IN (SELECT doc_id FROM documents
+                               ORDER BY doc_id LIMIT 5)
+            ),
+            hits AS (
+              SELECT doc_id, count(*) AS h
+              FROM sh JOIN bench USING (g) GROUP BY doc_id
+            )
+            SELECT dd.doc_id,
+                   coalesce(h.h, 0)::BIGINT AS contam_hits,
+                   coalesce(h.h, 0) >= 1 AS contaminated
+            FROM documents dd LEFT JOIN hits h USING (doc_id)
+            ORDER BY dd.doc_id
         """,
         # Naive Bayes log-scores: DuckDB independently re-trains the whole
         # model — same top-2000 vocabulary cut (count desc, term asc), +1
