@@ -880,6 +880,21 @@ def q_nb_lang_scores(sf_dir: str):
     return out.sort_values(["doc_id", "label"]).reset_index(drop=True)
 
 
+def q_bm25_topk(sf_dir: str):
+    """BM25 retrieval for a fixed 3-term query: O(|query|) driver footprint
+    (combiner stats pass), broadcast idf table, deterministic top-10 by
+    (rounded score desc, doc_id asc) — every df / avgdl / idf / score value
+    re-derived independently by the DuckDB oracle."""
+    import ray.data
+
+    from esmarc_ray.ops.text import bm25_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bm25_topk(docs, "hash join merge", k=10)
+
+
 def q_quality(sf_dir: str):
     import ray.data
 
@@ -2339,6 +2354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineage_report": q_lineage_report,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
+        "bm25_topk": q_bm25_topk,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,
@@ -3268,6 +3284,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM fresh GROUP BY text ORDER BY doc_id
+        """,
+        # BM25 re-derived end to end: same whitespace-lowercase tokens, same
+        # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
+        # path, ordering on the ROUNDED score with doc_id ties
+        "bm25_topk": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ),
+            stats AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum(len(ws))::DOUBLE / count(*)::DOUBLE AS avgdl
+              FROM w
+            ),
+            qt(term) AS (VALUES ('hash'), ('join'), ('merge')),
+            dfreq AS (
+              SELECT qt.term,
+                     (SELECT count(*) FROM w
+                      WHERE list_contains(w.ws, qt.term))::DOUBLE AS df
+              FROM qt
+            ),
+            idf AS (
+              SELECT term,
+                     ln((stats.n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+              FROM dfreq, stats
+            ),
+            tok AS (
+              SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM w
+            ),
+            tf AS (
+              SELECT doc_id, t AS term, count(*) AS tf, any_value(dl) AS dl
+              FROM tok JOIN qt ON qt.term = tok.t
+              GROUP BY doc_id, t
+            ),
+            contrib AS (
+              SELECT tf.doc_id,
+                     idf.idf * (tf.tf * (1.2 + 1.0)
+                                / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                   + 0.75 * tf.dl / stats.avgdl))) AS c
+              FROM tf JOIN idf USING (term), stats
+            ),
+            scored AS (
+              SELECT w.doc_id,
+                     round(coalesce(s.sc, 0.0), 6) AS bm25_score,
+                     len(w.ws)::BIGINT AS dl
+              FROM w LEFT JOIN (SELECT doc_id, sum(c) AS sc
+                                FROM contrib GROUP BY doc_id) s
+                USING (doc_id)
+            )
+            SELECT doc_id, bm25_score, dl FROM scored
+            ORDER BY bm25_score DESC, doc_id LIMIT 10
         """,
         # Language-ID heuristic re-derived: per-lang stopword hit counts
         # (token multiplicity kept), argmax with first-lang-wins ties over

@@ -417,6 +417,109 @@ def tfidf_topk(
     return top.map_batches(finalize, batch_format="pandas")
 
 
+def bm25_topk(
+    docs: ray.data.Dataset,
+    query: str,
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> ray.data.Dataset:
+    """BM25 retrieval against a fixed query string — the relevance scorer of
+    a quality-filtering / retrieval pass, distributed in two streaming
+    passes with an O(|query terms|) driver footprint:
+
+    1. stats pass (combiner): per-batch partials of (per-query-term document
+       frequency) plus corpus (n_docs, total token length) carried on a
+       sentinel row — only ``|query|+1`` rows ever reach the driver, at any
+       corpus scale;
+    2. scoring pass: the tiny (df, idf) table rides the task closure; each
+       batch computes ``Σ_t idf_t · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``
+       with the standard Lucene idf ``ln((N-df+0.5)/(df+0.5) + 1)``, then the
+       deterministic distributed top-k (score desc, id asc) returns k rows.
+
+    Tokenization is lowercased whitespace (matching the module's other
+    unigram ops); ``dl`` is the doc's token count.  Scores round
+    half-away-from-zero to 6 decimals (oracle convention).
+    Output: (id, bm25_score, dl) — one row per retrieved doc.
+    """
+    from collections import Counter
+
+    from esmarc_ray.ops.relational import _round_half_up, partial_groupby_agg
+
+    q_terms = sorted(set(query.lower().split()))
+    if not q_terms:
+        raise ValueError("bm25_topk: query has no tokens")
+
+    def stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        df_counts: Counter = Counter()
+        n_docs = 0
+        total_len = 0
+        for text in batch[text_column].fillna(""):
+            toks = text.lower().split()
+            n_docs += 1
+            total_len += len(toks)
+            set_toks = set(toks)
+            for t in q_terms:
+                if t in set_toks:
+                    df_counts[t] += 1
+        rows = [(t, df_counts[t], 0, 0) for t in q_terms]
+        rows.append(("", 0, n_docs, total_len))
+        return pd.DataFrame(
+            rows, columns=["term", "df", "n_docs", "total_len"]
+        )
+
+    stats = partial_groupby_agg(
+        docs.map_batches(stats_batch, batch_format="pandas"),
+        ["term"],
+        {
+            "df": ("df", "sum"),
+            "n_docs": ("n_docs", "sum"),
+            "total_len": ("total_len", "sum"),
+        },
+    ).to_pandas()  # |query|+1 rows — the op's entire driver footprint
+    sentinel = stats[stats["term"] == ""].iloc[0]
+    n = float(sentinel["n_docs"])
+    avgdl = float(sentinel["total_len"]) / max(n, 1.0)
+    term_rows = stats[stats["term"] != ""].set_index("term")
+    idf = {
+        t: float(np.log((n - d + 0.5) / (d + 0.5) + 1.0))
+        for t, d in term_rows["df"].items()
+    }
+
+    def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        dls: list[int] = []
+        scores: list[float] = []
+        for doc_id, text in zip(batch[id_column], batch[text_column].fillna("")):
+            toks = text.lower().split()
+            dl = len(toks)
+            counts = Counter(toks)
+            s = 0.0
+            for t in q_terms:
+                tf = counts.get(t, 0)
+                if tf:
+                    s += idf[t] * (
+                        tf * (k1 + 1.0)
+                        / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                    )
+            ids.append(doc_id)
+            dls.append(dl)
+            scores.append(s)
+        return pd.DataFrame(
+            {
+                id_column: ids,
+                "bm25_score": _round_half_up(scores, 6),
+                "dl": pd.Series(dls, dtype="int64"),
+            }
+        )
+
+    scored = docs.map_batches(score_batch, batch_format="pandas")
+    return _det_topk(scored, k, "bm25_score", [id_column])
+
+
 def dsir_weights(
     docs: ray.data.Dataset,
     *,

@@ -2162,3 +2162,41 @@ def test_nb_classifier_train_score_predict(ray_session):
     assert len(small["vocab"]) == 10
     pred_small = text.nb_predict(docs, small).to_pandas()
     assert len(pred_small) == 90
+
+
+def test_bm25_topk_matches_closed_form(ray_session):
+    """BM25 scores match a direct closed-form computation on a tiny corpus,
+    ranking is (rounded score desc, doc_id asc), zero-hit docs score 0."""
+    import math
+
+    rows = [
+        {"doc_id": 1, "text": "hash join hash join probe"},
+        {"doc_id": 2, "text": "merge sort run"},
+        {"doc_id": 3, "text": "scan filter project limit"},
+        {"doc_id": 4, "text": "hash"},
+    ]
+    docs = ray.data.from_pandas(pd.DataFrame(rows))
+    got = (
+        text.bm25_topk(docs, "hash merge", k=4)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    n, avgdl = 4.0, (5 + 3 + 4 + 1) / 4.0
+    k1, b = 1.2, 0.75
+
+    def idf(df):
+        return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+    def term_score(tf, dl, df):
+        return idf(df) * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+
+    want = {
+        1: term_score(2, 5, 2),            # hash: tf=2, df=2
+        2: term_score(1, 3, 1),            # merge: tf=1, df=1
+        3: 0.0,
+        4: term_score(1, 1, 2),
+    }
+    for doc_id, w in want.items():
+        assert abs(got.loc[doc_id, "bm25_score"] - w) < 1e-5, doc_id
+    assert got.loc[3, "bm25_score"] == 0.0
+    assert got["dl"].to_dict() == {1: 5, 2: 3, 3: 4, 4: 1}
