@@ -880,6 +880,20 @@ def q_nb_lang_scores(sf_dir: str):
     return out.sort_values(["doc_id", "label"]).reset_index(drop=True)
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition matrix of the event stream: per-user sequences
+    ordered by (ts, event_id), k×k transition counts + row-normalized
+    probabilities — the oracle re-derives it with lead() OVER."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import event_transitions
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    return event_transitions(events)
+
+
 def q_bm25_topk(sf_dir: str):
     """BM25 retrieval for a fixed 3-term query: O(|query|) driver footprint
     (combiner stats pass), broadcast idf table, deterministic top-10 by
@@ -2355,6 +2369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
+        "event_transitions": q_event_transitions,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,
@@ -3284,6 +3299,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM fresh GROUP BY text ORDER BY doc_id
+        """,
+        # Markov transition matrix re-derived with lead() OVER the same
+        # (user, ts, event_id) order; per-src row normalization
+        "event_transitions": """
+            WITH seq AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS nxt
+              FROM events
+            ),
+            counts AS (
+              SELECT event_type AS src_event, nxt AS dst_event, count(*) AS n
+              FROM seq WHERE nxt IS NOT NULL
+              GROUP BY event_type, nxt
+            ),
+            tot AS (SELECT src_event, sum(n) AS t FROM counts GROUP BY src_event)
+            SELECT c.src_event, c.dst_event, c.n::BIGINT AS n,
+                   round(c.n::DOUBLE / t.t::DOUBLE, 6) AS prob
+            FROM counts c JOIN tot t USING (src_event)
+            ORDER BY src_event, dst_event
         """,
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float

@@ -1311,6 +1311,67 @@ def window_rank(
     )
 
 
+def event_transitions(
+    ds: ray.data.Dataset,
+    *,
+    partition_by: str = "user_id",
+    order_by: list[str] | None = None,
+    type_column: str = "event_type",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Markov transition matrix over per-key event sequences: counts and
+    probabilities of ``event_type -> next event_type`` steps, where "next"
+    follows ``order_by`` within each ``partition_by`` key (the
+    sessionized-clickstream transition model of a behavioral pipeline).
+
+    Physical shape: keys hash-bucket into ``num_partitions`` (each key's
+    whole sequence lands in one bucket, so ``shift(-1)`` never crosses a
+    key); each bucket COLLAPSES to its local (src, dst, n) counts before the
+    final combine — what shuffles after the per-key grouping is
+    O(|event types|²) per bucket, and only the k×k transition table exists
+    past that, at any event count.  Probabilities are per-src row-normalized,
+    rounded half-away-from-zero to 6 decimals (oracle convention).
+    Output: (src_event, dst_event, n, prob), the last event of each key
+    contributing no pair (no successor).
+    """
+    order_by = order_by or ["ts", "event_id"]
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        seq = (
+            part.drop(columns="__part")
+            .sort_values([partition_by] + order_by)
+            .reset_index(drop=True)
+        )
+        nxt = seq.groupby(partition_by, sort=False)[type_column].shift(-1)
+        pairs = pd.DataFrame({"src_event": seq[type_column], "dst_event": nxt})
+        pairs = pairs[pairs["dst_event"].notna()]
+        return pairs.groupby(
+            ["src_event", "dst_event"], as_index=False, sort=False
+        ).size().rename(columns={"size": "n"})
+
+    counts = (
+        ds.map_batches(
+            _add_hash_part([partition_by], num_partitions), batch_format="pandas"
+        )
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+    totals = partial_groupby_agg(counts, ["src_event", "dst_event"], {"n": ("n", "sum")})
+
+    def normalize(batch: pd.DataFrame) -> pd.DataFrame:
+        # the whole transition table is k×k (k = distinct event types) — one
+        # tiny block; per-src totals are a local groupby transform
+        t = batch.groupby("src_event")["n"].transform("sum")
+        batch["prob"] = _round_half_up(
+            batch["n"].to_numpy(dtype="float64") / t.to_numpy(dtype="float64"), 6
+        )
+        return batch.sort_values(["src_event", "dst_event"]).reset_index(drop=True)
+
+    return totals.repartition(1).map_batches(
+        normalize, batch_format="pandas", batch_size=None
+    )
+
+
 def window_lag(
     ds: ray.data.Dataset,
     *,

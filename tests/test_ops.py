@@ -2200,3 +2200,27 @@ def test_bm25_topk_matches_closed_form(ray_session):
         assert abs(got.loc[doc_id, "bm25_score"] - w) < 1e-5, doc_id
     assert got.loc[3, "bm25_score"] == 0.0
     assert got["dl"].to_dict() == {1: 5, 2: 3, 3: 4, 4: 1}
+
+
+def test_event_transitions_markov_counts(ray_session):
+    """Transitions follow per-user (ts, event_id) order, never cross users,
+    drop each user's last event, and probs row-normalize per src."""
+    t = lambda m: pd.Timestamp("2026-06-01") + pd.Timedelta(minutes=m)
+    rows = [
+        # u1: a -> b -> a
+        (1, t(0), 1, "a"), (2, t(1), 1, "b"), (3, t(2), 1, "a"),
+        # u2: b -> b (tie ts broken by event_id: 4 then 5)
+        (4, t(0), 2, "b"), (5, t(0), 2, "b"),
+        # u3: single event -> contributes nothing
+        (6, t(0), 3, "a"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    got = (
+        relational.event_transitions(ray.data.from_pandas(df), num_partitions=4)
+        .to_pandas()
+        .set_index(["src_event", "dst_event"])
+    )
+    assert got["n"].to_dict() == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+    assert got.loc[("a", "b"), "prob"] == 1.0
+    assert got.loc[("b", "a"), "prob"] == 0.5
+    assert got.loc[("b", "b"), "prob"] == 0.5
