@@ -880,6 +880,34 @@ def q_nb_lang_scores(sf_dir: str):
     return out.sort_values(["doc_id", "label"]).reset_index(drop=True)
 
 
+def q_k_anonymous_orders(sf_dir: str):
+    """k-anonymity suppression over orders with quasi-identifiers
+    (priority, status, 10k-wide price band): only rows whose QI combo has
+    ≥ 12 peers survive — oracle re-derives with a window count."""
+    import numpy as np
+    import ray.data
+
+    from esmarc_ray.ops.relational import k_anonymize
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def band(batch):
+        batch = batch.copy()
+        batch["price_band"] = (
+            np.floor(batch["o_totalprice"].to_numpy(dtype="float64") / 10000.0)
+        ).astype("int64")
+        return batch.drop(columns=["o_totalprice"])
+
+    banded = orders.map_batches(band, batch_format="pandas")
+    out = k_anonymize(
+        banded, ["o_orderpriority", "o_orderstatus", "price_band"], 12
+    ).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_event_transitions(sf_dir: str):
     """Markov transition matrix of the event stream: per-user sequences
     ordered by (ts, event_id), k×k transition counts + row-normalized
@@ -2370,6 +2398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
         "event_transitions": q_event_transitions,
+        "k_anonymous_orders": q_k_anonymous_orders,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,
@@ -3299,6 +3328,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM fresh GROUP BY text ORDER BY doc_id
+        """,
+        # k-anonymity suppression re-derived with a window count over the
+        # same QI columns (PARTITION BY groups nulls together, matching the
+        # engine's string-keyed grouping); same floor(price/10000) band
+        "k_anonymous_orders": """
+            WITH banded AS (
+              SELECT o_orderkey, o_orderpriority, o_orderstatus,
+                     floor(o_totalprice / 10000.0)::BIGINT AS price_band
+              FROM orders
+            ),
+            counted AS (
+              SELECT *, count(*) OVER (
+                PARTITION BY o_orderpriority, o_orderstatus, price_band
+              ) AS c
+              FROM banded
+            )
+            SELECT o_orderkey, o_orderpriority, o_orderstatus, price_band
+            FROM counted WHERE c >= 12
+            ORDER BY o_orderkey
         """,
         # Markov transition matrix re-derived with lead() OVER the same
         # (user, ts, event_id) order; per-src row normalization

@@ -1311,6 +1311,61 @@ def window_rank(
     )
 
 
+def k_anonymize(
+    ds: ray.data.Dataset,
+    quasi_columns: list[str],
+    k: int,
+    *,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """k-anonymity suppression — the privacy gate of a training-data
+    pipeline: drop every row whose quasi-identifier combination occurs in
+    fewer than ``k`` rows, so no released row is identifiable within a group
+    smaller than k (Sweeney 2002; suppression-only variant).
+
+    Shape: one combiner pass collapses each batch to its distinct QI combos
+    with counts (rows never shuffle for counting); the summed count table is
+    filtered to the ≥k keys and semi-joined back DISTRIBUTED (the key side is
+    a Dataset — it never lands on the driver, so a high-cardinality QI space
+    is fine).  Nulls in quasi columns group together (SQL ``PARTITION BY``
+    semantics).  The source is scanned twice (count pass + filter pass), both
+    streaming — same trade as :func:`~esmarc_ray.ops.text.tfidf_topk`.
+    """
+    sep = "\x1f"
+
+    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        if len(quasi_columns) == 1:
+            batch["__qi"] = batch[quasi_columns[0]].astype(str)
+        else:
+            batch["__qi"] = batch[quasi_columns].astype(str).agg(sep.join, axis=1)
+        return batch
+
+    def count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            add_key(batch)
+            .groupby("__qi", as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    counts = partial_groupby_agg(
+        ds.map_batches(count_batch, batch_format="pandas"),
+        ["__qi"],
+        {"n": ("n", "sum")},
+    )
+    keep = counts.map_batches(
+        lambda b: b.loc[b["n"] >= k, ["__qi"]], batch_format="pandas"
+    )
+    kept = partitioned_semi_join(
+        ds.map_batches(add_key, batch_format="pandas"),
+        keep,
+        "__qi",
+        num_partitions=num_partitions,
+    )
+    return kept.drop_columns(["__qi"])
+
+
 def event_transitions(
     ds: ray.data.Dataset,
     *,

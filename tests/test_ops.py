@@ -2224,3 +2224,22 @@ def test_event_transitions_markov_counts(ray_session):
     assert got.loc[("a", "b"), "prob"] == 1.0
     assert got.loc[("b", "a"), "prob"] == 0.5
     assert got.loc[("b", "b"), "prob"] == 0.5
+
+
+def test_k_anonymize_suppresses_small_groups(ray_session):
+    """Rows in QI groups smaller than k are suppressed; nulls group
+    together (PARTITION BY semantics); surviving rows are unchanged."""
+    rows = (
+        [{"id": i, "city": "A", "age": 30} for i in range(4)]
+        + [{"id": 10 + i, "city": "B", "age": 40} for i in range(2)]
+        + [{"id": 20 + i, "city": None, "age": 50} for i in range(3)]
+    )
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    got = (
+        relational.k_anonymize(ds, ["city", "age"], 3, num_partitions=4)
+        .to_pandas()
+        .sort_values("id")
+    )
+    # (A,30) n=4 kept; (B,40) n=2 suppressed; (null,50) n=3 kept as a group
+    assert got["id"].tolist() == [0, 1, 2, 3, 20, 21, 22]
+    assert set(got.columns) == {"id", "city", "age"}
