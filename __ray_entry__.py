@@ -880,6 +880,37 @@ def q_nb_lang_scores(sf_dir: str):
     return out.sort_values(["doc_id", "label"]).reset_index(drop=True)
 
 
+def q_watermark_late(sf_dir: str):
+    """Streaming watermark / late-data flagging evaluated exactly over the
+    static events table: arrival order is a deterministic bounded-disorder
+    replay (event_id jittered by a Knuth multiplicative hash, ±20 positions),
+    watermark = running max event time − 90 minutes; the oracle re-derives
+    the flag with max(ts) OVER the same arrival order."""
+    import ray.data
+
+    from esmarc_ray.ops.windows import watermark_filter
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def arrival(batch):
+        batch = batch.copy()
+        eid = batch["event_id"].to_numpy()
+        batch["arrival_key"] = eid + (eid * 2654435761) % 4294967296 % 41 - 20
+        return batch
+
+    out = watermark_filter(
+        events.map_batches(arrival, batch_format="pandas"),
+        ts_column="ts",
+        arrival_by=["arrival_key", "event_id"],
+        delay="90 minutes",
+    ).to_pandas()
+    return (
+        out[["event_id", "late"]].sort_values("event_id").reset_index(drop=True)
+    )
+
+
 def q_k_anonymous_orders(sf_dir: str):
     """k-anonymity suppression over orders with quasi-identifiers
     (priority, status, 10k-wide price band): only rows whose QI combo has
@@ -901,11 +932,16 @@ def q_k_anonymous_orders(sf_dir: str):
         ).astype("int64")
         return batch.drop(columns=["o_totalprice"])
 
+    import pandas as pd
+
     banded = orders.map_batches(band, batch_format="pandas")
     out = k_anonymize(
         banded, ["o_orderpriority", "o_orderstatus", "price_band"], 12
     ).to_pandas()
-    return out.sort_values("o_orderkey").reset_index(drop=True)
+    cols = ["o_orderkey", "o_orderpriority", "o_orderstatus", "price_band"]
+    if out.empty:  # all groups suppressed (tiny sf) — keep the schema
+        out = pd.DataFrame(columns=cols)
+    return out[cols].sort_values("o_orderkey").reset_index(drop=True)
 
 
 def q_event_transitions(sf_dir: str):
@@ -2399,6 +2435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "event_transitions": q_event_transitions,
         "k_anonymous_orders": q_k_anonymous_orders,
+        "watermark_late": q_watermark_late,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,
@@ -3328,6 +3365,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM fresh GROUP BY text ORDER BY doc_id
+        """,
+        # Watermark lateness re-derived with a prefix max OVER the same
+        # deterministic jittered arrival order; integer/timestamp-only
+        "watermark_late": """
+            WITH arr AS (
+              SELECT event_id, ts,
+                     event_id + (event_id * 2654435761) % 4294967296 % 41 - 20
+                       AS arrival_key
+              FROM events
+            ),
+            seq AS (
+              SELECT event_id, ts,
+                     max(ts) OVER (
+                       ORDER BY arrival_key, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_max
+              FROM arr
+            )
+            SELECT event_id,
+                   (prev_max IS NOT NULL
+                    AND ts < prev_max - INTERVAL '90 minutes') AS late
+            FROM seq ORDER BY event_id
         """,
         # k-anonymity suppression re-derived with a window count over the
         # same QI columns (PARTITION BY groups nulls together, matching the

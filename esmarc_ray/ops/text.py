@@ -190,17 +190,21 @@ def decontaminate(
     """Benchmark-contamination flagging: a doc is contaminated when it shares
     ≥ ``min_hits`` word ``ngram``-grams with any benchmark text.
 
-    The benchmark n-gram hash set is built once driver-side and broadcast in
-    the task closure (benchmarks are small — eval sets, not corpora); each
-    batch hashes its own n-grams vectorized-ish and set-intersects.  Adds
-    ``contam_hits`` (int) and ``contaminated`` (bool)."""
-    bench: set[int] = set()
+    The benchmark n-gram STRING set is built once driver-side and broadcast
+    in the task closure (benchmarks are small — eval sets, not corpora); each
+    batch builds its own n-gram sets and set-intersects.  Exact strings, not
+    hashes: a crc32 cross-collision between a doc shingle and a benchmark
+    shingle would FALSELY flag a clean doc as contaminated (observed in
+    practice at 500 docs × 1k bench shingles — the birthday math is not
+    theoretical), and a contamination gate must not have false positives.
+    Adds ``contam_hits`` (int) and ``contaminated`` (bool)."""
+    bench: set[str] = set()
     for text in benchmark_texts:
-        bench.update(_shingle_hash_set(text, ngram))
+        bench.update(_shingle_set(text, ngram))
 
     def batch_fn(batch: pd.DataFrame) -> pd.DataFrame:
         hits = [
-            len(_shingle_hash_set(t, ngram) & bench)
+            len(_shingle_set(t, ngram) & bench)
             for t in batch[text_column].fillna("")
         ]
         batch["contam_hits"] = pd.Series(hits, index=batch.index, dtype="int64")
@@ -210,12 +214,15 @@ def decontaminate(
     return docs.map_batches(batch_fn, batch_format="pandas", **kwargs)
 
 
-def _shingle_hash_set(text: str, width: int) -> set[int]:
+def _shingle_set(text: str, width: int) -> set[str]:
+    """Word ``width``-gram strings (whole joined text when shorter).  Exact
+    strings rather than crc32 hashes: in a contamination gate a hash
+    collision is a false positive."""
     words = text.lower().split()
     if len(words) < width:
-        return {zlib.crc32(" ".join(words).encode())} if words else set()
+        return {" ".join(words)} if words else set()
     return {
-        zlib.crc32(" ".join(words[i : i + width]).encode())
+        " ".join(words[i : i + width])
         for i in range(len(words) - width + 1)
     }
 

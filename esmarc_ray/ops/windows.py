@@ -87,3 +87,106 @@ def sliding_window(
         return out
 
     return partial_groupby_agg(events, ["window_start"] + keys, aggs, pre_map=expand)
+
+
+def watermark_filter(
+    events: ray.data.Dataset,
+    *,
+    ts_column: str = "ts",
+    arrival_by: list[str] | None = None,
+    delay: str = "1 hours",
+    out_column: str = "late",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Streaming watermark / late-data flagging over a replayable stream:
+    events are "processed" in ``arrival_by`` order; the watermark after each
+    arrival is ``max(event time seen so far) - delay``; an event is LATE when
+    its event time is already behind the watermark its predecessors set
+    (the allowed-lateness drop rule of a streaming engine, evaluated exactly
+    over the static table).
+
+    Distributed as a two-pass prefix max — the streaming-fold analogue of a
+    prefix sum, so the sequential fold never serializes on one node:
+
+    1. RANGE-partition on ``arrival_by[0]`` (contiguous arrival spans, not
+       hash — prefix semantics need order); one combiner pass emits each
+       partition's max event time; the P partial maxima (P rows, nothing
+       more) fold into exclusive per-partition offsets on the driver;
+    2. each partition sorts locally by ``arrival_by``, takes the running max
+       of event time shifted by one, folds in its offset, and flags
+       ``ts < prev_max - delay``.  The very first arrival has no watermark
+       and is never late.
+
+    Output: input columns + boolean ``out_column``.
+    """
+    arrival_by = arrival_by or ["event_id"]
+    akey = arrival_by[0]
+    delay_us = pd.Timedelta(delay).value // 1_000  # ns -> us
+    _SENTINEL = np.iinfo(np.int64).min
+
+    bounds = events.aggregate(
+        ray.data.aggregate.Min(akey), ray.data.aggregate.Max(akey)
+    )
+    lo, hi = int(bounds[f"min({akey})"]), int(bounds[f"max({akey})"])
+    span = max(hi - lo + 1, 1)
+
+    def _part(vals: np.ndarray) -> np.ndarray:
+        return np.minimum(
+            (vals.astype("int64") - lo) * num_partitions // span,
+            num_partitions - 1,
+        ).astype("int32")
+
+    def _ts_us(batch: pd.DataFrame) -> np.ndarray:
+        return (
+            batch[ts_column].astype("datetime64[ns]").astype("int64") // 1_000
+        ).to_numpy()
+
+    def part_max(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"__wpart": _part(batch[akey].to_numpy()), "__mx": _ts_us(batch)}
+        )
+        return out.groupby("__wpart", as_index=False, sort=False)["__mx"].max()
+
+    partials = partial_groupby_agg(
+        events.map_batches(part_max, batch_format="pandas"),
+        ["__wpart"],
+        {"__mx": ("__mx", "max")},
+    ).to_pandas()  # P rows — the fold's entire driver footprint
+    partials = partials.sort_values("__wpart")
+    offsets = np.full(num_partitions, _SENTINEL, dtype="int64")
+    run = _SENTINEL
+    for p, mx in zip(partials["__wpart"], partials["__mx"]):
+        offsets[int(p)] = run  # exclusive: parts BEFORE p
+        run = max(run, int(mx))
+        # parts after the last non-empty one inherit the full prefix
+    seen = set(partials["__wpart"].astype(int))
+    for p in range(num_partitions):
+        if p not in seen and p > 0:
+            offsets[p] = max(offsets[p], offsets[p - 1])
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__part"] = _part(batch[akey].to_numpy())
+        return batch
+
+    def flag(part: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            part.drop(columns="__part")
+            .sort_values(arrival_by)
+            .reset_index(drop=True)
+        )
+        ts_us = (
+            out[ts_column].astype("datetime64[ns]").astype("int64") // 1_000
+        ).to_numpy()
+        run_local = np.maximum.accumulate(ts_us)
+        prev = np.concatenate(([_SENTINEL], run_local[:-1]))
+        off = offsets[int(part["__part"].iloc[0])]
+        prev = np.maximum(prev, off)
+        out[out_column] = (prev != _SENTINEL) & (ts_us < prev - delay_us)
+        return out
+
+    return (
+        events.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(flag, batch_format="pandas")
+    )

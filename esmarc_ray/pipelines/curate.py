@@ -32,7 +32,7 @@ from esmarc_ray.ops.text import (
     _langid_batch,
     _quality_batch,
     _repetition_row,
-    _shingle_hash_set,
+    _shingle_set,
     _token_stats_batch,
 )
 
@@ -83,9 +83,9 @@ def curate_documents(
     if near_dedup not in ("minhash", "jaccard", None):
         raise ValueError(near_dedup)
     gates = {**DEFAULT_GATES, **gate_overrides}
-    bench: set[int] = set()
+    bench: set[str] = set()
     for t in benchmark_texts or []:
-        bench.update(_shingle_hash_set(t, gates["contam_ngram"]))
+        bench.update(_shingle_set(t, gates["contam_ngram"]))
 
     def annotate(batch: pd.DataFrame) -> pd.DataFrame:
         batch = _token_stats_batch(batch.copy())
@@ -96,7 +96,7 @@ def curate_documents(
         batch["top_bigram_frac"] = [t[2] for t in trip]
         if bench:
             batch["contam_hits"] = pd.Series(
-                [len(_shingle_hash_set(t, gates["contam_ngram"]) & bench)
+                [len(_shingle_set(t, gates["contam_ngram"]) & bench)
                  for t in batch[text_column].fillna("")],
                 index=batch.index, dtype="int64",
             )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import duckdb
 import numpy as np
+import pandas as pd
 import ray.data
 
 from esmarc_ray.ops.windows import sliding_window, tumbling_window
@@ -70,3 +71,35 @@ def test_sliding_window_rejects_nonmultiple(ray_session):
     events = ray.data.read_parquet(f"{SF_DIR}/events.parquet", columns=["ts", "value"])
     with pytest.raises(ValueError):
         sliding_window(events, width_s=3600, slide_s=1000, aggs={"n": ("value", "count")})
+
+
+def test_watermark_filter_flags_late_events(ray_session):
+    """Watermark = running max(ts) - delay over arrival order; first arrival
+    never late; prefix max crosses partition boundaries."""
+    from esmarc_ray.ops.windows import watermark_filter
+
+    base = pd.Timestamp("2026-07-01")
+    # arrival order 0..5; event times (minutes): 0, 120, 30, 115, 200, 45
+    # delay 60min: wm after arrivals: -inf, 0, 120, 120, 120, 200
+    # late if ts < wm - 60: a2 (30 < 120-60=60) late, a3 (115 >= 60) ok,
+    # a5 (45 < 200-60=140) late
+    mins = [0, 120, 30, 115, 200, 45]
+    df = pd.DataFrame(
+        {
+            "arrival": range(6),
+            "event_id": range(6),
+            "ts": [base + pd.Timedelta(minutes=m) for m in mins],
+        }
+    )
+    got = (
+        watermark_filter(
+            ray.data.from_pandas(df),
+            ts_column="ts",
+            arrival_by=["arrival", "event_id"],
+            delay="60 minutes",
+            num_partitions=3,  # arrival span 0..5 -> 2 arrivals/partition
+        )
+        .to_pandas()
+        .sort_values("arrival")
+    )
+    assert got["late"].tolist() == [False, False, True, False, False, True]
