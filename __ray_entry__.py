@@ -880,6 +880,23 @@ def q_nb_lang_scores(sf_dir: str):
     return out.sort_values(["doc_id", "label"]).reset_index(drop=True)
 
 
+def q_events_value_zscore(sf_dir: str):
+    """Per-event-type z-score standardization (feature scaling): combiner
+    moment pass + broadcast transform; the oracle recomputes with the SAME
+    s2/n - mean² float path (not stddev_pop's Welford fold)."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import grouped_standardize
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    out = grouped_standardize(events, ["event_type"], "value").to_pandas()
+    return (
+        out[["event_id", "value_z"]].sort_values("event_id").reset_index(drop=True)
+    )
+
+
 def q_watermark_late(sf_dir: str):
     """Streaming watermark / late-data flagging evaluated exactly over the
     static events table: arrival order is a deterministic bounded-disorder
@@ -2436,6 +2453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "k_anonymous_orders": q_k_anonymous_orders,
         "watermark_late": q_watermark_late,
+        "events_value_zscore": q_events_value_zscore,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,
@@ -3365,6 +3383,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM fresh GROUP BY text ORDER BY doc_id
+        """,
+        # z-score standardization re-derived with the engine's exact moment
+        # formula (s2/n - (s/n)^2, clamped, sqrt) — NOT stddev_pop, whose
+        # Welford fold would diverge in the last ulps
+        "events_value_zscore": """
+            WITH m AS (
+              SELECT event_type,
+                     count(*)::DOUBLE AS n,
+                     sum(value) AS s,
+                     sum(value * value) AS s2
+              FROM events GROUP BY event_type
+            ),
+            p AS (
+              SELECT event_type, s / n AS mean,
+                     sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)) AS sd
+              FROM m
+            )
+            SELECT e.event_id,
+                   round(CASE WHEN p.sd = 0.0 THEN 0.0
+                              ELSE (e.value - p.mean) / p.sd END, 4) AS value_z
+            FROM events e JOIN p USING (event_type)
+            ORDER BY e.event_id
         """,
         # Watermark lateness re-derived with a prefix max OVER the same
         # deterministic jittered arrival order; integer/timestamp-only

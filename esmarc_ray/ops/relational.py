@@ -949,6 +949,68 @@ def grouping_sets_agg(
     return out
 
 
+def grouped_standardize(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_column: str,
+    *,
+    out_name: str = "value_z",
+    round_to: int = 4,
+) -> ray.data.Dataset:
+    """Per-group z-score standardization (the feature-scaling pass of a
+    training-data pipeline): ``z = (v - mean_g) / stddev_pop_g``, zero for
+    zero-variance groups.
+
+    Two streaming passes, no row shuffle: a combiner pass reduces to the
+    per-group (count, sum, sumsq) moment table (one partial row per
+    batch × group — the table is O(|groups|), not O(rows)); the collected
+    moments ride the scoring task's closure and every row is transformed
+    vectorized in place.  The explicit ``s2/n - mean²`` formula (not a
+    Welford fold) is what makes the transform bit-reproducible by any SQL
+    engine given the same sums.  Rounds half-away-from-zero (oracle
+    convention).
+    """
+    import numpy as np
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[keys].copy()
+        vals = batch[value_column].astype("float64")
+        out["__v"] = vals
+        out["__v2"] = vals * vals
+        return out
+
+    moments = partial_groupby_agg(
+        ds,
+        keys,
+        {"__n": ("__v", "count"), "__s": ("__v", "sum"), "__s2": ("__v2", "sum")},
+        pre_map=pre,
+    ).to_pandas()  # O(|groups|) — the op's entire driver footprint
+    n = moments["__n"].to_numpy(dtype="float64")
+    mean = moments["__s"].to_numpy() / n
+    var = np.maximum(moments["__s2"].to_numpy() / n - mean * mean, 0.0)
+    sd = np.sqrt(var)
+    key_of = moments[keys].astype(str).agg("\x1f".join, axis=1) if len(keys) > 1 else moments[keys[0]].astype(str)
+    mean_map = dict(zip(key_of, mean))
+    sd_map = dict(zip(key_of, sd))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        k = (
+            batch[keys].astype(str).agg("\x1f".join, axis=1)
+            if len(keys) > 1
+            else batch[keys[0]].astype(str)
+        )
+        m = k.map(mean_map).to_numpy(dtype="float64")
+        s = k.map(sd_map).to_numpy(dtype="float64")
+        v = batch[value_column].astype("float64").to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(s == 0.0, 0.0, (v - m) / s)
+        batch[out_name] = _round_half_up(z, round_to)
+        return batch
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def grouped_stddev(
     ds: ray.data.Dataset,
     keys: list[str],

@@ -2243,3 +2243,24 @@ def test_k_anonymize_suppresses_small_groups(ray_session):
     # (A,30) n=4 kept; (B,40) n=2 suppressed; (null,50) n=3 kept as a group
     assert got["id"].tolist() == [0, 1, 2, 3, 20, 21, 22]
     assert set(got.columns) == {"id", "city", "age"}
+
+
+def test_grouped_standardize_zscores(ray_session):
+    """Per-group z-scores match closed form; zero-variance groups get 0."""
+    df = pd.DataFrame(
+        {
+            "id": range(6),
+            "g": ["a", "a", "a", "a", "b", "b"],
+            "v": [1.0, 2.0, 3.0, 4.0, 7.0, 7.0],
+        }
+    )
+    got = (
+        relational.grouped_standardize(
+            ray.data.from_pandas(df), ["g"], "v", round_to=6
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    mean, sd = 2.5, np.sqrt(np.mean((np.array([1, 2, 3, 4]) - 2.5) ** 2))
+    want = [(x - mean) / sd for x in [1, 2, 3, 4]] + [0.0, 0.0]
+    assert np.allclose(got["value_z"].to_numpy(), want, atol=1e-6)
