@@ -880,6 +880,32 @@ def q_nb_lang_scores(sf_dir: str):
     return out.sort_values(["doc_id", "label"]).reset_index(drop=True)
 
 
+def q_events_moving_median(sf_dir: str):
+    """Rolling median (robust smoother) per user over (ts, event_id) order,
+    4-row trailing frame — exact selection, no accumulation float risk."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import moving_window
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    out = moving_window(
+        events,
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        preceding=3,
+        fn="median",
+        out_name="moving_median",
+    ).to_pandas()
+    return (
+        out[["event_id", "moving_median"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_events_value_zscore(sf_dir: str):
     """Per-event-type z-score standardization (feature scaling): combiner
     moment pass + broadcast transform; the oracle recomputes with the SAME
@@ -2454,6 +2480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymous_orders": q_k_anonymous_orders,
         "watermark_late": q_watermark_late,
         "events_value_zscore": q_events_value_zscore,
+        "events_moving_median": q_events_moving_median,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,
@@ -3383,6 +3410,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM fresh GROUP BY text ORDER BY doc_id
+        """,
+        # Rolling median re-derived with a ROWS-frame median() window;
+        # selection (not accumulation) — both engines interpolate even frames
+        "events_moving_median": """
+            SELECT event_id,
+                   round(median(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+                   ), 4) AS moving_median
+            FROM events ORDER BY event_id
         """,
         # z-score standardization re-derived with the engine's exact moment
         # formula (s2/n - (s/n)^2, clamped, sqrt) — NOT stddev_pop, whose

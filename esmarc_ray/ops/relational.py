@@ -1541,8 +1541,11 @@ def moving_window(
     :func:`window_lag`: keys hash-bucket into ``num_partitions`` (one reducer
     per bucket, not per key); the per-bucket body is one sort + a vectorized
     pandas ``groupby(...).rolling`` — early rows use however many rows exist
-    (``min_periods=1``), matching the SQL frame."""
-    if fn not in ("mean", "sum", "min", "max"):
+    (``min_periods=1``), matching the SQL frame.  ``fn="median"`` is the
+    exact selection median (even frames interpolate the two middles — the
+    pandas and DuckDB DOUBLE convention), float-safe because selection never
+    accumulates."""
+    if fn not in ("mean", "sum", "min", "max", "median"):
         raise ValueError(f"moving_window: unsupported fn {fn!r}")
 
     def per_partition(part: pd.DataFrame) -> pd.DataFrame:
