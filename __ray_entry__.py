@@ -880,6 +880,20 @@ def q_nb_lang_scores(sf_dir: str):
     return out.sort_values(["doc_id", "label"]).reset_index(drop=True)
 
 
+def q_user_value_mad(sf_dir: str):
+    """Per-user median absolute deviation of event values — robust
+    dispersion via two composed exact-quantile passes."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import grouped_mad
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    out = grouped_mad(events, ["user_id"], "value", out_name="value_mad").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_events_moving_median(sf_dir: str):
     """Rolling median (robust smoother) per user over (ts, event_id) order,
     4-row trailing frame — exact selection, no accumulation float risk."""
@@ -2481,6 +2495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watermark_late": q_watermark_late,
         "events_value_zscore": q_events_value_zscore,
         "events_moving_median": q_events_moving_median,
+        "user_value_mad": q_user_value_mad,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,
@@ -3410,6 +3425,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM fresh GROUP BY text ORDER BY doc_id
+        """,
+        # MAD re-derived as median(abs(v - median)) — selection-only, so the
+        # engines agree bit-for-bit at the same interpolation rule
+        "user_value_mad": """
+            WITH med AS (
+              SELECT user_id, median(value) AS m FROM events GROUP BY user_id
+            ),
+            dev AS (
+              SELECT e.user_id, abs(e.value - med.m) AS d
+              FROM events e JOIN med USING (user_id)
+            )
+            SELECT user_id, round(median(d), 4) AS value_mad
+            FROM dev GROUP BY user_id ORDER BY user_id
         """,
         # Rolling median re-derived with a ROWS-frame median() window;
         # selection (not accumulation) — both engines interpolate even frames

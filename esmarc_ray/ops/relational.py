@@ -1011,6 +1011,65 @@ def grouped_standardize(
     return ds.map_batches(score, batch_format="pandas")
 
 
+def grouped_mad(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_column: str,
+    *,
+    out_name: str = "mad",
+    round_to: int | None = 4,
+) -> ray.data.Dataset:
+    """Per-group median absolute deviation — the robust scale estimate a
+    quality/outlier gate wants when the value column has heavy tails (a
+    single spike moves stddev arbitrarily, it moves MAD not at all).
+
+    Selection-exact, two composed :func:`grouped_quantile` passes:
+    per-group median, broadcast to a vectorized deviation map (the median
+    table is O(|groups|) — same driver-footprint contract as
+    :func:`grouped_standardize`), then the per-group median of
+    ``|v - median_g|``.  No accumulation anywhere, so any SQL engine's
+    ``median`` reproduces it bit-for-bit at the same interpolation rule.
+    """
+    import numpy as np
+
+    med = grouped_quantile(ds, keys, value_column, 0.5, out_name="__med").to_pandas()
+    key_of = (
+        med[keys].astype(str).agg("\x1f".join, axis=1)
+        if len(keys) > 1
+        else med[keys[0]].astype(str)
+    )
+    med_map = dict(zip(key_of, med["__med"].to_numpy(dtype="float64")))
+
+    def deviations(batch: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            batch[keys].astype(str).agg("\x1f".join, axis=1)
+            if len(keys) > 1
+            else batch[keys[0]].astype(str)
+        )
+        out = batch[keys].copy()
+        out["__dev"] = np.abs(
+            batch[value_column].astype("float64").to_numpy()
+            - k.map(med_map).to_numpy(dtype="float64")
+        )
+        return out
+
+    mad = grouped_quantile(
+        ds.map_batches(deviations, batch_format="pandas"),
+        keys,
+        "__dev",
+        0.5,
+        out_name=out_name,
+    )
+    if round_to is None:
+        return mad
+
+    def final_round(batch: pd.DataFrame) -> pd.DataFrame:
+        batch[out_name] = _round_half_up(batch[out_name], round_to)
+        return batch
+
+    return mad.map_batches(final_round, batch_format="pandas")
+
+
 def grouped_stddev(
     ds: ray.data.Dataset,
     keys: list[str],

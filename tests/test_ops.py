@@ -2264,3 +2264,23 @@ def test_grouped_standardize_zscores(ray_session):
     mean, sd = 2.5, np.sqrt(np.mean((np.array([1, 2, 3, 4]) - 2.5) ** 2))
     want = [(x - mean) / sd for x in [1, 2, 3, 4]] + [0.0, 0.0]
     assert np.allclose(got["value_z"].to_numpy(), want, atol=1e-6)
+
+
+def test_grouped_mad_robust_to_outlier(ray_session):
+    """MAD matches closed form and ignores a single spike that would move
+    stddev arbitrarily."""
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 5 + ["b"] * 4,
+            "v": [1.0, 2.0, 3.0, 4.0, 1000.0, 5.0, 5.0, 7.0, 9.0],
+        }
+    )
+    got = (
+        relational.grouped_mad(ray.data.from_pandas(df), ["g"], "v", round_to=6)
+        .to_pandas()
+        .set_index("g")
+    )
+    # a: median 3, devs {2,1,0,1,997} -> median 1 (spike irrelevant)
+    assert got.loc["a", "mad"] == 1.0
+    # b: median 6, devs {1,1,1,3} -> median 1
+    assert got.loc["b", "mad"] == 1.0
