@@ -880,6 +880,34 @@ def q_nb_lang_scores(sf_dir: str):
     return out.sort_values(["doc_id", "label"]).reset_index(drop=True)
 
 
+def q_fk_violations(sf_dir: str):
+    """Referential-integrity audit: per-FK checked/violation counts via
+    distributed anti-joins (orders→customer, lineitem→orders,
+    customer→nation) — the cross-table conformance gate of an ingest
+    pipeline."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partitioned_semi_join
+
+    checks = [
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    rows = []
+    for name, child, ck, parent, pk in checks:
+        child_ds = ray.data.read_parquet(f"{sf_dir}/{child}.parquet", columns=[ck])
+        parent_ds = ray.data.read_parquet(f"{sf_dir}/{parent}.parquet", columns=[pk])
+        orphans = partitioned_semi_join(
+            child_ds, parent_ds, ck, key_column=pk, anti=True
+        )
+        rows.append(
+            {"fk": name, "n_checked": child_ds.count(), "n_violations": orphans.count()}
+        )
+    return pd.DataFrame(rows).sort_values("fk").reset_index(drop=True)
+
+
 def q_user_value_mad(sf_dir: str):
     """Per-user median absolute deviation of event values — robust
     dispersion via two composed exact-quantile passes."""
@@ -2496,6 +2524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_zscore": q_events_value_zscore,
         "events_moving_median": q_events_moving_median,
         "user_value_mad": q_user_value_mad,
+        "fk_violations": q_fk_violations,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,
@@ -3425,6 +3454,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM fresh GROUP BY text ORDER BY doc_id
+        """,
+        # FK audit re-derived with NOT IN anti-joins; integer counts only
+        "fk_violations": """
+            SELECT * FROM (
+              SELECT 'orders.o_custkey->customer' AS fk,
+                     (SELECT count(*) FROM orders)::BIGINT AS n_checked,
+                     (SELECT count(*) FROM orders
+                      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+                     )::BIGINT AS n_violations
+              UNION ALL
+              SELECT 'lineitem.l_orderkey->orders',
+                     (SELECT count(*) FROM lineitem)::BIGINT,
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+                     )::BIGINT
+              UNION ALL
+              SELECT 'customer.c_nationkey->nation',
+                     (SELECT count(*) FROM customer)::BIGINT,
+                     (SELECT count(*) FROM customer
+                      WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+                     )::BIGINT
+            ) ORDER BY fk
         """,
         # MAD re-derived as median(abs(v - median)) — selection-only, so the
         # engines agree bit-for-bit at the same interpolation rule
