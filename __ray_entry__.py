@@ -2279,6 +2279,41 @@ def q_fuzzy_name_links(sf_dir: str):
     ).select_columns(["c_custkey", "s_suppkey", "similarity"])
 
 
+def q_edit_distance_links(sf_dir: str):
+    """Record-linkage join with the classic edit-distance verify: block
+    customers × suppliers on nation, keep pairs at levenshtein ≤ 7 —
+    integer-exact against DuckDB's levenshtein()."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import blocked_fuzzy_join
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.rename(columns={"c_nationkey": "nationkey"}),
+        batch_format="pandas",
+    )
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).map_batches(
+        lambda b: b.rename(columns={"s_nationkey": "nationkey"}),
+        batch_format="pandas",
+    )
+    out = blocked_fuzzy_join(
+        customer, supplier,
+        block_on="nationkey", left_text="c_name", right_text="s_name",
+        threshold=7, left_cols=["c_custkey"], right_cols=["s_suppkey"],
+        num_partitions=16, metric="levenshtein", sim_name="edit_dist",
+    ).to_pandas()
+    # the union-schema join leaves key columns object-dtyped — restore ints
+    out = out.astype({"c_custkey": "int64", "s_suppkey": "int64"})
+    return (
+        out[["c_custkey", "s_suppkey", "edit_dist"]]
+        .sort_values(["c_custkey", "s_suppkey"])
+        .reset_index(drop=True)
+    )
+
+
 def q_copurchase_triangles(sf_dir: str):
     """Triangle count of the part co-purchase graph (parts sharing an
     order are linked): degree-ordered distributed counting, hash-checked
@@ -2603,6 +2638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_diff": q_orders_diff,
         "source_token_quota": q_source_token_quota,
         "event_funnel": q_event_funnel,
+        "edit_distance_links": q_edit_distance_links,
     }
     # hash-oracled entries first (stable relative order), rows-only after:
     # the driver's correctness gate value-checks a prefix of this dict, so
@@ -3454,6 +3490,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM fresh GROUP BY text ORDER BY doc_id
+        """,
+        # Edit-distance linkage re-derived with levenshtein(); integer-exact
+        "edit_distance_links": """
+            SELECT c.c_custkey, s.s_suppkey,
+                   levenshtein(c.c_name, s.s_name)::BIGINT AS edit_dist
+            FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+            WHERE levenshtein(c.c_name, s.s_name) <= 7
+            ORDER BY c.c_custkey, s.s_suppkey
         """,
         # FK audit re-derived with NOT IN anti-joins; integer counts only
         "fk_violations": """

@@ -2274,18 +2274,22 @@ def blocked_fuzzy_join(
     sim_name: str = "similarity",
     round_to: int = 6,
     num_partitions: int = 64,
+    metric: str = "jaccard",
 ) -> ray.data.Dataset:
     """Record-linkage join: equality BLOCKING on ``block_on`` (the classic
     ER trick — only same-block pairs are ever compared, so the cross
-    product is per-block, not global) + a character-set Jaccard verify on
-    the text columns (DuckDB's ``jaccard()`` definition, so the whole
-    operator is SQL-oracle-checkable).  Emits matched pairs with the
-    similarity appended; pairs below ``threshold`` are dropped.
+    product is per-block, not global) + a verify on the text columns.
+    ``metric="jaccard"`` is character-set Jaccard (DuckDB's ``jaccard()``
+    definition; pairs below ``threshold`` drop); ``metric="levenshtein"``
+    is unit-cost edit distance (DuckDB's ``levenshtein()``; integer, pairs
+    ABOVE ``threshold`` drop) — both SQL-oracle-checkable exactly.
 
     Scale shape: one partitioned equi-join on the blocking key, then a
     map-only filter — no all-pairs stage anywhere.  Pick ``block_on`` with
     enough selectivity that a block fits a reducer (the ER blocking-design
     problem, documented here rather than hidden)."""
+    if metric not in ("jaccard", "levenshtein"):
+        raise ValueError(f"blocked_fuzzy_join: unknown metric {metric!r}")
     joined = partitioned_join(
         left, right, block_on,
         left_cols=[left_text] + left_cols,
@@ -2303,7 +2307,35 @@ def blocked_fuzzy_join(
         batch[sim_name] = _round_half_up(sims, round_to)
         return batch[batch[sim_name] >= threshold]
 
-    return joined.map_batches(verify, batch_format="pandas")
+    def verify_lev(batch: pd.DataFrame) -> pd.DataFrame:
+        dists = np.empty(len(batch), dtype="int64")
+        for i, (a, b) in enumerate(zip(batch[left_text], batch[right_text])):
+            dists[i] = _levenshtein(a or "", b or "")
+        batch = batch.copy()
+        batch[sim_name] = dists
+        return batch[batch[sim_name] <= threshold]
+
+    return joined.map_batches(
+        verify_lev if metric == "levenshtein" else verify, batch_format="pandas"
+    )
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance (insert/delete/substitute — the DuckDB
+    ``levenshtein()`` definition), two-row DP."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
 
 
 def expectations(

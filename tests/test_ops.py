@@ -2284,3 +2284,18 @@ def test_grouped_mad_robust_to_outlier(ray_session):
     assert got.loc["a", "mad"] == 1.0
     # b: median 6, devs {1,1,1,3} -> median 1
     assert got.loc["b", "mad"] == 1.0
+
+
+def test_levenshtein_matches_duckdb():
+    """Unit-cost edit distance matches DuckDB's levenshtein() on a sample."""
+    import duckdb
+
+    from esmarc_ray.ops.relational import _levenshtein
+
+    cases = [
+        ("", ""), ("a", ""), ("", "abc"), ("kitten", "sitting"),
+        ("flaw", "lawn"), ("Customer#01", "Supplier#01"), ("same", "same"),
+    ]
+    for a, b in cases:
+        want = duckdb.sql(f"SELECT levenshtein('{a}', '{b}')").fetchone()[0]
+        assert _levenshtein(a, b) == want, (a, b)
