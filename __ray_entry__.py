@@ -880,6 +880,17 @@ def q_nb_lang_scores(sf_dir: str):
     return out.sort_values(["doc_id", "label"]).reset_index(drop=True)
 
 
+def q_user_skew_report(sf_dir: str):
+    """Shuffle-key skew audit over events.user_id: group-size stats and
+    exact discrete percentiles, integer-only."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import skew_report
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return skew_report(events, ["user_id"])
+
+
 def q_fk_violations(sf_dir: str):
     """Referential-integrity audit: per-FK checked/violation counts via
     distributed anti-joins (orders→customer, lineitem→orders,
@@ -2560,6 +2571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_median": q_events_moving_median,
         "user_value_mad": q_user_value_mad,
         "fk_violations": q_fk_violations,
+        "user_skew_report": q_user_skew_report,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,
@@ -3490,6 +3502,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM fresh GROUP BY text ORDER BY doc_id
+        """,
+        # Skew audit re-derived with quantile_disc (same ceil(q·n) discrete
+        # convention as the engine's positional gather); integer-only
+        "user_skew_report": """
+            WITH g AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+            SELECT count(*)::BIGINT AS n_groups,
+                   sum(n)::BIGINT AS n_rows,
+                   max(n)::BIGINT AS max_group,
+                   quantile_disc(n, 0.5)::BIGINT AS p50_group,
+                   quantile_disc(n, 0.9)::BIGINT AS p90_group,
+                   quantile_disc(n, 0.99)::BIGINT AS p99_group
+            FROM g
         """,
         # Edit-distance linkage re-derived with levenshtein(); integer-exact
         "edit_distance_links": """

@@ -1011,6 +1011,67 @@ def grouped_standardize(
     return ds.map_batches(score, batch_format="pandas")
 
 
+def skew_report(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    *,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+) -> "pd.DataFrame":
+    """Partitioning-skew audit for a candidate shuffle key: the group-size
+    distribution (count, total, max, discrete percentiles) that tells you
+    whether a `groupby`/join on ``keys`` will straggle on a head key — the
+    question every wide operator in this repo documents, answered from the
+    data instead of guessed.
+
+    One combiner pass reduces rows to the per-group count table (one partial
+    row per batch × group); stats and exact DISCRETE percentiles
+    (``percentile_disc`` — actual group sizes, integer-exact against any SQL
+    engine) reduce over that table, never over the rows.  Returns ONE row —
+    a driver-sized result by construction.
+    """
+    import numpy as np
+
+    def count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(keys, as_index=False, sort=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    counts = partial_groupby_agg(
+        ds.map_batches(count_batch, batch_format="pandas"),
+        keys,
+        {"n": ("n", "sum")},
+    )
+
+    def add_one(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["n"]].copy()
+        out["__one"] = 1
+        return out
+
+    sizes = counts.map_batches(add_one, batch_format="pandas")
+    row: dict = {}
+    agg = counts.map_batches(
+        lambda b: pd.DataFrame(
+            {"g": [1], "n_groups": [len(b)], "n_rows": [int(b["n"].sum())],
+             "max_group": [int(b["n"].max())]}
+        ),
+        batch_format="pandas",
+    )
+    agg_pd = partial_groupby_agg(
+        agg, ["g"],
+        {"n_groups": ("n_groups", "sum"), "n_rows": ("n_rows", "sum"),
+         "max_group": ("max_group", "max")},
+    ).to_pandas()
+    row["n_groups"] = int(agg_pd["n_groups"].iloc[0])
+    row["n_rows"] = int(agg_pd["n_rows"].iloc[0])
+    row["max_group"] = int(agg_pd["max_group"].iloc[0])
+    for q in quantiles:
+        qv = grouped_quantile(
+            sizes, ["__one"], "n", q, out_name="__q", interpolation="discrete"
+        ).to_pandas()
+        row[f"p{int(q * 100)}_group"] = int(qv["__q"].iloc[0])
+    return pd.DataFrame([row])
+
+
 def grouped_mad(
     ds: ray.data.Dataset,
     keys: list[str],

@@ -2299,3 +2299,13 @@ def test_levenshtein_matches_duckdb():
     for a, b in cases:
         want = duckdb.sql(f"SELECT levenshtein('{a}', '{b}')").fetchone()[0]
         assert _levenshtein(a, b) == want, (a, b)
+
+
+def test_skew_report_stats(ray_session):
+    """Skew audit: exact group stats and discrete percentiles."""
+    df = pd.DataFrame({"k": ["a"] * 10 + ["b"] * 2 + ["c"] * 3 + ["d"] * 1})
+    got = relational.skew_report(ray.data.from_pandas(df), ["k"])
+    r = got.iloc[0]
+    assert (r["n_groups"], r["n_rows"], r["max_group"]) == (4, 16, 10)
+    # sizes sorted: [1,2,3,10]; disc p50 = ceil(0.5*4)=2nd -> 2, p90/p99 -> 10
+    assert (r["p50_group"], r["p90_group"], r["p99_group"]) == (2, 10, 10)
