@@ -880,6 +880,22 @@ def q_nb_lang_scores(sf_dir: str):
     return out.sort_values(["doc_id", "label"]).reset_index(drop=True)
 
 
+def q_copurchase_pairs(sf_dir: str):
+    """Frequent co-purchased part pairs (level-2 Apriori over order
+    baskets): support ≥ 3, deterministic top-50."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import frequent_pairs
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return frequent_pairs(
+        lineitem, basket_column="l_orderkey", item_column="l_partkey",
+        min_support=3, k=50,
+    )
+
+
 def q_user_skew_report(sf_dir: str):
     """Shuffle-key skew audit over events.user_id: group-size stats and
     exact discrete percentiles, integer-only."""
@@ -2572,6 +2588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_mad": q_user_value_mad,
         "fk_violations": q_fk_violations,
         "user_skew_report": q_user_skew_report,
+        "copurchase_pairs": q_copurchase_pairs,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,
@@ -3502,6 +3519,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM fresh GROUP BY text ORDER BY doc_id
+        """,
+        # Apriori level-2 re-derived with a distinct self-join; integer
+        # support, same (n desc, a, b) deterministic top-k order
+        "copurchase_pairs": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            p AS (
+              SELECT d1.l_partkey AS item_a, d2.l_partkey AS item_b,
+                     count(*) AS n
+              FROM d d1 JOIN d d2
+                ON d1.l_orderkey = d2.l_orderkey
+               AND d1.l_partkey < d2.l_partkey
+              GROUP BY item_a, item_b
+            )
+            SELECT item_a, item_b, n::BIGINT AS n FROM p
+            WHERE n >= 3
+            ORDER BY n DESC, item_a, item_b LIMIT 50
         """,
         # Skew audit re-derived with quantile_disc (same ceil(q·n) discrete
         # convention as the engine's positional gather); integer-only

@@ -1011,6 +1011,73 @@ def grouped_standardize(
     return ds.map_batches(score, batch_format="pandas")
 
 
+def frequent_pairs(
+    ds: ray.data.Dataset,
+    *,
+    basket_column: str,
+    item_column: str,
+    min_support: int = 2,
+    k: int = 50,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Frequent co-occurring item pairs (the level-2 Apriori pass of
+    market-basket / co-click mining): support counts of unordered DISTINCT
+    item pairs within a basket, thresholded and top-k.
+
+    Shape: baskets hash-partition on the basket key (a basket's items land
+    together); each partition emits its LOCAL (item_a, item_b, n) counts —
+    what shuffles after the per-basket pairing is one row per distinct pair
+    per partition, not one per occurrence; the final combine + threshold +
+    deterministic top-k (n desc, item_a, item_b) runs over the pair table.
+    The quadratic step is per BASKET (baskets are small; a pathological
+    mega-basket is the documented failure mode — cap upstream if needed).
+    """
+    def pair_batch(part: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        from itertools import combinations
+
+        counts: Counter = Counter()
+        grouped = part.groupby(basket_column, sort=False)[item_column]
+        for _, items in grouped:
+            uniq = sorted(set(items.dropna()))
+            for a, b in combinations(uniq, 2):
+                counts[(a, b)] += 1
+        keys = list(counts.keys())
+        return pd.DataFrame(
+            {
+                "item_a": [t[0] for t in keys],
+                "item_b": [t[1] for t in keys],
+                "n": [counts[t] for t in keys],
+            }
+        )
+
+    pairs = (
+        ds.map_batches(
+            _add_hash_part([basket_column], num_partitions), batch_format="pandas"
+        )
+        .groupby("__part")
+        .map_groups(
+            lambda p: pair_batch(p.drop(columns="__part")), batch_format="pandas"
+        )
+    )
+    totals = partial_groupby_agg(
+        pairs, ["item_a", "item_b"], {"n": ("n", "sum")}
+    ).map_batches(
+        lambda b, s=min_support: b[b["n"] >= s], batch_format="pandas"
+    )
+
+    cols, asc = ["n", "item_a", "item_b"], [False, True, True]
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(cols, ascending=asc).head(k)
+
+    return (
+        totals.map_batches(prune, batch_format="pandas")
+        .sort(cols, descending=[not a for a in asc])
+        .limit(k)
+    )
+
+
 def skew_report(
     ds: ray.data.Dataset,
     keys: list[str],

@@ -2309,3 +2309,22 @@ def test_skew_report_stats(ray_session):
     assert (r["n_groups"], r["n_rows"], r["max_group"]) == (4, 16, 10)
     # sizes sorted: [1,2,3,10]; disc p50 = ceil(0.5*4)=2nd -> 2, p90/p99 -> 10
     assert (r["p50_group"], r["p90_group"], r["p99_group"]) == (2, 10, 10)
+
+
+def test_frequent_pairs_supports(ray_session):
+    """Pair supports count DISTINCT items per basket; threshold and
+    deterministic (n desc, a, b) order hold."""
+    rows = [
+        (1, "x"), (1, "y"), (1, "y"),      # dup item in basket: one pair
+        (2, "x"), (2, "y"), (2, "z"),
+        (3, "x"), (3, "y"),
+        (4, "y"), (4, "z"),
+    ]
+    df = pd.DataFrame(rows, columns=["basket", "item"])
+    got = relational.frequent_pairs(
+        ray.data.from_pandas(df), basket_column="basket", item_column="item",
+        min_support=2, k=10, num_partitions=4,
+    ).to_pandas()
+    assert got[["item_a", "item_b", "n"]].values.tolist() == [
+        ["x", "y", 3], ["y", "z", 2],
+    ]
