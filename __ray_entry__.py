@@ -880,6 +880,28 @@ def q_nb_lang_scores(sf_dir: str):
     return out.sort_values(["doc_id", "label"]).reset_index(drop=True)
 
 
+def q_event_type_drift(sf_dir: str):
+    """Distribution-drift monitor: event_type mix in the even-id slice vs
+    the odd-id slice — per-category counts, rates and KL contributions."""
+    import numpy as np
+    import ray.data
+
+    from esmarc_ray.ops.relational import category_drift
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+
+    def side(batch):
+        batch = batch.copy()
+        batch["side"] = np.where(batch["event_id"] % 2 == 0, "a", "b")
+        return batch[["event_type", "side"]]
+
+    return category_drift(
+        events.map_batches(side, batch_format="pandas"), "event_type", "side"
+    )
+
+
 def q_copurchase_pairs(sf_dir: str):
     """Frequent co-purchased part pairs (level-2 Apriori over order
     baskets): support ≥ 3, deterministic top-50."""
@@ -2589,6 +2611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_violations": q_fk_violations,
         "user_skew_report": q_user_skew_report,
         "copurchase_pairs": q_copurchase_pairs,
+        "event_type_drift": q_event_type_drift,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,
@@ -3519,6 +3542,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM fresh GROUP BY text ORDER BY doc_id
+        """,
+        # KL drift re-derived with the same p·ln(p/q) float path over exact
+        # integer counts
+        "event_type_drift": """
+            WITH c AS (
+              SELECT event_type,
+                     CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+                     count(*) AS n
+              FROM events GROUP BY event_type, side
+            ),
+            piv AS (
+              SELECT event_type,
+                     sum(CASE WHEN side = 'a' THEN n ELSE 0 END) AS n_a,
+                     sum(CASE WHEN side = 'b' THEN n ELSE 0 END) AS n_b
+              FROM c GROUP BY event_type
+            ),
+            tot AS (SELECT sum(n_a)::DOUBLE AS ta, sum(n_b)::DOUBLE AS tb FROM piv)
+            SELECT event_type,
+                   n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+                   round(n_a / tot.ta, 6) AS p_a,
+                   round(n_b / tot.tb, 6) AS p_b,
+                   round((n_a / tot.ta) * ln((n_a / tot.ta) / (n_b / tot.tb)), 6)
+                     AS kl_term
+            FROM piv, tot ORDER BY event_type
         """,
         # Apriori level-2 re-derived with a distinct self-join; integer
         # support, same (n desc, a, b) deterministic top-k order

@@ -1011,6 +1011,71 @@ def grouped_standardize(
     return ds.map_batches(score, batch_format="pandas")
 
 
+def category_drift(
+    ds: ray.data.Dataset,
+    category_column: str,
+    side_column: str,
+    *,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Categorical distribution-drift report between two labeled slices of a
+    stream (train-vs-serve, yesterday-vs-today): per-category counts, rates,
+    and the per-category KL(P_a ‖ P_b) contribution ``p_a·ln(p_a/p_b)`` —
+    the monitoring pass that catches a data-mix shift before it trains in.
+
+    ``side_column`` must hold exactly two values (lexicographically first =
+    ``a``).  One combiner pass reduces rows to the (category, side) count
+    table; everything after runs over that O(|categories|) table in a single
+    final block.  Zero-count categories on either side get rate 0 and a null
+    KL term (the standard undefined case, surfaced not hidden).
+    """
+    import numpy as np
+
+    def count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby([category_column, side_column], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    counts = partial_groupby_agg(
+        ds.map_batches(count_batch, batch_format="pandas"),
+        [category_column, side_column],
+        {"n": ("n", "sum")},
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        sides = sorted(batch[side_column].unique())
+        if len(sides) != 2:
+            raise ValueError(f"category_drift: need exactly 2 sides, got {sides}")
+        a, b = sides
+        piv = batch.pivot_table(
+            index=category_column, columns=side_column, values="n",
+            aggfunc="sum", fill_value=0,
+        )
+        n_a = piv[a].to_numpy(dtype="float64")
+        n_b = piv[b].to_numpy(dtype="float64")
+        p_a = n_a / n_a.sum()
+        p_b = n_b / n_b.sum()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            kl = np.where((p_a > 0) & (p_b > 0), p_a * np.log(p_a / p_b), np.nan)
+        out = pd.DataFrame(
+            {
+                category_column: piv.index,
+                "n_a": n_a.astype("int64"),
+                "n_b": n_b.astype("int64"),
+                "p_a": _round_half_up(p_a, round_to),
+                "p_b": _round_half_up(p_b, round_to),
+                "kl_term": _round_half_up(kl, round_to),
+            }
+        )
+        return out.sort_values(category_column).reset_index(drop=True)
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pandas", batch_size=None
+    )
+
+
 def frequent_pairs(
     ds: ray.data.Dataset,
     *,

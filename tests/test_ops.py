@@ -2328,3 +2328,25 @@ def test_frequent_pairs_supports(ray_session):
     assert got[["item_a", "item_b", "n"]].values.tolist() == [
         ["x", "y", 3], ["y", "z", 2],
     ]
+
+
+def test_category_drift_kl_terms(ray_session):
+    """Drift report: exact rates and KL contributions; zero-count side
+    yields a null KL term, not a crash."""
+    import math
+
+    rows = (
+        [{"c": "x", "side": "a"}] * 6 + [{"c": "y", "side": "a"}] * 2
+        + [{"c": "x", "side": "b"}] * 4 + [{"c": "y", "side": "b"}] * 4
+        + [{"c": "z", "side": "b"}] * 2
+    )
+    got = (
+        relational.category_drift(
+            ray.data.from_pandas(pd.DataFrame(rows)), "c", "side"
+        )
+        .to_pandas()
+        .set_index("c")
+    )
+    assert got.loc["x", ["n_a", "n_b"]].tolist() == [6, 4]
+    assert abs(got.loc["x", "kl_term"] - 0.75 * math.log(0.75 / 0.4)) < 1e-6
+    assert got.loc["z", "n_a"] == 0 and pd.isna(got.loc["z", "kl_term"])
