@@ -880,6 +880,26 @@ def q_nb_lang_scores(sf_dir: str):
     return out.sort_values(["doc_id", "label"]).reset_index(drop=True)
 
 
+def q_user_daily_ffill(sf_dir: str):
+    """Per-user daily resample with forward fill: one row per user per day
+    across the user's span, carrying the day's last event value."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import resample_ffill
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    out = resample_ffill(
+        events,
+        partition_by="user_id",
+        ts_column="ts",
+        value_column="value",
+        order_tiebreak=["event_id"],
+    ).to_pandas()
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
 def q_event_type_drift(sf_dir: str):
     """Distribution-drift monitor: event_type mix in the even-id slice vs
     the odd-id slice — per-category counts, rates and KL contributions."""
@@ -2612,6 +2632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_skew_report": q_user_skew_report,
         "copurchase_pairs": q_copurchase_pairs,
         "event_type_drift": q_event_type_drift,
+        "user_daily_ffill": q_user_daily_ffill,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,
@@ -3542,6 +3563,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM fresh GROUP BY text ORDER BY doc_id
+        """,
+        # Daily ffill re-derived with generate_series + last_value IGNORE
+        # NULLS; values are moved not computed, so no rounding is needed
+        "user_daily_ffill": """
+            WITH daily AS (
+              SELECT user_id, ts::DATE AS d, value
+              FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id, ts::DATE
+                  ORDER BY ts DESC, event_id DESC
+                ) AS rn
+                FROM events
+              ) WHERE rn = 1
+            ),
+            span AS (
+              SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY user_id
+            ),
+            days AS (
+              SELECT user_id,
+                     unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+              FROM span
+            ),
+            j AS (
+              SELECT days.user_id, days.d, daily.value
+              FROM days LEFT JOIN daily
+                ON daily.user_id = days.user_id AND daily.d = days.d
+            )
+            SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+                   last_value(value IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY d
+                   ) AS value_ffill
+            FROM j ORDER BY user_id, day
         """,
         # KL drift re-derived with the same p·ln(p/q) float path over exact
         # integer counts

@@ -1011,6 +1011,61 @@ def grouped_standardize(
     return ds.map_batches(score, batch_format="pandas")
 
 
+def resample_ffill(
+    ds: ray.data.Dataset,
+    *,
+    partition_by: str,
+    ts_column: str,
+    value_column: str,
+    order_tiebreak: list[str] | None = None,
+    out_day: str = "day",
+    out_value: str = "value_ffill",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Daily resample with forward fill per key — the gap-filling pass of a
+    time-series feature pipeline: one row per key per calendar day across
+    the key's own observed span, carrying the day's LAST value (by
+    ``ts, tiebreak``) and forward-filling days with no events.
+
+    Keys hash-bucket into ``num_partitions`` (a key's whole series lands in
+    one bucket); the per-bucket body is one sort + vectorized pandas
+    ``groupby(day).last`` / ``reindex(date_range).ffill`` per key.  Values
+    are MOVED, never computed — the op is float-exact by construction.
+    Days emit as ``YYYY-MM-DD`` strings (engine-neutral, timezone-free).
+    """
+    order_tiebreak = order_tiebreak or []
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop(columns="__part").sort_values(
+            [partition_by, ts_column] + order_tiebreak
+        )
+        frames = []
+        for key, grp in part.groupby(partition_by, sort=False):
+            days = grp[ts_column].dt.normalize()
+            daily = grp[value_column].groupby(days).last()
+            full = daily.reindex(
+                pd.date_range(days.iloc[0], days.iloc[-1], freq="D")
+            ).ffill()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        partition_by: key,
+                        out_day: full.index.strftime("%Y-%m-%d"),
+                        out_value: full.to_numpy(),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        ds.map_batches(
+            _add_hash_part([partition_by], num_partitions), batch_format="pandas"
+        )
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
 def category_drift(
     ds: ray.data.Dataset,
     category_column: str,

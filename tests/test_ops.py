@@ -2350,3 +2350,34 @@ def test_category_drift_kl_terms(ray_session):
     assert got.loc["x", ["n_a", "n_b"]].tolist() == [6, 4]
     assert abs(got.loc["x", "kl_term"] - 0.75 * math.log(0.75 / 0.4)) < 1e-6
     assert got.loc["z", "n_a"] == 0 and pd.isna(got.loc["z", "kl_term"])
+
+
+def test_resample_ffill_gap_filling(ray_session):
+    """Daily resample: day's LAST value wins, gaps forward-fill, span is
+    per-key (no rows outside it)."""
+    t = lambda d, h=0: pd.Timestamp(f"2026-03-{d:02d}") + pd.Timedelta(hours=h)
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [7, 7, 7, 9],
+            "ts": [t(1, 1), t(1, 5), t(4), t(2)],
+            "value": [10.0, 11.0, 40.0, 99.0],
+        }
+    )
+    got = (
+        relational.resample_ffill(
+            ray.data.from_pandas(df),
+            partition_by="user_id",
+            ts_column="ts",
+            value_column="value",
+            order_tiebreak=["event_id"],
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "day"])
+    )
+    u7 = got[got["user_id"] == 7]
+    assert u7["day"].tolist() == [f"2026-03-0{d}" for d in (1, 2, 3, 4)]
+    assert u7["value_ffill"].tolist() == [11.0, 11.0, 11.0, 40.0]
+    u9 = got[got["user_id"] == 9]
+    assert u9["day"].tolist() == ["2026-03-02"] and u9["value_ffill"].tolist() == [99.0]
