@@ -880,6 +880,23 @@ def q_nb_lang_scores(sf_dir: str):
     return out.sort_values(["doc_id", "label"]).reset_index(drop=True)
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """Tokenizer training + inference: distributed word-frequency table →
+    bounded driver merge loop (classic BPE) → per-doc trained-tokenizer
+    token counts.  Iterative greedy algorithm → rows-only; semantics gated
+    by the hand-computed merge-sequence pytest."""
+    import ray.data
+
+    from esmarc_ray.ops.text import bpe_encode, train_bpe
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    merges = train_bpe(docs, num_merges=100)
+    out = bpe_encode(docs, merges).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_user_daily_ffill(sf_dir: str):
     """Per-user daily resample with forward fill: one row per user per day
     across the user's span, carrying the day's last event value."""
@@ -2633,6 +2650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pairs": q_copurchase_pairs,
         "event_type_drift": q_event_type_drift,
         "user_daily_ffill": q_user_daily_ffill,
+        "bpe_token_counts": q_bpe_token_counts,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,

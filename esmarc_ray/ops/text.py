@@ -1243,3 +1243,123 @@ def pmi_collocations(
         ["pmi", "w1", "w2"], descending=[True, False, False]
     ).limit(k)
     return top
+
+
+def train_bpe(
+    docs: ray.data.Dataset,
+    *,
+    num_merges: int = 50,
+    text_column: str = "text",
+    max_words: int = 100_000,
+) -> "list[tuple[str, str]]":
+    """Train a byte-pair-encoding merge table (Sennrich et al. 2016) — the
+    tokenizer-training pass of an LLM data pipeline — with the corpus-scale
+    work distributed and the merge loop bounded:
+
+    1. ONE combiner pass reduces the corpus to its distinct-word frequency
+       table (tokens never leave their batch);
+    2. the deterministic top-``max_words`` cut (count desc, word asc) bounds
+       the driver-side table at any corpus size — the standard practice for
+       BPE trainers, which operate on word frequencies, not running text;
+    3. the classic merge loop runs over that bounded table: per iteration,
+       count adjacent symbol pairs weighted by word frequency, merge the
+       (count desc, pair asc) argmax.
+
+    Words are lowercased whitespace tokens, symbolized as chars + a ``</w>``
+    end marker.  Returns the ordered merge list
+    ``[(left, right), ...]`` — apply with :func:`bpe_encode`.
+    """
+    from collections import Counter
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    def count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        counts: Counter = Counter()
+        for text in batch[text_column].fillna(""):
+            counts.update(text.lower().split())
+        return pd.DataFrame({"word": list(counts.keys()), "n": list(counts.values())})
+
+    totals = partial_groupby_agg(
+        docs.map_batches(count_batch, batch_format="pandas"),
+        ["word"],
+        {"n": ("n", "sum")},
+    )
+    words = _det_topk(totals, max_words, "n", ["word"]).to_pandas()
+
+    vocab: dict[tuple, int] = {
+        tuple(w) + ("</w>",): int(n) for w, n in zip(words["word"], words["n"])
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: Counter = Counter()
+        for symbols, n in vocab.items():
+            for a, b in zip(symbols, symbols[1:]):
+                pair_counts[(a, b)] += n
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple, int] = {}
+        for symbols, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(symbols):
+                if (
+                    i + 1 < len(symbols)
+                    and symbols[i] == best[0]
+                    and symbols[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(symbols[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode(
+    docs: ray.data.Dataset,
+    merges: "list[tuple[str, str]]",
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    out_tokens: str = "n_bpe_tokens",
+) -> ray.data.Dataset:
+    """Apply a :func:`train_bpe` merge table: per doc, tokenize every word
+    with the learned merges (applied in rank order — the BPE inference rule)
+    and emit the token count.  The merge table rides the task closure (it is
+    ``num_merges`` rows); per-batch encoding memoizes word → token-count, so
+    repeated words cost one encode per batch."""
+    rank = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str) -> int:
+        symbols = list(word) + ["</w>"]
+        while len(symbols) > 1:
+            pairs = [(rank.get((a, b), None), i)
+                     for i, (a, b) in enumerate(zip(symbols, symbols[1:]))]
+            ranked = [(r, i) for r, i in pairs if r is not None]
+            if not ranked:
+                break
+            _, i = min(ranked)
+            symbols[i : i + 2] = [symbols[i] + symbols[i + 1]]
+        return len(symbols)
+
+    def batch_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        memo: dict[str, int] = {}
+        counts = []
+        for text in batch[text_column].fillna(""):
+            total = 0
+            for w in text.lower().split():
+                c = memo.get(w)
+                if c is None:
+                    c = memo[w] = encode_word(w)
+                total += c
+            counts.append(total)
+        return pd.DataFrame(
+            {id_column: batch[id_column], out_tokens: pd.Series(counts, dtype="int64")}
+        )
+
+    return docs.map_batches(batch_fn, batch_format="pandas")

@@ -2381,3 +2381,28 @@ def test_resample_ffill_gap_filling(ray_session):
     assert u7["value_ffill"].tolist() == [11.0, 11.0, 11.0, 40.0]
     u9 = got[got["user_id"] == 9]
     assert u9["day"].tolist() == ["2026-03-02"] and u9["value_ffill"].tolist() == [99.0]
+
+
+def test_bpe_train_and_encode(ray_session):
+    """BPE merges follow the classic greedy rule on a hand-computable
+    corpus; encoding applies merges in rank order and compresses repeated
+    words down to single tokens."""
+    # 5x "aaab", 3x "aab": pair counts r1: (a,a)=5*2+3=13 -> merge (a,a)
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["aaab aaab aaab aaab aaab", "aab aab aab"]})
+    )
+    merges = text.train_bpe(docs, num_merges=3)
+    assert merges[0] == ("a", "a")
+    # r2 symbols: aaab -> (aa,a,b,</w>) n=5; aab -> (aa,b,</w>) n=3
+    # pairs: (aa,a)=5, (a,b)=5, (aa,b)=3, (b,</w>)=8 -> merge (b,</w>)
+    assert merges[1] == ("b", "</w>")
+    got = text.bpe_encode(docs, merges).to_pandas().set_index("doc_id")
+    # after 3 merges every full word is <= 2-3 symbols; exact counts:
+    # merge3: pairs now (aa,a)=5,(a,b</w>)=5,(aa,b</w>)=3 -> (a,b</w>) wins? no:
+    # counts (aa,a)=5, (a,b</w>)=5 tie -> lexicographic: ("a","b</w>") < ("aa","a")
+    assert merges[2] == ("a", "b</w>")
+    # encode "aaab": a a a b </w> -> merge1 -> aa a b </w> -> (b,</w>) -> aa a b</w>
+    # -> (a,b</w>) -> aa ab</w> = 2 tokens; x5 = 10
+    assert got.loc[1, "n_bpe_tokens"] == 10
+    # "aab": aa b</w> -> no (a,b</w>) applies -> 2 tokens; x3 = 6
+    assert got.loc[2, "n_bpe_tokens"] == 6
