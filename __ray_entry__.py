@@ -880,6 +880,36 @@ def q_nb_lang_scores(sf_dir: str):
     return out.sort_values(["doc_id", "label"]).reset_index(drop=True)
 
 
+def q_orders_zorder(sf_dir: str):
+    """Z-order clustering codes over (o_custkey, order day): Morton
+    interleave of min-max 16-bit buckets — pure integer arithmetic the
+    oracle reproduces with the same shifts and masks."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import zorder_code
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def day(batch):
+        batch = batch.copy()
+        batch["o_day"] = (
+            batch["o_orderdate"].astype("datetime64[ns]").astype("int64")
+            // 86_400_000_000_000
+        )
+        return batch[["o_orderkey", "o_custkey", "o_day"]]
+
+    out = zorder_code(
+        orders.map_batches(day, batch_format="pandas"), "o_custkey", "o_day"
+    ).to_pandas()
+    return (
+        out[["o_orderkey", "zcode"]]
+        .sort_values(["zcode", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+
+
 def q_bpe_token_counts(sf_dir: str):
     """Tokenizer training + inference: distributed word-frequency table →
     bounded driver merge loop (classic BPE) → per-doc trained-tokenizer
@@ -2651,6 +2681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_drift": q_event_type_drift,
         "user_daily_ffill": q_user_daily_ffill,
         "bpe_token_counts": q_bpe_token_counts,
+        "orders_zorder": q_orders_zorder,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,
@@ -3581,6 +3612,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM fresh GROUP BY text ORDER BY doc_id
+        """,
+        # Z-order codes re-derived with the same bucket + bit-spread integer
+        # arithmetic (part1by1 shifts and masks)
+        "orders_zorder": """
+            WITH base AS (
+              SELECT o_orderkey, o_custkey,
+                     epoch_us(o_orderdate) // 86400000000 AS o_day
+              FROM orders
+            ),
+            mm AS (
+              SELECT min(o_custkey) AS lox, max(o_custkey) AS hix,
+                     min(o_day) AS loy, max(o_day) AS hiy
+              FROM base
+            ),
+            b AS (
+              SELECT o_orderkey,
+                     (o_custkey - mm.lox) * 65536
+                       // greatest(mm.hix - mm.lox + 1, 1) AS x,
+                     (o_day - mm.loy) * 65536
+                       // greatest(mm.hiy - mm.loy + 1, 1) AS y
+              FROM base, mm
+            ),
+            s1 AS (SELECT o_orderkey,
+                          (x | (x << 8)) & 16711935 AS x,
+                          (y | (y << 8)) & 16711935 AS y FROM b),
+            s2 AS (SELECT o_orderkey,
+                          (x | (x << 4)) & 252645135 AS x,
+                          (y | (y << 4)) & 252645135 AS y FROM s1),
+            s3 AS (SELECT o_orderkey,
+                          (x | (x << 2)) & 858993459 AS x,
+                          (y | (y << 2)) & 858993459 AS y FROM s2),
+            s4 AS (SELECT o_orderkey,
+                          (x | (x << 1)) & 1431655765 AS x,
+                          (y | (y << 1)) & 1431655765 AS y FROM s3)
+            SELECT o_orderkey, (x | (y << 1))::BIGINT AS zcode
+            FROM s4 ORDER BY zcode, o_orderkey
         """,
         # Daily ffill re-derived with generate_series + last_value IGNORE
         # NULLS; values are moved not computed, so no rounding is needed

@@ -1011,6 +1011,53 @@ def grouped_standardize(
     return ds.map_batches(score, batch_format="pandas")
 
 
+def zorder_code(
+    ds: ray.data.Dataset,
+    col_x: str,
+    col_y: str,
+    *,
+    out_name: str = "zcode",
+) -> ray.data.Dataset:
+    """Z-order (Morton) clustering code over two integer dimensions — the
+    storage-layout pass that makes range predicates on EITHER column prune
+    row groups after a sort/write by this code (the Delta/Iceberg OPTIMIZE
+    ZORDER idea, as an explicit operator).
+
+    Each dimension min-max-buckets to 16 bits from driver-side (min, max)
+    scalars (one aggregate pass), then the classic bit-spread interleave —
+    pure integer arithmetic, vectorized in numpy and reproducible verbatim
+    by any engine with shifts and masks.  Sort by (zcode, id) downstream and
+    write partitioned.
+    """
+    import numpy as np
+
+    bounds = ds.aggregate(
+        ray.data.aggregate.Min(col_x), ray.data.aggregate.Max(col_x),
+        ray.data.aggregate.Min(col_y), ray.data.aggregate.Max(col_y),
+    )
+    lo_x, hi_x = int(bounds[f"min({col_x})"]), int(bounds[f"max({col_x})"])
+    lo_y, hi_y = int(bounds[f"min({col_y})"]), int(bounds[f"max({col_y})"])
+    span_x = max(hi_x - lo_x + 1, 1)
+    span_y = max(hi_y - lo_y + 1, 1)
+
+    def spread(v: "np.ndarray") -> "np.ndarray":
+        # 16-bit value -> even bit positions of a 32-bit word (part1by1)
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    def code(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        bx = (batch[col_x].to_numpy(dtype="int64") - lo_x) * 65536 // span_x
+        by = (batch[col_y].to_numpy(dtype="int64") - lo_y) * 65536 // span_y
+        batch[out_name] = spread(bx) | (spread(by) << 1)
+        return batch
+
+    return ds.map_batches(code, batch_format="pandas")
+
+
 def resample_ffill(
     ds: ray.data.Dataset,
     *,

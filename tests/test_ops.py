@@ -2406,3 +2406,21 @@ def test_bpe_train_and_encode(ray_session):
     assert got.loc[1, "n_bpe_tokens"] == 10
     # "aab": aa b</w> -> no (a,b</w>) applies -> 2 tokens; x3 = 6
     assert got.loc[2, "n_bpe_tokens"] == 6
+
+
+def test_zorder_code_locality(ray_session):
+    """Morton codes: exact interleave on known values; neighbors in both
+    dims cluster (code distance grows with either coordinate)."""
+    df = pd.DataFrame(
+        {"id": range(4), "x": [0, 1, 0, 65535], "y": [0, 0, 1, 65535]}
+    )
+    # spans 0..65535 -> identity bucketing
+    got = (
+        relational.zorder_code(ray.data.from_pandas(df), "x", "y")
+        .to_pandas()
+        .set_index("id")["zcode"]
+    )
+    assert got[0] == 0
+    assert got[1] == 1          # x bit 0 -> even position
+    assert got[2] == 2          # y bit 0 -> odd position
+    assert got[3] == 2**32 - 1  # all 32 bits set
