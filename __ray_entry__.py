@@ -771,6 +771,43 @@ def q_jaccard_dups(sf_dir: str):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def q_jaccard_dup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: distributed connected components over the exact
+    Jaccard ≥ 0.95 pair graph, cluster id = min member doc_id — the keep-one
+    -per-cluster dedup assignment, with the iterative CC algorithm checked
+    against a DuckDB RECURSIVE transitive closure."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.dedup import jaccard_pairs
+    from esmarc_ray.ops.graph import connected_components
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = jaccard_pairs(docs, threshold=0.95)
+
+    def to_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        # zero-pad so the CC's min-by-STRING == min-by-number
+        return pd.DataFrame(
+            {
+                "u": batch["doc_a"].map(lambda v: f"{v:012d}"),
+                "v": batch["doc_b"].map(lambda v: f"{v:012d}"),
+            }
+        )
+
+    comp = connected_components(
+        pairs.map_batches(to_edges, batch_format="pandas"), num_partitions=8
+    ).to_pandas()
+    if comp.empty:
+        return pd.DataFrame(columns=["doc_id", "cluster_id"])
+    out = pd.DataFrame(
+        {
+            "doc_id": comp["node"].astype("int64"),
+            "cluster_id": comp["component"].astype("int64"),
+        }
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_dups(sf_dir: str):
     import pandas as pd
     import ray.data
@@ -2682,6 +2719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_daily_ffill": q_user_daily_ffill,
         "bpe_token_counts": q_bpe_token_counts,
         "orders_zorder": q_orders_zorder,
+        "jaccard_dup_clusters": q_jaccard_dup_clusters,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,
@@ -3612,6 +3650,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM fresh GROUP BY text ORDER BY doc_id
+        """,
+        # Dup clusters: the ITERATIVE distributed CC gets a real SQL gate —
+        # DuckDB recomputes the same pair graph and closes it with a
+        # RECURSIVE CTE; cluster id = min member
+        "jaccard_dup_clusters": """
+            WITH RECURSIVE tok AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(string_split(
+                               regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                               ' ')) AS tok
+                    FROM documents
+                ) WHERE tok <> ''
+            ), sz AS (
+                SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sz sa ON sa.doc_id = inter.doc_a
+                JOIN sz sb ON sb.doc_id = inter.doc_b
+                WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.95
+            ), und AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs
+            ), reach(n, m) AS (
+                SELECT a, b FROM und
+                UNION
+                SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a
+            )
+            SELECT n::BIGINT AS doc_id,
+                   least(n, min(m))::BIGINT AS cluster_id
+            FROM reach GROUP BY n ORDER BY doc_id
         """,
         # Z-order codes re-derived with the same bucket + bit-spread integer
         # arithmetic (part1by1 shifts and masks)

@@ -2424,3 +2424,40 @@ def test_zorder_code_locality(ray_session):
     assert got[1] == 1          # x bit 0 -> even position
     assert got[2] == 2          # y bit 0 -> odd position
     assert got[3] == 2**32 - 1  # all 32 bits set
+
+
+def test_jaccard_dup_clusters_transitive(ray_session):
+    """A-B and B-C near-dup pairs cluster A,B,C together under min-id."""
+    from esmarc_ray.ops.dedup import jaccard_pairs
+    from esmarc_ray.ops.graph import connected_components
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = base.split()
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [5, 7, 9, 11],
+                "text": [
+                    base,
+                    base,                             # dup of 5
+                    base + " extra",                  # near-dup chain via 7
+                    "totally different words here",   # isolated
+                ],
+            }
+        )
+    )
+    pairs = jaccard_pairs(docs, threshold=0.9)
+
+    def to_edges(b):
+        return pd.DataFrame(
+            {"u": b["doc_a"].map("{:012d}".format), "v": b["doc_b"].map("{:012d}".format)}
+        )
+
+    comp = connected_components(
+        pairs.map_batches(to_edges, batch_format="pandas"), num_partitions=2
+    ).to_pandas()
+    clusters = dict(
+        zip(comp["node"].astype(int), comp["component"].astype(int))
+    )
+    assert clusters[5] == clusters[7] == clusters[9] == 5
+    assert 11 not in clusters  # isolated docs never enter the pair graph
