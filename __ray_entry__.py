@@ -1576,6 +1576,43 @@ def q_order_price_quartiles(sf_dir: str):
     return out[["o_orderkey", "quartile"]]
 
 
+def q_price_equidepth_hist(sf_dir: str):
+    """Equi-depth price histogram: global NTILE(10) over (price, orderkey)
+    then per-bucket count/min/max — bounds are MOVED values, so the report
+    is float-exact with no rounding."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, window_rank
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def one(batch):
+        batch = batch.copy()
+        batch["__g"] = 1
+        return batch
+
+    ranked = window_rank(
+        orders.map_batches(one, batch_format="pandas"),
+        partition_by="__g",
+        order_by=["o_totalprice", "o_orderkey"],
+        ntile=10,
+        ntile_name="bucket",
+        num_partitions=1,
+    )
+    hist = partial_groupby_agg(
+        ranked,
+        ["bucket"],
+        {
+            "n": ("o_orderkey", "count"),
+            "min_price": ("o_totalprice", "min"),
+            "max_price": ("o_totalprice", "max"),
+        },
+    ).to_pandas()
+    return hist.sort_values("bucket").reset_index(drop=True)
+
+
 def q_events_value_lag(sf_dir: str):
     import ray.data
 
@@ -2720,6 +2757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": q_bpe_token_counts,
         "orders_zorder": q_orders_zorder,
         "jaccard_dup_clusters": q_jaccard_dup_clusters,
+        "price_equidepth_hist": q_price_equidepth_hist,
         "order_price_quartiles": q_order_price_quartiles,
         "order_price_percent_rank": q_order_price_percent_rank,
         "events_value_lag": q_events_value_lag,
@@ -3650,6 +3688,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM fresh GROUP BY text ORDER BY doc_id
+        """,
+        # Equi-depth histogram re-derived with NTILE(10) + group bounds
+        "price_equidepth_hist": """
+            WITH r AS (
+              SELECT o_orderkey, o_totalprice,
+                     ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS bucket
+              FROM orders
+            )
+            SELECT bucket, count(*)::BIGINT AS n,
+                   min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price
+            FROM r GROUP BY bucket ORDER BY bucket
         """,
         # Dup clusters: the ITERATIVE distributed CC gets a real SQL gate —
         # DuckDB recomputes the same pair graph and closes it with a
