@@ -579,6 +579,15 @@ def q_ann_topk(sf_dir: str):
     return out[["vec_id"]]
 
 
+def q_knn_graph(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.similarity import knn_graph
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_graph(ds, k=5)
+
+
 def q_approx_median_price(sf_dir: str):
     import ray.data
 
@@ -2730,6 +2739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "ann_topk": q_ann_topk,
+        "knn_graph": q_knn_graph,
         "top_terms": q_top_terms,
         "heavy_terms": q_heavy_terms,
         "cust_order_counts": q_cust_order_counts,
@@ -3529,6 +3539,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM embeddings, q
             ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
             LIMIT 10
+        """,
+        "knn_graph": """
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.embedding, b.embedding)
+                                    DESC, b.vec_id
+                   ) AS "rank"
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            QUALIFY "rank" <= 5
         """,
         "order_price_quartiles": """
             SELECT o_orderkey,

@@ -64,6 +64,87 @@ def brute_force_topk(
     return pd.DataFrame(rows)
 
 
+def knn_graph(
+    embeddings: ray.data.Dataset,
+    k: int = 5,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    chunk_rows: int = 65536,
+) -> ray.data.Dataset:
+    """Exact all-pairs cosine k-nearest-neighbor graph via blocked matmul.
+
+    The reference matrix is staged into the OBJECT STORE as normalized row
+    chunks (one ``ray.put`` per chunk; the driver holds one chunk at a time
+    while staging).  Workers ``ray.get`` the chunks lazily — plasma maps the
+    same buffer zero-copy into every task on a node, so the physical cost is
+    one copy per NODE, not per task.  Each query batch streams over the
+    chunks keeping a running exact top-k (peak heap O(batch × chunk)), so
+    every emitted row is already the GLOBAL top-k: no shuffle, no driver
+    merge, and the output streams straight to the consumer.
+
+    Requires the reference matrix to fit in the cluster object store (n·d·8
+    bytes spread over nodes).  Past that, restrict candidates per IVF cell
+    (:class:`IvfIndex`) and build the graph cell-by-cell.
+
+    Returns a Dataset of (id_column, neighbor_id, rank) — rank 1 = nearest,
+    ties broken by ascending neighbor id; self-pairs excluded.
+    """
+    chunk_refs: list = []
+    ids_buf: list[np.ndarray] = []
+    vec_buf: list[np.ndarray] = []
+    buffered = 0
+
+    def flush() -> None:
+        nonlocal ids_buf, vec_buf, buffered
+        if not buffered:
+            return
+        ids = np.concatenate(ids_buf)
+        mat = _normalize(np.vstack(vec_buf).astype(np.float32))
+        chunk_refs.append(ray.put((ids, mat)))
+        ids_buf, vec_buf, buffered = [], [], 0
+
+    for batch in embeddings.select_columns([id_column, vector_column]).iter_batches(
+        batch_format="pandas"
+    ):
+        ids_buf.append(batch[id_column].to_numpy().astype(np.int64))
+        vec_buf.append(np.stack(batch[vector_column].to_numpy()).astype(np.float32))
+        buffered += len(batch)
+        if buffered >= chunk_rows:
+            flush()
+    flush()
+
+    def batch_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qids = batch[id_column].to_numpy().astype(np.int64)
+        q = _normalize(np.stack(batch[vector_column].to_numpy()).astype(np.float32))
+        nq = len(qids)
+        best_s = np.full((nq, k), -np.inf, dtype=np.float32)
+        best_i = np.full((nq, k), -1, dtype=np.int64)
+        rows = np.arange(nq)[:, None]
+        for ref in chunk_refs:
+            cids, cmat = ray.get(ref)
+            sims = q @ cmat.T  # (nq, chunk)
+            sims[qids[:, None] == cids[None, :]] = -np.inf  # exclude self
+            cand_s = np.concatenate([best_s, sims], axis=1)
+            cand_i = np.concatenate(
+                [best_i, np.broadcast_to(cids, sims.shape)], axis=1
+            )
+            sel = np.argpartition(-cand_s, k - 1, axis=1)[:, :k]
+            best_s, best_i = cand_s[rows, sel], cand_i[rows, sel]
+        order = np.lexsort((best_i, -best_s), axis=-1)  # score desc, id asc
+        best_s, best_i = best_s[rows, order], best_i[rows, order]
+        keep = best_i.ravel() >= 0  # drop padding when n-1 < k
+        return pd.DataFrame(
+            {
+                id_column: np.repeat(qids, k)[keep],
+                "neighbor_id": best_i.ravel()[keep],
+                "rank": np.tile(np.arange(1, k + 1, dtype=np.int64), nq)[keep],
+            }
+        )
+
+    return embeddings.map_batches(batch_topk, batch_format="pandas")
+
+
 class IvfIndex:
     """IVF(flat) coarse index: spherical k-means cells, probe-limited search.
 

@@ -213,6 +213,29 @@ def test_brute_force_topk_matches_duckdb(ray_session):
     assert got.iloc[0]["vec_id"] == expected[0][0]
 
 
+def test_knn_graph_matches_numpy(ray_session):
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(40, 8)).astype(np.float32)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(40), "embedding": list(mat)})
+    )
+    # chunk_rows=16 forces the multi-chunk running-top-k merge path
+    got = (
+        similarity.knn_graph(ds, k=3, chunk_rows=16)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    np.fill_diagonal(sims, -np.inf)
+    for vid in range(40):
+        order = np.lexsort((np.arange(40), -sims[vid]))[:3]
+        sub = got[got["vec_id"] == vid]
+        assert list(sub["neighbor_id"]) == list(order)
+        assert list(sub["rank"]) == [1, 2, 3]
+
+
 def test_ivf_recall_vs_bruteforce(ray_session):
     ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
     rows = ds.take(3)
