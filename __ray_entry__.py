@@ -579,6 +579,17 @@ def q_ann_topk(sf_dir: str):
     return out[["vec_id"]]
 
 
+def q_cohort_retention(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import cohort_retention
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return cohort_retention(events)
+
+
 def q_knn_graph(sf_dir: str):
     import ray.data
 
@@ -2740,6 +2751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": q_events_sliding,
         "ann_topk": q_ann_topk,
         "knn_graph": q_knn_graph,
+        "cohort_retention": q_cohort_retention,
         "top_terms": q_top_terms,
         "heavy_terms": q_heavy_terms,
         "cust_order_counts": q_cust_order_counts,
@@ -3539,6 +3551,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM embeddings, q
             ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
             LIMIT 10
+        """,
+        "cohort_retention": """
+            WITH w AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+            ), c AS (
+                SELECT user_id, min(wk) AS cw FROM w GROUP BY 1
+            )
+            SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+                   (date_diff('day', c.cw, w.wk) // 7)::BIGINT AS week_offset,
+                   count(*) AS n_users
+            FROM w JOIN c USING (user_id)
+            GROUP BY 1, 2
         """,
         "knn_graph": """
             SELECT a.vec_id, b.vec_id AS neighbor_id,

@@ -2842,3 +2842,59 @@ def funnel_counts(
     return partial_groupby_agg(
         staged, ["step", "step_index"], {"n_users": ("n_users", "sum")}
     )
+
+
+def cohort_retention(
+    events: ray.data.Dataset,
+    *,
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Weekly cohort-retention matrix: users are cohorted by the ISO week of
+    their first event; each cell counts the cohort's users active
+    ``week_offset`` weeks later — the standard product-analytics retention
+    triangle.
+
+    Two-shuffle shape: per-batch DISTINCT (user, week) pairs first (the
+    combiner — shuffle volume is bounded by users × active-weeks, never raw
+    events), hash-partitioned by user so each partition derives its own
+    users' cohort week (min) and offsets locally with no join, then a tiny
+    (cohort_week, week_offset) count merge.  Week truncation is Monday-start,
+    matching SQL ``date_trunc('week', ts)``.
+    """
+
+    def distinct_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                user_column: batch[user_column],
+                "__wk": batch[ts_column].dt.to_period("W").dt.start_time,
+            }
+        ).drop_duplicates()
+
+    def per_user(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates([user_column, "__wk"])
+        cohort = part.groupby(user_column)["__wk"].transform("min")
+        return pd.DataFrame(
+            {
+                "cohort_week": cohort.dt.strftime("%Y-%m-%d"),
+                "week_offset": ((part["__wk"] - cohort).dt.days // 7).astype(
+                    "int64"
+                ),
+            }
+        ).groupby(["cohort_week", "week_offset"], as_index=False).size()
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        return (
+            part.groupby(["cohort_week", "week_offset"], as_index=False)["size"]
+            .sum()
+            .rename(columns={"size": "n_users"})
+        )
+
+    pairs = events.map_batches(distinct_pairs, batch_format="pandas")
+    per_user_counts = partitioned_final(
+        pairs, [user_column], per_user, num_partitions
+    )
+    return partitioned_final(
+        per_user_counts, ["cohort_week", "week_offset"], final, num_partitions=8
+    )
