@@ -590,6 +590,17 @@ def q_cohort_retention(sf_dir: str):
     return cohort_retention(events)
 
 
+def q_new_users_daily(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import new_users_daily
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return new_users_daily(events)
+
+
 def q_knn_graph(sf_dir: str):
     import ray.data
 
@@ -2752,6 +2763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "knn_graph": q_knn_graph,
         "cohort_retention": q_cohort_retention,
+        "new_users_daily": q_new_users_daily,
         "top_terms": q_top_terms,
         "heavy_terms": q_heavy_terms,
         "cust_order_counts": q_cust_order_counts,
@@ -3551,6 +3563,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM embeddings, q
             ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
             LIMIT 10
+        """,
+        "new_users_daily": """
+            WITH f AS (
+                SELECT user_id, min(date_trunc('day', ts)) AS d
+                FROM events GROUP BY 1
+            )
+            SELECT strftime(d, '%Y-%m-%d') AS day,
+                   count(*) AS new_users,
+                   sum(count(*)) OVER (ORDER BY d)::BIGINT AS cum_users
+            FROM f GROUP BY d
         """,
         "cohort_retention": """
             WITH w AS (

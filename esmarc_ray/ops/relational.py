@@ -2898,3 +2898,67 @@ def cohort_retention(
     return partitioned_final(
         per_user_counts, ["cohort_week", "week_offset"], final, num_partitions=8
     )
+
+
+def new_users_daily(
+    events: ray.data.Dataset,
+    *,
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Daily new-user counts plus the running cumulative distinct-user total
+    (the "cumulative distinct over time" ask SQL windows can't express
+    directly — derived instead from each user's FIRST-seen day).
+
+    Combiner-shaped: per-batch min-day per user, hash-partitioned by user for
+    the exact per-user min, reduced to per-day counts (O(days) rows by
+    construction) whose prefix sum runs in one task — the only sequential
+    step is over the tiny day-level table, never the events.
+    """
+
+    def batch_min(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    user_column: batch[user_column],
+                    "__d": batch[ts_column].dt.normalize(),
+                }
+            )
+            .groupby(user_column, as_index=False)["__d"]
+            .min()
+        )
+
+    def per_user_day_counts(part: pd.DataFrame) -> pd.DataFrame:
+        first = part.groupby(user_column, as_index=False)["__d"].min()
+        return first.groupby("__d", as_index=False).size()
+
+    def day_merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("__d", as_index=False)["size"].sum()
+
+    daily = partitioned_final(
+        partitioned_final(
+            events.map_batches(batch_min, batch_format="pandas"),
+            [user_column],
+            per_user_day_counts,
+            num_partitions,
+        ),
+        ["__d"],
+        day_merge,
+        num_partitions=8,
+    )
+
+    def cumulate(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.sort_values("__d")
+        return pd.DataFrame(
+            {
+                "day": batch["__d"].dt.strftime("%Y-%m-%d"),
+                "new_users": batch["size"].astype("int64"),
+                "cum_users": batch["size"].cumsum().astype("int64"),
+            }
+        )
+
+    # O(days) rows: one block, one sequential cumsum task
+    return daily.repartition(1).map_batches(
+        cumulate, batch_format="pandas", batch_size=None
+    )
