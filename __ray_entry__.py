@@ -579,6 +579,41 @@ def q_ann_topk(sf_dir: str):
     return out[["vec_id"]]
 
 
+def q_bfs_hops(sf_dir: str):
+    """Hop distances (<=3) from the smallest part in the (l_orderkey<1000)
+    co-purchase graph — distributed frontier BFS, hash-checked against a
+    DuckDB RECURSIVE walk."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.graph import bfs_hops
+    from esmarc_ray.ops.relational import partitioned_final
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).filter(expr="l_orderkey < 1000")
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        m = part.merge(part, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        return m[["l_partkey_a", "l_partkey_b"]].drop_duplicates()
+
+    edges = partitioned_final(li, ["l_orderkey"], pairs, num_partitions=16)
+    edges = edges.materialize()  # reused: min() scan + BFS rounds
+    src = edges.min("l_partkey_a")
+    out = bfs_hops(
+        edges, [src], u="l_partkey_a", v="l_partkey_b", max_hops=3,
+        num_partitions=16,
+    )
+
+    def rename(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": batch["node"], "hops": batch["hop"].astype("int64")}
+        )
+
+    return out.map_batches(rename, batch_format="pandas")
+
+
 def q_cohort_retention(sf_dir: str):
     import ray.data
 
@@ -2764,6 +2799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": q_knn_graph,
         "cohort_retention": q_cohort_retention,
         "new_users_daily": q_new_users_daily,
+        "bfs_hops": q_bfs_hops,
         "top_terms": q_top_terms,
         "heavy_terms": q_heavy_terms,
         "cust_order_counts": q_cust_order_counts,
@@ -3563,6 +3599,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM embeddings, q
             ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
             LIMIT 10
+        """,
+        "bfs_hops": """
+            WITH RECURSIVE p AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey < 1000
+            ),
+            e0 AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM p a JOIN p b USING (l_orderkey)
+                WHERE a.l_partkey <> b.l_partkey
+            ),
+            s AS (SELECT min(u) AS src FROM e0),
+            walk(node, hop) AS (
+                SELECT src, 0 FROM s
+                UNION ALL
+                SELECT e0.v, walk.hop + 1 FROM walk
+                JOIN e0 ON e0.u = walk.node
+                WHERE walk.hop < 3
+            )
+            SELECT node, min(hop)::BIGINT AS hops FROM walk GROUP BY 1
         """,
         "new_users_daily": """
             WITH f AS (

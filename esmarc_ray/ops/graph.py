@@ -622,3 +622,101 @@ def predicate_cooccurrence(
         {"n_docs": ("n_docs", "sum")},
     )
     return _det_topk(totals, k, "n_docs", ["entity_class", "pred_a", "pred_b"])
+
+
+def bfs_hops(
+    edges: ray.data.Dataset,
+    sources: list,
+    *,
+    u: str = "u",
+    v: str = "v",
+    max_hops: int = 3,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Multi-source BFS hop distances over the undirected edge list: returns
+    (node, hops) for every node reachable within ``max_hops`` of any source,
+    hops = unweighted shortest distance.
+
+    Frontier-expansion rounds, each exactly two co-partitioned exchanges over
+    (node)-width tables: (1) the hop-h frontier joins the edge table hash-
+    partitioned on the source endpoint to produce candidate neighbors, (2)
+    candidates anti-join the settled table partitioned on node — already-
+    settled nodes keep their (shorter) hop, new nodes settle at h+1.  The
+    tagged edge table is materialized ONCE outside the loop; the settled
+    table is materialized per round so no lineage re-executes.  Terminates
+    early when a round discovers nothing new.
+    """
+
+    def undirect(batch: pd.DataFrame) -> pd.DataFrame:
+        fwd = batch[[u, v]].rename(columns={u: "s", v: "d"})
+        rev = batch[[v, u]].rename(columns={v: "s", u: "d"})
+        out = pd.concat([fwd, rev], ignore_index=True).drop_duplicates()
+        out["part"] = _part_series(out["s"], num_partitions)
+        out["kind"] = "e"
+        out["hop"] = -1
+        return out
+
+    edges_tagged = edges.map_batches(undirect, batch_format="pandas").materialize()
+
+    settled = ray.data.from_pandas(
+        pd.DataFrame({"node": pd.Series(sources), "hop": 0})
+    ).materialize()
+
+    for h in range(max_hops):
+        frontier = settled.filter(expr=f"hop == {h}")
+        if frontier.count() == 0:
+            break
+
+        def tag_frontier(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"s": batch["node"]})
+            out["d"] = batch["node"]  # dtype placeholder, ignored for kind=f
+            out["part"] = _part_series(out["s"], num_partitions)
+            out["kind"] = "f"
+            out["hop"] = -1
+            return out
+
+        def expand(part: pd.DataFrame) -> pd.DataFrame:
+            fr = part[part["kind"] == "f"][["s"]].drop_duplicates()
+            ed = part[part["kind"] == "e"]
+            if fr.empty or ed.empty:
+                return pd.DataFrame({"node": pd.Series(dtype=fr["s"].dtype if not fr.empty else "int64")})
+            hit = ed.merge(fr, on="s")[["d"]].drop_duplicates()
+            return hit.rename(columns={"d": "node"})
+
+        candidates = (
+            edges_tagged.union(
+                frontier.map_batches(tag_frontier, batch_format="pandas")
+            )
+            .groupby("part")
+            .map_groups(expand, batch_format="pandas")
+        )
+
+        def tag_cand(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["node"]].drop_duplicates().copy()
+            out["hop"] = -1
+            out["kind"] = "c"
+            out["part"] = _part_series(out["node"], num_partitions)
+            return out
+
+        def tag_settled(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["node", "hop"]].copy()
+            out["kind"] = "s"
+            out["part"] = _part_series(out["node"], num_partitions)
+            return out
+
+        def resolve(part: pd.DataFrame, new_hop: int = h + 1) -> pd.DataFrame:
+            old = part[part["kind"] == "s"][["node", "hop"]]
+            cand = part[part["kind"] == "c"][["node"]].drop_duplicates()
+            new = cand[~cand["node"].isin(old["node"])].copy()
+            new["hop"] = new_hop
+            return pd.concat([old, new], ignore_index=True)
+
+        settled = (
+            candidates.map_batches(tag_cand, batch_format="pandas")
+            .union(settled.map_batches(tag_settled, batch_format="pandas"))
+            .groupby("part")
+            .map_groups(resolve, batch_format="pandas")
+            .materialize()
+        )
+
+    return settled

@@ -148,3 +148,25 @@ def test_triangle_count_matches_bruteforce(ray_session):
         num_partitions=4,
     )
     assert got == want == 3
+
+
+def test_bfs_hops_chain_and_early_stop(ray_session):
+    from esmarc_ray.ops.graph import bfs_hops
+
+    # chain 0-1-2-3-4 plus a disconnected pair 10-11
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"u": [0, 1, 2, 3, 10], "v": [1, 2, 3, 4, 11]})
+    )
+    got = (
+        bfs_hops(edges, [0], max_hops=3, num_partitions=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(got["node"], got["hop"])) == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    # multi-source + early termination (frontier dries up before max_hops)
+    got2 = bfs_hops(edges, [4, 10], max_hops=8, num_partitions=4).to_pandas()
+    assert dict(zip(got2["node"], got2["hop"])) == {
+        4: 0, 10: 0, 3: 1, 11: 1, 2: 2, 1: 3, 0: 4,
+    }
