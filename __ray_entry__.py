@@ -584,22 +584,11 @@ def q_bfs_hops(sf_dir: str):
     co-purchase graph — distributed frontier BFS, hash-checked against a
     DuckDB RECURSIVE walk."""
     import pandas as pd
-    import ray.data
 
     from esmarc_ray.ops.graph import bfs_hops
-    from esmarc_ray.ops.relational import partitioned_final
 
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
-    ).filter(expr="l_orderkey < 1000")
-
-    def pairs(part: pd.DataFrame) -> pd.DataFrame:
-        m = part.merge(part, on="l_orderkey", suffixes=("_a", "_b"))
-        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
-        return m[["l_partkey_a", "l_partkey_b"]].drop_duplicates()
-
-    edges = partitioned_final(li, ["l_orderkey"], pairs, num_partitions=16)
-    edges = edges.materialize()  # reused: min() scan + BFS rounds
+    # materialized: reused by the min() scan and every BFS round
+    edges = _copurchase_edges(sf_dir).materialize()
     src = edges.min("l_partkey_a")
     out = bfs_hops(
         edges, [src], u="l_partkey_a", v="l_partkey_b", max_hops=3,
@@ -612,6 +601,58 @@ def q_bfs_hops(sf_dir: str):
         )
 
     return out.map_batches(rename, batch_format="pandas")
+
+
+def _copurchase_edges(sf_dir: str, cutoff: int = 1000):
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partitioned_final
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).filter(expr=f"l_orderkey < {cutoff}")
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        m = part.merge(part, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        return m[["l_partkey_a", "l_partkey_b"]].drop_duplicates()
+
+    return partitioned_final(li, ["l_orderkey"], pairs, num_partitions=16)
+
+
+def q_degree_hist(sf_dir: str):
+    from esmarc_ray.ops.graph import degree_histogram
+    from esmarc_ray.ops.relational import partitioned_final
+
+    # _copurchase_edges dedups within an order; a pair bought together in
+    # TWO orders is emitted twice — degree_histogram wants the simple graph,
+    # so dedup globally (hash-partitioned distinct)
+    edges = partitioned_final(
+        _copurchase_edges(sf_dir),
+        ["l_partkey_a", "l_partkey_b"],
+        lambda p: p.drop_duplicates(),
+        num_partitions=16,
+    )
+    return degree_histogram(edges, u="l_partkey_a", v="l_partkey_b")
+
+
+def q_graph_communities(sf_dir: str):
+    """Label-propagation community sizes over the co-purchase graph —
+    deterministic min-tiebreak LPA (rows-only: not SQL-expressible;
+    planted-clique recovery is pytest-gated in tests/test_graph.py)."""
+    import pandas as pd
+
+    from esmarc_ray.ops.graph import label_propagation
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    edges = _copurchase_edges(sf_dir)
+    labels = label_propagation(
+        edges, u="l_partkey_a", v="l_partkey_b", max_rounds=4, num_partitions=8
+    )
+    return partial_groupby_agg(
+        labels, ["community"], {"n_nodes": ("node", "count")}
+    )
 
 
 def q_cohort_retention(sf_dir: str):
@@ -2800,6 +2841,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "new_users_daily": q_new_users_daily,
         "bfs_hops": q_bfs_hops,
+        "degree_hist": q_degree_hist,
+        "graph_communities": q_graph_communities,
         "top_terms": q_top_terms,
         "heavy_terms": q_heavy_terms,
         "cust_order_counts": q_cust_order_counts,
@@ -3599,6 +3642,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM embeddings, q
             ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
             LIMIT 10
+        """,
+        "degree_hist": """
+            WITH p AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey < 1000
+            ),
+            e AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM p a JOIN p b USING (l_orderkey)
+                WHERE a.l_partkey < b.l_partkey
+            ),
+            d AS (
+                SELECT node, count(*) AS degree FROM (
+                    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+                ) GROUP BY 1
+            )
+            SELECT degree, count(*) AS n_nodes FROM d GROUP BY 1
         """,
         "bfs_hops": """
             WITH RECURSIVE p AS (

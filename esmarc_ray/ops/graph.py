@@ -720,3 +720,150 @@ def bfs_hops(
         )
 
     return settled
+
+
+def degree_histogram(
+    edges: ray.data.Dataset,
+    *,
+    u: str = "u",
+    v: str = "v",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Degree distribution (degree, n_nodes) of the undirected simple graph
+    given as distinct edge pairs.
+
+    Combiner-shaped: each batch collapses to per-node endpoint counts, one
+    hash partition per node computes the exact degree AND its partition's
+    per-degree counts (nodes are partition-disjoint, so the local degree
+    histogram is exact), then a tiny per-degree merge — shuffle volume is
+    O(nodes) then O(distinct degrees), never O(edges)."""
+    from esmarc_ray.ops.relational import partitioned_final
+
+    def endpoint_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        s = pd.concat([batch[u], batch[v]], ignore_index=True)
+        return s.value_counts().rename_axis("node").reset_index(name="cnt")
+
+    def per_node(part: pd.DataFrame) -> pd.DataFrame:
+        deg = part.groupby("node", as_index=False)["cnt"].sum()
+        return (
+            deg.groupby("cnt", as_index=False)
+            .size()
+            .rename(columns={"cnt": "degree"})
+        )
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        return (
+            part.groupby("degree", as_index=False)["size"]
+            .sum()
+            .rename(columns={"size": "n_nodes"})
+        )
+
+    staged = edges.map_batches(endpoint_counts, batch_format="pandas")
+    per = partitioned_final(staged, ["node"], per_node, num_partitions)
+    return partitioned_final(per, ["degree"], final, num_partitions=8)
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    *,
+    u: str = "u",
+    v: str = "v",
+    max_rounds: int = 8,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Community detection by synchronous label propagation (LPA): every node
+    starts labeled with itself; each round it adopts the MODE of its
+    neighbors' labels plus its own (self-vote damps the bipartite
+    oscillation synchronous LPA is prone to), ties broken by min label —
+    fully deterministic, unlike classic randomized-order LPA.
+
+    Each round is two co-partitioned exchanges of (node, label) tables:
+    (1) labels meet the edge table partitioned on the source endpoint and
+    fan out one (neighbor, label) vote per edge, (2) votes + own labels
+    partition on the voted node and reduce to the per-node mode.  The tagged
+    edge table is materialized once; convergence is the order-insensitive
+    label checksum (stops early, bounded by ``max_rounds``).
+
+    Returns (node, community).
+    """
+
+    def undirect(batch: pd.DataFrame) -> pd.DataFrame:
+        fwd = batch[[u, v]].rename(columns={u: "s", v: "d"})
+        rev = batch[[v, u]].rename(columns={v: "s", u: "d"})
+        out = pd.concat([fwd, rev], ignore_index=True).drop_duplicates()
+        out = out.astype({"s": str, "d": str})
+        out["label"] = ""
+        out["kind"] = "e"
+        out["part"] = _part_series(out["s"], num_partitions)
+        return out
+
+    edges_tagged = edges.map_batches(undirect, batch_format="pandas").materialize()
+
+    def init_labels(batch: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat([batch[u], batch[v]], ignore_index=True).astype(str)
+        nodes = nodes.drop_duplicates()
+        return pd.DataFrame({"node": nodes, "label": nodes})
+
+    labels = _min_by_node(
+        edges.map_batches(init_labels, batch_format="pandas"), num_partitions
+    ).materialize()
+    prev_sum = _label_checksum(labels)
+
+    for _ in range(max_rounds):
+
+        def tag_labels(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {"s": batch["node"], "d": batch["node"], "label": batch["label"]}
+            )
+            out["kind"] = "l"
+            out["part"] = _part_series(out["s"], num_partitions)
+            return out
+
+        def votes(part: pd.DataFrame) -> pd.DataFrame:
+            lab = part[part["kind"] == "l"][["s", "label"]]
+            ed = part[part["kind"] == "e"][["s", "d"]]
+            self_votes = lab.rename(columns={"s": "node"})  # own label counts too
+            if ed.empty:
+                return self_votes
+            nbr = ed.merge(lab, on="s")[["d", "label"]].rename(columns={"d": "node"})
+            return pd.concat([self_votes, nbr], ignore_index=True)
+
+        def mode_per_node(part: pd.DataFrame) -> pd.DataFrame:
+            cnt = (
+                part.groupby(["node", "label"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+            cnt = cnt.sort_values(["node", "n", "label"], ascending=[True, False, True])
+            top = cnt.drop_duplicates("node", keep="first")
+            return top[["node", "label"]]
+
+        voted = (
+            edges_tagged.union(labels.map_batches(tag_labels, batch_format="pandas"))
+            .groupby("part")
+            .map_groups(votes, batch_format="pandas")
+        )
+
+        def tag_votes(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["part"] = _part_series(batch["node"], num_partitions)
+            return batch
+
+        labels = (
+            voted.map_batches(tag_votes, batch_format="pandas")
+            .groupby("part")
+            .map_groups(
+                lambda part: mode_per_node(part.drop(columns="part")),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        cur = _label_checksum(labels)
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    def rename(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"label": "community"})
+
+    return labels.map_batches(rename, batch_format="pandas")

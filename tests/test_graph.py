@@ -170,3 +170,22 @@ def test_bfs_hops_chain_and_early_stop(ray_session):
     assert dict(zip(got2["node"], got2["hop"])) == {
         4: 0, 10: 0, 3: 1, 11: 1, 2: 2, 1: 3, 0: 4,
     }
+
+
+def test_label_propagation_recovers_planted_cliques(ray_session):
+    from esmarc_ray.ops.graph import label_propagation
+
+    # two 5-cliques bridged by one edge: LPA must keep them separate
+    cliq_a = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    cliq_b = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+    edges = cliq_a + cliq_b + [(4, 10)]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"u": [a for a, _ in edges], "v": [b for _, b in edges]})
+    )
+    got = label_propagation(ds, num_partitions=4).to_pandas()
+    comm = dict(zip(got["node"], got["community"]))
+    assert len(got) == 10
+    a_labels = {comm[str(i)] for i in range(5)}
+    b_labels = {comm[str(i)] for i in range(10, 15)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
