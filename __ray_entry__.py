@@ -655,6 +655,74 @@ def q_graph_communities(sf_dir: str):
     )
 
 
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3-shaped 3-table join chain, every step distributed: row-group
+    pruning pushed into all three reads, orders semi-joined to BUILDING
+    customers (hash-partitioned, key side never on the driver), lineitem
+    revenue pre-aggregated per order BEFORE the equi-join shuffle."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from esmarc_ray.ops.relational import (
+        _round_half_up,
+        partial_groupby_agg,
+        partitioned_join,
+        partitioned_semi_join,
+    )
+
+    pivot = datetime.datetime(1997, 6, 30)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") < pivot,
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > pivot,
+    )
+
+    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["rev"] = batch["l_extendedprice"] * (1.0 - batch["l_discount"])
+        out = batch.groupby("l_orderkey", as_index=False)["rev"].sum()
+        return out.rename(columns={"l_orderkey": "o_orderkey"})
+
+    li_rev = lineitem.map_batches(li_partial, batch_format="pandas")
+    orders_bld = partitioned_semi_join(
+        orders, cust, on="o_custkey", key_column="c_custkey", num_partitions=32
+    )
+    joined = partitioned_join(
+        li_rev,
+        orders_bld,
+        on="o_orderkey",
+        left_cols=["rev"],
+        right_cols=["o_orderdate"],
+        num_partitions=32,
+    )
+    agg = partial_groupby_agg(
+        joined, ["o_orderkey", "o_orderdate"], {"revenue": ("rev", "sum")}
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "orderdate": batch["o_orderdate"].dt.strftime("%Y-%m-%d"),
+                "revenue": _round_half_up(batch["revenue"], 2),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
 def q_cohort_retention(sf_dir: str):
     import ray.data
 
@@ -2842,6 +2910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_users_daily": q_new_users_daily,
         "bfs_hops": q_bfs_hops,
         "degree_hist": q_degree_hist,
+        "tpch_q3": q_tpch_q3,
         "graph_communities": q_graph_communities,
         "top_terms": q_top_terms,
         "heavy_terms": q_heavy_terms,
@@ -3642,6 +3711,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM embeddings, q
             ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
             LIMIT 10
+        """,
+        "tpch_q3": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-06-30'
+              AND l_shipdate > TIMESTAMP '1997-06-30'
+            GROUP BY 1, 2
         """,
         "degree_hist": """
             WITH p AS (
