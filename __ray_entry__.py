@@ -655,6 +655,17 @@ def q_graph_communities(sf_dir: str):
     )
 
 
+def q_temperature_mix(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import temperature_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return temperature_sample(docs, "lang", "doc_id", alpha=0.5)
+
+
 def q_tpch_q3(sf_dir: str):
     """TPC-H Q3-shaped 3-table join chain, every step distributed: row-group
     pruning pushed into all three reads, orders semi-joined to BUILDING
@@ -2911,6 +2922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": q_bfs_hops,
         "degree_hist": q_degree_hist,
         "tpch_q3": q_tpch_q3,
+        "temperature_mix": q_temperature_mix,
         "graph_communities": q_graph_communities,
         "top_terms": q_top_terms,
         "heavy_terms": q_heavy_terms,
@@ -3711,6 +3723,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM embeddings, q
             ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
             LIMIT 10
+        """,
+        "temperature_mix": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+            r AS (
+                SELECT lang,
+                       pow((SELECT min(n) FROM c) * 1.0 / n, 0.5) AS rate
+                FROM c
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN r USING (lang)
+            WHERE (((d.doc_id * 2654435761) % 4294967296) / 4294967296.0)
+                  < r.rate
         """,
         "tpch_q3": """
             SELECT o_orderkey,

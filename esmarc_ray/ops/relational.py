@@ -2962,3 +2962,44 @@ def new_users_daily(
     return daily.repartition(1).map_batches(
         cumulate, batch_format="pandas", batch_size=None
     )
+
+
+def temperature_sample(
+    ds: ray.data.Dataset,
+    group_column: str,
+    id_column: str,
+    *,
+    alpha: float = 0.5,
+) -> ray.data.Dataset:
+    """Temperature-balanced group mixing — the alpha-sampling used to
+    rebalance multilingual / multi-source LLM corpora: per-group keep-rate
+    ``r_g = (n_min / n_g)^(1-alpha)`` makes sampled counts proportional to
+    ``n_g^alpha`` (alpha=1 keeps everything, alpha→0 equalizes groups; the
+    smallest group is always kept whole).
+
+    Deterministic and engine-reproducible: a row is kept iff its Knuth
+    multiplicative hash ``u(id) = (id*2654435761 mod 2^32)/2^32`` falls under
+    its group's rate — the same arithmetic a SQL oracle can run (unlike
+    random_sample).  Two passes: a combiner group-count (rows = distinct
+    groups, tiny by construction), rates broadcast into a stateless filter
+    map — the corpus itself never shuffles."""
+    import numpy as np
+
+    counts = partial_groupby_agg(
+        ds, [group_column], {"__n": (id_column, "count")}
+    ).to_pandas()
+    n_min = float(counts["__n"].min())
+    rates = {
+        g: (n_min / float(n)) ** (1.0 - alpha)
+        for g, n in zip(counts[group_column], counts["__n"])
+    }
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            batch[id_column].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(2**32)
+        u = h.astype(np.float64) / float(2**32)
+        r = batch[group_column].map(rates).to_numpy(dtype=np.float64)
+        return batch[u < r]
+
+    return ds.map_batches(keep, batch_format="pandas")
