@@ -655,6 +655,21 @@ def q_graph_communities(sf_dir: str):
     )
 
 
+def q_orders_winsorized(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import grouped_winsorize
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    out = grouped_winsorize(
+        orders, "o_orderpriority", "o_totalprice", p_lo=0.05, p_hi=0.95
+    )
+    return out.select_columns(["o_orderkey", "winsorized"])
+
+
 def q_temperature_mix(sf_dir: str):
     import ray.data
 
@@ -2923,6 +2938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_hist": q_degree_hist,
         "tpch_q3": q_tpch_q3,
         "temperature_mix": q_temperature_mix,
+        "orders_winsorized": q_orders_winsorized,
         "graph_communities": q_graph_communities,
         "top_terms": q_top_terms,
         "heavy_terms": q_heavy_terms,
@@ -3723,6 +3739,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM embeddings, q
             ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
             LIMIT 10
+        """,
+        "orders_winsorized": """
+            WITH b AS (
+                SELECT o_orderpriority,
+                       quantile_cont(o_totalprice, 0.05) AS lo,
+                       quantile_cont(o_totalprice, 0.95) AS hi
+                FROM orders GROUP BY 1
+            )
+            SELECT o_orderkey,
+                   round(least(greatest(o_totalprice, lo), hi), 2) AS winsorized
+            FROM orders JOIN b USING (o_orderpriority)
         """,
         "temperature_mix": """
             WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),

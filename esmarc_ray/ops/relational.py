@@ -3003,3 +3003,63 @@ def temperature_sample(
         return batch[u < r]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def grouped_winsorize(
+    ds: ray.data.Dataset,
+    group_column: str,
+    value_column: str,
+    *,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    out_name: str = "winsorized",
+    round_to: int | None = 2,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-group winsorization: every value clipped to its group's
+    [p_lo, p_hi] ``percentile_cont`` bounds — the standard outlier-taming
+    transform before training on heavy-tailed features.
+
+    ONE exact-quantile shuffle computes BOTH bounds (per-partition sort +
+    vectorized positional gather over contiguous group runs, the
+    :func:`grouped_quantile` kernel run for two q's in the same pass); the
+    per-group bound table is tiny by construction (rows = distinct groups)
+    and broadcasts into a stateless clip map, so the corpus itself shuffles
+    once and only the (group, value) projection moves."""
+    import numpy as np
+
+    def bounds_per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([group_column, value_column])
+        vals = part[value_column].to_numpy(dtype="float64")
+        grouped = part.groupby(group_column, sort=False)
+        sizes = grouped.size().to_numpy()
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        out = {group_column: grouped.size().index.to_numpy()}
+        for q, name in ((p_lo, "__lo"), (p_hi, "__hi")):
+            pos = q * (sizes - 1)
+            idx = np.floor(pos).astype(np.int64)
+            frac = pos - idx
+            v_lo = vals[starts + idx]
+            v_hi = vals[starts + np.minimum(idx + 1, sizes - 1)]
+            out[name] = v_lo * (1.0 - frac) + v_hi * frac
+        return pd.DataFrame(out)
+
+    bounds = partitioned_final(
+        ds.select_columns([group_column, value_column]),
+        [group_column],
+        bounds_per_partition,
+        num_partitions,
+    ).to_pandas()
+    lo_map = dict(zip(bounds[group_column], bounds["__lo"]))
+    hi_map = dict(zip(bounds[group_column], bounds["__hi"]))
+
+    def clip(batch: pd.DataFrame) -> pd.DataFrame:
+        lo_v = batch[group_column].map(lo_map).to_numpy(dtype="float64")
+        hi_v = batch[group_column].map(hi_map).to_numpy(dtype="float64")
+        clipped = np.clip(batch[value_column].to_numpy(dtype="float64"), lo_v, hi_v)
+        batch[out_name] = (
+            _round_half_up(clipped, round_to) if round_to is not None else clipped
+        )
+        return batch
+
+    return ds.map_batches(clip, batch_format="pandas")
