@@ -749,6 +749,41 @@ def q_tpch_q3(sf_dir: str):
     return agg.map_batches(fmt, batch_format="pandas")
 
 
+def q_sssp_dist(sf_dir: str):
+    """Weighted shortest-path distances (<=4 hops) from the smallest part in
+    the co-purchase graph, edge weight 1/shared-order-count — distributed
+    Bellman-Ford, hash-checked against a DuckDB RECURSIVE weighted walk."""
+    import pandas as pd
+
+    from esmarc_ray.ops.graph import sssp
+    from esmarc_ray.ops.relational import _round_half_up, partial_groupby_agg
+
+    pairs = partial_groupby_agg(
+        _copurchase_edges(sf_dir),
+        ["l_partkey_a", "l_partkey_b"],
+        {"cnt": ("l_partkey_a", "count")},
+    )
+
+    def weigh(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["w"] = 1.0 / batch["cnt"]
+        return batch[["l_partkey_a", "l_partkey_b", "w"]]
+
+    # materialized: reused by the min() scan and every Bellman-Ford round
+    wedges = pairs.map_batches(weigh, batch_format="pandas").materialize()
+    src = wedges.min("l_partkey_a")
+    out = sssp(
+        wedges, [src], u="l_partkey_a", v="l_partkey_b", weight="w",
+        max_rounds=4, num_partitions=16,
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": batch["node"], "dist": _round_half_up(batch["dist"], 6)}
+        )
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
 def q_cohort_retention(sf_dir: str):
     import ray.data
 
@@ -2938,6 +2973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_hist": q_degree_hist,
         "tpch_q3": q_tpch_q3,
         "temperature_mix": q_temperature_mix,
+        "sssp_dist": q_sssp_dist,
         "orders_winsorized": q_orders_winsorized,
         "graph_communities": q_graph_communities,
         "top_terms": q_top_terms,
@@ -3739,6 +3775,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM embeddings, q
             ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
             LIMIT 10
+        """,
+        "sssp_dist": """
+            WITH RECURSIVE p AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey < 1000
+            ),
+            pr AS (
+                SELECT a.l_partkey AS ua, b.l_partkey AS vb, count(*) AS cnt
+                FROM p a JOIN p b USING (l_orderkey)
+                WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2
+            ),
+            e0 AS (
+                SELECT ua AS u, vb AS v, 1.0::DOUBLE / cnt AS w FROM pr
+                UNION ALL
+                SELECT vb, ua, 1.0::DOUBLE / cnt FROM pr
+            ),
+            s AS (SELECT min(u) AS src FROM e0),
+            walk(node, dist, hop) AS (
+                SELECT src, 0.0::DOUBLE, 0 FROM s
+                UNION ALL
+                SELECT e0.v, walk.dist + e0.w, walk.hop + 1 FROM walk
+                JOIN e0 ON e0.u = walk.node
+                WHERE walk.hop < 4
+            )
+            SELECT node, round(min(dist), 6) AS dist FROM walk GROUP BY 1
         """,
         "orders_winsorized": """
             WITH b AS (

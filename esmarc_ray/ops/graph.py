@@ -867,3 +867,124 @@ def label_propagation(
         return batch.rename(columns={"label": "community"})
 
     return labels.map_batches(rename, batch_format="pandas")
+
+
+def sssp(
+    edges: ray.data.Dataset,
+    sources: list,
+    *,
+    u: str = "u",
+    v: str = "v",
+    weight: str = "w",
+    max_rounds: int = 4,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Multi-source shortest WEIGHTED paths (non-negative weights) over the
+    undirected edge list: distributed Bellman-Ford with frontier pruning.
+    After round r the settled table holds the exact minimum over all paths
+    of ≤ r edges (the Bellman-Ford invariant), so ``max_rounds`` is a hop
+    bound — exact shortest paths when it reaches the weighted-path hop depth;
+    terminates early once a round improves nothing.
+
+    Each round is two co-partitioned exchanges of (node, dist) tables:
+    (1) the improved-last-round frontier meets the edge table partitioned on
+    the source endpoint and relaxes each incident edge (candidate = dist+w,
+    locally min-reduced per neighbor before the shuffle), (2) candidates meet
+    the settled table partitioned on node and keep the per-node min, flagging
+    improvements as the next frontier.  The tagged edge table materializes
+    once; settled materializes per round so no lineage re-executes.
+
+    Returns (node, dist) for every node within ``max_rounds`` hops of a
+    source.
+    """
+
+    def undirect(batch: pd.DataFrame) -> pd.DataFrame:
+        fwd = batch[[u, v, weight]].rename(columns={u: "s", v: "d", weight: "w"})
+        rev = batch[[v, u, weight]].rename(columns={v: "s", u: "d", weight: "w"})
+        out = pd.concat([fwd, rev], ignore_index=True).drop_duplicates()
+        out["kind"] = "e"
+        out["part"] = _part_series(out["s"], num_partitions)
+        return out
+
+    edges_tagged = edges.map_batches(undirect, batch_format="pandas").materialize()
+
+    settled = ray.data.from_pandas(
+        pd.DataFrame(
+            {"node": pd.Series(sources), "dist": 0.0, "improved": True}
+        )
+    ).materialize()
+
+    for _ in range(max_rounds):
+        frontier = settled.filter(expr="improved == True")
+        if frontier.count() == 0:
+            break
+
+        def tag_frontier(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {"s": batch["node"], "d": batch["node"], "w": batch["dist"]}
+            )
+            out["kind"] = "f"
+            out["part"] = _part_series(out["s"], num_partitions)
+            return out
+
+        def relax(part: pd.DataFrame) -> pd.DataFrame:
+            fr = part[part["kind"] == "f"][["s", "w"]].rename(columns={"w": "dist"})
+            ed = part[part["kind"] == "e"][["s", "d", "w"]]
+            if fr.empty or ed.empty:
+                base = ed["d"] if not ed.empty else fr["s"]
+                return pd.DataFrame(
+                    {"node": base.head(0), "cand": pd.Series(dtype="float64")}
+                )
+            hit = ed.merge(fr, on="s")
+            hit["cand"] = hit["dist"] + hit["w"]
+            out = hit.groupby("d", as_index=False)["cand"].min()
+            return out.rename(columns={"d": "node"})
+
+        candidates = (
+            edges_tagged.union(
+                frontier.map_batches(tag_frontier, batch_format="pandas")
+            )
+            .groupby("part")
+            .map_groups(relax, batch_format="pandas")
+        )
+
+        def tag_cand(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.rename(columns={"cand": "dist"})
+            out["kind"] = "c"
+            out["part"] = _part_series(out["node"], num_partitions)
+            return out
+
+        def tag_settled(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["node", "dist"]].copy()
+            out["kind"] = "s"
+            out["part"] = _part_series(out["node"], num_partitions)
+            return out
+
+        def resolve(part: pd.DataFrame) -> pd.DataFrame:
+            old = part[part["kind"] == "s"][["node", "dist"]]
+            cand = (
+                part[part["kind"] == "c"]
+                .groupby("node", as_index=False)["dist"]
+                .min()
+            )
+            merged = old.merge(cand, on="node", how="outer", suffixes=("_o", "_c"))
+            best = merged[["dist_o", "dist_c"]].min(axis=1)
+            improved = merged["dist_o"].isna() | (
+                merged["dist_c"].notna() & (merged["dist_c"] < merged["dist_o"])
+            )
+            return pd.DataFrame(
+                {"node": merged["node"], "dist": best, "improved": improved}
+            )
+
+        settled = (
+            candidates.map_batches(tag_cand, batch_format="pandas")
+            .union(settled.map_batches(tag_settled, batch_format="pandas"))
+            .groupby("part")
+            .map_groups(resolve, batch_format="pandas")
+            .materialize()
+        )
+
+    def drop_flag(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["node", "dist"]]
+
+    return settled.map_batches(drop_flag, batch_format="pandas")

@@ -189,3 +189,21 @@ def test_label_propagation_recovers_planted_cliques(ray_session):
     b_labels = {comm[str(i)] for i in range(10, 15)}
     assert len(a_labels) == 1 and len(b_labels) == 1
     assert a_labels != b_labels
+
+
+def test_sssp_prefers_cheap_multi_hop_path(ray_session):
+    from esmarc_ray.ops.graph import sssp
+
+    # direct edge 0-3 costs 10; the 0-1-2-3 detour costs 3
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "u": [0, 0, 1, 2],
+                "v": [3, 1, 2, 3],
+                "w": [10.0, 1.0, 1.0, 1.0],
+            }
+        )
+    )
+    got = sssp(edges, [0], max_rounds=4, num_partitions=4).to_pandas()
+    dist = dict(zip(got["node"], got["dist"]))
+    assert dist == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0}
