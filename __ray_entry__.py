@@ -815,6 +815,20 @@ def q_knn_graph(sf_dir: str):
     return knn_graph(ds, k=5)
 
 
+def q_pca_proj(sf_dir: str):
+    """Top-4 PCA projection of the embedding table — covariance via one
+    moment-combiner pass, eigh on the driver's d×d matrix, broadcast
+    projection (rows-only: eigendecomposition is not SQL-expressible;
+    numpy-parity pytest in tests/test_ops.py)."""
+    import ray.data
+
+    from esmarc_ray.ops.similarity import pca_components, pca_transform
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    comps, _, mean = pca_components(ds, n_components=4)
+    return pca_transform(ds, comps, mean)
+
+
 def q_approx_median_price(sf_dir: str):
     import ray.data
 
@@ -3011,6 +3025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ids_per_lang": q_ids_per_lang,
         # rows-only (heuristic / sketch / stub ops)
         "approx_median_price": q_approx_median_price,
+        "pca_proj": q_pca_proj,
         "ivf_topk": q_ivf_topk,
         "minhash_dups": q_minhash_dups,
         "jaccard_dups": q_jaccard_dups,

@@ -433,3 +433,78 @@ def kmeans(
         return batch
 
     return embeddings.map_batches(label, batch_format="pandas"), centroids, inertia
+
+
+def pca_components(
+    embeddings: ray.data.Dataset,
+    n_components: int = 4,
+    *,
+    vector_column: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed PCA: returns (components [k×d], explained_variance [k],
+    mean [d]) of the embedding column.
+
+    Combiner-shaped like :func:`embedding_dim_stats`: each batch reduces to
+    ONE (n, sum-vector, sum-outer-product) moment partial — d² + d + 1
+    floats per batch, never rows — folded on the driver into the d×d
+    covariance whose eigendecomposition is O(d³) driver work (d = embedding
+    width, thousands at most; the corpus itself streams once and never
+    shuffles).  Eigenvector sign is fixed deterministically (largest-|coef|
+    entry positive) so results are reproducible across runs and engines.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch[vector_column].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "n": [float(mat.shape[0])],
+                "s": [mat.sum(axis=0).tobytes()],
+                "ss": [(mat.T @ mat).tobytes()],
+                "d": [mat.shape[1]],
+            }
+        )
+
+    n_total, s_acc, ss_acc, dim = 0.0, None, None, None
+    for row in embeddings.map_batches(partial, batch_format="pandas").iter_rows():
+        dim = int(row["d"])
+        s = np.frombuffer(row["s"], dtype=np.float64)
+        ss = np.frombuffer(row["ss"], dtype=np.float64).reshape(dim, dim)
+        n_total += row["n"]
+        s_acc = s if s_acc is None else s_acc + s
+        ss_acc = ss if ss_acc is None else ss_acc + ss
+    mean = s_acc / n_total
+    cov = ss_acc / n_total - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:n_components]
+    comps = eigvecs[:, order].T  # (k, d)
+    # deterministic sign: largest-|coef| entry of each component positive
+    flips = np.sign(comps[np.arange(len(order)), np.abs(comps).argmax(axis=1)])
+    comps = comps * flips[:, None]
+    return comps, eigvals[order], mean
+
+
+def pca_transform(
+    embeddings: ray.data.Dataset,
+    components: np.ndarray,
+    mean: np.ndarray,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    round_to: int | None = 6,
+) -> ray.data.Dataset:
+    """Project each embedding onto PCA components (broadcast k×d matrix,
+    one matmul per batch): returns (id_column, pc0..pc{k-1})."""
+    comps = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch[vector_column].to_numpy()).astype(np.float64)
+        proj = (mat - mu) @ comps.T
+        if round_to is not None:
+            proj = np.floor(proj * 10**round_to + 0.5) / 10**round_to
+        out = {id_column: batch[id_column].to_numpy()}
+        for i in range(comps.shape[0]):
+            out[f"pc{i}"] = proj[:, i]
+        return pd.DataFrame(out)
+
+    return embeddings.map_batches(project, batch_format="pandas")

@@ -2484,3 +2484,35 @@ def test_jaccard_dup_clusters_transitive(ray_session):
     )
     assert clusters[5] == clusters[7] == clusters[9] == 5
     assert 11 not in clusters  # isolated docs never enter the pair graph
+
+
+def test_pca_matches_numpy(ray_session):
+    rng = np.random.default_rng(3)
+    # anisotropic cloud: variance concentrated along a known direction
+    base = rng.normal(size=(200, 6))
+    base[:, 0] *= 5.0
+    base[:, 1] *= 2.0
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(200), "embedding": list(base)})
+    )
+    comps, evs, mean = similarity.pca_components(ds, n_components=3)
+    # numpy reference
+    centered = base - base.mean(axis=0)
+    cov = centered.T @ centered / len(base)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:3]
+    ref = v[:, order].T
+    flips = np.sign(ref[np.arange(3), np.abs(ref).argmax(axis=1)])
+    ref = ref * flips[:, None]
+    assert np.allclose(mean, base.mean(axis=0), atol=1e-9)
+    assert np.allclose(np.abs(evs), np.sort(w)[::-1][:3], atol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-8)
+    proj = (
+        similarity.pca_transform(ds, comps, mean)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = (centered @ ref.T)
+    got = proj[["pc0", "pc1", "pc2"]].to_numpy()
+    assert np.allclose(got, np.floor(want * 1e6 + 0.5) / 1e6, atol=1e-9)
