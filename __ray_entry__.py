@@ -815,6 +815,17 @@ def q_knn_graph(sf_dir: str):
     return knn_graph(ds, k=5)
 
 
+def q_embedding_quantize(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.similarity import quantize_embeddings
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return quantize_embeddings(ds)
+
+
 def q_pca_proj(sf_dir: str):
     """Top-4 PCA projection of the embedding table — covariance via one
     moment-combiner pass, eigh on the driver's d×d matrix, broadcast
@@ -2988,6 +2999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": q_tpch_q3,
         "temperature_mix": q_temperature_mix,
         "sssp_dist": q_sssp_dist,
+        "embedding_quantize": q_embedding_quantize,
         "orders_winsorized": q_orders_winsorized,
         "graph_communities": q_graph_communities,
         "top_terms": q_top_terms,
@@ -3790,6 +3802,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM embeddings, q
             ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
             LIMIT 10
+        """,
+        "embedding_quantize": """
+            WITH m AS (
+                SELECT vec_id,
+                       list_max(list_transform(embedding, x -> abs(x))) AS mx
+                FROM embeddings
+            )
+            SELECT e.vec_id,
+                   unnest(range(0, len(e.embedding))) AS pos,
+                   CASE WHEN m.mx = 0 THEN 0
+                        ELSE CAST(trunc(127.0 * CAST(unnest(e.embedding) AS DOUBLE)
+                                        / CAST(m.mx AS DOUBLE)) AS BIGINT)
+                   END AS q
+            FROM embeddings e JOIN m USING (vec_id)
         """,
         "sssp_dist": """
             WITH RECURSIVE p AS (
