@@ -1472,6 +1472,42 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(docs, "hash join merge", k=10)
 
 
+def q_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 top-20
+    (terms 'hash join merge') and the cosine top-20 for vec 0 — both rank
+    lists distributed (combiner BM25 stats; per-batch local top-k), fusion
+    over the two 20-row lists on the driver.  The oracle re-derives both
+    rankings AND the fused scores independently."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.similarity import brute_force_topk
+    from esmarc_ray.ops.text import bm25_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bm = bm25_topk(docs, "hash join merge", k=20).to_pandas()
+    bm["r_bm"] = np.arange(1, len(bm) + 1)
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = np.array(emb.filter(expr="vec_id == 0").take(1)[0]["embedding"])[None, :]
+    ann = brute_force_topk(emb, q0, k=20)
+    ann["r_ann"] = np.arange(1, len(ann) + 1)
+    ann = ann.rename(columns={"vec_id": "doc_id"})
+
+    fused = bm[["doc_id", "r_bm"]].merge(
+        ann[["doc_id", "r_ann"]], on="doc_id", how="outer"
+    )
+    rrf = (1.0 / (60.0 + fused["r_bm"])).fillna(0.0) + (
+        1.0 / (60.0 + fused["r_ann"])
+    ).fillna(0.0)
+    fused["rrf"] = np.floor(rrf * 1e6 + 0.5) / 1e6
+    out = fused.sort_values(["rrf", "doc_id"], ascending=[False, True]).head(10)
+    return out[["doc_id", "rrf"]].reset_index(drop=True)
+
+
 def q_quality(sf_dir: str):
     import ray.data
 
@@ -3015,6 +3051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
+        "hybrid_rrf": q_hybrid_rrf,
         "event_transitions": q_event_transitions,
         "k_anonymous_orders": q_k_anonymous_orders,
         "watermark_late": q_watermark_late,
@@ -4413,6 +4450,74 @@ def oracle_sql() -> dict[str, str]:
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
         # path, ordering on the ROUNDED score with doc_id ties
+        "hybrid_rrf": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ),
+            stats AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum(len(ws))::DOUBLE / count(*)::DOUBLE AS avgdl
+              FROM w
+            ),
+            qt(term) AS (VALUES ('hash'), ('join'), ('merge')),
+            dfreq AS (
+              SELECT qt.term,
+                     (SELECT count(*) FROM w
+                      WHERE list_contains(w.ws, qt.term))::DOUBLE AS df
+              FROM qt
+            ),
+            idf AS (
+              SELECT term,
+                     ln((stats.n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+              FROM dfreq, stats
+            ),
+            tok AS (
+              SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM w
+            ),
+            tf AS (
+              SELECT doc_id, t AS term, count(*) AS tf, any_value(dl) AS dl
+              FROM tok JOIN qt ON qt.term = tok.t
+              GROUP BY doc_id, t
+            ),
+            contrib AS (
+              SELECT tf.doc_id,
+                     idf.idf * (tf.tf * (1.2 + 1.0)
+                                / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                   + 0.75 * tf.dl / stats.avgdl))) AS c
+              FROM tf JOIN idf USING (term), stats
+            ),
+            scored AS (
+              SELECT w.doc_id,
+                     round(coalesce(s.sc, 0.0), 6) AS bm25_score
+              FROM w LEFT JOIN (SELECT doc_id, sum(c) AS sc
+                                FROM contrib GROUP BY doc_id) s
+                USING (doc_id)
+            ),
+            bmr AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                         ORDER BY bm25_score DESC, doc_id) AS r
+              FROM scored QUALIFY r <= 20
+            ),
+            cosr AS (
+              SELECT vec_id AS doc_id,
+                     row_number() OVER (
+                         ORDER BY list_cosine_similarity(
+                             embedding,
+                             (SELECT embedding FROM embeddings
+                              ORDER BY vec_id LIMIT 1)) DESC, vec_id) AS r
+              FROM embeddings QUALIFY r <= 20
+            )
+            SELECT doc_id,
+                   round(coalesce(1.0::DOUBLE / (60 + b.r), 0)
+                         + coalesce(1.0::DOUBLE / (60 + c.r), 0), 6) AS rrf
+            FROM bmr b FULL JOIN cosr c USING (doc_id)
+            ORDER BY rrf DESC, doc_id LIMIT 10
+        """,
         "bm25_topk": r"""
             WITH w AS (
               SELECT doc_id,
