@@ -1472,6 +1472,17 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(docs, "hash join merge", k=10)
 
 
+def q_conversion_lag(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import conversion_lag
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return conversion_lag(events, "click", "purchase", bucket_hours=24)
+
+
 def q_hybrid_rrf(sf_dir: str):
     """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 top-20
     (terms 'hash join merge') and the cosine top-20 for vec 0 — both rank
@@ -3052,6 +3063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
+        "conversion_lag": q_conversion_lag,
         "event_transitions": q_event_transitions,
         "k_anonymous_orders": q_k_anonymous_orders,
         "watermark_late": q_watermark_late,
@@ -4450,6 +4462,24 @@ def oracle_sql() -> dict[str, str]:
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
         # path, ordering on the ROUNDED score with doc_id ties
+        "conversion_lag": """
+            WITH f AS (
+                SELECT user_id, event_type, min(ts) AS first_ts
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                GROUP BY 1, 2
+            ),
+            lag AS (
+                SELECT c.user_id,
+                       date_diff('second', c.first_ts, p.first_ts) AS lag_s
+                FROM f c JOIN f p USING (user_id)
+                WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+                  AND p.first_ts >= c.first_ts
+            )
+            SELECT CAST(floor(lag_s / (24 * 3600.0)) AS BIGINT) AS lag_bucket,
+                   count(*) AS n_users
+            FROM lag GROUP BY 1
+        """,
         "hybrid_rrf": r"""
             WITH w AS (
               SELECT doc_id,

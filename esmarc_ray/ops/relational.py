@@ -3063,3 +3063,62 @@ def grouped_winsorize(
         return batch
 
     return ds.map_batches(clip, batch_format="pandas")
+
+
+def conversion_lag(
+    events: ray.data.Dataset,
+    from_type: str,
+    to_type: str,
+    *,
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    type_column: str = "event_type",
+    bucket_hours: int = 24,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Conversion-lag histogram: for every user whose FIRST ``from_type``
+    event precedes their FIRST ``to_type`` event, the lag bucketed into
+    ``bucket_hours`` bins — (lag_bucket, n_users), the time-to-convert
+    distribution behind funnel analyses.
+
+    Combiner-shaped: per-batch min-ts per (user, step) — two rows per user
+    per batch at most — hash-partitioned by user for the exact first-seen
+    pair and its lag, then a tiny per-bucket count merge."""
+
+    def batch_min(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch[type_column].isin([from_type, to_type])]
+        return (
+            pd.DataFrame(
+                {
+                    user_column: sub[user_column],
+                    "__step": sub[type_column],
+                    "__ts": sub[ts_column],
+                }
+            )
+            .groupby([user_column, "__step"], as_index=False)["__ts"]
+            .min()
+        )
+
+    def per_user(part: pd.DataFrame) -> pd.DataFrame:
+        first = part.groupby([user_column, "__step"], as_index=False)["__ts"].min()
+        wide = first.pivot(index=user_column, columns="__step", values="__ts")
+        if from_type not in wide.columns or to_type not in wide.columns:
+            return pd.DataFrame({"lag_bucket": pd.Series(dtype="int64")}).assign(size=0).iloc[0:0]
+        wide = wide.dropna(subset=[from_type, to_type])
+        lag_s = (wide[to_type] - wide[from_type]).dt.total_seconds()
+        lag_s = lag_s[lag_s >= 0]
+        bucket = (lag_s // (bucket_hours * 3600.0)).astype("int64")
+        return bucket.rename("lag_bucket").to_frame().groupby(
+            "lag_bucket", as_index=False
+        ).size()
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        return (
+            part.groupby("lag_bucket", as_index=False)["size"]
+            .sum()
+            .rename(columns={"size": "n_users"})
+        )
+
+    staged = events.map_batches(batch_min, batch_format="pandas")
+    per = partitioned_final(staged, [user_column], per_user, num_partitions)
+    return partitioned_final(per, ["lag_bucket"], final, num_partitions=8)
