@@ -1472,6 +1472,43 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(docs, "hash join merge", k=10)
 
 
+def q_split_leakage(sf_dir: str):
+    """Split-contamination audit: exact-Jaccard near-dup pairs (>=0.95)
+    bucketed by the train/val/test assignment of each endpoint — off-diagonal
+    cells are leakage (near-identical documents landing in different splits).
+    Composition: the distributed token-partitioned pair join feeds a
+    stateless split-tag map and a combiner count."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.dedup import jaccard_pairs
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = jaccard_pairs(docs, threshold=0.95)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {}
+        for side in ("a", "b"):
+            h = (
+                batch[f"doc_{side}"].to_numpy().astype(np.uint64)
+                * np.uint64(2654435761)
+            ) % np.uint64(2**32)
+            b = (h % np.uint64(100)).astype(np.int64)
+            out[f"split_{side}"] = np.where(
+                b < 90, "train", np.where(b < 95, "val", "test")
+            )
+        return pd.DataFrame(out)
+
+    tagged = pairs.map_batches(tag, batch_format="pandas")
+    return partial_groupby_agg(
+        tagged, ["split_a", "split_b"], {"n_pairs": ("split_a", "count")}
+    )
+
+
 def q_conversion_lag(sf_dir: str):
     import ray.data
 
@@ -3064,6 +3101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
         "conversion_lag": q_conversion_lag,
+        "split_leakage": q_split_leakage,
         "event_transitions": q_event_transitions,
         "k_anonymous_orders": q_k_anonymous_orders,
         "watermark_late": q_watermark_late,
@@ -4462,6 +4500,43 @@ def oracle_sql() -> dict[str, str]:
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
         # path, ordering on the ROUNDED score with doc_id ties
+        "split_leakage": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(string_split(
+                               regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                               ' ')) AS tok
+                    FROM documents
+                ) WHERE tok <> ''
+            ), sz AS (
+                SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sz sa ON sa.doc_id = inter.doc_a
+                JOIN sz sb ON sb.doc_id = inter.doc_b
+                WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.95
+            ), lbl AS (
+                SELECT doc_a, doc_b,
+                       CASE WHEN ((doc_a * 2654435761) % 4294967296) % 100 < 90
+                                THEN 'train'
+                            WHEN ((doc_a * 2654435761) % 4294967296) % 100 < 95
+                                THEN 'val'
+                            ELSE 'test' END AS split_a,
+                       CASE WHEN ((doc_b * 2654435761) % 4294967296) % 100 < 90
+                                THEN 'train'
+                            WHEN ((doc_b * 2654435761) % 4294967296) % 100 < 95
+                                THEN 'val'
+                            ELSE 'test' END AS split_b
+                FROM pairs
+            )
+            SELECT split_a, split_b, count(*) AS n_pairs
+            FROM lbl GROUP BY 1, 2
+        """,
         "conversion_lag": """
             WITH f AS (
                 SELECT user_id, event_type, min(ts) AS first_ts
