@@ -131,6 +131,61 @@ def q_kg_pred_counts(sf_dir: str):
     return out.sort_values("pred").reset_index(drop=True)
 
 
+def q_kg_pred_coverage(sf_dir: str):
+    """Predicate-coverage matrix of the KG output: for every (entity_class,
+    pred), the fraction of the class's documents that carry the predicate —
+    the completeness dashboard a KG consumer reads next to the typing gate.
+    Distinct (class, pred, doc) resolution is hash-partitioned; class totals
+    come from the same mirrored table the DuckDB oracle re-derives from."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partitioned_final
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["entity_class", "pred", "doc_id"]
+    )
+    path = _kg_oracle_table(sf_dir, "coverage_src", triples)
+    src = ray.data.read_parquet(path)
+
+    def local_dedup(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates()
+
+    # distinct (class, pred, doc) with docs co-partitioned, so both the
+    # per-(class,pred) doc counts and per-class totals are partition-exact
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates()
+        n = part.groupby(["entity_class", "pred"], as_index=False)["doc_id"].nunique()
+        n = n.rename(columns={"doc_id": "n"})
+        t = part.groupby("entity_class", as_index=False)["doc_id"].nunique()
+        t = t.rename(columns={"doc_id": "n"})
+        t["pred"] = "\x1f__total__"  # sentinel: per-class distinct-doc total
+        return pd.concat([n, t[["entity_class", "pred", "n"]]], ignore_index=True)
+
+    per_pred = partitioned_final(
+        src.map_batches(local_dedup, batch_format="pandas"),
+        ["doc_id"],
+        per_part,
+        num_partitions=32,
+    )
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(["entity_class", "pred"], as_index=False)["n"].sum()
+
+    counts = partitioned_final(
+        per_pred, ["entity_class", "pred"], merge, num_partitions=8
+    ).to_pandas()
+    sentinel = counts["pred"] == "\x1f__total__"
+    totals = counts[sentinel][["entity_class", "n"]].rename(columns={"n": "total"})
+    out = counts[~sentinel].merge(totals, on="entity_class")
+    out["coverage"] = np.floor(out["n"] / out["total"] * 1e6 + 0.5) / 1e6
+    return out[["entity_class", "pred", "coverage"]].sort_values(
+        ["entity_class", "pred"]
+    ).reset_index(drop=True)
+
+
 def _kg_canonical_with_mirror(sf_dir: str, mirror: str, **canon_kwargs):
     """Run canonicalize over the extracted docs, mirroring the PRE-merge
     keyed doc table so the oracle can independently re-derive the canonical
@@ -3044,6 +3099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q_kg_triples,
         "kg_entity_counts": q_kg_entity_counts,
         "kg_pred_counts": q_kg_pred_counts,
+        "kg_pred_coverage": q_kg_pred_coverage,
         "kg_canonical": q_kg_canonical,
         "kg_canonical_split": q_kg_canonical_split,
         "kg_canonical_closure": q_kg_canonical_closure,
@@ -3224,6 +3280,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred, count(*) AS n_triples
             FROM read_parquet('/tmp/esmarc_ray_kg_oracle/triples/*.parquet')
             GROUP BY pred ORDER BY pred
+        """,
+        "kg_pred_coverage": """
+            WITH s AS (
+                SELECT DISTINCT entity_class, pred, doc_id
+                FROM read_parquet('/tmp/esmarc_ray_kg_oracle/coverage_src/*.parquet')
+            ),
+            t AS (
+                SELECT entity_class, count(DISTINCT doc_id) AS total
+                FROM s GROUP BY 1
+            ),
+            c AS (
+                SELECT entity_class, pred, count(*) AS n FROM s GROUP BY 1, 2
+            )
+            SELECT c.entity_class, c.pred,
+                   floor(CAST(n AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS coverage
+            FROM c JOIN t USING (entity_class)
         """,
         # declared output-schema typing gate: DuckDB re-derives the
         # per-(class, pred) date-conformance counts from the mirrored triples
