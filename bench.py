@@ -103,7 +103,10 @@ def one_pass(entrymod, corpus: str, indexes_ref, out_dir: pathlib.Path) -> dict[
                  "purchase_last_click", "customers_no_urgent",
                  # round-2 continuation ops: chunking, weighted mixing,
                  # RANGE window (all oracle-checked in the contract)
-                 "doc_chunks", "weighted_sample_docs", "events_trailing_7d"):
+                 "doc_chunks", "weighted_sample_docs", "events_trailing_7d",
+                 # round-3 session ops: exact kNN graph (blocked matmul) and
+                 # the 3-table join chain (semi-join + pre-agg + equi-join)
+                 "knn_graph", "tpch_q3"):
         t0 = time.perf_counter()
         result = queries[name](SF_DIR)
         if hasattr(result, "count"):
