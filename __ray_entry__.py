@@ -659,6 +659,11 @@ def q_bfs_hops(sf_dir: str):
 
 
 def _copurchase_edges(sf_dir: str, cutoff: int = 1000):
+    """Co-purchase pair edges, deduped per ORDER-PARTITION only: fine for
+    reachability semantics (bfs_hops) but NOT a simple graph (degree_hist
+    dedups globally on top) and NOT an order-count source (sssp_dist builds
+    its own exact-count edges) — cross-order duplicates survive when two
+    orders sharing a pair hash to the same partition."""
     import pandas as pd
     import ray.data
 
@@ -809,14 +814,36 @@ def q_sssp_dist(sf_dir: str):
     the co-purchase graph, edge weight 1/shared-order-count — distributed
     Bellman-Ford, hash-checked against a DuckDB RECURSIVE weighted walk."""
     import pandas as pd
+    import ray.data
 
     from esmarc_ray.ops.graph import sssp
-    from esmarc_ray.ops.relational import _round_half_up, partial_groupby_agg
+    from esmarc_ray.ops.relational import (
+        _round_half_up,
+        partial_groupby_agg,
+        partitioned_final,
+    )
 
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).filter(expr="l_orderkey < 1000")
+
+    # weight needs the EXACT shared-order count per pair: per-order distinct
+    # pairs first (orders are partition-disjoint under the l_orderkey hash,
+    # so the per-partition pair count is a partial of the true order count),
+    # then a global sum — _copurchase_edges would dedup across orders inside
+    # a partition and undercount
+    def order_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates()
+        m = part.merge(part, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        m = m.drop_duplicates(["l_orderkey", "l_partkey_a", "l_partkey_b"])
+        return m.groupby(
+            ["l_partkey_a", "l_partkey_b"], as_index=False
+        ).size()
+
+    partials = partitioned_final(li, ["l_orderkey"], order_pairs, num_partitions=16)
     pairs = partial_groupby_agg(
-        _copurchase_edges(sf_dir),
-        ["l_partkey_a", "l_partkey_b"],
-        {"cnt": ("l_partkey_a", "count")},
+        partials, ["l_partkey_a", "l_partkey_b"], {"cnt": ("size", "sum")}
     )
 
     def weigh(batch: pd.DataFrame) -> pd.DataFrame:
