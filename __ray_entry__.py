@@ -1554,6 +1554,49 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(docs, "hash join merge", k=10)
 
 
+def q_epoch_shards(sf_dir: str):
+    """Multi-epoch deterministic reshuffle: a different md5 seed per epoch
+    gives each training epoch an independent shard permutation, map-only
+    (no shuffle) and SQL-re-derivable per (epoch, doc)."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for epoch in (0, 1, 2):
+            shard = [
+                int(hashlib.md5(f"{epoch}:{v}".encode()).hexdigest()[:8], 16) % 8
+                for v in batch["doc_id"]
+            ]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": batch["doc_id"],
+                        "epoch": epoch,
+                        "shard": pd.Series(shard, index=batch.index, dtype="int64"),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return docs.map_batches(assign, batch_format="pandas")
+
+
+def q_batch_plan(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.text import length_batch_plan
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return length_batch_plan(docs, token_budget=512)
+
+
 def q_split_leakage(sf_dir: str):
     """Split-contamination audit: exact-Jaccard near-dup pairs (>=0.95)
     bucketed by the train/val/test assignment of each endpoint — off-diagonal
@@ -3185,6 +3228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": q_hybrid_rrf,
         "conversion_lag": q_conversion_lag,
         "split_leakage": q_split_leakage,
+        "epoch_shards": q_epoch_shards,
+        "batch_plan": q_batch_plan,
         "event_transitions": q_event_transitions,
         "k_anonymous_orders": q_k_anonymous_orders,
         "watermark_late": q_watermark_late,
@@ -4599,6 +4644,34 @@ def oracle_sql() -> dict[str, str]:
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
         # path, ordering on the ROUNDED score with doc_id ties
+        "epoch_shards": """
+            SELECT doc_id, e.epoch,
+                   (('0x' || substr(md5(e.epoch::VARCHAR || ':'
+                                        || doc_id::VARCHAR), 1, 8))::UBIGINT
+                    % 8)::BIGINT AS shard
+            FROM documents
+            CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) e
+        """,
+        "batch_plan": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, n_tokens,
+                       CAST(floor(log2(greatest(n_tokens, 1))) AS BIGINT)
+                           AS bucket
+                FROM t
+            )
+            SELECT doc_id, bucket,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                            PARTITION BY bucket
+                            ORDER BY n_tokens, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), 0) / 512) AS BIGINT) AS batch_id
+            FROM b
+        """,
         "split_leakage": """
             WITH tok AS (
                 SELECT DISTINCT doc_id, tok FROM (

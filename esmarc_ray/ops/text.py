@@ -1363,3 +1363,56 @@ def bpe_encode(
         )
 
     return docs.map_batches(batch_fn, batch_format="pandas")
+
+
+def length_batch_plan(
+    docs: ray.data.Dataset,
+    *,
+    token_budget: int = 4096,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Length-bucketed batching plan for training: documents bucket by
+    ``floor(log2(n_tokens))`` so a batch's sequences stay within a 2×
+    length spread (bounded padding waste), then get a deterministic
+    ``batch_id`` inside the bucket — exclusive prefix token count //
+    ``token_budget`` over the (n_tokens, id) order.
+
+    Shapes: token counts are a stateless map; the within-bucket prefix sum
+    runs on :func:`esmarc_ray.ops.relational.running_window`'s
+    hash-bucketed reducers (one vectorized cumsum per partition, not one
+    task per bucket-key).  Buckets are few (log-spaced), so at corpus scale
+    raise ``num_partitions``/split buckets by a secondary hash — the plan is
+    deterministic either way.  Returns (id, bucket, batch_id)."""
+    import numpy as np
+
+    from esmarc_ray.ops.relational import running_window
+
+    def tok(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_column].fillna("")
+        n = text.str.split().str.len().fillna(0).astype("int64")
+        return pd.DataFrame(
+            {
+                id_column: batch[id_column],
+                "n_tokens": n,
+                "bucket": np.floor(np.log2(np.maximum(n, 1))).astype("int64"),
+            }
+        )
+
+    staged = docs.map_batches(tok, batch_format="pandas")
+    cum = running_window(
+        staged,
+        partition_by="bucket",
+        order_by=["n_tokens", id_column],
+        value_column="n_tokens",
+        out_name="cum_tokens",
+        num_partitions=num_partitions,
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        before = batch["cum_tokens"] - batch["n_tokens"]  # exclusive prefix
+        batch["batch_id"] = (before // token_budget).astype("int64")
+        return batch[[id_column, "bucket", "batch_id"]]
+
+    return cum.map_batches(finish, batch_format="pandas")
