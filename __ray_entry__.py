@@ -1554,6 +1554,22 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(docs, "hash join merge", k=10)
 
 
+def q_value_tail_quantiles(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import grouped_quantiles_multi
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    out = grouped_quantiles_multi(
+        events, ["event_type"], "value", [0.5, 0.95, 0.99]
+    ).to_pandas()
+    out["quantile"] = out["quantile"].round(6)
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
 def q_epoch_shards(sf_dir: str):
     """Multi-epoch deterministic reshuffle: a different md5 seed per epoch
     gives each training epoch an independent shard permutation, map-only
@@ -3230,6 +3246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": q_split_leakage,
         "epoch_shards": q_epoch_shards,
         "batch_plan": q_batch_plan,
+        "value_tail_quantiles": q_value_tail_quantiles,
         "event_transitions": q_event_transitions,
         "k_anonymous_orders": q_k_anonymous_orders,
         "watermark_late": q_watermark_late,
@@ -4644,6 +4661,17 @@ def oracle_sql() -> dict[str, str]:
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
         # path, ordering on the ROUNDED score with doc_id ties
+        "value_tail_quantiles": """
+            WITH g AS (
+                SELECT event_type,
+                       quantile_cont(value, [0.5, 0.95, 0.99]) AS qv
+                FROM events GROUP BY 1
+            )
+            SELECT event_type,
+                   unnest([0.5, 0.95, 0.99]) AS q,
+                   round(unnest(qv), 6) AS quantile
+            FROM g
+        """,
         "epoch_shards": """
             SELECT doc_id, e.epoch,
                    (('0x' || substr(md5(e.epoch::VARCHAR || ':'
