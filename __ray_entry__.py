@@ -908,6 +908,29 @@ def q_embedding_quantize(sf_dir: str):
     return quantize_embeddings(ds)
 
 
+def q_cms_term_freq(sf_dir: str):
+    """Count-min-sketch term-frequency estimates for 5 probe terms over the
+    tokenized corpus (rows-only: the sketch uses engine-side siphash; the
+    over-estimate + error bound is pytest-gated in tests/test_ops.py)."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.sketches import cms_estimate, count_min_sketch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.split().explode()
+        return pd.DataFrame({"tok": toks[toks.notna() & (toks != "")]})
+
+    grid = count_min_sketch(
+        docs.map_batches(tokens, batch_format="pandas"), "tok",
+        depth=4, width=4096,
+    )
+    probe = pd.Series(["hash", "join", "merge", "scan", "sort"])
+    return pd.DataFrame({"term": probe, "est": cms_estimate(grid, probe)})
+
+
 def q_pca_proj(sf_dir: str):
     """Top-4 PCA projection of the embedding table — covariance via one
     moment-combiner pass, eigh on the driver's d×d matrix, broadcast
@@ -3270,6 +3293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (heuristic / sketch / stub ops)
         "approx_median_price": q_approx_median_price,
         "pca_proj": q_pca_proj,
+        "cms_term_freq": q_cms_term_freq,
         "ivf_topk": q_ivf_topk,
         "minhash_dups": q_minhash_dups,
         "jaccard_dups": q_jaccard_dups,

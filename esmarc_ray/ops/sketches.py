@@ -252,3 +252,54 @@ def bloom_semi_join(
         test, batch_format="pandas", fn_kwargs={"want_maybe": False}
     )
     return certain_miss.union(exact)
+
+
+def _cms_hash(values: pd.Series, row: int, width: int) -> np.ndarray:
+    # independent rows via seeded string salt, same C-siphash kernel as
+    # the partition routers
+    return (
+        pd.util.hash_pandas_object(
+            values.astype(str) + f"\x1fcms{row}", index=False
+        ).to_numpy()
+        % width
+    ).astype(np.int64)
+
+
+def count_min_sketch(
+    ds: ray.data.Dataset,
+    value_column: str,
+    *,
+    depth: int = 4,
+    width: int = 2048,
+) -> np.ndarray:
+    """Count–min sketch of a value column: a (depth × width) counter grid;
+    point-frequency estimate = min over rows of the addressed counters —
+    always an OVERestimate, with error ≤ 2N/width at probability ≥
+    1 − 2^−depth (Cormode & Muthukrishnan 2005).
+
+    Mergeable-summary combiner: each batch reduces to its own grid
+    (depth·width ints, never rows) and grids fold by elementwise addition on
+    the driver — shuffle volume O(batches × depth × width) at any corpus
+    size.  Use when the distinct-value universe is too large even for a
+    Misra–Gries candidate pass (:func:`heavy_hitters`)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        grid = np.zeros((depth, width), dtype=np.int64)
+        vals = batch[value_column]
+        for r in range(depth):
+            np.add.at(grid[r], _cms_hash(vals, r, width), 1)
+        return pd.DataFrame({"grid": [grid.tobytes()]})
+
+    acc = np.zeros((depth, width), dtype=np.int64)
+    for row in ds.map_batches(partial, batch_format="pandas").iter_rows():
+        acc += np.frombuffer(row["grid"], dtype=np.int64).reshape(depth, width)
+    return acc
+
+
+def cms_estimate(grid: np.ndarray, values: pd.Series) -> np.ndarray:
+    """Point-frequency estimates for ``values`` from a count-min grid."""
+    depth, width = grid.shape
+    ests = np.stack(
+        [grid[r][_cms_hash(values, r, width)] for r in range(depth)]
+    )
+    return ests.min(axis=0)

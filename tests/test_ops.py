@@ -2516,3 +2516,20 @@ def test_pca_matches_numpy(ray_session):
     want = (centered @ ref.T)
     got = proj[["pc0", "pc1", "pc2"]].to_numpy()
     assert np.allclose(got, np.floor(want * 1e6 + 0.5) / 1e6, atol=1e-9)
+
+
+def test_count_min_sketch_bounds(ray_session):
+    from esmarc_ray.ops import sketches
+
+    rng = np.random.default_rng(9)
+    # zipf-ish: value i appears ~1000/i times
+    vals = np.concatenate([np.full(1000 // (i + 1), i) for i in range(50)])
+    rng.shuffle(vals)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals}))
+    grid = sketches.count_min_sketch(ds, "v", depth=4, width=1024)
+    assert grid.sum() == 4 * len(vals)  # every row counts every value once
+    probe = pd.Series(np.arange(50))
+    est = sketches.cms_estimate(grid, probe)
+    truth = pd.Series(vals).value_counts().reindex(np.arange(50)).fillna(0).to_numpy()
+    assert (est >= truth).all()  # CMS never underestimates
+    assert (est - truth).max() <= 2 * len(vals) / 1024 * 4  # loose CM bound
