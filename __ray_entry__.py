@@ -1577,6 +1577,51 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(docs, "hash join merge", k=10)
 
 
+def q_corpus_datacard(sf_dir: str):
+    """One-pass corpus datacard: the dataset-card header numbers (docs,
+    token/char totals, mean doc length, language/source breadth) from a
+    single combiner — each batch reduces to one partial row; the driver
+    folds P rows.  Distincts (langs/sources) ride the partial as small sets
+    — bounded by the category universe, documented."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "n_docs": [len(batch)],
+                "total_tokens": [int(text.str.split().str.len().fillna(0).sum())],
+                "total_chars": [int(text.str.len().sum())],
+                "langs": ["\x1f".join(sorted(set(batch["lang"].dropna())))],
+                "sources": ["\x1f".join(sorted(set(batch["source"].dropna())))],
+            }
+        )
+
+    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    langs = set().union(*(s.split("\x1f") for s in parts["langs"] if s))
+    sources = set().union(*(s.split("\x1f") for s in parts["sources"] if s))
+    n_docs = int(parts["n_docs"].sum())
+    total_tokens = int(parts["total_tokens"].sum())
+    return pd.DataFrame(
+        {
+            "n_docs": [n_docs],
+            "total_tokens": [total_tokens],
+            "total_chars": [int(parts["total_chars"].sum())],
+            "mean_tokens": [
+                float(np.floor(total_tokens / n_docs * 1e6 + 0.5) / 1e6)
+            ],
+            "n_langs": [len(langs)],
+            "n_sources": [len(sources)],
+        }
+    )
+
+
 def q_value_tail_quantiles(sf_dir: str):
     import pandas as pd
     import ray.data
@@ -3270,6 +3315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shards": q_epoch_shards,
         "batch_plan": q_batch_plan,
         "value_tail_quantiles": q_value_tail_quantiles,
+        "corpus_datacard": q_corpus_datacard,
         "event_transitions": q_event_transitions,
         "k_anonymous_orders": q_k_anonymous_orders,
         "watermark_late": q_watermark_late,
@@ -4685,6 +4731,17 @@ def oracle_sql() -> dict[str, str]:
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
         # path, ordering on the ROUNDED score with doc_id ties
+        "corpus_datacard": r"""
+            SELECT count(*) AS n_docs,
+                   sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+                       AS total_tokens,
+                   sum(length(text))::BIGINT AS total_chars,
+                   floor(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                         * 1.0 / count(*) * 1e6 + 0.5) / 1e6 AS mean_tokens,
+                   count(DISTINCT lang) AS n_langs,
+                   count(DISTINCT source) AS n_sources
+            FROM documents
+        """,
         "value_tail_quantiles": """
             WITH g AS (
                 SELECT event_type,
