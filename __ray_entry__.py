@@ -697,6 +697,23 @@ def q_degree_hist(sf_dir: str):
     return degree_histogram(edges, u="l_partkey_a", v="l_partkey_b")
 
 
+def q_kcore_nodes(sf_dir: str):
+    """12-core of the (l_orderkey<500) co-purchase simple graph (iterative
+    distributed peeling, converges in <=3 rounds on this graph; rows-only —
+    the fixpoint is not SQL-expressible; planted-clique peeling is
+    pytest-gated in tests/test_graph.py)."""
+    from esmarc_ray.ops.graph import k_core
+    from esmarc_ray.ops.relational import partitioned_final
+
+    edges = partitioned_final(
+        _copurchase_edges(sf_dir, cutoff=500),
+        ["l_partkey_a", "l_partkey_b"],
+        lambda p: p.drop_duplicates(),
+        num_partitions=16,
+    )
+    return k_core(edges, 12, u="l_partkey_a", v="l_partkey_b")
+
+
 def q_graph_communities(sf_dir: str):
     """Label-propagation community sizes over the co-purchase graph —
     deterministic min-tiebreak LPA (rows-only: not SQL-expressible;
@@ -3296,6 +3313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": q_embedding_quantize,
         "orders_winsorized": q_orders_winsorized,
         "graph_communities": q_graph_communities,
+        "kcore_nodes": q_kcore_nodes,
         "top_terms": q_top_terms,
         "heavy_terms": q_heavy_terms,
         "cust_order_counts": q_cust_order_counts,

@@ -988,3 +988,60 @@ def sssp(
         return batch[["node", "dist"]]
 
     return settled.map_batches(drop_flag, batch_format="pandas")
+
+
+def k_core(
+    edges: ray.data.Dataset,
+    k: int,
+    *,
+    u: str = "u",
+    v: str = "v",
+    max_rounds: int = 20,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """k-core decomposition: the maximal subgraph in which every node has
+    degree ≥ k (the standard dense-community / spam-cluster extractor).
+    Input must be a simple graph (distinct undirected pairs).
+
+    Iterative distributed peeling: each round (1) recomputes degrees over
+    the SURVIVING edge set with the endpoint-count combiner, (2) drops
+    under-k nodes and discards their incident edges with one co-partitioned
+    filter per endpoint.  The edge table shrinks monotonically and is
+    materialized per round so no lineage re-executes; terminates at the
+    fixpoint (a round that peels nothing) or ``max_rounds``.
+
+    Returns the surviving (node, degree) table — degree within the core.
+    """
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_semi_join
+
+    cur = edges.materialize()
+
+    def endpoint_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        s = pd.concat([batch[u], batch[v]], ignore_index=True)
+        return s.value_counts().rename_axis("node").reset_index(name="cnt")
+
+    for _ in range(max_rounds):
+        degrees = partial_groupby_agg(
+            cur.map_batches(endpoint_rows, batch_format="pandas"),
+            ["node"],
+            {"degree": ("cnt", "sum")},
+        ).materialize()
+        n_nodes = degrees.count()
+        keep = degrees.filter(expr=f"degree >= {k}").materialize()
+        if keep.count() == n_nodes:
+            return keep
+        cur = partitioned_semi_join(
+            partitioned_semi_join(
+                cur, keep, on=u, key_column="node",
+                num_partitions=num_partitions,
+            ),
+            keep, on=v, key_column="node", num_partitions=num_partitions,
+        ).materialize()
+        if cur.count() == 0:
+            break
+
+    # drained (or max_rounds with an empty graph): no surviving core
+    return ray.data.from_pandas(
+        pd.DataFrame({"node": pd.Series(dtype="int64"),
+                      "degree": pd.Series(dtype="int64")})
+    )

@@ -207,3 +207,25 @@ def test_sssp_prefers_cheap_multi_hop_path(ray_session):
     got = sssp(edges, [0], max_rounds=4, num_partitions=4).to_pandas()
     dist = dict(zip(got["node"], got["dist"]))
     assert dist == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_k_core_peels_to_planted_cliques(ray_session):
+    from esmarc_ray.ops.graph import k_core
+
+    # two 4-cliques (internal degree 3) joined by a degree-2 chain
+    cliq_a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    cliq_b = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    chain = [(3, 20), (20, 21), (21, 10)]
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "u": [a for a, _ in cliq_a + cliq_b + chain],
+                "v": [b for _, b in cliq_a + cliq_b + chain],
+            }
+        )
+    )
+    core = k_core(edges, 3, num_partitions=4).to_pandas()
+    assert set(core["node"]) == set(range(4)) | set(range(10, 14))
+    assert (core["degree"] == 3).all()
+
+    assert k_core(edges, 4, num_partitions=4).to_pandas().empty
