@@ -1594,6 +1594,52 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(docs, "hash join merge", k=10)
 
 
+def q_user_value_trend(sf_dir: str):
+    """Per-user OLS trend of event value over time (x = exact epoch DAYS so
+    the float path matches SQL; moments combiner, closed-form slope)."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import grouped_ols
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def add_x(batch: pd.DataFrame) -> pd.DataFrame:
+        # integer epoch seconds first (exact), THEN one float division —
+        # raw int64 / 1e9 in float64 loses integer precision, and the
+        # stored unit is us (parquet), not ns: cast to [s] explicitly
+        secs = batch["ts"].astype("datetime64[s]").astype("int64").astype("float64")
+        # fixed 1995-01-01 origin keeps x in [0, ~2500] days: the intercept's
+        # (sy − slope·sx) cancellation stays below the 1e-6 rounding grid
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "x": (secs - 788918400.0) / 86400.0,
+                "value": batch["value"],
+            }
+        )
+
+    staged = events.map_batches(add_x, batch_format="pandas")
+    # the oracled view keeps the slope only: the intercept's
+    # (sy − slope·sx) cancellation carries cross-engine summation-order
+    # noise above any usable rounding grid at larger per-user counts
+    out = grouped_ols(staged, ["user_id"], "x", "value", round_to=6)
+    return out.select_columns(["user_id", "slope"])
+
+
+def q_priority_status_mi(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import categorical_mi
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderstatus"]
+    )
+    return categorical_mi(orders, "o_orderpriority", "o_orderstatus")
+
+
 def q_corpus_datacard(sf_dir: str):
     """One-pass corpus datacard: the dataset-card header numbers (docs,
     token/char totals, mean doc length, language/source breadth) from a
@@ -3334,6 +3380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "batch_plan": q_batch_plan,
         "value_tail_quantiles": q_value_tail_quantiles,
         "corpus_datacard": q_corpus_datacard,
+        "user_value_trend": q_user_value_trend,
+        "priority_status_mi": q_priority_status_mi,
         "event_transitions": q_event_transitions,
         "k_anonymous_orders": q_k_anonymous_orders,
         "watermark_late": q_watermark_late,
@@ -4749,6 +4797,41 @@ def oracle_sql() -> dict[str, str]:
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
         # path, ordering on the ROUNDED score with doc_id ties
+        "user_value_trend": """
+            WITH t AS (
+                SELECT user_id,
+                       (floor(epoch(ts))::BIGINT - 788918400.0) / 86400.0 AS x,
+                       value AS y
+                FROM events
+            ),
+            m AS (
+                SELECT user_id, count(*)::DOUBLE AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM t GROUP BY 1
+            )
+            SELECT user_id,
+                   floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                         * 1e6 + 0.5) / 1e6 AS slope
+            FROM m
+        """,
+        "priority_status_mi": """
+            WITH j AS (
+                SELECT o_orderpriority AS a, o_orderstatus AS b,
+                       count(*)::DOUBLE AS n
+                FROM orders GROUP BY 1, 2
+            ),
+            t AS (SELECT sum(n) AS tot FROM j),
+            m AS (
+                SELECT n / tot AS pab,
+                       (sum(n) OVER (PARTITION BY a)) / tot AS pa,
+                       (sum(n) OVER (PARTITION BY b)) / tot AS pb
+                FROM j, t
+            )
+            SELECT floor(sum(pab * ln(pab / (pa * pb))) * 1e6 + 0.5) / 1e6
+                       AS mi
+            FROM m
+        """,
         "corpus_datacard": r"""
             SELECT count(*) AS n_docs,
                    sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT

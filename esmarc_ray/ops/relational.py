@@ -3168,3 +3168,77 @@ def grouped_quantiles_multi(
         .groupby("__part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def grouped_ols(
+    ds: ray.data.Dataset,
+    group_keys: list[str],
+    x_column: str,
+    y_column: str,
+    *,
+    round_to: int | None = 6,
+) -> ray.data.Dataset:
+    """Per-group simple linear regression (OLS slope + intercept) — the
+    per-key trend extractor (e.g. value drift per user over time).
+
+    Pure combiner: each batch reduces to per-group moment partials
+    (n, Σx, Σy, Σxy, Σx²); the final merge computes
+    ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` — shuffle volume is
+    O(batches × groups), never rows, the same float path as SQL
+    ``regr_slope`` / ``regr_intercept``."""
+    import numpy as np
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch[x_column].astype("float64")
+        y = batch[y_column].astype("float64")
+        g = batch[group_keys].copy()
+        g["__n"] = 1.0
+        g["__sx"] = x
+        g["__sy"] = y
+        g["__sxy"] = x * y
+        g["__sxx"] = x * x
+        return g.groupby(group_keys, as_index=False).sum()
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        m = part.groupby(group_keys, as_index=False).sum()
+        n, sx, sy = m["__n"], m["__sx"], m["__sy"]
+        denom = n * m["__sxx"] - sx * sx
+        slope = (n * m["__sxy"] - sx * sy) / denom
+        intercept = (sy - slope * sx) / n
+        out = m[group_keys].copy()
+        if round_to is not None:
+            slope = _round_half_up(slope, round_to)
+            intercept = _round_half_up(intercept, round_to)
+        out["slope"] = slope
+        out["intercept"] = intercept
+        return out
+
+    return partitioned_final(
+        ds.map_batches(partial, batch_format="pandas"), group_keys, final
+    )
+
+
+def categorical_mi(
+    ds: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+    *,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Mutual information (nats) between two categorical columns — the
+    dependence screen of a feature-selection pass.
+
+    One combiner pass of joint (a, b) counts (bounded by the category-pair
+    universe); MI folds on the driver from the tiny joint table:
+    ``Σ p_ab · ln(p_ab / (p_a p_b))``."""
+    import numpy as np
+
+    joint = partial_groupby_agg(
+        ds, [col_a, col_b], {"n": (col_a, "count")}
+    ).to_pandas()
+    total = float(joint["n"].sum())
+    p_ab = joint["n"] / total
+    p_a = joint.groupby(col_a)["n"].transform("sum") / total
+    p_b = joint.groupby(col_b)["n"].transform("sum") / total
+    mi = float((p_ab * np.log(p_ab / (p_a * p_b))).sum())
+    return pd.DataFrame({"mi": [float(_round_half_up(np.array([mi]), round_to)[0])]})
