@@ -1594,6 +1594,32 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(docs, "hash join merge", k=10)
 
 
+def q_price_geomean(sf_dir: str):
+    import ray.data
+
+    from esmarc_ray.ops.relational import grouped_genmean
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    return grouped_genmean(
+        orders, ["o_orderpriority"], "o_totalprice", kind="geometric"
+    )
+
+
+def q_doc_compress_ratio(sf_dir: str):
+    """zlib compression-ratio quality signal per document (rows-only: no
+    SQL zlib; determinism + templated-vs-random separation pytest-gated)."""
+    import ray.data
+
+    from esmarc_ray.ops.text import compression_ratio
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return compression_ratio(docs)
+
+
 def q_user_value_trend(sf_dir: str):
     """Per-user OLS trend of event value over time (x = exact epoch DAYS so
     the float path matches SQL; moments combiner, closed-form slope)."""
@@ -3382,6 +3408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_datacard": q_corpus_datacard,
         "user_value_trend": q_user_value_trend,
         "priority_status_mi": q_priority_status_mi,
+        "price_geomean": q_price_geomean,
+        "doc_compress_ratio": q_doc_compress_ratio,
         "event_transitions": q_event_transitions,
         "k_anonymous_orders": q_k_anonymous_orders,
         "watermark_late": q_watermark_late,
@@ -4797,6 +4825,12 @@ def oracle_sql() -> dict[str, str]:
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
         # path, ordering on the ROUNDED score with doc_id ties
+        "price_geomean": """
+            SELECT o_orderpriority,
+                   floor(exp(sum(ln(o_totalprice)) / count(*)) * 1e6 + 0.5)
+                       / 1e6 AS geometric_mean
+            FROM orders GROUP BY 1
+        """,
         "user_value_trend": """
             WITH t AS (
                 SELECT user_id,

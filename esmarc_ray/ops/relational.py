@@ -3242,3 +3242,48 @@ def categorical_mi(
     p_b = joint.groupby(col_b)["n"].transform("sum") / total
     mi = float((p_ab * np.log(p_ab / (p_a * p_b))).sum())
     return pd.DataFrame({"mi": [float(_round_half_up(np.array([mi]), round_to)[0])]})
+
+
+def grouped_genmean(
+    ds: ray.data.Dataset,
+    group_keys: list[str],
+    value_column: str,
+    *,
+    kind: str = "geometric",
+    out_name: str | None = None,
+    round_to: int | None = 6,
+) -> ray.data.Dataset:
+    """Per-group geometric or harmonic mean — the rate/ratio-correct
+    averages (geometric for multiplicative factors, harmonic for rates).
+    Combiner: per-batch (n, Σln x) or (n, Σ1/x) partials; requires
+    strictly positive values (raises on violation inside the partial, so a
+    bad row fails loudly instead of poisoning the aggregate)."""
+    import numpy as np
+
+    if kind not in ("geometric", "harmonic"):
+        raise ValueError(f"unknown kind {kind!r}")
+    out_name = out_name or f"{kind}_mean"
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch[value_column].to_numpy(dtype="float64")
+        if (x <= 0).any():
+            raise ValueError(f"{kind} mean requires positive {value_column}")
+        g = batch[group_keys].copy()
+        g["__n"] = 1.0
+        g["__s"] = np.log(x) if kind == "geometric" else 1.0 / x
+        return g.groupby(group_keys, as_index=False).sum()
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        m = part.groupby(group_keys, as_index=False).sum()
+        res = (
+            np.exp(m["__s"] / m["__n"])
+            if kind == "geometric"
+            else m["__n"] / m["__s"]
+        )
+        out = m[group_keys].copy()
+        out[out_name] = _round_half_up(res, round_to) if round_to is not None else res
+        return out
+
+    return partitioned_final(
+        ds.map_batches(partial, batch_format="pandas"), group_keys, final
+    )

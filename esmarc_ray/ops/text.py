@@ -1416,3 +1416,38 @@ def length_batch_plan(
         return batch[[id_column, "bucket", "batch_id"]]
 
     return cum.map_batches(finish, batch_format="pandas")
+
+
+def compression_ratio(
+    docs: ray.data.Dataset,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    level: int = 6,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    classic cheap quality/repetition signal (low ratio ⇒ templated or
+    repetitive text; near-1 ⇒ high-entropy noise).  Stateless map;
+    deterministic for a fixed zlib level, pytest-gated (no SQL zlib)."""
+    import zlib
+
+    import numpy as np
+
+    def ratio(batch: pd.DataFrame) -> pd.DataFrame:
+        raw = batch[text_column].fillna("").str.encode("utf-8")
+        ratios = [
+            (len(zlib.compress(b, level)) / len(b)) if len(b) else 1.0
+            for b in raw
+        ]
+        return pd.DataFrame(
+            {
+                id_column: batch[id_column],
+                "compression_ratio": np.floor(
+                    np.array(ratios) * 10**round_to + 0.5
+                )
+                / 10**round_to,
+            }
+        )
+
+    return docs.map_batches(ratio, batch_format="pandas")

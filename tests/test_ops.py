@@ -2533,3 +2533,23 @@ def test_count_min_sketch_bounds(ray_session):
     truth = pd.Series(vals).value_counts().reindex(np.arange(50)).fillna(0).to_numpy()
     assert (est >= truth).all()  # CMS never underestimates
     assert (est - truth).max() <= 2 * len(vals) / 1024 * 4  # loose CM bound
+
+
+def test_compression_ratio_separates_templated_from_random(ray_session):
+    import string
+
+    from esmarc_ray.ops import text as text_ops
+
+    rng = np.random.default_rng(4)
+    rand = "".join(rng.choice(list(string.ascii_lowercase + " "), 2000))
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["spam ham " * 250, rand]}
+        )
+    )
+    got = text_ops.compression_ratio(ds).to_pandas().set_index("doc_id")
+    assert got.loc[0, "compression_ratio"] < 0.05  # templated compresses hard
+    assert got.loc[1, "compression_ratio"] > 0.5   # random barely compresses
+    # deterministic across runs
+    again = text_ops.compression_ratio(ds).to_pandas().set_index("doc_id")
+    assert (got["compression_ratio"] == again["compression_ratio"]).all()
