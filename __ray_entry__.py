@@ -1594,6 +1594,29 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(docs, "hash join merge", k=10)
 
 
+def q_benford_digits(sf_dir: str):
+    """Benford first-significant-digit audit of order totals — the
+    fraud/synthetic-data smell test; digit derived arithmetically
+    (floor(x/10^floor(log10 x))) so both engines share the float path."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+
+    def digit(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["o_totalprice"].to_numpy(dtype="float64")
+        d = np.floor(x / 10 ** np.floor(np.log10(x))).astype("int64")
+        return pd.DataFrame({"digit": d})
+
+    staged = orders.map_batches(digit, batch_format="pandas")
+    return partial_groupby_agg(staged, ["digit"], {"n_orders": ("digit", "count")})
+
+
 def q_price_geomean(sf_dir: str):
     import ray.data
 
@@ -3409,6 +3432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_trend": q_user_value_trend,
         "priority_status_mi": q_priority_status_mi,
         "price_geomean": q_price_geomean,
+        "benford_digits": q_benford_digits,
         "doc_compress_ratio": q_doc_compress_ratio,
         "event_transitions": q_event_transitions,
         "k_anonymous_orders": q_k_anonymous_orders,
@@ -4825,6 +4849,13 @@ def oracle_sql() -> dict[str, str]:
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
         # path, ordering on the ROUNDED score with doc_id ties
+        "benford_digits": """
+            SELECT CAST(floor(o_totalprice
+                              / pow(10, floor(log10(o_totalprice))))
+                        AS BIGINT) AS digit,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
         "price_geomean": """
             SELECT o_orderpriority,
                    floor(exp(sum(ln(o_totalprice)) / count(*)) * 1e6 + 0.5)
