@@ -948,6 +948,24 @@ def q_cms_term_freq(sf_dir: str):
     return pd.DataFrame({"term": probe, "est": cms_estimate(grid, probe)})
 
 
+def q_audience_overlap(sf_dir: str):
+    """HLL inclusion–exclusion estimate of click-user vs purchase-user
+    overlap (rows-only: sketch estimates aren't SQL-re-derivable; the known-
+    intersection error bound is pytest-gated)."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.sketches import hll_overlap
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    clicks = events.filter(expr="event_type == 'click'")
+    buys = events.filter(expr="event_type == 'purchase'")
+    est = hll_overlap(clicks, buys, "user_id")
+    return pd.DataFrame([est])
+
+
 def q_pca_proj(sf_dir: str):
     """Top-4 PCA projection of the embedding table — covariance via one
     moment-combiner pass, eigh on the driver's d×d matrix, broadcast
@@ -3458,6 +3476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_median_price": q_approx_median_price,
         "pca_proj": q_pca_proj,
         "cms_term_freq": q_cms_term_freq,
+        "audience_overlap": q_audience_overlap,
         "ivf_topk": q_ivf_topk,
         "minhash_dups": q_minhash_dups,
         "jaccard_dups": q_jaccard_dups,

@@ -2553,3 +2553,14 @@ def test_compression_ratio_separates_templated_from_random(ray_session):
     # deterministic across runs
     again = text_ops.compression_ratio(ds).to_pandas().set_index("doc_id")
     assert (got["compression_ratio"] == again["compression_ratio"]).all()
+
+
+def test_hll_overlap_estimates_known_intersection(ray_session):
+    from esmarc_ray.ops import sketches
+
+    a = ray.data.from_pandas(pd.DataFrame({"v": np.arange(0, 30000)}))
+    b = ray.data.from_pandas(pd.DataFrame({"v": np.arange(20000, 50000)}))
+    est = sketches.hll_overlap(a, b, "v")
+    assert abs(est["a"] - 30000) / 30000 < 0.05
+    assert abs(est["union"] - 50000) / 50000 < 0.05
+    assert abs(est["intersection"] - 10000) / 10000 < 0.25  # 3 error terms
