@@ -1612,6 +1612,60 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(docs, "hash join merge", k=10)
 
 
+def q_prefix_dups(sf_dir: str):
+    """Crawl-style prefix-duplicate groups: documents sharing their first 64
+    characters (boilerplate / mirrored-page detector — catches near-dups the
+    token-set Jaccard family scores low).  Per-batch (prefix, count) partials,
+    one hash-partitioned merge, emit groups with >=2 members."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def prefix(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"prefix": batch["text"].fillna("").str[:64]})
+
+    counts = partial_groupby_agg(
+        docs.map_batches(prefix, batch_format="pandas"),
+        ["prefix"],
+        {"n_docs": ("prefix", "count")},
+    )
+    return counts.filter(expr="n_docs >= 2")
+
+
+def q_eval_sample_per_lang(sf_dir: str):
+    """Deterministic exact-k uniform sample per language (balanced eval-set
+    construction): keep the k smallest md5(seed:id) per group — rank by an
+    engine-reproducible hash, so the oracle re-derives every kept row."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partitioned_final
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["h"] = [
+            hashlib.md5(f"7:{v}".encode()).hexdigest() for v in batch["doc_id"]
+        ]
+        # per-batch prune: only a batch's k smallest per group can survive
+        return batch.sort_values("h").groupby("lang", sort=False).head(20)
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.sort_values("h").groupby("lang", sort=False).head(20)
+        return out[["doc_id", "lang"]]
+
+    staged = docs.map_batches(tag, batch_format="pandas")
+    return partitioned_final(staged, ["lang"], per_part, num_partitions=8)
+
+
 def q_benford_digits(sf_dir: str):
     """Benford first-significant-digit audit of order totals — the
     fraud/synthetic-data smell test; digit derived arithmetically
@@ -3451,6 +3505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_status_mi": q_priority_status_mi,
         "price_geomean": q_price_geomean,
         "benford_digits": q_benford_digits,
+        "prefix_dups": q_prefix_dups,
+        "eval_sample_per_lang": q_eval_sample_per_lang,
         "doc_compress_ratio": q_doc_compress_ratio,
         "event_transitions": q_event_transitions,
         "k_anonymous_orders": q_k_anonymous_orders,
@@ -4868,6 +4924,19 @@ def oracle_sql() -> dict[str, str]:
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
         # path, ordering on the ROUNDED score with doc_id ties
+        "prefix_dups": """
+            SELECT substr(text, 1, 64) AS prefix, count(*) AS n_docs
+            FROM documents GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "eval_sample_per_lang": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5('7:' || doc_id::VARCHAR)) AS rn
+                FROM documents
+            ) WHERE rn <= 20
+        """,
         "benford_digits": """
             SELECT CAST(floor(o_totalprice
                               / pow(10, floor(log10(o_totalprice))))
