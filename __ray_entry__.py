@@ -1612,6 +1612,44 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(docs, "hash join merge", k=10)
 
 
+def q_store_incr_agg(sf_dir: str):
+    """Incremental aggregate store: per-customer order partials folded in as
+    TWO increments (orderkey halves) — the read-back must equal the
+    single-pass full aggregate the oracle computes, proving the mergeable-
+    partial + bucket-rewrite path end to end."""
+    import shutil
+
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.io import merge_agg_store
+    from esmarc_ray.ops.relational import _round_half_up, partial_groupby_agg
+
+    store = f"/tmp/esmarc_ray_agg_store_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(store, ignore_errors=True)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    mid = orders.max("o_orderkey") // 2  # scale-proportional split
+    for expr in (f"o_orderkey < {mid}", f"o_orderkey >= {mid}"):
+        part = partial_groupby_agg(
+            orders.filter(expr=expr),
+            ["o_custkey"],
+            {"n_orders": ("o_orderkey", "count"),
+             "total": ("o_totalprice", "sum")},
+        )
+        merge_agg_store(part, store, ["o_custkey"], ["n_orders", "total"],
+                        num_buckets=16)
+
+    out = ray.data.read_parquet(store).to_pandas()
+    out["total"] = _round_half_up(out["total"], 2)
+    return out[["o_custkey", "n_orders", "total"]].sort_values(
+        "o_custkey"
+    ).reset_index(drop=True)
+
+
 def q_prefix_dups(sf_dir: str):
     """Crawl-style prefix-duplicate groups: documents sharing their first 64
     characters (boilerplate / mirrored-page detector — catches near-dups the
@@ -3506,6 +3544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_geomean": q_price_geomean,
         "benford_digits": q_benford_digits,
         "prefix_dups": q_prefix_dups,
+        "store_incr_agg": q_store_incr_agg,
         "eval_sample_per_lang": q_eval_sample_per_lang,
         "doc_compress_ratio": q_doc_compress_ratio,
         "event_transitions": q_event_transitions,
@@ -4924,6 +4963,11 @@ def oracle_sql() -> dict[str, str]:
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
         # path, ordering on the ROUNDED score with doc_id ties
+        "store_incr_agg": """
+            SELECT o_custkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1
+        """,
         "prefix_dups": """
             SELECT substr(text, 1, 64) AS prefix, count(*) AS n_docs
             FROM documents GROUP BY 1 HAVING count(*) >= 2

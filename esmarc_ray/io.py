@@ -210,6 +210,9 @@ def upsert_partitioned(
         .map_groups(merge_bucket, batch_format="pandas")
         .to_pandas()
     )
+    if manifest.empty:  # empty increment touches nothing
+        return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                             "n_rows": pd.Series(dtype="int64")})
     return manifest.sort_values("bucket").reset_index(drop=True)
 
 
@@ -219,3 +222,64 @@ def read_partitioned_store(
     """Read every bucket of an :func:`upsert_partitioned` store back as one
     Dataset (bucket files are self-contained parquet)."""
     return ray.data.read_parquet(store_dir, columns=columns)
+
+
+def merge_agg_store(
+    partials: "Any",
+    store_dir: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+    *,
+    num_buckets: int = 64,
+) -> "Any":
+    """Incremental AGGREGATE store: fold new per-key partials into a
+    hash-bucketed parquet store by ADDITION (not replacement — the
+    aggregate-state counterpart of :func:`upsert_partitioned`): the
+    continuous-aggregation / backfill sink, e.g. a day's per-customer order
+    partials merged into the all-time table.  A delta rewrites only the
+    buckets its keys hash into; stored rows stay mergeable partials, so a
+    read never rescans history.  Returns the touched-bucket manifest."""
+    import pathlib
+
+    import pandas as pd
+
+    base = pathlib.Path(store_dir)
+    base.mkdir(parents=True, exist_ok=True)
+
+    def add_bucket(batch: "pd.DataFrame") -> "pd.DataFrame":
+        key = (
+            batch[key_cols[0]].astype(str)
+            if len(key_cols) == 1
+            else batch[key_cols].astype(str).agg("\x1f".join, axis=1)
+        )
+        batch = batch.copy()
+        batch["__bucket"] = (
+            pd.util.hash_pandas_object(key, index=False).to_numpy() % num_buckets
+        ).astype("int32")
+        return batch
+
+    def merge_bucket(group: "pd.DataFrame") -> "pd.DataFrame":
+        bucket = int(group["__bucket"].iloc[0])
+        incoming = group.drop(columns="__bucket")
+        bucket_dir = base / f"bucket={bucket}"
+        path = bucket_dir / "part-0.parquet"
+        if path.exists():
+            incoming = pd.concat([pd.read_parquet(path), incoming],
+                                 ignore_index=True)
+        else:
+            bucket_dir.mkdir(parents=True, exist_ok=True)
+        merged = incoming.groupby(key_cols, as_index=False)[sum_cols].sum()
+        merged = merged.sort_values(key_cols).reset_index(drop=True)
+        merged.to_parquet(path, index=False)
+        return pd.DataFrame({"bucket": [bucket], "n_rows": [len(merged)]})
+
+    manifest = (
+        partials.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if manifest.empty:  # empty increment touches nothing
+        return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                             "n_rows": pd.Series(dtype="int64")})
+    return manifest.sort_values("bucket").reset_index(drop=True)
