@@ -1612,6 +1612,105 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(docs, "hash join merge", k=10)
 
 
+def q_pareto_deciles(sf_dir: str):
+    """Revenue concentration (Pareto) report: customers ranked into global
+    revenue deciles (NTILE 10 over rev DESC), each decile's share of total —
+    combiner per-customer revenue first, ranking over the customer table
+    (never the orders), share fold over the 10-row result."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, window_rank
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    custrev = partial_groupby_agg(
+        orders, ["o_custkey"], {"rev": ("o_totalprice", "sum")}
+    )
+
+    def stage(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__g"] = 1
+        batch["neg_rev"] = -batch["rev"]  # exact negation: DESC order
+        return batch
+
+    ranked = window_rank(
+        custrev.map_batches(stage, batch_format="pandas"),
+        partition_by="__g",
+        order_by=["neg_rev", "o_custkey"],
+        ntile=10,
+        ntile_name="decile",
+        num_partitions=1,
+    )
+    agg = partial_groupby_agg(
+        ranked, ["decile"],
+        {"n_custs": ("o_custkey", "count"), "rev_sum": ("rev", "sum")},
+    ).to_pandas()
+    total = float(agg["rev_sum"].sum())
+    agg["rev_share"] = np.floor(agg["rev_sum"] / total * 1e6 + 0.5) / 1e6
+    return agg[["decile", "n_custs", "rev_share"]].sort_values(
+        "decile"
+    ).reset_index(drop=True)
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Curation-dashboard duplicate rate per source: fraction of each
+    source's documents whose exact text (md5-keyed, engine-reproducible)
+    appears more than once in the corpus — fully distributed: text-hash
+    groups counted once, doc rows re-tagged by a co-partitioned join on the
+    hash, per-source rates folded from the tiny source table."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import (
+        partial_groupby_agg,
+        partitioned_join,
+        partitioned_final,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["h"] = [
+            hashlib.md5(t.encode()).hexdigest()
+            for t in batch["text"].fillna("")
+        ]
+        return batch[["doc_id", "source", "h"]]
+
+    hashed = docs.map_batches(add_hash, batch_format="pandas").materialize()
+    counts = partial_groupby_agg(hashed, ["h"], {"n": ("doc_id", "count")})
+    joined = partitioned_join(
+        hashed, counts, on="h",
+        left_cols=["doc_id", "source"], right_cols=["n"],
+        num_partitions=16,
+    )
+
+    def per_source(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("source")
+        out = pd.DataFrame(
+            {
+                "n_docs": g.size(),
+                "n_duped": g.apply(lambda x: int((x["n"] > 1).sum())),
+            }
+        ).reset_index()
+        return out
+
+    agg = partitioned_final(joined, ["source"], per_source, num_partitions=8)
+    out = agg.to_pandas().groupby("source", as_index=False).sum()
+    out["dup_rate"] = np.floor(out["n_duped"] / out["n_docs"] * 1e6 + 0.5) / 1e6
+    return out[["source", "n_docs", "dup_rate"]].sort_values(
+        "source"
+    ).reset_index(drop=True)
+
+
 def q_store_incr_agg(sf_dir: str):
     """Incremental aggregate store: per-customer order partials folded in as
     TWO increments (orderkey halves) — the read-back must equal the
@@ -3545,6 +3644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_digits": q_benford_digits,
         "prefix_dups": q_prefix_dups,
         "store_incr_agg": q_store_incr_agg,
+        "pareto_deciles": q_pareto_deciles,
+        "dup_rate_by_source": q_dup_rate_by_source,
         "eval_sample_per_lang": q_eval_sample_per_lang,
         "doc_compress_ratio": q_doc_compress_ratio,
         "event_transitions": q_event_transitions,
@@ -4963,6 +5064,33 @@ def oracle_sql() -> dict[str, str]:
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
         # path, ordering on the ROUNDED score with doc_id ties
+        "pareto_deciles": """
+            WITH cr AS (
+                SELECT o_custkey, sum(o_totalprice) AS rev
+                FROM orders GROUP BY 1
+            ),
+            r AS (
+                SELECT o_custkey, rev,
+                       ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+                FROM cr
+            ),
+            t AS (SELECT sum(rev) AS tot FROM cr)
+            SELECT decile, count(*) AS n_custs,
+                   floor(sum(rev) / tot * 1e6 + 0.5) / 1e6 AS rev_share
+            FROM r, t GROUP BY 1, tot
+        """,
+        "dup_rate_by_source": """
+            WITH h AS (
+                SELECT doc_id, source, md5(coalesce(text, '')) AS h
+                FROM documents
+            ),
+            c AS (SELECT h, count(*) AS n FROM h GROUP BY 1)
+            SELECT source, count(*) AS n_docs,
+                   floor(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END)
+                         * 1.0 / count(*) * 1e6 + 0.5) / 1e6 AS dup_rate
+            FROM h JOIN c USING (h)
+            GROUP BY 1
+        """,
         "store_incr_agg": """
             SELECT o_custkey, count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS total
