@@ -1612,6 +1612,36 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(docs, "hash join merge", k=10)
 
 
+def q_event_trigrams(sf_dir: str):
+    """Frequent behavior 3-grams: per-user time-ordered event-type trigram
+    counts (the sequence-mining step behind session clustering) — users are
+    hash-partition-disjoint, so each partition emits exact trigram partials
+    from one vectorized shift, merged by a tiny per-trigram sum."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def per_user(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts", "event_id"])
+        e1 = part["event_type"]
+        e2 = e1.shift(-1)
+        e3 = e1.shift(-2)
+        same_user = (part["user_id"] == part["user_id"].shift(-2))
+        tri = (e1 + ">" + e2 + ">" + e3)[same_user & e3.notna()]
+        return tri.rename("trigram").to_frame().groupby(
+            "trigram", as_index=False
+        ).size()
+
+    partials = partitioned_final(events, ["user_id"], per_user, num_partitions=32)
+    return partial_groupby_agg(partials, ["trigram"], {"n": ("size", "sum")})
+
+
 def q_pareto_deciles(sf_dir: str):
     """Revenue concentration (Pareto) report: customers ranked into global
     revenue deciles (NTILE 10 over rev DESC), each decile's share of total —
@@ -3645,6 +3675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_dups": q_prefix_dups,
         "store_incr_agg": q_store_incr_agg,
         "pareto_deciles": q_pareto_deciles,
+        "event_trigrams": q_event_trigrams,
         "dup_rate_by_source": q_dup_rate_by_source,
         "eval_sample_per_lang": q_eval_sample_per_lang,
         "doc_compress_ratio": q_doc_compress_ratio,
@@ -5064,6 +5095,18 @@ def oracle_sql() -> dict[str, str]:
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
         # path, ordering on the ROUNDED score with doc_id ties
+        "event_trigrams": """
+            WITH s AS (
+                SELECT event_type,
+                       lead(event_type, 1) OVER w AS e2,
+                       lead(event_type, 2) OVER w AS e3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_type || '>' || e2 || '>' || e3 AS trigram,
+                   count(*) AS n
+            FROM s WHERE e3 IS NOT NULL GROUP BY 1
+        """,
         "pareto_deciles": """
             WITH cr AS (
                 SELECT o_custkey, sum(o_totalprice) AS rev
