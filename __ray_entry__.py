@@ -1612,6 +1612,88 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(docs, "hash join merge", k=10)
 
 
+def q_item_cooc_sim(sf_dir: str):
+    """Item-item cosine similarity from co-purchase counts:
+    sim(a,b) = n_ab / sqrt(n_a · n_b) over per-order distinct baskets —
+    the classic co-occurrence recommender. Pair counts come from
+    order-partition partials (exact, same shape as sssp's edge builder);
+    item counts broadcast from the tiny item table into a stateless score
+    map. Top-50 by (sim desc, pair)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).filter(expr="l_orderkey < 3000")
+
+    def order_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates()
+        m = part.merge(part, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        return m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False).size()
+
+    pair_counts = partial_groupby_agg(
+        partitioned_final(li, ["l_orderkey"], order_pairs, num_partitions=16),
+        ["l_partkey_a", "l_partkey_b"],
+        {"n_ab": ("size", "sum")},
+    )
+
+    # (order, part) distinct must be GLOBAL: orders are partition-disjoint
+    # under the l_orderkey hash, so per-partition dedup is exact
+    item_counts = partial_groupby_agg(
+        partitioned_final(
+            li, ["l_orderkey"], lambda p: p.drop_duplicates(), num_partitions=16
+        ),
+        ["l_partkey"],
+        {"n": ("l_orderkey", "count")},
+    ).to_pandas()
+    n_map = dict(zip(item_counts["l_partkey"], item_counts["n"]))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        na = batch["l_partkey_a"].map(n_map).to_numpy(dtype="float64")
+        nb = batch["l_partkey_b"].map(n_map).to_numpy(dtype="float64")
+        sim = batch["n_ab"].to_numpy(dtype="float64") / np.sqrt(na * nb)
+        batch = batch.copy()
+        batch["sim"] = np.floor(sim * 1e6 + 0.5) / 1e6
+        return batch[["l_partkey_a", "l_partkey_b", "sim"]]
+
+    scored = pair_counts.map_batches(score, batch_format="pandas").to_pandas()
+    return scored.sort_values(
+        ["sim", "l_partkey_a", "l_partkey_b"], ascending=[False, True, True]
+    ).head(50).reset_index(drop=True)
+
+
+def q_negative_sampling_weights(sf_dir: str):
+    """word2vec-style negative-sampling table: unigram count^0.75 weights,
+    normalized, for the exact top-30 corpus terms (count combiner; the
+    0.75-power fold runs over the tiny top-term table)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.split().explode()
+        return pd.DataFrame({"tok": toks[toks.notna() & (toks != "")]})
+
+    counts = partial_groupby_agg(
+        docs.map_batches(tokens, batch_format="pandas"),
+        ["tok"],
+        {"n": ("tok", "count")},
+    ).to_pandas()
+    top = counts.sort_values(["n", "tok"], ascending=[False, True]).head(30)
+    w = np.power(top["n"].to_numpy(dtype="float64"), 0.75)
+    top = top.copy()
+    top["weight"] = np.floor(w / w.sum() * 1e6 + 0.5) / 1e6
+    return top[["tok", "n", "weight"]].reset_index(drop=True)
+
+
 def q_event_trigrams(sf_dir: str):
     """Frequent behavior 3-grams: per-user time-ordered event-type trigram
     counts (the sequence-mining step behind session clustering) — users are
@@ -3676,6 +3758,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_incr_agg": q_store_incr_agg,
         "pareto_deciles": q_pareto_deciles,
         "event_trigrams": q_event_trigrams,
+        "item_cooc_sim": q_item_cooc_sim,
+        "negative_sampling_weights": q_negative_sampling_weights,
         "dup_rate_by_source": q_dup_rate_by_source,
         "eval_sample_per_lang": q_eval_sample_per_lang,
         "doc_compress_ratio": q_doc_compress_ratio,
@@ -5095,6 +5179,39 @@ def oracle_sql() -> dict[str, str]:
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
         # path, ordering on the ROUNDED score with doc_id ties
+        "item_cooc_sim": """
+            WITH p AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey < 3000
+            ),
+            pc AS (
+                SELECT a.l_partkey AS l_partkey_a, b.l_partkey AS l_partkey_b,
+                       count(*) AS n_ab
+                FROM p a JOIN p b USING (l_orderkey)
+                WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2
+            ),
+            ic AS (SELECT l_partkey, count(*) AS n FROM p GROUP BY 1)
+            SELECT l_partkey_a, l_partkey_b,
+                   floor(n_ab / sqrt(ia.n * ib.n) * 1e6 + 0.5) / 1e6 AS sim
+            FROM pc
+            JOIN ic ia ON ia.l_partkey = pc.l_partkey_a
+            JOIN ic ib ON ib.l_partkey = pc.l_partkey_b
+            ORDER BY sim DESC, l_partkey_a, l_partkey_b LIMIT 50
+        """,
+        "negative_sampling_weights": r"""
+            WITH tok AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(coalesce(text, '')), '\s+'),
+                    x -> x <> '')) AS tok
+                FROM documents
+            ),
+            c AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+            top AS (SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 30),
+            s AS (SELECT sum(pow(n, 0.75)) AS tot FROM top)
+            SELECT tok, n, floor(pow(n, 0.75) / tot * 1e6 + 0.5) / 1e6
+                       AS weight
+            FROM top, s
+        """,
         "event_trigrams": """
             WITH s AS (
                 SELECT event_type,
