@@ -186,6 +186,73 @@ def q_kg_pred_coverage(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_kg_subj_degree_hist(sf_dir: str):
+    """Subject out-degree distribution of the KG (triples per subject,
+    bucketed) — the fan-out profile a triple-store capacity plan reads.
+    Derived from the mirrored triple table both engines re-aggregate."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(["subj", "pred"])
+    path = _kg_oracle_table(sf_dir, "degree_src", triples)
+    src = ray.data.read_parquet(path)
+
+    def per_subj(part: pd.DataFrame) -> pd.DataFrame:
+        deg = part.groupby("subj", as_index=False).size().rename(
+            columns={"size": "out_degree"}
+        )
+        return deg.groupby("out_degree", as_index=False).size()
+
+    per = partitioned_final(src, ["subj"], per_subj, num_partitions=32)
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        return (
+            part.groupby("out_degree", as_index=False)["size"]
+            .sum()
+            .rename(columns={"size": "n_subjects"})
+        )
+
+    return partitioned_final(per, ["out_degree"], merge, num_partitions=8)
+
+
+def q_kg_obj_len_stats(sf_dir: str):
+    """Per-predicate object-value length profile of the KG output (n, mean
+    length, max length) — the payload-size audit for sink sizing; combiner
+    over the mirrored triple table."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partitioned_final
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(["pred", "obj"])
+    path = _kg_oracle_table(sf_dir, "objlen_src", triples)
+    src = ray.data.read_parquet(path)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ln = batch["obj"].str.len().fillna(0).astype("int64")
+        g = pd.DataFrame({"pred": batch["pred"], "__n": 1, "__s": ln, "__m": ln})
+        return g.groupby("pred", as_index=False).agg(
+            __n=("__n", "sum"), __s=("__s", "sum"), __m=("__m", "max")
+        )
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        m = part.groupby("pred", as_index=False).agg(
+            n_triples=("__n", "sum"), s=("__s", "sum"), max_len=("__m", "max")
+        )
+        m["mean_len"] = np.floor(m["s"] / m["n_triples"] * 1e6 + 0.5) / 1e6
+        return m[["pred", "n_triples", "mean_len", "max_len"]]
+
+    return partitioned_final(
+        src.map_batches(partial, batch_format="pandas"), ["pred"], final,
+        num_partitions=8,
+    )
+
+
 def _kg_canonical_with_mirror(sf_dir: str, mirror: str, **canon_kwargs):
     """Run canonicalize over the extracted docs, mirroring the PRE-merge
     keyed doc table so the oracle can independently re-derive the canonical
@@ -3687,6 +3754,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_counts": q_kg_entity_counts,
         "kg_pred_counts": q_kg_pred_counts,
         "kg_pred_coverage": q_kg_pred_coverage,
+        "kg_subj_degree_hist": q_kg_subj_degree_hist,
+        "kg_obj_len_stats": q_kg_obj_len_stats,
         "kg_canonical": q_kg_canonical,
         "kg_canonical_split": q_kg_canonical_split,
         "kg_canonical_closure": q_kg_canonical_closure,
@@ -3887,6 +3956,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred, count(*) AS n_triples
             FROM read_parquet('/tmp/esmarc_ray_kg_oracle/triples/*.parquet')
             GROUP BY pred ORDER BY pred
+        """,
+        "kg_subj_degree_hist": """
+            WITH d AS (
+                SELECT subj, count(*) AS out_degree
+                FROM read_parquet('/tmp/esmarc_ray_kg_oracle/degree_src/*.parquet')
+                GROUP BY 1
+            )
+            SELECT out_degree, count(*) AS n_subjects FROM d GROUP BY 1
+        """,
+        "kg_obj_len_stats": """
+            SELECT pred, count(*) AS n_triples,
+                   floor(sum(length(coalesce(obj, ''))) * 1.0 / count(*)
+                         * 1e6 + 0.5) / 1e6 AS mean_len,
+                   max(length(coalesce(obj, '')))::BIGINT AS max_len
+            FROM read_parquet('/tmp/esmarc_ray_kg_oracle/objlen_src/*.parquet')
+            GROUP BY 1
         """,
         "kg_pred_coverage": """
             WITH s AS (
