@@ -85,6 +85,53 @@ def q_kg_triples(sf_dir: str):
     return triples
 
 
+def q_kg_incremental(sf_dir: str):
+    """Continuously-rebuilt KG: the document set is split into two
+    deterministic increments, each extracted and UPSERTED into the
+    hash-bucketed triple store (key = the full triple row), and the store's
+    per-predicate counts must equal the oracle's independent account of
+    what incremental upsert should produce — per-pred counts over the
+    DISTINCT full rows of the RAW triple mirror.  Proves extract → delta
+    sink → read-back equals a single-shot build."""
+    import shutil
+
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.io import upsert_partitioned
+    from esmarc_ray.ops.relational import partial_groupby_agg
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    docs = _kg_docs(sf_dir).materialize()
+    triples_all = docs_to_triples(docs)
+    _kg_oracle_table(sf_dir, "incr_raw", triples_all)
+
+    store = f"/tmp/esmarc_ray_kg_incr_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(store, ignore_errors=True)
+    key = ["subj", "pred", "obj", "obj_kind", "entity_class", "doc_id"]
+
+    for keep_even in (True, False):
+
+        # Arrow-native filter: the extracted docs carry list columns
+        # (gnd_ids) a pandas round-trip can't convert back
+        def half(batch, keep: bool = keep_even):
+            import pyarrow as pa
+
+            ids = batch.column("doc_id").to_pandas().astype(str)
+            h = pd.util.hash_pandas_object(ids, index=False).to_numpy() % 2
+            return batch.filter(pa.array((h == 0) == keep))
+
+        increment = docs_to_triples(
+            docs.map_batches(half, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        upsert_partitioned(increment, store, key, num_buckets=16)
+
+    out = partial_groupby_agg(
+        ray.data.read_parquet(store), ["pred"], {"n_triples": ("doc_id", "count")}
+    ).to_pandas()
+    return out.sort_values("pred").reset_index(drop=True)
+
+
 _KG_ORACLE_DIR = pathlib.Path("/tmp/esmarc_ray_kg_oracle")
 
 
@@ -3755,6 +3802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pred_counts": q_kg_pred_counts,
         "kg_pred_coverage": q_kg_pred_coverage,
         "kg_subj_degree_hist": q_kg_subj_degree_hist,
+        "kg_incremental": q_kg_incremental,
         "kg_obj_len_stats": q_kg_obj_len_stats,
         "kg_canonical": q_kg_canonical,
         "kg_canonical_split": q_kg_canonical_split,
@@ -3956,6 +4004,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred, count(*) AS n_triples
             FROM read_parquet('/tmp/esmarc_ray_kg_oracle/triples/*.parquet')
             GROUP BY pred ORDER BY pred
+        """,
+        "kg_incremental": """
+            SELECT pred, count(*) AS n_triples FROM (
+                SELECT DISTINCT subj, pred, obj, obj_kind, entity_class,
+                                doc_id
+                FROM read_parquet('/tmp/esmarc_ray_kg_oracle/incr_raw/*.parquet')
+            ) GROUP BY 1 ORDER BY pred
         """,
         "kg_subj_degree_hist": """
             WITH d AS (
