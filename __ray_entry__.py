@@ -1838,6 +1838,25 @@ def q_event_trigrams(sf_dir: str):
     return partial_groupby_agg(partials, ["trigram"], {"n": ("size", "sum")})
 
 
+def q_exact_median_price(sf_dir: str):
+    """EXACT global median of order totals via two-pass distributed
+    selection (histogram rank-locate + in-bin exact select) — bounded
+    driver memory at any scale, unlike a full-column sort."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import exact_global_quantile
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    med = exact_global_quantile(orders, "o_totalprice", q=0.5)
+    return pd.DataFrame(
+        {"median_price": [float(np.floor(med * 1e6 + 0.5) / 1e6)]}
+    )
+
+
 def q_pareto_deciles(sf_dir: str):
     """Revenue concentration (Pareto) report: customers ranked into global
     revenue deciles (NTILE 10 over rev DESC), each decile's share of total —
@@ -3875,6 +3894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_incr_agg": q_store_incr_agg,
         "pareto_deciles": q_pareto_deciles,
         "event_trigrams": q_event_trigrams,
+        "exact_median_price": q_exact_median_price,
         "item_cooc_sim": q_item_cooc_sim,
         "negative_sampling_weights": q_negative_sampling_weights,
         "dup_rate_by_source": q_dup_rate_by_source,
@@ -5319,6 +5339,11 @@ def oracle_sql() -> dict[str, str]:
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
         # path, ordering on the ROUNDED score with doc_id ties
+        "exact_median_price": """
+            SELECT floor(quantile_cont(o_totalprice, 0.5) * 1e6 + 0.5) / 1e6
+                       AS median_price
+            FROM orders
+        """,
         "item_cooc_sim": """
             WITH p AS (
                 SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

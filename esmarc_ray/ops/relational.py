@@ -3287,3 +3287,66 @@ def grouped_genmean(
     return partitioned_final(
         ds.map_batches(partial, batch_format="pandas"), group_keys, final
     )
+
+
+def exact_global_quantile(
+    ds: ray.data.Dataset,
+    value_column: str,
+    q: float = 0.5,
+    *,
+    n_bins: int = 4096,
+) -> float:
+    """EXACT global ``percentile_cont`` of one column at any scale with
+    bounded driver memory — the classic two-pass distributed selection:
+
+    1. min/max + a mergeable ``n_bins`` histogram locate the bin(s) holding
+       the target rank (one streaming pass, n_bins ints per batch);
+    2. only values inside those bins are collected (expected |input|/n_bins
+       rows — raise ``n_bins`` with data size) and the exact order statistic
+       interpolates locally.
+
+    Unlike :func:`grouped_quantile` nothing shuffles the column, and unlike
+    :func:`approx_quantile` the answer is exact, not bin-resolution."""
+    import numpy as np
+
+    stats = ds.aggregate(
+        ray.data.aggregate.Min(value_column), ray.data.aggregate.Max(value_column)
+    )
+    lo, hi = float(stats[f"min({value_column})"]), float(stats[f"max({value_column})"])
+    if lo == hi:
+        return lo
+    width = (hi - lo) / n_bins
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_column].to_numpy(dtype="float64")
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        counts = np.bincount(idx, minlength=n_bins)
+        return pd.DataFrame({"h": [counts.astype(np.int64).tobytes()]})
+
+    counts = np.zeros(n_bins, dtype=np.int64)
+    for row in ds.map_batches(hist_partial, batch_format="pandas").iter_rows():
+        counts += np.frombuffer(row["h"], dtype=np.int64)
+    n = int(counts.sum())
+    # percentile_cont rank: q*(n-1) between floor and ceil order statistics
+    pos = q * (n - 1)
+    k_lo, k_hi = int(np.floor(pos)), int(np.ceil(pos))
+    cum = np.cumsum(counts)
+    b_lo = int(np.searchsorted(cum, k_lo + 1))
+    b_hi = int(np.searchsorted(cum, k_hi + 1))
+
+    def in_bins(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_column].to_numpy(dtype="float64")
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        keep = (idx >= b_lo) & (idx <= b_hi)
+        return pd.DataFrame({value_column: v[keep]})
+
+    local = np.sort(
+        ds.map_batches(in_bins, batch_format="pandas")
+        .to_pandas()[value_column]
+        .to_numpy(dtype="float64")
+    )
+    before = int(cum[b_lo - 1]) if b_lo > 0 else 0  # rows in bins left of b_lo
+    v_lo = local[k_lo - before]
+    v_hi = local[k_hi - before]
+    frac = pos - k_lo
+    return float(v_lo * (1.0 - frac) + v_hi * frac)

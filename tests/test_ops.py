@@ -2564,3 +2564,16 @@ def test_hll_overlap_estimates_known_intersection(ray_session):
     assert abs(est["a"] - 30000) / 30000 < 0.05
     assert abs(est["union"] - 50000) / 50000 < 0.05
     assert abs(est["intersection"] - 10000) / 10000 < 0.25  # 3 error terms
+
+
+def test_exact_global_quantile_vs_numpy(ray_session):
+    rng = np.random.default_rng(21)
+    vals = rng.normal(1000, 250, size=20000)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals}))
+    for q in (0.05, 0.5, 0.99):
+        got = relational.exact_global_quantile(ds, "v", q=q, n_bins=256)
+        want = float(np.quantile(vals, q, method="linear"))
+        assert abs(got - want) < 1e-9, (q, got, want)
+    # constant column short-circuit
+    const = ray.data.from_pandas(pd.DataFrame({"v": np.full(100, 7.0)}))
+    assert relational.exact_global_quantile(const, "v", q=0.3) == 7.0
