@@ -1838,6 +1838,55 @@ def q_event_trigrams(sf_dir: str):
     return partial_groupby_agg(partials, ["trigram"], {"n": ("size", "sum")})
 
 
+def q_ab_test_value(sf_dir: str):
+    """A/B experiment readout: users deterministically hash-assigned to two
+    arms, per-arm mean/variance of event value from ONE moment-combiner
+    pass, plus the two-sample z statistic — the experimentation primitive
+    over event streams."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def arm(batch: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            batch["user_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(2**32)
+        batch = batch.copy()
+        batch["arm"] = np.where(h % np.uint64(2) == 0, "A", "B")
+        return batch[["arm", "value"]]
+
+    staged = events.map_batches(arm, batch_format="pandas")
+
+    def add_sq(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["v2"] = batch["value"] * batch["value"]
+        return batch
+
+    agg2 = partial_groupby_agg(
+        staged.map_batches(add_sq, batch_format="pandas"), ["arm"],
+        {"n": ("value", "count"), "s": ("value", "sum"), "s2": ("v2", "sum")},
+    ).to_pandas().sort_values("arm").reset_index(drop=True)
+    n = agg2["n"].to_numpy(dtype="float64")
+    mean = agg2["s"].to_numpy() / n
+    var = agg2["s2"].to_numpy() / n - mean * mean
+    z = (mean[0] - mean[1]) / np.sqrt(var[0] / n[0] + var[1] / n[1])
+    out = pd.DataFrame(
+        {
+            "arm": agg2["arm"],
+            "n": agg2["n"].astype("int64"),
+            "mean_value": np.floor(mean * 1e6 + 0.5) / 1e6,
+        }
+    )
+    out["z_stat"] = float(np.floor(z * 1e6 + 0.5) / 1e6)
+    return out
+
+
 def q_exact_median_price(sf_dir: str):
     """EXACT global median of order totals via two-pass distributed
     selection (histogram rank-locate + in-bin exact select) — bounded
@@ -3895,6 +3944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_deciles": q_pareto_deciles,
         "event_trigrams": q_event_trigrams,
         "exact_median_price": q_exact_median_price,
+        "ab_test_value": q_ab_test_value,
         "item_cooc_sim": q_item_cooc_sim,
         "negative_sampling_weights": q_negative_sampling_weights,
         "dup_rate_by_source": q_dup_rate_by_source,
@@ -5339,6 +5389,33 @@ def oracle_sql() -> dict[str, str]:
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
         # path, ordering on the ROUNDED score with doc_id ties
+        "ab_test_value": """
+            WITH t AS (
+                SELECT CASE WHEN ((user_id * 2654435761) % 4294967296) % 2 = 0
+                            THEN 'A' ELSE 'B' END AS arm,
+                       value
+                FROM events
+            ),
+            m AS (
+                SELECT arm, count(*) AS n, sum(value) AS s,
+                       sum(value * value) AS s2
+                FROM t GROUP BY 1
+            ),
+            e AS (
+                SELECT arm, n, s / n AS mean, s2 / n - (s / n) * (s / n) AS var
+                FROM m
+            ),
+            z AS (
+                SELECT ((SELECT mean FROM e WHERE arm = 'A')
+                        - (SELECT mean FROM e WHERE arm = 'B'))
+                       / sqrt((SELECT var / n FROM e WHERE arm = 'A')
+                              + (SELECT var / n FROM e WHERE arm = 'B')) AS zv
+            )
+            SELECT arm, n,
+                   floor(mean * 1e6 + 0.5) / 1e6 AS mean_value,
+                   floor(zv * 1e6 + 0.5) / 1e6 AS z_stat
+            FROM e, z
+        """,
         "exact_median_price": """
             SELECT floor(quantile_cont(o_totalprice, 0.5) * 1e6 + 0.5) / 1e6
                        AS median_price
