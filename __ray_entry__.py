@@ -913,9 +913,20 @@ def q_tpch_q3(sf_dir: str):
         return out.rename(columns={"l_orderkey": "o_orderkey"})
 
     li_rev = lineitem.map_batches(li_partial, batch_format="pandas")
-    orders_bld = partitioned_semi_join(
-        orders, cust, on="o_custkey", key_column="c_custkey", num_partitions=32
-    )
+    # plan switch: the filtered customer-key side is segment-selective
+    # (~1/5 of customers) — broadcast it while it fits (one shuffle saved);
+    # past the threshold fall back to the co-partitioned semi-join
+    n_keys = cust.count()
+    if n_keys <= 2_000_000:
+        from esmarc_ray.ops.relational import broadcast_semi_join
+
+        keys = [r["c_custkey"] for r in cust.iter_rows()]
+        orders_bld = broadcast_semi_join(orders, keys, on="o_custkey")
+    else:
+        orders_bld = partitioned_semi_join(
+            orders, cust, on="o_custkey", key_column="c_custkey",
+            num_partitions=32,
+        )
     joined = partitioned_join(
         li_rev,
         orders_bld,
