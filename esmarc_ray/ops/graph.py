@@ -1005,14 +1005,19 @@ def k_core(
 
     Iterative distributed peeling: each round (1) recomputes degrees over
     the SURVIVING edge set with the endpoint-count combiner, (2) drops
-    under-k nodes and discards their incident edges with one co-partitioned
-    filter per endpoint.  The edge table shrinks monotonically and is
-    materialized per round so no lineage re-executes; terminates at the
-    fixpoint (a round that peels nothing) or ``max_rounds``.
+    under-k nodes and discards their incident edges.  The edge filter
+    plan-switches on the surviving-set size: once it fits a broadcast
+    (2M nodes) both endpoints filter in ONE stateless map — zero shuffles
+    per round; above it, one co-partitioned semi-join per endpoint (the
+    scale path).  The edge table shrinks monotonically and is materialized
+    per round so no lineage re-executes; terminates at the fixpoint (a
+    round that peels nothing) or ``max_rounds``.
 
     Returns the surviving (node, degree) table — degree within the core.
     """
     from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_semi_join
+
+    broadcast_threshold = 2_000_000
 
     cur = edges.materialize()
 
@@ -1028,15 +1033,24 @@ def k_core(
         ).materialize()
         n_nodes = degrees.count()
         keep = degrees.filter(expr=f"degree >= {k}").materialize()
-        if keep.count() == n_nodes:
+        n_keep = keep.count()
+        if n_keep == n_nodes:
             return keep
-        cur = partitioned_semi_join(
-            partitioned_semi_join(
-                cur, keep, on=u, key_column="node",
-                num_partitions=num_partitions,
-            ),
-            keep, on=v, key_column="node", num_partitions=num_partitions,
-        ).materialize()
+        if n_keep <= broadcast_threshold:
+            keep_set = set(r["node"] for r in keep.iter_rows())
+
+            def both_in(batch: pd.DataFrame, ks=keep_set) -> pd.DataFrame:
+                return batch[batch[u].isin(ks) & batch[v].isin(ks)]
+
+            cur = cur.map_batches(both_in, batch_format="pandas").materialize()
+        else:
+            cur = partitioned_semi_join(
+                partitioned_semi_join(
+                    cur, keep, on=u, key_column="node",
+                    num_partitions=num_partitions,
+                ),
+                keep, on=v, key_column="node", num_partitions=num_partitions,
+            ).materialize()
         if cur.count() == 0:
             break
 
