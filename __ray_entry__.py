@@ -1849,6 +1849,77 @@ def q_event_trigrams(sf_dir: str):
     return partial_groupby_agg(partials, ["trigram"], {"n": ("size", "sum")})
 
 
+def q_user_time_weighted_value(sf_dir: str):
+    """Time-weighted average event value per user (each value held until
+    the user's next event): the irregular-sampling-correct mean. Users are
+    partition-disjoint, so each partition computes exact per-user interval
+    weights from one vectorized shift."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partitioned_final
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+
+    def per_user(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts", "event_id"])
+        secs = part["ts"].astype("datetime64[s]").astype("int64").astype("float64")
+        nxt = pd.Series(secs).shift(-1)
+        same = part["user_id"].to_numpy() == part["user_id"].shift(-1).to_numpy()
+        dt = (nxt - secs).where(pd.Series(same, index=part.index), other=np.nan)
+        keep = dt.notna() & (dt > 0)
+        g = pd.DataFrame(
+            {
+                "user_id": part["user_id"][keep],
+                "__wv": (part["value"][keep] * dt[keep]),
+                "__w": dt[keep],
+            }
+        ).groupby("user_id", as_index=False).sum()
+        g["twa_value"] = np.floor(g["__wv"] / g["__w"] * 1e6 + 0.5) / 1e6
+        return g[["user_id", "twa_value"]]
+
+    return partitioned_final(events, ["user_id"], per_user, num_partitions=32)
+
+
+def q_weekly_revenue_growth(sf_dir: str):
+    """Week-over-week revenue growth: weekly combiner aggregate (O(weeks)
+    rows by construction), then one sequential lag pass over the tiny
+    series — the growth-rate dashboard."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def week(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["wk"] = (
+            batch["o_orderdate"].dt.to_period("W").dt.start_time.dt.strftime(
+                "%Y-%m-%d"
+            )
+        )
+        return batch[["wk", "o_totalprice"]]
+
+    weekly = partial_groupby_agg(
+        orders.map_batches(week, batch_format="pandas"),
+        ["wk"],
+        {"revenue": ("o_totalprice", "sum")},
+    ).to_pandas().sort_values("wk").reset_index(drop=True)
+    prev = weekly["revenue"].shift(1)
+    growth = (weekly["revenue"] - prev) / prev
+    weekly["wow_pct"] = np.floor(growth * 1e6 + 0.5) / 1e6
+    weekly["revenue"] = np.floor(weekly["revenue"] * 100 + 0.5) / 100
+    return weekly[["wk", "revenue", "wow_pct"]].dropna().reset_index(drop=True)
+
+
 def q_ab_test_value(sf_dir: str):
     """A/B experiment readout: users deterministically hash-assigned to two
     arms, per-arm mean/variance of event value from ONE moment-combiner
@@ -3956,6 +4027,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigrams": q_event_trigrams,
         "exact_median_price": q_exact_median_price,
         "ab_test_value": q_ab_test_value,
+        "user_time_weighted_value": q_user_time_weighted_value,
+        "weekly_revenue_growth": q_weekly_revenue_growth,
         "item_cooc_sim": q_item_cooc_sim,
         "negative_sampling_weights": q_negative_sampling_weights,
         "dup_rate_by_source": q_dup_rate_by_source,
@@ -5400,6 +5473,41 @@ def oracle_sql() -> dict[str, str]:
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
         # path, ordering on the ROUNDED score with doc_id ties
+        "user_time_weighted_value": """
+            WITH s AS (
+                SELECT user_id, value,
+                       floor(epoch(ts))::BIGINT AS sec,
+                       lead(floor(epoch(ts))::BIGINT) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS nxt
+                FROM events
+            ),
+            w AS (
+                SELECT user_id, value, (nxt - sec)::DOUBLE AS dt
+                FROM s WHERE nxt IS NOT NULL AND nxt > sec
+            )
+            SELECT user_id,
+                   floor(sum(value * dt) / sum(dt) * 1e6 + 0.5) / 1e6
+                       AS twa_value
+            FROM w GROUP BY 1
+        """,
+        "weekly_revenue_growth": """
+            WITH wk AS (
+                SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d')
+                           AS wk,
+                       sum(o_totalprice) AS revenue
+                FROM orders GROUP BY 1
+            ),
+            g AS (
+                SELECT wk, revenue,
+                       lag(revenue) OVER (ORDER BY wk) AS prev
+                FROM wk
+            )
+            SELECT wk,
+                   floor(revenue * 100 + 0.5) / 100 AS revenue,
+                   floor((revenue - prev) / prev * 1e6 + 0.5) / 1e6 AS wow_pct
+            FROM g WHERE prev IS NOT NULL
+        """,
         "ab_test_value": """
             WITH t AS (
                 SELECT CASE WHEN ((user_id * 2654435761) % 4294967296) % 2 = 0
