@@ -1849,6 +1849,71 @@ def q_event_trigrams(sf_dir: str):
     return partial_groupby_agg(partials, ["trigram"], {"n": ("size", "sum")})
 
 
+def q_revenue_gini(sf_dir: str):
+    """Gini coefficient of per-customer revenue — the concentration scalar
+    behind the Pareto report: per-customer combiner revenue, distributed
+    terasort-style global rank (no global sort bottleneck), then one
+    weighted-sum combiner folds G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import global_rank, partial_groupby_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    # MATERIALIZED: global_rank's boundary/count/rank passes re-execute
+    # their input lineage; a float-aggregate rank key must be pinned or the
+    # passes see ulp-different values and assign inconsistent ranks
+    custrev = partial_groupby_agg(
+        orders, ["o_custkey"], {"rev": ("o_totalprice", "sum")}
+    ).materialize()
+    ranked = global_rank(
+        custrev, ["rev", "o_custkey"], out_name="i", num_partitions=16
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n": [float(len(batch))],
+                "sx": [float(batch["rev"].sum())],
+                "six": [float((batch["i"] * batch["rev"]).sum())],
+            }
+        )
+
+    parts = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    n, sx, six = parts["n"].sum(), parts["sx"].sum(), parts["six"].sum()
+    gini = 2.0 * six / (n * sx) - (n + 1.0) / n
+    return pd.DataFrame({"gini": [float(np.floor(gini * 1e6 + 0.5) / 1e6)]})
+
+
+def q_churned_users(sf_dir: str):
+    """Churn flags: users whose LAST event precedes the corpus horizon by
+    more than 7 days — per-user max-ts combiner, the horizon is one global
+    max aggregate broadcast into a stateless flag map."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    last_seen = partial_groupby_agg(
+        events, ["user_id"], {"last_ts": ("ts", "max")}
+    )
+    horizon = events.max("ts")
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        cut = pd.Timestamp(horizon) - pd.Timedelta(days=7)
+        batch = batch.copy()
+        batch["churned"] = batch["last_ts"] < cut
+        return batch[["user_id", "churned"]]
+
+    return last_seen.map_batches(flag, batch_format="pandas")
+
+
 def q_user_time_weighted_value(sf_dir: str):
     """Time-weighted average event value per user (each value held until
     the user's next event): the irregular-sampling-correct mean. Users are
@@ -4028,6 +4093,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_median_price": q_exact_median_price,
         "ab_test_value": q_ab_test_value,
         "user_time_weighted_value": q_user_time_weighted_value,
+        "revenue_gini": q_revenue_gini,
+        "churned_users": q_churned_users,
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "item_cooc_sim": q_item_cooc_sim,
         "negative_sampling_weights": q_negative_sampling_weights,
@@ -5473,6 +5540,28 @@ def oracle_sql() -> dict[str, str]:
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
         # path, ordering on the ROUNDED score with doc_id ties
+        "revenue_gini": """
+            WITH cr AS (
+                SELECT o_custkey, sum(o_totalprice) AS rev
+                FROM orders GROUP BY 1
+            ),
+            r AS (
+                SELECT rev,
+                       row_number() OVER (ORDER BY rev, o_custkey) AS i
+                FROM cr
+            )
+            SELECT floor((2.0 * sum(i * rev) / (count(*) * sum(rev))
+                          - (count(*) + 1.0) / count(*)) * 1e6 + 0.5) / 1e6
+                       AS gini
+            FROM r
+        """,
+        "churned_users": """
+            WITH h AS (SELECT max(ts) AS horizon FROM events)
+            SELECT user_id,
+                   max(ts) < (SELECT horizon FROM h) - INTERVAL 7 DAY
+                       AS churned
+            FROM events GROUP BY 1
+        """,
         "user_time_weighted_value": """
             WITH s AS (
                 SELECT user_id, value,
