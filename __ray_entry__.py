@@ -1849,6 +1849,38 @@ def q_event_trigrams(sf_dir: str):
     return partial_groupby_agg(partials, ["trigram"], {"n": ("size", "sum")})
 
 
+def q_events_window_p95(sf_dir: str):
+    """Per-15-minute-window p95 event value — the streaming SLO monitor
+    shape: window key is a stateless map, the exact quantile runs on the
+    hash-partitioned shared-sort kernel."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import grouped_quantile
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def window(batch: pd.DataFrame) -> pd.DataFrame:
+        secs = batch["ts"].astype("datetime64[s]").astype("int64")
+        return pd.DataFrame(
+            {"window_start": (secs // 900) * 900, "value": batch["value"]}
+        )
+
+    out = grouped_quantile(
+        events.map_batches(window, batch_format="pandas"),
+        ["window_start"],
+        "value",
+        q=0.95,
+        out_name="p95_value",
+    ).to_pandas()
+    from esmarc_ray.ops.relational import _round_half_up
+
+    out["p95_value"] = _round_half_up(out["p95_value"], 4)
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
 def q_revenue_gini(sf_dir: str):
     """Gini coefficient of per-customer revenue — the concentration scalar
     behind the Pareto report: per-customer combiner revenue, distributed
@@ -4094,6 +4126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_test_value": q_ab_test_value,
         "user_time_weighted_value": q_user_time_weighted_value,
         "revenue_gini": q_revenue_gini,
+        "events_window_p95": q_events_window_p95,
         "churned_users": q_churned_users,
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "item_cooc_sim": q_item_cooc_sim,
@@ -5540,6 +5573,11 @@ def oracle_sql() -> dict[str, str]:
         # BM25 re-derived end to end: same whitespace-lowercase tokens, same
         # Lucene idf ln((N-df+0.5)/(df+0.5)+1), same k1=1.2 / b=0.75 float
         # path, ordering on the ROUNDED score with doc_id ties
+        "events_window_p95": """
+            SELECT (floor(epoch(ts))::BIGINT // 900) * 900 AS window_start,
+                   round(quantile_cont(value, 0.95), 4) AS p95_value
+            FROM events GROUP BY 1
+        """,
         "revenue_gini": """
             WITH cr AS (
                 SELECT o_custkey, sum(o_totalprice) AS rev
