@@ -1374,6 +1374,25 @@ def q_langid_pred(sf_dir: str):
     return lang_id(docs).select_columns(["doc_id", "lang_pred"])
 
 
+def q_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix (labeled lang × predicted lang counts) —
+    the classifier-evaluation view over the same stopword-profile scorer the
+    oracle re-derives; prediction is a stateless map, the matrix a combiner
+    over the tiny lang×lang space."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+    from esmarc_ray.ops.text import lang_id
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pred = lang_id(docs)
+    return partial_groupby_agg(
+        pred, ["lang", "lang_pred"], {"n": ("doc_id", "count")}
+    )
+
+
 def q_top_terms(sf_dir: str):
     import ray.data
 
@@ -4170,6 +4189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dups": q_simhash_dups,
         "embedding_dups": q_embedding_dups,
         "langid_pred": q_langid_pred,
+        "langid_confusion": q_langid_confusion,
         "fingerprints": q_fingerprints,
         "approx_users_per_type": q_approx_users_per_type,
         "semantic_dups": q_semantic_dups,
@@ -6033,6 +6053,12 @@ def oracle_sql() -> dict[str, str]:
         # (token multiplicity kept), argmax with first-lang-wins ties over
         # the sorted lang list, 0 hits -> 'und' — integer-only, no float risk
         "langid_pred": _langid_oracle(),
+        "langid_confusion": f"""
+            WITH pred AS ({_langid_oracle()})
+            SELECT d.lang, p.lang_pred, count(*) AS n
+            FROM pred p JOIN documents d USING (doc_id)
+            GROUP BY 1, 2
+        """,
         # Repetition filters re-derived: line/para splits on LF / LF LF with
         # the same any-non-whitespace keep rule, bigram max over \x1f-joined
         # consecutive word pairs, same 1 - distinct/total float path
