@@ -1374,6 +1374,47 @@ def q_langid_pred(sf_dir: str):
     return lang_id(docs).select_columns(["doc_id", "lang_pred"])
 
 
+def q_bm25_ndcg(sf_dir: str):
+    """Retrieval-quality readout: NDCG@10 of the BM25 ranking where
+    relevance = document contains ALL three query terms (binary) — the
+    evaluation metric computed over the distributed ranking plus one
+    stateless relevance map; ideal-DCG from the global relevant count."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.text import bm25_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    terms = ["hash", "join", "merge"]
+    top = bm25_topk(docs, " ".join(terms), k=10).to_pandas()
+    top["rank"] = np.arange(1, len(top) + 1)
+
+    def relevant(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.split().apply(set)
+        rel = toks.apply(lambda s: all(t in s for t in terms))
+        return pd.DataFrame({"doc_id": batch["doc_id"], "rel": rel.astype("int64")})
+
+    rel = docs.map_batches(relevant, batch_format="pandas")
+    n_rel = int(rel.sum("rel"))
+    rel_top = top.merge(
+        rel.to_pandas(), on="doc_id", how="left"
+    ).fillna({"rel": 0})
+    dcg = float((rel_top["rel"] / np.log2(rel_top["rank"] + 1.0)).sum())
+    ideal = float(
+        (1.0 / np.log2(np.arange(1, min(n_rel, 10) + 1) + 1.0)).sum()
+    ) if n_rel else 1.0
+    ndcg = dcg / ideal if ideal else 0.0
+    return pd.DataFrame(
+        {
+            "n_relevant": [n_rel],
+            "ndcg10": [float(np.floor(ndcg * 1e6 + 0.5) / 1e6)],
+        }
+    )
+
+
 def q_langid_confusion(sf_dir: str):
     """Language-ID confusion matrix (labeled lang × predicted lang counts) —
     the classifier-evaluation view over the same stopword-profile scorer the
@@ -4190,6 +4231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": q_embedding_dups,
         "langid_pred": q_langid_pred,
         "langid_confusion": q_langid_confusion,
+        "bm25_ndcg": q_bm25_ndcg,
         "fingerprints": q_fingerprints,
         "approx_users_per_type": q_approx_users_per_type,
         "semantic_dups": q_semantic_dups,
@@ -6053,6 +6095,80 @@ def oracle_sql() -> dict[str, str]:
         # (token multiplicity kept), argmax with first-lang-wins ties over
         # the sorted lang list, 0 hits -> 'und' — integer-only, no float risk
         "langid_pred": _langid_oracle(),
+        "bm25_ndcg": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ),
+            stats AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum(len(ws))::DOUBLE / count(*)::DOUBLE AS avgdl
+              FROM w
+            ),
+            qt(term) AS (VALUES ('hash'), ('join'), ('merge')),
+            dfreq AS (
+              SELECT qt.term,
+                     (SELECT count(*) FROM w
+                      WHERE list_contains(w.ws, qt.term))::DOUBLE AS df
+              FROM qt
+            ),
+            idf AS (
+              SELECT term,
+                     ln((stats.n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+              FROM dfreq, stats
+            ),
+            tok AS (
+              SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM w
+            ),
+            tf AS (
+              SELECT doc_id, t AS term, count(*) AS tf, any_value(dl) AS dl
+              FROM tok JOIN qt ON qt.term = tok.t
+              GROUP BY doc_id, t
+            ),
+            contrib AS (
+              SELECT tf.doc_id,
+                     idf.idf * (tf.tf * (1.2 + 1.0)
+                                / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                   + 0.75 * tf.dl / stats.avgdl))) AS c
+              FROM tf JOIN idf USING (term), stats
+            ),
+            scored AS (
+              SELECT w.doc_id,
+                     round(coalesce(s.sc, 0.0), 6) AS bm25_score
+              FROM w LEFT JOIN (SELECT doc_id, sum(c) AS sc
+                                FROM contrib GROUP BY doc_id) s
+                USING (doc_id)
+            ),
+            top10 AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                         ORDER BY bm25_score DESC, doc_id) AS r
+              FROM scored QUALIFY r <= 10
+            ),
+            rel AS (
+              SELECT doc_id,
+                     CASE WHEN list_has_all(ws, ['hash', 'join', 'merge'])
+                          THEN 1 ELSE 0 END AS rel
+              FROM w
+            ),
+            nrel AS (SELECT sum(rel) AS n FROM rel),
+            dcg AS (
+              SELECT sum(rel.rel / log2(top10.r + 1.0)) AS d
+              FROM top10 JOIN rel USING (doc_id)
+            ),
+            ideal AS (
+              SELECT sum(1.0 / log2(i + 1.0)) AS idl FROM (
+                SELECT unnest(range(1, least((SELECT n FROM nrel)::BIGINT,
+                                             10) + 1)) AS i
+              )
+            )
+            SELECT (SELECT n FROM nrel)::BIGINT AS n_relevant,
+                   floor((SELECT d FROM dcg) / (SELECT idl FROM ideal)
+                         * 1e6 + 0.5) / 1e6 AS ndcg10
+        """,
         "langid_confusion": f"""
             WITH pred AS ({_langid_oracle()})
             SELECT d.lang, p.lang_pred, count(*) AS n
