@@ -1980,6 +1980,44 @@ def q_revenue_gini(sf_dir: str):
     return pd.DataFrame({"gini": [float(np.floor(gini * 1e6 + 0.5) / 1e6)]})
 
 
+def q_user_recency_score(sf_dir: str):
+    """Exponentially-decayed per-user activity score (7-day half-life
+    against the corpus horizon): Σ value·2^(−age_days/7) — the recency-
+    weighted feature of a ranking/churn model.  One combiner pass; the
+    horizon is a broadcast scalar, decay weights computed from exact
+    integer epoch-day arithmetic so both engines share the float path."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    horizon_s = float(
+        pd.Timestamp(events.max("ts")).floor("s").value // 10**9
+    )
+
+    def weigh(batch: pd.DataFrame) -> pd.DataFrame:
+        secs = batch["ts"].astype("datetime64[s]").astype("int64").astype("float64")
+        age_days = (horizon_s - secs) / 86400.0
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "w": batch["value"] * np.power(2.0, -age_days / 7.0),
+            }
+        )
+
+    out = partial_groupby_agg(
+        events.map_batches(weigh, batch_format="pandas"),
+        ["user_id"],
+        {"score": ("w", "sum")},
+    ).to_pandas()
+    out["score"] = np.floor(out["score"] * 1e4 + 0.5) / 1e4
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_churned_users(sf_dir: str):
     """Churn flags: users whose LAST event precedes the corpus horizon by
     more than 7 days — per-user max-ts combiner, the horizon is one global
@@ -4188,6 +4226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_gini": q_revenue_gini,
         "events_window_p95": q_events_window_p95,
         "churned_users": q_churned_users,
+        "user_recency_score": q_user_recency_score,
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "item_cooc_sim": q_item_cooc_sim,
         "negative_sampling_weights": q_negative_sampling_weights,
@@ -5654,6 +5693,16 @@ def oracle_sql() -> dict[str, str]:
                           - (count(*) + 1.0) / count(*)) * 1e6 + 0.5) / 1e6
                        AS gini
             FROM r
+        """,
+        "user_recency_score": """
+            WITH h AS (
+                SELECT floor(epoch(max(ts)))::BIGINT::DOUBLE AS hs FROM events
+            )
+            SELECT user_id,
+                   floor(sum(value * pow(2.0,
+                       -((h.hs - floor(epoch(ts))::BIGINT) / 86400.0) / 7.0))
+                       * 1e4 + 0.5) / 1e4 AS score
+            FROM events, h GROUP BY user_id
         """,
         "churned_users": """
             WITH h AS (SELECT max(ts) AS horizon FROM events)
