@@ -1851,6 +1851,75 @@ def q_item_cooc_sim(sf_dir: str):
     ).head(50).reset_index(drop=True)
 
 
+def q_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve: cumulative token-mass fraction captured by
+    the top-{10,100,1000} corpus terms — the tokenizer-budget design stat.
+    Term counts are one combiner pass; the curve folds over the sorted head
+    (head-sized, never the corpus)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.split().explode()
+        return pd.DataFrame({"tok": toks[toks.notna() & (toks != "")]})
+
+    counts = partial_groupby_agg(
+        docs.map_batches(tokens, batch_format="pandas"),
+        ["tok"],
+        {"n": ("tok", "count")},
+    ).to_pandas().sort_values(["n", "tok"], ascending=[False, True])
+    total = float(counts["n"].sum())
+    cum = counts["n"].cumsum().to_numpy(dtype="float64")
+    rows = []
+    for k in (10, 100, 1000):
+        if k <= len(cum):
+            frac = cum[k - 1] / total
+        else:
+            frac = 1.0
+        rows.append(
+            {"top_k": k, "coverage": float(np.floor(frac * 1e6 + 0.5) / 1e6)}
+        )
+    return pd.DataFrame(rows)
+
+
+def q_dedup_tuning(sf_dir: str):
+    """MinHash-LSH band-sensitivity report: candidate and verified pair
+    counts at two (bands, rows) operating points — the tuning sweep a dedup
+    rollout runs before fixing thresholds (rows-only: LSH uses engine-side
+    hashing; the planted-dup recall gate is pytest-side)."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.dedup import minhash_candidates, minhash_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    rows = []
+    for bands, rows_per_band in ((16, 8), (32, 4)):
+        num_perm = bands * rows_per_band
+        candidates = minhash_candidates(
+            docs, num_perm=num_perm, bands=bands
+        ).materialize()
+        _, confirmed = minhash_dedup(
+            docs, threshold=0.7, num_perm=num_perm, bands=bands
+        )
+        rows.append(
+            {
+                "bands": bands,
+                "rows_per_band": rows_per_band,
+                "n_candidates": int(candidates.count()),
+                "n_confirmed": int(confirmed.count()),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def q_negative_sampling_weights(sf_dir: str):
     """word2vec-style negative-sampling table: unigram count^0.75 weights,
     normalized, for the exact top-30 corpus terms (count combiner; the
@@ -4230,6 +4299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "item_cooc_sim": q_item_cooc_sim,
         "negative_sampling_weights": q_negative_sampling_weights,
+        "vocab_coverage": q_vocab_coverage,
         "dup_rate_by_source": q_dup_rate_by_source,
         "eval_sample_per_lang": q_eval_sample_per_lang,
         "doc_compress_ratio": q_doc_compress_ratio,
@@ -4256,6 +4326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (heuristic / sketch / stub ops)
         "approx_median_price": q_approx_median_price,
         "pca_proj": q_pca_proj,
+        "dedup_tuning": q_dedup_tuning,
         "cms_term_freq": q_cms_term_freq,
         "audience_overlap": q_audience_overlap,
         "ivf_topk": q_ivf_topk,
@@ -5796,6 +5867,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN ic ia ON ia.l_partkey = pc.l_partkey_a
             JOIN ic ib ON ib.l_partkey = pc.l_partkey_b
             ORDER BY sim DESC, l_partkey_a, l_partkey_b LIMIT 50
+        """,
+        "vocab_coverage": r"""
+            WITH tok AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(coalesce(text, '')), '\s+'),
+                    x -> x <> '')) AS tok
+                FROM documents
+            ),
+            c AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+            r AS (
+                SELECT n,
+                       row_number() OVER (ORDER BY n DESC, tok) AS rk,
+                       sum(n) OVER (ORDER BY n DESC, tok
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM c
+            ),
+            t AS (SELECT sum(n)::DOUBLE AS total FROM c)
+            SELECT k.top_k,
+                   floor(coalesce(
+                       (SELECT cum FROM r WHERE rk = least(
+                            k.top_k, (SELECT count(*) FROM c))),
+                       (SELECT total FROM t)) / (SELECT total FROM t)
+                       * 1e6 + 0.5) / 1e6 AS coverage
+            FROM (SELECT unnest([10, 100, 1000]) AS top_k) k
         """,
         "negative_sampling_weights": r"""
             WITH tok AS (
