@@ -2149,6 +2149,68 @@ def q_user_time_weighted_value(sf_dir: str):
     return partitioned_final(events, ["user_id"], per_user, num_partitions=32)
 
 
+def q_order_seasonality(sf_dir: str):
+    """Monthly seasonality index of order revenue: month-of-year mean
+    revenue / overall mean (the calendar feature a demand model consumes) —
+    month keys are a stateless map, one combiner pass, the 12-row index
+    folds on the driver."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def month(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "month": batch["o_orderdate"].dt.month.astype("int64"),
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+
+    agg = partial_groupby_agg(
+        orders.map_batches(month, batch_format="pandas"),
+        ["month"],
+        {"n": ("o_totalprice", "count"), "s": ("o_totalprice", "sum")},
+    ).to_pandas()
+    overall = agg["s"].sum() / agg["n"].sum()
+    agg["seasonal_index"] = np.floor(
+        (agg["s"] / agg["n"]) / overall * 1e6 + 0.5
+    ) / 1e6
+    return agg[["month", "n", "seasonal_index"]].sort_values(
+        "month"
+    ).reset_index(drop=True)
+
+
+def q_events_dow_hour(sf_dir: str):
+    """Activity heatmap: event counts by (ISO day-of-week, hour) — the
+    staffing/traffic calendar view; stateless key map + combiner."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def keys(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "dow": (batch["ts"].dt.dayofweek + 1).astype("int64"),  # ISO
+                "hour": batch["ts"].dt.hour.astype("int64"),
+            }
+        )
+
+    return partial_groupby_agg(
+        events.map_batches(keys, batch_format="pandas"),
+        ["dow", "hour"],
+        {"n_events": ("dow", "count")},
+    )
+
+
 def q_weekly_revenue_growth(sf_dir: str):
     """Week-over-week revenue growth: weekly combiner aggregate (O(weeks)
     rows by construction), then one sequential lag pass over the tiny
@@ -4297,6 +4359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "churned_users": q_churned_users,
         "user_recency_score": q_user_recency_score,
         "weekly_revenue_growth": q_weekly_revenue_growth,
+        "order_seasonality": q_order_seasonality,
+        "events_dow_hour": q_events_dow_hour,
         "item_cooc_sim": q_item_cooc_sim,
         "negative_sampling_weights": q_negative_sampling_weights,
         "vocab_coverage": q_vocab_coverage,
@@ -5799,6 +5863,23 @@ def oracle_sql() -> dict[str, str]:
                    floor(sum(value * dt) / sum(dt) * 1e6 + 0.5) / 1e6
                        AS twa_value
             FROM w GROUP BY 1
+        """,
+        "order_seasonality": """
+            WITH m AS (
+                SELECT month(o_orderdate) AS month,
+                       count(*) AS n, sum(o_totalprice) AS s
+                FROM orders GROUP BY 1
+            ),
+            t AS (SELECT sum(s) / sum(n) AS overall FROM m)
+            SELECT month, n,
+                   floor((s / n) / t.overall * 1e6 + 0.5) / 1e6
+                       AS seasonal_index
+            FROM m, t
+        """,
+        "events_dow_hour": """
+            SELECT isodow(ts) AS dow, hour(ts) AS hour,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "weekly_revenue_growth": """
             WITH wk AS (
