@@ -2149,6 +2149,54 @@ def q_user_time_weighted_value(sf_dir: str):
     return partitioned_final(events, ["user_id"], per_user, num_partitions=32)
 
 
+def q_rfm_segments(sf_dir: str):
+    """RFM segmentation: per-customer Recency/Frequency/Monetary quintiles
+    (ntile 5 each, deterministic tie-breaks), segment code R·100+F·10+M —
+    the classic CRM feature.  One combiner pass builds the per-customer
+    metric table; each quintile is a global ranking over customers (not
+    orders), the terasort-rank shape."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, window_rank
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    cust = partial_groupby_agg(
+        orders,
+        ["o_custkey"],
+        {
+            "last_date": ("o_orderdate", "max"),
+            "freq": ("o_orderdate", "count"),
+            "monetary": ("o_totalprice", "sum"),
+        },
+    ).materialize()  # float aggregate feeds multi-pass ranking: pin values
+
+    def add_g(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__g"] = 1
+        return batch
+
+    staged = cust.map_batches(add_g, batch_format="pandas")
+    out = None
+    for metric, name in (("last_date", "r"), ("freq", "f"), ("monetary", "m")):
+        ranked = window_rank(
+            staged,
+            partition_by="__g",
+            order_by=[metric, "o_custkey"],
+            ntile=5,
+            ntile_name=name,
+            num_partitions=1,
+        ).to_pandas()[["o_custkey", name]]
+        out = ranked if out is None else out.merge(ranked, on="o_custkey")
+    out["rfm_code"] = (out["r"] * 100 + out["f"] * 10 + out["m"]).astype("int64")
+    return out[["o_custkey", "rfm_code"]].sort_values("o_custkey").reset_index(
+        drop=True
+    )
+
+
 def q_order_seasonality(sf_dir: str):
     """Monthly seasonality index of order revenue: month-of-year mean
     revenue / overall mean (the calendar feature a demand model consumes) —
@@ -4360,6 +4408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_recency_score": q_user_recency_score,
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "order_seasonality": q_order_seasonality,
+        "rfm_segments": q_rfm_segments,
         "events_dow_hour": q_events_dow_hour,
         "item_cooc_sim": q_item_cooc_sim,
         "negative_sampling_weights": q_negative_sampling_weights,
@@ -5863,6 +5912,21 @@ def oracle_sql() -> dict[str, str]:
                    floor(sum(value * dt) / sum(dt) * 1e6 + 0.5) / 1e6
                        AS twa_value
             FROM w GROUP BY 1
+        """,
+        "rfm_segments": """
+            WITH c AS (
+                SELECT o_custkey,
+                       max(o_orderdate) AS last_date,
+                       count(*) AS freq,
+                       sum(o_totalprice) AS monetary
+                FROM orders GROUP BY 1
+            )
+            SELECT o_custkey,
+                   (ntile(5) OVER (ORDER BY last_date, o_custkey) * 100
+                    + ntile(5) OVER (ORDER BY freq, o_custkey) * 10
+                    + ntile(5) OVER (ORDER BY monetary, o_custkey))::BIGINT
+                       AS rfm_code
+            FROM c
         """,
         "order_seasonality": """
             WITH m AS (
