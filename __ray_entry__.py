@@ -2149,6 +2149,60 @@ def q_user_time_weighted_value(sf_dir: str):
     return partitioned_final(events, ["user_id"], per_user, num_partitions=32)
 
 
+def q_source_lang_entropy(sf_dir: str):
+    """Language purity per source (Shannon entropy of each source's lang
+    mix) — the corpus-mixing diagnostic; pure reuse of the grouped-entropy
+    combiner over a different key pair."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import grouped_entropy
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+    out = grouped_entropy(docs, ["source"], "lang").to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_revenue_anomaly_weeks(sf_dir: str):
+    """Anomalous revenue weeks: |week-over-week growth| beyond 2 population
+    σ of all growths — the alerting view over the tiny weekly series (the
+    heavy lifting is the weekly combiner; the σ fold is O(weeks))."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def week(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["wk"] = (
+            batch["o_orderdate"].dt.to_period("W").dt.start_time.dt.strftime(
+                "%Y-%m-%d"
+            )
+        )
+        return batch[["wk", "o_totalprice"]]
+
+    weekly = partial_groupby_agg(
+        orders.map_batches(week, batch_format="pandas"),
+        ["wk"],
+        {"revenue": ("o_totalprice", "sum")},
+    ).to_pandas().sort_values("wk").reset_index(drop=True)
+    prev = weekly["revenue"].shift(1)
+    g = ((weekly["revenue"] - prev) / prev).dropna()
+    mu, sd = float(g.mean()), float(g.std(ddof=0))
+    weekly["wow"] = (weekly["revenue"] - prev) / prev
+    flag = weekly.dropna(subset=["wow"])
+    flag = flag[(flag["wow"] - mu).abs() > 2.0 * sd]
+    out = flag[["wk"]].copy()
+    out["wow_pct"] = np.floor(flag["wow"] * 1e6 + 0.5) / 1e6
+    return out.reset_index(drop=True)
+
+
 def q_rfm_segments(sf_dir: str):
     """RFM segmentation: per-customer Recency/Frequency/Monetary quintiles
     (ntile 5 each, deterministic tie-breaks), segment code R·100+F·10+M —
@@ -4409,6 +4463,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "order_seasonality": q_order_seasonality,
         "rfm_segments": q_rfm_segments,
+        "source_lang_entropy": q_source_lang_entropy,
+        "revenue_anomaly_weeks": q_revenue_anomaly_weeks,
         "events_dow_hour": q_events_dow_hour,
         "item_cooc_sim": q_item_cooc_sim,
         "negative_sampling_weights": q_negative_sampling_weights,
@@ -5912,6 +5968,31 @@ def oracle_sql() -> dict[str, str]:
                    floor(sum(value * dt) / sum(dt) * 1e6 + 0.5) / 1e6
                        AS twa_value
             FROM w GROUP BY 1
+        """,
+        "source_lang_entropy": """
+            SELECT source, floor(entropy(lang) * 1e6 + 0.5) / 1e6 AS entropy
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "revenue_anomaly_weeks": """
+            WITH wk AS (
+                SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d')
+                           AS wk,
+                       sum(o_totalprice) AS revenue
+                FROM orders GROUP BY 1
+            ),
+            g AS (
+                SELECT wk,
+                       (revenue - lag(revenue) OVER (ORDER BY wk))
+                           / lag(revenue) OVER (ORDER BY wk) AS wow
+                FROM wk
+            ),
+            s AS (
+                SELECT avg(wow) AS mu, stddev_pop(wow) AS sd
+                FROM g WHERE wow IS NOT NULL
+            )
+            SELECT wk, floor(wow * 1e6 + 0.5) / 1e6 AS wow_pct
+            FROM g, s
+            WHERE wow IS NOT NULL AND abs(wow - mu) > 2.0 * sd
         """,
         "rfm_segments": """
             WITH c AS (
