@@ -2149,6 +2149,80 @@ def q_user_time_weighted_value(sf_dir: str):
     return partitioned_final(events, ["user_id"], per_user, num_partitions=32)
 
 
+def q_session_length_hist(sf_dir: str):
+    """Session-length distribution: events-per-session histogram under the
+    30-minute-gap rule — users are partition-disjoint, so each partition
+    derives exact session ids from one vectorized shift/diff/cumsum and
+    emits its local histogram; a tiny per-length merge follows."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partitioned_final
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def per_user(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts", "event_id"])
+        secs = part["ts"].astype("datetime64[s]").astype("int64")
+        new_user = part["user_id"].ne(part["user_id"].shift(1))
+        gap = secs - secs.shift(1)
+        brk = (new_user | (gap > 1800)).astype("int64")
+        sid = brk.cumsum()
+        sizes = (
+            pd.DataFrame({"u": part["user_id"], "sid": sid})
+            .groupby(["u", "sid"])
+            .size()
+        )
+        return sizes.rename("session_len").to_frame().groupby(
+            "session_len", as_index=False
+        ).size()
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        return (
+            part.groupby("session_len", as_index=False)["size"]
+            .sum()
+            .rename(columns={"size": "n_sessions"})
+        )
+
+    per = partitioned_final(events, ["user_id"], per_user, num_partitions=32)
+    return partitioned_final(per, ["session_len"], merge, num_partitions=8)
+
+
+def q_log_price_params(sf_dir: str):
+    """Lognormal fit parameters of order totals per priority (mean/σ of
+    ln price) — the distribution-fit feature a pricing simulator consumes;
+    raw-sums moment combiner sharing the SQL float path."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def lnp(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["l"] = np.log(batch["o_totalprice"].to_numpy(dtype="float64"))
+        batch["l2"] = batch["l"] * batch["l"]
+        return batch[["o_orderpriority", "l", "l2"]]
+
+    agg = partial_groupby_agg(
+        orders.map_batches(lnp, batch_format="pandas"),
+        ["o_orderpriority"],
+        {"n": ("l", "count"), "s": ("l", "sum"), "s2": ("l2", "sum")},
+    ).to_pandas()
+    mu = agg["s"] / agg["n"]
+    sigma = np.sqrt((agg["s2"] / agg["n"] - mu * mu).clip(lower=0.0))
+    out = agg[["o_orderpriority"]].copy()
+    out["mu_ln"] = np.floor(mu * 1e6 + 0.5) / 1e6
+    out["sigma_ln"] = np.floor(sigma * 1e6 + 0.5) / 1e6
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def q_source_lang_entropy(sf_dir: str):
     """Language purity per source (Shannon entropy of each source's lang
     mix) — the corpus-mixing diagnostic; pure reuse of the grouped-entropy
@@ -4464,6 +4538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_seasonality": q_order_seasonality,
         "rfm_segments": q_rfm_segments,
         "source_lang_entropy": q_source_lang_entropy,
+        "session_length_hist": q_session_length_hist,
+        "log_price_params": q_log_price_params,
         "revenue_anomaly_weeks": q_revenue_anomaly_weeks,
         "events_dow_hour": q_events_dow_hour,
         "item_cooc_sim": q_item_cooc_sim,
@@ -5968,6 +6044,43 @@ def oracle_sql() -> dict[str, str]:
                    floor(sum(value * dt) / sum(dt) * 1e6 + 0.5) / 1e6
                        AS twa_value
             FROM w GROUP BY 1
+        """,
+        "session_length_hist": """
+            WITH s AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR floor(epoch(ts))::BIGINT
+                               - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sid AS (
+                SELECT user_id,
+                       sum(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM s
+            ),
+            sz AS (
+                SELECT count(*) AS session_len
+                FROM sid GROUP BY user_id, sid
+            )
+            SELECT session_len, count(*) AS n_sessions
+            FROM sz GROUP BY 1
+        """,
+        "log_price_params": """
+            WITH m AS (
+                SELECT o_orderpriority, count(*)::DOUBLE AS n,
+                       sum(ln(o_totalprice)) AS s,
+                       sum(ln(o_totalprice) * ln(o_totalprice)) AS s2
+                FROM orders GROUP BY 1
+            )
+            SELECT o_orderpriority,
+                   floor(s / n * 1e6 + 0.5) / 1e6 AS mu_ln,
+                   floor(sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0))
+                         * 1e6 + 0.5) / 1e6 AS sigma_ln
+            FROM m
         """,
         "source_lang_entropy": """
             SELECT source, floor(entropy(lang) * 1e6 + 0.5) / 1e6 AS entropy
