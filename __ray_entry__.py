@@ -2149,6 +2149,134 @@ def q_user_time_weighted_value(sf_dir: str):
     return partitioned_final(events, ["user_id"], per_user, num_partitions=32)
 
 
+def q_trade_flows(sf_dir: str):
+    """TPC-H Q7-shaped trade-flow matrix: revenue by (customer nation,
+    supplier nation).  Scale plan: lineitem revenue pre-aggregated per
+    (order, supplier) BEFORE any join; orders ⋈ customer co-partitioned
+    (both big at scale); the supplier→nation and nation-name maps are
+    dimension-table small and broadcast."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import (
+        _round_half_up,
+        partial_groupby_agg,
+        partitioned_join,
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+
+    def cust_key(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"c_custkey": "o_custkey"})
+
+    ord_nat = partitioned_join(
+        orders,
+        cust.map_batches(cust_key, batch_format="pandas"),
+        on="o_custkey",
+        left_cols=["o_orderkey"],
+        right_cols=["c_nationkey"],
+        num_partitions=32,
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["rev"] = batch["l_extendedprice"] * (1.0 - batch["l_discount"])
+        out = batch.groupby(["l_orderkey", "l_suppkey"], as_index=False)[
+            "rev"
+        ].sum()
+        return out.rename(columns={"l_orderkey": "o_orderkey"})
+
+    li_rev = li.map_batches(li_partial, batch_format="pandas")
+    joined = partitioned_join(
+        li_rev,
+        ord_nat,
+        on="o_orderkey",
+        left_cols=["l_suppkey", "rev"],
+        right_cols=["c_nationkey"],
+        num_partitions=32,
+    )
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    s_map = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+    n_map = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    def tag_nations(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cust_nation": batch["c_nationkey"].map(n_map),
+                "supp_nation": batch["l_suppkey"].map(s_map).map(n_map),
+                "rev": batch["rev"],
+            }
+        )
+
+    agg = partial_groupby_agg(
+        joined.map_batches(tag_nations, batch_format="pandas"),
+        ["cust_nation", "supp_nation"],
+        {"revenue": ("rev", "sum")},
+    ).to_pandas()
+    # 4 decimals: price·(1−disc) is EXACT at 4 decimals, so a 2-decimal
+    # round sits on true half-cent ties that flip with binary sum noise
+    agg["revenue"] = _round_half_up(agg["revenue"], 4)
+    return agg.sort_values(["cust_nation", "supp_nation"]).reset_index(drop=True)
+
+
+def q_part_supplier_hhi(sf_dir: str):
+    """Supply-concentration audit: Herfindahl index of supplier revenue
+    shares per part (parts with >=3 suppliers) — one combiner pass to the
+    (part, supplier) revenue table, per-part fold on hash partitions."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["rev"] = batch["l_extendedprice"] * (1.0 - batch["l_discount"])
+        return batch.groupby(["l_partkey", "l_suppkey"], as_index=False)[
+            "rev"
+        ].sum()
+
+    ps = partial_groupby_agg(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_partkey", "l_suppkey"],
+        {"rev": ("rev", "sum")},
+    )
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("l_partkey")
+        tot = g["rev"].transform("sum")
+        share2 = (part["rev"] / tot) ** 2
+        out = pd.DataFrame(
+            {"l_partkey": part["l_partkey"], "s2": share2}
+        ).groupby("l_partkey", as_index=False).agg(
+            hhi=("s2", "sum"), n_supp=("s2", "count")
+        )
+        out = out[out["n_supp"] >= 3]
+        out["hhi"] = np.floor(out["hhi"] * 1e6 + 0.5) / 1e6
+        return out[["l_partkey", "n_supp", "hhi"]]
+
+    return partitioned_final(ps, ["l_partkey"], per_part, num_partitions=32)
+
+
 def q_session_length_hist(sf_dir: str):
     """Session-length distribution: events-per-session histogram under the
     30-minute-gap rule — users are partition-disjoint, so each partition
@@ -4539,6 +4667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": q_rfm_segments,
         "source_lang_entropy": q_source_lang_entropy,
         "session_length_hist": q_session_length_hist,
+        "trade_flows": q_trade_flows,
+        "part_supplier_hhi": q_part_supplier_hhi,
         "log_price_params": q_log_price_params,
         "revenue_anomaly_weeks": q_revenue_anomaly_weeks,
         "events_dow_hour": q_events_dow_hour,
@@ -6044,6 +6174,35 @@ def oracle_sql() -> dict[str, str]:
                    floor(sum(value * dt) / sum(dt) * 1e6 + 0.5) / 1e6
                        AS twa_value
             FROM w GROUP BY 1
+        """,
+        "trade_flows": """
+            SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation cn ON cn.n_nationkey = c_nationkey
+            JOIN nation sn ON sn.n_nationkey = s_nationkey
+            GROUP BY 1, 2
+        """,
+        "part_supplier_hhi": """
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                       sum(l_extendedprice * (1 - l_discount)) AS rev
+                FROM lineitem GROUP BY 1, 2
+            ),
+            t AS (
+                SELECT l_partkey, sum(rev) AS tot, count(*) AS n_supp
+                FROM ps GROUP BY 1
+            )
+            SELECT ps.l_partkey, t.n_supp,
+                   floor(sum((ps.rev / t.tot) * (ps.rev / t.tot))
+                         * 1e6 + 0.5) / 1e6 AS hhi
+            FROM ps JOIN t USING (l_partkey)
+            WHERE t.n_supp >= 3
+            GROUP BY 1, 2
         """,
         "session_length_hist": """
             WITH s AS (
