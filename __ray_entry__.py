@@ -2149,6 +2149,66 @@ def q_user_time_weighted_value(sf_dir: str):
     return partitioned_final(events, ["user_id"], per_user, num_partitions=32)
 
 
+def q_ship_leadtime_stats(sf_dir: str):
+    """Order→ship lead-time stats per priority (mean days + exact p95):
+    lineitem co-partition-joins orders once (materialized — two consumers),
+    then a moment combiner and the shared-sort exact quantile run over the
+    same joined table."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import (
+        grouped_quantile,
+        partial_groupby_agg,
+        partitioned_join,
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def li_key(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"l_orderkey": "o_orderkey"})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    joined = partitioned_join(
+        li.map_batches(li_key, batch_format="pandas"),
+        orders,
+        on="o_orderkey",
+        left_cols=["l_shipdate"],
+        right_cols=["o_orderdate", "o_orderpriority"],
+        num_partitions=32,
+    )
+
+    def days(batch: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            batch["l_shipdate"].astype("datetime64[s]").astype("int64")
+            - batch["o_orderdate"].astype("datetime64[s]").astype("int64")
+        ).astype("float64") / 86400.0
+        return pd.DataFrame(
+            {"o_orderpriority": batch["o_orderpriority"], "days": d}
+        )
+
+    staged = joined.map_batches(days, batch_format="pandas").materialize()
+    mean = partial_groupby_agg(
+        staged, ["o_orderpriority"],
+        {"n": ("days", "count"), "s": ("days", "sum")},
+    ).to_pandas()
+    mean["mean_days"] = np.floor(mean["s"] / mean["n"] * 1e6 + 0.5) / 1e6
+    p95 = grouped_quantile(
+        staged, ["o_orderpriority"], "days", q=0.95, out_name="p95_days"
+    ).to_pandas()
+    p95["p95_days"] = np.floor(p95["p95_days"] * 1e6 + 0.5) / 1e6
+    out = mean[["o_orderpriority", "n", "mean_days"]].merge(
+        p95, on="o_orderpriority"
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def q_trade_flows(sf_dir: str):
     """TPC-H Q7-shaped trade-flow matrix: revenue by (customer nation,
     supplier nation).  Scale plan: lineitem revenue pre-aggregated per
@@ -4668,6 +4728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_entropy": q_source_lang_entropy,
         "session_length_hist": q_session_length_hist,
         "trade_flows": q_trade_flows,
+        "ship_leadtime_stats": q_ship_leadtime_stats,
         "part_supplier_hhi": q_part_supplier_hhi,
         "log_price_params": q_log_price_params,
         "revenue_anomaly_weeks": q_revenue_anomaly_weeks,
@@ -6174,6 +6235,20 @@ def oracle_sql() -> dict[str, str]:
                    floor(sum(value * dt) / sum(dt) * 1e6 + 0.5) / 1e6
                        AS twa_value
             FROM w GROUP BY 1
+        """,
+        "ship_leadtime_stats": """
+            WITH d AS (
+                SELECT o_orderpriority,
+                       (floor(epoch(l_shipdate))::BIGINT
+                        - floor(epoch(o_orderdate))::BIGINT) / 86400.0
+                           AS days
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            )
+            SELECT o_orderpriority, count(*) AS n,
+                   floor(sum(days) / count(*) * 1e6 + 0.5) / 1e6 AS mean_days,
+                   floor(quantile_cont(days, 0.95) * 1e6 + 0.5) / 1e6
+                       AS p95_days
+            FROM d GROUP BY 1
         """,
         "trade_flows": """
             SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
