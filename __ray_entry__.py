@@ -2149,6 +2149,83 @@ def q_user_time_weighted_value(sf_dir: str):
     return partitioned_final(events, ["user_id"], per_user, num_partitions=32)
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Global clustering coefficient of the co-purchase simple graph:
+    3·triangles / wedges — triangles from the degree-ordered distributed
+    counter, wedges = Σ deg·(deg−1)/2 from the endpoint-count combiner."""
+    import numpy as np
+    import pandas as pd
+
+    from esmarc_ray.ops.graph import triangle_count
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+
+    edges = partitioned_final(
+        _copurchase_edges(sf_dir),
+        ["l_partkey_a", "l_partkey_b"],
+        lambda p: p.drop_duplicates(),
+        num_partitions=16,
+    ).materialize()  # reused: triangle pass + degree pass
+    n_tri = triangle_count(
+        edges, u="l_partkey_a", v="l_partkey_b", num_partitions=16
+    )
+
+    def endpoints(batch: pd.DataFrame) -> pd.DataFrame:
+        s = pd.concat(
+            [batch["l_partkey_a"], batch["l_partkey_b"]], ignore_index=True
+        )
+        return s.value_counts().rename_axis("node").reset_index(name="cnt")
+
+    deg = partial_groupby_agg(
+        edges.map_batches(endpoints, batch_format="pandas"),
+        ["node"],
+        {"degree": ("cnt", "sum")},
+    ).to_pandas()
+    wedges = float((deg["degree"] * (deg["degree"] - 1) / 2).sum())
+    coeff = 3.0 * n_tri / wedges if wedges else 0.0
+    return pd.DataFrame(
+        {
+            "n_triangles": [int(n_tri)],
+            "clustering_coeff": [float(np.floor(coeff * 1e6 + 0.5) / 1e6)],
+        }
+    )
+
+
+def q_status_mix_monthly(sf_dir: str):
+    """Monthly order-status share: per (month, status) fraction of the
+    month's orders — combiner counts, shares folded per month partition."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_orderstatus"]
+    )
+
+    def keys(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "month": batch["o_orderdate"].dt.strftime("%Y-%m"),
+                "status": batch["o_orderstatus"],
+            }
+        )
+
+    counts = partial_groupby_agg(
+        orders.map_batches(keys, batch_format="pandas"),
+        ["month", "status"],
+        {"n": ("status", "count")},
+    )
+
+    def share(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.groupby(["month", "status"], as_index=False)["n"].sum()
+        tot = part.groupby("month")["n"].transform("sum")
+        part["share"] = np.floor(part["n"] / tot * 1e6 + 0.5) / 1e6
+        return part[["month", "status", "share"]]
+
+    return partitioned_final(counts, ["month"], share, num_partitions=8)
+
+
 def q_ship_leadtime_stats(sf_dir: str):
     """Order→ship lead-time stats per priority (mean days + exact p95):
     lineitem co-partition-joins orders once (materialized — two consumers),
@@ -4729,6 +4806,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_length_hist": q_session_length_hist,
         "trade_flows": q_trade_flows,
         "ship_leadtime_stats": q_ship_leadtime_stats,
+        "clustering_coeff": q_clustering_coeff,
+        "status_mix_monthly": q_status_mix_monthly,
         "part_supplier_hhi": q_part_supplier_hhi,
         "log_price_params": q_log_price_params,
         "revenue_anomaly_weeks": q_revenue_anomaly_weeks,
@@ -6235,6 +6314,42 @@ def oracle_sql() -> dict[str, str]:
                    floor(sum(value * dt) / sum(dt) * 1e6 + 0.5) / 1e6
                        AS twa_value
             FROM w GROUP BY 1
+        """,
+        "clustering_coeff": """
+            WITH p AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey < 1000
+            ),
+            e AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM p a JOIN p b USING (l_orderkey)
+                WHERE a.l_partkey < b.l_partkey
+            ),
+            tri AS (
+                SELECT count(*) AS n FROM e e1
+                JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ),
+            d AS (
+                SELECT node, count(*) AS degree FROM (
+                    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+                ) GROUP BY 1
+            ),
+            w AS (SELECT sum(degree * (degree - 1) / 2.0) AS wedges FROM d)
+            SELECT (SELECT n FROM tri)::BIGINT AS n_triangles,
+                   floor(3.0 * (SELECT n FROM tri) / (SELECT wedges FROM w)
+                         * 1e6 + 0.5) / 1e6 AS clustering_coeff
+        """,
+        "status_mix_monthly": """
+            WITH c AS (
+                SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                       o_orderstatus AS status, count(*) AS n
+                FROM orders GROUP BY 1, 2
+            ),
+            t AS (SELECT month, sum(n) AS tot FROM c GROUP BY 1)
+            SELECT c.month, c.status,
+                   floor(c.n * 1.0 / t.tot * 1e6 + 0.5) / 1e6 AS share
+            FROM c JOIN t USING (month)
         """,
         "ship_leadtime_stats": """
             WITH d AS (
