@@ -2149,6 +2149,70 @@ def q_user_time_weighted_value(sf_dir: str):
     return partitioned_final(events, ["user_id"], per_user, num_partitions=32)
 
 
+def q_hapax_rate(sf_dir: str):
+    """Hapax-legomena rate per language: fraction of each language's
+    distinct vocabulary that occurs exactly once — the lexical-richness
+    signal a corpus card reports.  Per-(lang, token) counts are one combiner
+    pass; the rate folds per lang partition."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch.assign(
+            tok=batch["text"].fillna("").str.lower().str.split()
+        ).explode("tok")
+        toks = toks[toks["tok"].notna() & (toks["tok"] != "")]
+        return toks[["lang", "tok"]]
+
+    counts = partial_groupby_agg(
+        docs.map_batches(tokens, batch_format="pandas"),
+        ["lang", "tok"],
+        {"n": ("tok", "count")},
+    )
+
+    def rate(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.groupby(["lang", "tok"], as_index=False)["n"].sum()
+        g = part.groupby("lang").agg(
+            vocab=("n", "size"), hapax=("n", lambda s: int((s == 1).sum()))
+        ).reset_index()
+        g["hapax_rate"] = np.floor(g["hapax"] / g["vocab"] * 1e6 + 0.5) / 1e6
+        return g[["lang", "vocab", "hapax_rate"]]
+
+    return partitioned_final(counts, ["lang"], rate, num_partitions=8)
+
+
+def q_user_peak_hour(sf_dir: str):
+    """Per-user modal activity hour (min-hour tiebreak) — grouped-mode
+    reuse over a calendar key."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import grouped_mode
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def keys(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "hour": batch["ts"].dt.hour.astype("int64"),
+            }
+        )
+
+    return grouped_mode(
+        events.map_batches(keys, batch_format="pandas"), ["user_id"], "hour"
+    )
+
+
 def q_clustering_coeff(sf_dir: str):
     """Global clustering coefficient of the co-purchase simple graph:
     3·triangles / wedges — triangles from the degree-ordered distributed
@@ -4807,6 +4871,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trade_flows": q_trade_flows,
         "ship_leadtime_stats": q_ship_leadtime_stats,
         "clustering_coeff": q_clustering_coeff,
+        "hapax_rate": q_hapax_rate,
+        "user_peak_hour": q_user_peak_hour,
         "status_mix_monthly": q_status_mix_monthly,
         "part_supplier_hhi": q_part_supplier_hhi,
         "log_price_params": q_log_price_params,
@@ -6314,6 +6380,29 @@ def oracle_sql() -> dict[str, str]:
                    floor(sum(value * dt) / sum(dt) * 1e6 + 0.5) / 1e6
                        AS twa_value
             FROM w GROUP BY 1
+        """,
+        "hapax_rate": r"""
+            WITH tok AS (
+                SELECT lang,
+                       unnest(list_filter(
+                           string_split_regex(lower(coalesce(text, '')),
+                                              '\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents
+            ),
+            c AS (SELECT lang, tok, count(*) AS n FROM tok GROUP BY 1, 2)
+            SELECT lang, count(*) AS vocab,
+                   floor(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0
+                         / count(*) * 1e6 + 0.5) / 1e6 AS hapax_rate
+            FROM c GROUP BY 1
+        """,
+        "user_peak_hour": """
+            SELECT user_id, hour AS mode FROM (
+                SELECT user_id, hour(ts) AS hour, count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY n DESC, hour) = 1
         """,
         "clustering_coeff": """
             WITH p AS (
