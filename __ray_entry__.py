@@ -2149,6 +2149,80 @@ def q_user_time_weighted_value(sf_dir: str):
     return partitioned_final(events, ["user_id"], per_user, num_partitions=32)
 
 
+def q_revenue_reconciliation(sf_dir: str):
+    """Accounting reconciliation: corpus-wide discounted revenue, charged
+    (tax-inclusive) revenue, and the implied effective tax rate — one
+    moment-combiner pass over lineitem."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        disc = batch["l_extendedprice"] * (1.0 - batch["l_discount"])
+        return pd.DataFrame(
+            {
+                "disc": [float(disc.sum())],
+                "charged": [float((disc * (1.0 + batch["l_tax"])).sum())],
+            }
+        )
+
+    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    disc, charged = float(parts["disc"].sum()), float(parts["charged"].sum())
+    return pd.DataFrame(
+        {
+            "revenue_disc": [np.floor(disc * 1e4 + 0.5) / 1e4],
+            "revenue_charged": [np.floor(charged * 1e4 + 0.5) / 1e4],
+            "effective_tax": [
+                np.floor((charged / disc - 1.0) * 1e6 + 0.5) / 1e6
+            ],
+        }
+    )
+
+
+def q_part_return_rates(sf_dir: str):
+    """Per-part return rate (share of 'R' lines) for parts with >=20
+    lineitems — the retail quality flag; one (part, flag) combiner, rate
+    folded per part partition."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_returnflag"]
+    )
+
+    def flags(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_partkey": batch["l_partkey"],
+                "r": (batch["l_returnflag"] == "R").astype("int64"),
+            }
+        )
+
+    counts = partial_groupby_agg(
+        li.map_batches(flags, batch_format="pandas"),
+        ["l_partkey"],
+        {"n": ("r", "count"), "n_ret": ("r", "sum")},
+    )
+
+    def rate(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.groupby("l_partkey", as_index=False).sum()
+        part = part[part["n"] >= 20]
+        part["return_rate"] = np.floor(
+            part["n_ret"] / part["n"] * 1e6 + 0.5
+        ) / 1e6
+        return part[["l_partkey", "n", "return_rate"]]
+
+    return partitioned_final(counts, ["l_partkey"], rate, num_partitions=16)
+
+
 def q_hapax_rate(sf_dir: str):
     """Hapax-legomena rate per language: fraction of each language's
     distinct vocabulary that occurs exactly once — the lexical-richness
@@ -4872,6 +4946,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_leadtime_stats": q_ship_leadtime_stats,
         "clustering_coeff": q_clustering_coeff,
         "hapax_rate": q_hapax_rate,
+        "revenue_reconciliation": q_revenue_reconciliation,
+        "part_return_rates": q_part_return_rates,
         "user_peak_hour": q_user_peak_hour,
         "status_mix_monthly": q_status_mix_monthly,
         "part_supplier_hhi": q_part_supplier_hhi,
@@ -6380,6 +6456,25 @@ def oracle_sql() -> dict[str, str]:
                    floor(sum(value * dt) / sum(dt) * 1e6 + 0.5) / 1e6
                        AS twa_value
             FROM w GROUP BY 1
+        """,
+        "revenue_reconciliation": """
+            WITH s AS (
+                SELECT sum(l_extendedprice * (1 - l_discount)) AS disc,
+                       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                           AS charged
+                FROM lineitem
+            )
+            SELECT floor(disc * 1e4 + 0.5) / 1e4 AS revenue_disc,
+                   floor(charged * 1e4 + 0.5) / 1e4 AS revenue_charged,
+                   floor((charged / disc - 1.0) * 1e6 + 0.5) / 1e6
+                       AS effective_tax
+            FROM s
+        """,
+        "part_return_rates": """
+            SELECT l_partkey, count(*) AS n,
+                   floor(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                         * 1.0 / count(*) * 1e6 + 0.5) / 1e6 AS return_rate
+            FROM lineitem GROUP BY 1 HAVING count(*) >= 20
         """,
         "hapax_rate": r"""
             WITH tok AS (
