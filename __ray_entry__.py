@@ -2149,6 +2149,47 @@ def q_user_time_weighted_value(sf_dir: str):
     return partitioned_final(events, ["user_id"], per_user, num_partitions=32)
 
 
+def q_price_skewness(sf_dir: str):
+    """Per-priority price skewness (third standardized moment, population) —
+    the tail-asymmetry stat: raw-power-sum combiner (n, Σx, Σx², Σx³),
+    closed-form fold sharing the SQL float path."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def powers(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["o_totalprice"].to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "x": x,
+                "x2": x * x,
+                "x3": x * x * x,
+            }
+        )
+
+    agg = partial_groupby_agg(
+        orders.map_batches(powers, batch_format="pandas"),
+        ["o_orderpriority"],
+        {"n": ("x", "count"), "s1": ("x", "sum"), "s2": ("x2", "sum"),
+         "s3": ("x3", "sum")},
+    ).to_pandas()
+    n = agg["n"].astype("float64")
+    m = agg["s1"] / n
+    var = agg["s2"] / n - m * m
+    m3 = agg["s3"] / n - 3.0 * m * (agg["s2"] / n) + 2.0 * m * m * m
+    skew = m3 / np.power(var, 1.5)
+    out = agg[["o_orderpriority"]].copy()
+    out["skewness"] = np.floor(skew * 1e6 + 0.5) / 1e6
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def q_revenue_reconciliation(sf_dir: str):
     """Accounting reconciliation: corpus-wide discounted revenue, charged
     (tax-inclusive) revenue, and the implied effective tax rate — one
@@ -4947,6 +4988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": q_clustering_coeff,
         "hapax_rate": q_hapax_rate,
         "revenue_reconciliation": q_revenue_reconciliation,
+        "price_skewness": q_price_skewness,
         "part_return_rates": q_part_return_rates,
         "user_peak_hour": q_user_peak_hour,
         "status_mix_monthly": q_status_mix_monthly,
@@ -6456,6 +6498,21 @@ def oracle_sql() -> dict[str, str]:
                    floor(sum(value * dt) / sum(dt) * 1e6 + 0.5) / 1e6
                        AS twa_value
             FROM w GROUP BY 1
+        """,
+        "price_skewness": """
+            WITH m AS (
+                SELECT o_orderpriority, count(*)::DOUBLE AS n,
+                       sum(o_totalprice) AS s1,
+                       sum(o_totalprice * o_totalprice) AS s2,
+                       sum(o_totalprice * o_totalprice * o_totalprice) AS s3
+                FROM orders GROUP BY 1
+            )
+            SELECT o_orderpriority,
+                   floor((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                          + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+                         / pow(s2 / n - (s1 / n) * (s1 / n), 1.5)
+                         * 1e6 + 0.5) / 1e6 AS skewness
+            FROM m
         """,
         "revenue_reconciliation": """
             WITH s AS (
