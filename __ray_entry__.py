@@ -300,6 +300,199 @@ def q_kg_obj_len_stats(sf_dir: str):
     )
 
 
+# internal cross-record reference: node objects whose @id points at another
+# data.slub-dresden.de resource (the reference emits these subtrees from its
+# relatedTo / get_ispartof / handle_contributor family —
+# /root/reference/esmarc/esmarc.py).  Both the Ray extractor and the DuckDB
+# oracle use this exact regex so the semantics (first "@id" anywhere in the
+# compact-JSON node) are identical in both engines.
+_INTERNAL_REF_RE = r'"@id": "(https://data\.slub-dresden\.de/[a-z]+/[^"]+)"'
+
+
+def _kg_internal_refs(batch):
+    """Vectorized (pred, uri, ref_class) extraction of internal references
+    from a pandas triple batch — .str.extract, no per-row JSON parse."""
+    import pandas as pd
+
+    m = batch[batch["obj_kind"] == "node"]
+    ref = m["obj"].str.extract(_INTERNAL_REF_RE, expand=False)
+    keep = ref.notna()
+    out = pd.DataFrame(
+        {
+            "uri": ref[keep],
+            "pred": m["pred"][keep],
+        }
+    )
+    out["ref_class"] = out["uri"].str.extract(
+        r"data\.slub-dresden\.de/([a-z]+)/", expand=False
+    )
+    return out.reset_index(drop=True)
+
+
+def q_kg_dangling_refs(sf_dir: str):
+    """Referential-integrity audit of the KG: every internal @id reference is
+    checked against the subject set; a ref whose target URI never appears as
+    a subject is dangling (its record lies outside the harvested corpus).
+    Refs and distinct subjects are tag-unioned and co-hash-partitioned on the
+    URI (ONE shuffle), so the per-partition anti-join is exact — every
+    occurrence of a URI lands in the same partition.  Output: per
+    (pred, ref_class) reference totals and dangling counts."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["subj", "pred", "obj", "obj_kind"]
+    )
+    path = _kg_oracle_table(sf_dir, "dangling_src", triples)
+    src = ray.data.read_parquet(path)
+
+    def refs(batch: pd.DataFrame) -> pd.DataFrame:
+        out = _kg_internal_refs(batch)
+        out["kind"] = "r"
+        return out
+
+    def subjects(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["subj"]].drop_duplicates().rename(columns={"subj": "uri"})
+        out["pred"] = ""
+        out["ref_class"] = ""
+        out["kind"] = "s"
+        return out
+
+    tagged = src.map_batches(refs, batch_format="pandas").union(
+        src.map_batches(subjects, batch_format="pandas")
+    )
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        have = set(part.loc[part["kind"] == "s", "uri"])
+        r = part[part["kind"] == "r"]
+        if r.empty:
+            return pd.DataFrame(
+                {
+                    "pred": pd.Series(dtype="object"),
+                    "ref_class": pd.Series(dtype="object"),
+                    "__n": pd.Series(dtype="int64"),
+                    "__d": pd.Series(dtype="int64"),
+                }
+            )
+        g = r.assign(__d=(~r["uri"].isin(have)).astype("int64"), __n=1)
+        return g.groupby(["pred", "ref_class"], as_index=False).agg(
+            __n=("__n", "sum"), __d=("__d", "sum")
+        )
+
+    partials = partitioned_final(tagged, ["uri"], per_part, num_partitions=32)
+    out = partial_groupby_agg(
+        partials,
+        ["pred", "ref_class"],
+        {"n_refs": ("__n", "sum"), "n_dangling": ("__d", "sum")},
+    ).to_pandas()
+    return out.sort_values(["pred", "ref_class"]).reset_index(drop=True)
+
+
+def q_kg_functional_violations(sf_dir: str):
+    """Predicate-arity audit: per predicate, how many subjects carry it and
+    how many carry ≥2 DISTINCT object values — the functional-property
+    violation report a consumer reads to decide which predicates can be
+    consumed single-valued (the reference declares arity per-mapping via
+    single_or_multi; this measures what the emitted graph actually does).
+    Subjects are hash-partitioned so each subject's triples co-locate and the
+    per-partition nunique is exact; per-pred partials then merge by sum."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["subj", "pred", "obj"]
+    )
+    path = _kg_oracle_table(sf_dir, "arity_src", triples)
+    src = ray.data.read_parquet(path)
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            part.groupby(["pred", "subj"])["obj"]
+            .nunique()
+            .reset_index(name="k")
+        )
+        g["__m"] = (g["k"] > 1).astype("int64")
+        g["__n"] = 1
+        return g.groupby("pred", as_index=False).agg(
+            __n=("__n", "sum"), __m=("__m", "sum")
+        )
+
+    partials = partitioned_final(src, ["subj"], per_part, num_partitions=32)
+    out = partial_groupby_agg(
+        partials,
+        ["pred"],
+        {"n_subjects": ("__n", "sum"), "n_multi": ("__m", "sum")},
+    ).to_pandas()
+    return out.sort_values("pred").reset_index(drop=True)
+
+
+def q_kg_two_hop(sf_dir: str):
+    """Two-hop path census: internal @id references joined back to the
+    subjects they resolve to, counted per (pred1, pred2) — the SPARQL-shaped
+    ``?a p1 ?b . ?b p2 ?c`` statistic.  Distributed as a tag-union
+    co-hash-partitioned equi-join on the hop URI (one shuffle; both the ref
+    and every triple of its target land in the same partition), then a
+    combiner-shaped count merge — no driver-side join."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["subj", "pred", "obj", "obj_kind"]
+    )
+    path = _kg_oracle_table(sf_dir, "twohop_src", triples)
+    src = ray.data.read_parquet(path)
+
+    def refs(batch: pd.DataFrame) -> pd.DataFrame:
+        out = _kg_internal_refs(batch)[["uri", "pred"]].rename(
+            columns={"pred": "pred1"}
+        )
+        out["pred2"] = ""
+        out["kind"] = "r"
+        return out
+
+    def hops(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["subj", "pred"]].rename(
+            columns={"subj": "uri", "pred": "pred2"}
+        )
+        out["pred1"] = ""
+        out["kind"] = "s"
+        return out[["uri", "pred1", "pred2", "kind"]]
+
+    tagged = src.map_batches(refs, batch_format="pandas").union(
+        src.map_batches(hops, batch_format="pandas")
+    )
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        r = part.loc[part["kind"] == "r", ["uri", "pred1"]]
+        s = part.loc[part["kind"] == "s", ["uri", "pred2"]]
+        if r.empty or s.empty:
+            return pd.DataFrame(
+                {
+                    "pred1": pd.Series(dtype="object"),
+                    "pred2": pd.Series(dtype="object"),
+                    "__n": pd.Series(dtype="int64"),
+                }
+            )
+        j = r.merge(s, on="uri")
+        j["__n"] = 1
+        return j.groupby(["pred1", "pred2"], as_index=False)["__n"].sum()
+
+    partials = partitioned_final(tagged, ["uri"], per_part, num_partitions=32)
+    out = partial_groupby_agg(
+        partials, ["pred1", "pred2"], {"n_paths": ("__n", "sum")}
+    ).to_pandas()
+    return out.sort_values(["pred1", "pred2"]).reset_index(drop=True)
+
+
 def _kg_canonical_with_mirror(sf_dir: str, mirror: str, **canon_kwargs):
     """Run canonicalize over the extracted docs, mirroring the PRE-merge
     keyed doc table so the oracle can independently re-derive the canonical
@@ -4897,6 +5090,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_counts": q_kg_entity_counts,
         "kg_pred_counts": q_kg_pred_counts,
         "kg_pred_coverage": q_kg_pred_coverage,
+        "kg_dangling_refs": q_kg_dangling_refs,
+        "kg_functional_violations": q_kg_functional_violations,
+        "kg_two_hop": q_kg_two_hop,
         "kg_subj_degree_hist": q_kg_subj_degree_hist,
         "kg_incremental": q_kg_incremental,
         "kg_obj_len_stats": q_kg_obj_len_stats,
@@ -5168,6 +5364,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.entity_class, c.pred,
                    floor(CAST(n AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS coverage
             FROM c JOIN t USING (entity_class)
+        """,
+        # KG referential-integrity / arity / path audits: DuckDB re-derives
+        # each from the mirrored triple table with the SAME @id regex the Ray
+        # extractor uses (regexp_extract returns '' on no match → NULLIF)
+        "kg_dangling_refs": r"""
+            WITH r AS (
+                SELECT pred,
+                       NULLIF(regexp_extract(obj,
+                           '"@id": "(https://data\.slub-dresden\.de/[a-z]+/[^"]+)"',
+                           1), '') AS uri
+                FROM read_parquet('/tmp/esmarc_ray_kg_oracle/dangling_src/*.parquet')
+                WHERE obj_kind = 'node'
+            ),
+            rr AS (
+                SELECT pred, uri,
+                       regexp_extract(uri, 'data\.slub-dresden\.de/([a-z]+)/', 1)
+                           AS ref_class
+                FROM r WHERE uri IS NOT NULL
+            ),
+            s AS (
+                SELECT DISTINCT subj
+                FROM read_parquet('/tmp/esmarc_ray_kg_oracle/dangling_src/*.parquet')
+            )
+            SELECT pred, ref_class, count(*) AS n_refs,
+                   sum(CASE WHEN s.subj IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_dangling
+            FROM rr LEFT JOIN s ON rr.uri = s.subj
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "kg_functional_violations": """
+            WITH g AS (
+                SELECT pred, subj, count(DISTINCT obj) AS k
+                FROM read_parquet('/tmp/esmarc_ray_kg_oracle/arity_src/*.parquet')
+                GROUP BY 1, 2
+            )
+            SELECT pred, count(*) AS n_subjects,
+                   sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)::BIGINT AS n_multi
+            FROM g GROUP BY 1 ORDER BY pred
+        """,
+        "kg_two_hop": r"""
+            WITH r AS (
+                SELECT pred AS pred1,
+                       NULLIF(regexp_extract(obj,
+                           '"@id": "(https://data\.slub-dresden\.de/[a-z]+/[^"]+)"',
+                           1), '') AS uri
+                FROM read_parquet('/tmp/esmarc_ray_kg_oracle/twohop_src/*.parquet')
+                WHERE obj_kind = 'node'
+            )
+            SELECT r.pred1, t.pred AS pred2, count(*) AS n_paths
+            FROM r
+            JOIN read_parquet('/tmp/esmarc_ray_kg_oracle/twohop_src/*.parquet') t
+              ON r.uri = t.subj
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # declared output-schema typing gate: DuckDB re-derives the
         # per-(class, pred) date-conformance counts from the mirrored triples
