@@ -432,6 +432,51 @@ def q_kg_functional_violations(sf_dir: str):
     return out.sort_values("pred").reset_index(drop=True)
 
 
+def q_orders_skyline(sf_dir: str):
+    """Pareto frontier of URGENT orders — maximize o_totalprice, minimize
+    o_orderdate ("no order was both earlier and at least as expensive"):
+    the distributed 2-D skyline.  Per-block local frontiers (sort + cummin,
+    no row loop) shrink the input to O(frontier × blocks) candidates before
+    ONE merge task; the oracle is the quadratic NOT-EXISTS dominance query
+    over the same subset."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import skyline_2d
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"],
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    front = skyline_2d(orders, maximize="o_totalprice", minimize="o_orderdate")
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["o_orderdate"] = batch["o_orderdate"].dt.strftime("%Y-%m-%d")
+        return batch[["o_orderkey", "o_orderdate", "o_totalprice"]]
+
+    out = front.map_batches(fmt, batch_format="pandas").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_copurchase_assortativity(sf_dir: str):
+    """Degree assortativity of the co-purchase simple graph (do high-degree
+    parts co-sell with other high-degree parts?) — Newman's Pearson-over-
+    orientations coefficient, folded from exact int64 moment partials after
+    two co-hash-partitioned degree joins; the oracle re-derives the same
+    edges, degrees and moment algebra in SQL."""
+    from esmarc_ray.ops.graph import degree_assortativity
+    from esmarc_ray.ops.relational import partitioned_final
+
+    edges = partitioned_final(
+        _copurchase_edges(sf_dir),
+        ["l_partkey_a", "l_partkey_b"],
+        lambda p: p.drop_duplicates(),
+        num_partitions=16,
+    )
+    return degree_assortativity(edges, u="l_partkey_a", v="l_partkey_b")
+
+
 def q_kg_two_hop(sf_dir: str):
     """Two-hop path census: internal @id references joined back to the
     subjects they resolve to, counted per (pred1, pred2) — the SPARQL-shaped
@@ -5093,6 +5138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dangling_refs": q_kg_dangling_refs,
         "kg_functional_violations": q_kg_functional_violations,
         "kg_two_hop": q_kg_two_hop,
+        "orders_skyline": q_orders_skyline,
+        "copurchase_assortativity": q_copurchase_assortativity,
         "kg_subj_degree_hist": q_kg_subj_degree_hist,
         "kg_incremental": q_kg_incremental,
         "kg_obj_len_stats": q_kg_obj_len_stats,
@@ -5392,6 +5439,57 @@ def oracle_sql() -> dict[str, str]:
                        AS n_dangling
             FROM rr LEFT JOIN s ON rr.uri = s.subj
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "orders_skyline": """
+            WITH o AS (
+                SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+                           AS o_orderdate, o_totalprice
+                FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
+            SELECT * FROM o
+            WHERE NOT EXISTS (
+                SELECT 1 FROM o o2
+                WHERE o2.o_totalprice >= o.o_totalprice
+                  AND o2.o_orderdate <= o.o_orderdate
+                  AND (o2.o_totalprice > o.o_totalprice
+                       OR o2.o_orderdate < o.o_orderdate)
+            )
+            ORDER BY o_orderkey
+        """,
+        "copurchase_assortativity": """
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                WHERE a.l_orderkey < 1000 AND b.l_orderkey < 1000
+            ),
+            d AS (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT pa AS node FROM e
+                    UNION ALL SELECT pb AS node FROM e
+                ) GROUP BY 1
+            ),
+            j AS (
+                SELECT da.deg AS du, db.deg AS dv
+                FROM e
+                JOIN d da ON e.pa = da.node
+                JOIN d db ON e.pb = db.node
+            ),
+            m AS (
+                SELECT count(*) AS e_cnt,
+                       CAST(sum(du + dv) AS BIGINT) AS sx,
+                       CAST(sum(du * du + dv * dv) AS BIGINT) AS sxx,
+                       CAST(2 * sum(du * dv) AS BIGINT) AS sxy
+                FROM j
+            )
+            SELECT e_cnt::BIGINT AS n_edges,
+                   floor((CAST(2 * e_cnt AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         / (CAST(2 * e_cnt AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * 1e6 + 0.5) / 1e6 AS assortativity
+            FROM m
         """,
         "kg_functional_violations": """
             WITH g AS (

@@ -1059,3 +1059,95 @@ def k_core(
         pd.DataFrame({"node": pd.Series(dtype="int64"),
                       "degree": pd.Series(dtype="int64")})
     )
+
+
+def degree_assortativity(
+    edges: ray.data.Dataset,
+    *,
+    u: str = "u",
+    v: str = "v",
+    num_partitions: int = 16,
+) -> "pd.DataFrame":
+    """Degree assortativity coefficient (Newman 2002: the Pearson
+    correlation of endpoint degrees over the orientation list — every
+    undirected edge contributes both (deg u, deg v) and (deg v, deg u)) of
+    the simple graph given as DISTINCT edge pairs.
+
+    Scale shape: per-node degrees are combiner-shaped (per-batch endpoint
+    counts, one hash partition per node — O(nodes) shuffle, as
+    degree_histogram); degrees rejoin the edge list one endpoint at a time
+    via co-hash-partitioned tag-union joins (the degree table scales with
+    the node set, so no broadcast); the correlation folds exact int64
+    moment partials (Σdeg, Σdeg², Σ du·dv) — one tiny row per batch reaches
+    the driver.  Symmetrization makes the x/y marginals identical, so the
+    two-orientation Pearson needs only those three sums."""
+    import numpy as np
+
+    from esmarc_ray.ops.relational import partitioned_final, partitioned_join
+
+    def endpoint_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        s = pd.concat([batch[u], batch[v]], ignore_index=True)
+        return s.value_counts().rename_axis("node").reset_index(name="cnt")
+
+    def per_node(part: pd.DataFrame) -> pd.DataFrame:
+        return (
+            part.groupby("node", as_index=False)["cnt"].sum()
+            .rename(columns={"cnt": "deg"})
+        )
+
+    degrees = partitioned_final(
+        edges.map_batches(endpoint_counts, batch_format="pandas"),
+        ["node"],
+        per_node,
+        num_partitions,
+    )
+
+    def rekey(old: str, new: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.rename(columns={old: new})
+
+        return fn
+
+    with_du = partitioned_join(
+        edges.map_batches(rekey(u, "node"), batch_format="pandas"),
+        degrees.map_batches(rekey("deg", "du"), batch_format="pandas"),
+        "node",
+        left_cols=[v],
+        right_cols=["du"],
+        num_partitions=num_partitions,
+    ).map_batches(rekey("node", u), batch_format="pandas")
+    with_both = partitioned_join(
+        with_du.map_batches(rekey(v, "node"), batch_format="pandas"),
+        degrees.map_batches(rekey("deg", "dv"), batch_format="pandas"),
+        "node",
+        left_cols=[u, "du"],
+        right_cols=["dv"],
+        num_partitions=num_partitions,
+    )
+
+    def moments(batch: pd.DataFrame) -> pd.DataFrame:
+        du = batch["du"].to_numpy(dtype="int64")
+        dv = batch["dv"].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "e": [len(batch)],
+                "sx": [int((du + dv).sum())],
+                "sxx": [int((du * du).sum() + (dv * dv).sum())],
+                "sxy": [2 * int((du * dv).sum())],
+            }
+        )
+
+    p = with_both.map_batches(moments, batch_format="pandas").to_pandas()
+    n = 2 * int(p["e"].sum())
+    sx = int(p["sx"].sum())
+    sxx = int(p["sxx"].sum())
+    sxy = int(p["sxy"].sum())
+    num = float(n) * float(sxy) - float(sx) * float(sx)
+    den = float(n) * float(sxx) - float(sx) * float(sx)
+    r = num / den if den != 0.0 else float("nan")
+    return pd.DataFrame(
+        {
+            "n_edges": [n // 2],
+            "assortativity": [np.floor(r * 1e6 + 0.5) / 1e6],
+        }
+    )

@@ -3350,3 +3350,49 @@ def exact_global_quantile(
     v_hi = local[k_hi - before]
     frac = pos - k_lo
     return float(v_lo * (1.0 - frac) + v_hi * frac)
+
+
+def skyline_2d(
+    ds: ray.data.Dataset,
+    *,
+    maximize: str,
+    minimize: str,
+) -> ray.data.Dataset:
+    """Distributed 2-D Pareto frontier (skyline): the rows not dominated by
+    any other row, where a dominator is ``>=`` on the maximized column,
+    ``<=`` on the minimized one, and strict in at least one.  Exact ties on
+    BOTH columns never dominate each other, so every duplicate of a frontier
+    point is returned.
+
+    Scale shape: the union of per-block local skylines contains the global
+    skyline, so each block first reduces to its own frontier (expected
+    O(log block) points on unordered data), and ONE merge task repeats the
+    same vectorized pass over the ≤ frontier × n_blocks candidates — the
+    full table is never collected, and nothing runs on the driver.  The
+    per-block pass is sort + cummin, no Python loop over rows."""
+    import numpy as np
+
+    def local_frontier(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return batch
+        pts = (
+            batch[[maximize, minimize]]
+            .drop_duplicates()
+            .sort_values([maximize, minimize], ascending=[False, True])
+        )
+        av = pts[maximize].to_numpy()
+        bv = pts[minimize].to_numpy()
+        # sorted a desc / b asc: a point survives iff it is FIRST of its
+        # a-group (within a group only the smallest b is undominated) and
+        # its b is strictly below the min-b of every strictly-greater a
+        # (prefix cummin); a tie with that cummin means some higher-a point
+        # matches its b → dominated (strict in a)
+        cummin = np.minimum.accumulate(bv)
+        keep = np.ones(len(pts), dtype=bool)
+        keep[1:] = (av[1:] != av[:-1]) & (bv[1:] < cummin[:-1])
+        return batch.merge(pts[keep], on=[maximize, minimize])
+
+    candidates = ds.map_batches(local_frontier, batch_format="pandas")
+    return candidates.repartition(1).map_batches(
+        local_frontier, batch_format="pandas", batch_size=None
+    )

@@ -229,3 +229,36 @@ def test_k_core_peels_to_planted_cliques(ray_session):
     assert (core["degree"] == 3).all()
 
     assert k_core(edges, 4, num_partitions=4).to_pandas().empty
+
+
+def test_degree_assortativity_star_vs_clique(ray_session):
+    """A star is maximally disassortative (r = -1); adding the outer cycle
+    (wheel) raises r; the exact value is checked against a numpy Pearson
+    over the orientation list."""
+    import numpy as np
+
+    from esmarc_ray.ops.graph import degree_assortativity
+
+    star = [(0, i) for i in range(1, 6)]
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"u": [a for a, _ in star], "v": [b for _, b in star]})
+    )
+    out = degree_assortativity(edges, num_partitions=4)
+    assert out["n_edges"].iloc[0] == 5
+    assert out["assortativity"].iloc[0] == -1.0
+
+    wheel = star + [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)]
+    edges_w = ray.data.from_pandas(
+        pd.DataFrame({"u": [a for a, _ in wheel], "v": [b for _, b in wheel]})
+    )
+    out_w = degree_assortativity(edges_w, num_partitions=4)
+
+    # numpy reference over both orientations
+    deg: dict[int, int] = {}
+    for a, b in wheel:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [deg[a] for a, b in wheel] + [deg[b] for a, b in wheel]
+    ys = [deg[b] for a, b in wheel] + [deg[a] for a, b in wheel]
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert abs(out_w["assortativity"].iloc[0] - r) < 1e-6

@@ -2577,3 +2577,35 @@ def test_exact_global_quantile_vs_numpy(ray_session):
     # constant column short-circuit
     const = ray.data.from_pandas(pd.DataFrame({"v": np.full(100, 7.0)}))
     assert relational.exact_global_quantile(const, "v", q=0.3) == 7.0
+
+
+def test_skyline_2d_planted_frontier(ray_session):
+    """Planted 2-D frontier: maximize a, minimize b; dominated points must
+    vanish, exact (a, b) duplicates of frontier points must all survive,
+    and the result must match the quadratic reference."""
+    import numpy as np
+
+    from esmarc_ray.ops.relational import skyline_2d
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 1000, 400)
+    b = rng.integers(0, 1000, 400)
+    df = pd.DataFrame({"id": range(400), "a": a, "b": b})
+    # plant an exact duplicate of one extreme point
+    df.loc[0, ["a", "b"]] = [1000, 0]
+    df.loc[1, ["a", "b"]] = [1000, 0]
+
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = skyline_2d(ds, maximize="a", minimize="b").to_pandas()
+
+    keep = []
+    for i, r in df.iterrows():
+        dominated = (
+            (df["a"] >= r["a"])
+            & (df["b"] <= r["b"])
+            & ((df["a"] > r["a"]) | (df["b"] < r["b"]))
+        ).any()
+        if not dominated:
+            keep.append(i)
+    assert sorted(got["id"]) == sorted(df.loc[keep, "id"])
+    assert {0, 1} <= set(got["id"])
