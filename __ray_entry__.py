@@ -477,6 +477,71 @@ def q_copurchase_assortativity(sf_dir: str):
     return degree_assortativity(edges, u="l_partkey_a", v="l_partkey_b")
 
 
+def _dedup_copurchase_edges(sf_dir: str, cutoff: int = 500):
+    """Globally-distinct co-purchase pairs (a<b) — the simple graph the
+    degree-sensitive graph ops (WL, assortativity, landmarks) require."""
+    from esmarc_ray.ops.relational import partitioned_final
+
+    return partitioned_final(
+        _copurchase_edges(sf_dir, cutoff=cutoff),
+        ["l_partkey_a", "l_partkey_b"],
+        lambda p: p.drop_duplicates(),
+        num_partitions=16,
+    )
+
+
+def q_landmark_closeness(sf_dir: str):
+    """Landmark distance sketch over the co-purchase graph: exact BFS
+    distances from the 4 smallest part ids, reported as a per-(landmark,
+    hop) reach histogram — the building block of scalable point-to-point
+    distance estimation (all landmarks ride one frontier loop).  Oracle: a
+    DuckDB recursive CTE walks the same edges and takes min hop per
+    (landmark, node)."""
+    import pandas as pd
+
+    from esmarc_ray.ops.graph import landmark_bfs
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    edges = _dedup_copurchase_edges(sf_dir).materialize()
+
+    # 4 smallest node ids, combiner-shaped (per-batch local min-4, tiny fold)
+    def local_min(batch: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat(
+            [batch["l_partkey_a"], batch["l_partkey_b"]], ignore_index=True
+        ).drop_duplicates().nsmallest(4)
+        return pd.DataFrame({"node": nodes})
+
+    cand = edges.map_batches(local_min, batch_format="pandas").to_pandas()
+    landmarks = sorted(cand["node"].drop_duplicates().nsmallest(4))
+
+    dists = landmark_bfs(
+        edges, landmarks, u="l_partkey_a", v="l_partkey_b", max_hops=4
+    )
+    out = partial_groupby_agg(
+        dists, ["lm", "hop"], {"n_nodes": ("node", "count")}
+    ).to_pandas()
+    return out.sort_values(["lm", "hop"]).reset_index(drop=True)
+
+
+def q_wl_labels(sf_dir: str):
+    """Weisfeiler-Lehman structural fingerprint histogram of the co-purchase
+    graph after 2 refinement rounds — nodes with equal labels are 2-hop
+    structurally indistinguishable (the graph-dedup / role-discovery
+    primitive).  The oracle re-derives the identical md5 chain in SQL
+    (string_agg ORDER BY == sorted join; DuckDB md5 == hashlib.md5)."""
+    from esmarc_ray.ops.graph import wl_refine
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    labels = wl_refine(
+        _dedup_copurchase_edges(sf_dir), u="l_partkey_a", v="l_partkey_b",
+        rounds=2,
+    )
+    out = partial_groupby_agg(
+        labels, ["wl_label"], {"n_nodes": ("node", "count")}
+    ).to_pandas()
+    return out.sort_values("wl_label").reset_index(drop=True)
+
+
 def q_kg_two_hop(sf_dir: str):
     """Two-hop path census: internal @id references joined back to the
     subjects they resolve to, counted per (pred1, pred2) — the SPARQL-shaped
@@ -5140,6 +5205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": q_kg_two_hop,
         "orders_skyline": q_orders_skyline,
         "copurchase_assortativity": q_copurchase_assortativity,
+        "landmark_closeness": q_landmark_closeness,
+        "wl_labels": q_wl_labels,
         "kg_subj_degree_hist": q_kg_subj_degree_hist,
         "kg_incremental": q_kg_incremental,
         "kg_obj_len_stats": q_kg_obj_len_stats,
@@ -5490,6 +5557,65 @@ def oracle_sql() -> dict[str, str]:
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                          * 1e6 + 0.5) / 1e6 AS assortativity
             FROM m
+        """,
+        "landmark_closeness": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey <> b.l_partkey
+                WHERE a.l_orderkey < 500 AND b.l_orderkey < 500
+            ),
+            lms AS (
+                SELECT s AS node FROM e GROUP BY 1 ORDER BY 1 LIMIT 4
+            ),
+            walk(lm, node, hop) AS (
+                SELECT node, node, 0 FROM lms
+                UNION
+                SELECT w.lm, e.d, w.hop + 1
+                FROM walk w JOIN e ON e.s = w.node
+                WHERE w.hop < 4
+            ),
+            dist AS (
+                SELECT lm, node, min(hop) AS hop FROM walk GROUP BY 1, 2
+            )
+            SELECT lm, hop, count(*) AS n_nodes
+            FROM dist GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "wl_labels": """
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey <> b.l_partkey
+                WHERE a.l_orderkey < 500 AND b.l_orderkey < 500
+            ),
+            l0 AS (
+                SELECT s AS node, CAST(count(*) AS VARCHAR) AS lab
+                FROM e GROUP BY 1
+            ),
+            m1 AS (
+                SELECT e.d AS node, l0.lab FROM e JOIN l0 ON e.s = l0.node
+            ),
+            l1 AS (
+                SELECT m1.node,
+                       md5(l0.lab || '|' ||
+                           string_agg(m1.lab, ',' ORDER BY m1.lab)) AS lab
+                FROM m1 JOIN l0 ON m1.node = l0.node
+                GROUP BY m1.node, l0.lab
+            ),
+            m2 AS (
+                SELECT e.d AS node, l1.lab FROM e JOIN l1 ON e.s = l1.node
+            ),
+            l2 AS (
+                SELECT m2.node,
+                       md5(l1.lab || '|' ||
+                           string_agg(m2.lab, ',' ORDER BY m2.lab)) AS lab
+                FROM m2 JOIN l1 ON m2.node = l1.node
+                GROUP BY m2.node, l1.lab
+            )
+            SELECT lab AS wl_label, count(*) AS n_nodes
+            FROM l2 GROUP BY 1 ORDER BY 1
         """,
         "kg_functional_violations": """
             WITH g AS (

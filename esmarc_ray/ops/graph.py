@@ -1151,3 +1151,216 @@ def degree_assortativity(
             "assortativity": [np.floor(r * 1e6 + 0.5) / 1e6],
         }
     )
+
+
+def landmark_bfs(
+    edges: ray.data.Dataset,
+    landmarks: list,
+    *,
+    u: str = "u",
+    v: str = "v",
+    max_hops: int = 4,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-landmark BFS distances — the landmark (distance-sketch) labeling
+    used to approximate point-to-point shortest paths and closeness at
+    scale: returns (lm, node, hop) for every node within ``max_hops`` of
+    each landmark, hop = exact unweighted distance to THAT landmark.
+
+    Same frontier-expansion shape as :func:`bfs_hops` but keyed on
+    (landmark, node): two co-partitioned exchanges per round, both
+    partitioned on the node id so a node's edges and its settled rows for
+    ALL landmarks co-locate; the edge table is tagged and materialized once,
+    the settled table per round (multiply-referenced intermediates must
+    materialize or the round lineage re-executes).  L landmarks cost the
+    same number of rounds as one — the frontier just carries L times the
+    rows — which is exactly why landmark sketches beat per-source BFS."""
+
+    def undirect(batch: pd.DataFrame) -> pd.DataFrame:
+        fwd = batch[[u, v]].rename(columns={u: "s", v: "d"})
+        rev = batch[[v, u]].rename(columns={v: "s", u: "d"})
+        out = pd.concat([fwd, rev], ignore_index=True).drop_duplicates()
+        out["lm"] = out["s"]  # dtype placeholder, ignored for kind=e
+        out["part"] = _part_series(out["s"], num_partitions)
+        out["kind"] = "e"
+        out["hop"] = -1
+        return out
+
+    edges_tagged = edges.map_batches(undirect, batch_format="pandas").materialize()
+
+    settled = ray.data.from_pandas(
+        pd.DataFrame(
+            {"lm": pd.Series(landmarks), "node": pd.Series(landmarks), "hop": 0}
+        )
+    ).materialize()
+
+    for h in range(max_hops):
+        frontier = settled.filter(expr=f"hop == {h}")
+        if frontier.count() == 0:
+            break
+
+        def tag_frontier(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"s": batch["node"], "d": batch["node"],
+                                "lm": batch["lm"]})
+            out["part"] = _part_series(out["s"], num_partitions)
+            out["kind"] = "f"
+            out["hop"] = -1
+            return out
+
+        def expand(part: pd.DataFrame) -> pd.DataFrame:
+            fr = part[part["kind"] == "f"][["s", "lm"]].drop_duplicates()
+            ed = part[part["kind"] == "e"]
+            if fr.empty or ed.empty:
+                return pd.DataFrame(
+                    {
+                        "node": pd.Series(dtype="int64"),
+                        "lm": pd.Series(dtype="int64"),
+                    }
+                )
+            hit = ed[["s", "d"]].merge(fr, on="s")[["d", "lm"]].drop_duplicates()
+            return hit.rename(columns={"d": "node"})
+
+        candidates = (
+            edges_tagged.union(
+                frontier.map_batches(tag_frontier, batch_format="pandas")
+            )
+            .groupby("part")
+            .map_groups(expand, batch_format="pandas")
+        )
+
+        def tag_cand(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["node", "lm"]].drop_duplicates().copy()
+            out["hop"] = -1
+            out["kind"] = "c"
+            out["part"] = _part_series(out["node"], num_partitions)
+            return out
+
+        def tag_settled(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["node", "lm", "hop"]].copy()
+            out["kind"] = "s"
+            out["part"] = _part_series(out["node"], num_partitions)
+            return out
+
+        def resolve(part: pd.DataFrame, new_hop: int = h + 1) -> pd.DataFrame:
+            old = part[part["kind"] == "s"][["lm", "node", "hop"]]
+            cand = part[part["kind"] == "c"][["lm", "node"]].drop_duplicates()
+            new = cand.merge(
+                old[["lm", "node"]], on=["lm", "node"], how="left",
+                indicator=True,
+            )
+            new = new[new["_merge"] == "left_only"][["lm", "node"]].copy()
+            new["hop"] = new_hop
+            return pd.concat([old, new], ignore_index=True)
+
+        settled = (
+            candidates.map_batches(tag_cand, batch_format="pandas")
+            .union(settled.map_batches(tag_settled, batch_format="pandas"))
+            .groupby("part")
+            .map_groups(resolve, batch_format="pandas")
+            .materialize()
+        )
+
+    return settled
+
+
+def wl_refine(
+    edges: ray.data.Dataset,
+    *,
+    u: str = "u",
+    v: str = "v",
+    rounds: int = 2,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Weisfeiler-Lehman label refinement (1-WL / color refinement): nodes
+    start as their degree, then each round every node's new label is
+    ``md5(own_label || '|' || comma-joined SORTED neighbor labels)`` — the
+    canonical neighborhood fingerprint used for graph isomorphism tests,
+    structural-role discovery and graph-structure dedup.  Returns
+    (node, wl_label) after ``rounds`` rounds.
+
+    Two co-partitioned exchanges per round: (1) labels join the edge table
+    on the SOURCE endpoint (every node mails its label to each neighbor),
+    (2) messages + own labels tag-union on the node and each partition
+    folds sort + join + md5 in one vectorized pass per node group.  The
+    md5 per node is a Python string hash — inherent to the operator's
+    contract (the oracle re-derives the identical digest in SQL) — but runs
+    once per NODE per round, never per edge.  Labels materialize per round
+    (multiply-referenced lineage)."""
+    import hashlib
+
+    def undirect(batch: pd.DataFrame) -> pd.DataFrame:
+        fwd = batch[[u, v]].rename(columns={u: "s", v: "d"})
+        rev = batch[[v, u]].rename(columns={v: "s", u: "d"})
+        return pd.concat([fwd, rev], ignore_index=True).drop_duplicates()
+
+    und = edges.map_batches(undirect, batch_format="pandas").materialize()
+
+    def degree_part(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("s", as_index=False).size()
+        return pd.DataFrame(
+            {"node": g["s"], "lab": g["size"].astype("int64").astype(str)}
+        )
+
+    from esmarc_ray.ops.relational import partitioned_final, partitioned_join
+
+    labels = partitioned_final(
+        und, ["s"], degree_part, num_partitions=num_partitions
+    ).materialize()
+
+    for _ in range(rounds):
+        msgs = partitioned_join(
+            und.map_batches(
+                lambda b: b.rename(columns={"s": "node"}), batch_format="pandas"
+            ),
+            labels,
+            "node",
+            left_cols=["d"],
+            right_cols=["lab"],
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda b: b[["d", "lab"]].rename(
+                columns={"d": "node", "lab": "nb_lab"}
+            ),
+            batch_format="pandas",
+        )
+
+        def tag_msgs(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.copy()
+            out["lab"] = ""
+            out["kind"] = "m"
+            return out
+
+        def tag_own(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.copy()
+            out["nb_lab"] = ""
+            out["kind"] = "l"
+            return out[["node", "nb_lab", "lab", "kind"]]
+
+        def combine(part: pd.DataFrame) -> pd.DataFrame:
+            own = part.loc[part["kind"] == "l", ["node", "lab"]]
+            nb = part.loc[part["kind"] == "m", ["node", "nb_lab"]]
+            agg = (
+                nb.sort_values(["node", "nb_lab"])
+                .groupby("node", as_index=False)["nb_lab"]
+                .agg(",".join)
+            )
+            j = own.merge(agg, on="node", how="left")
+            j["nb_lab"] = j["nb_lab"].fillna("")
+            sig = j["lab"] + "|" + j["nb_lab"]
+            j["lab"] = sig.map(
+                lambda s: hashlib.md5(s.encode()).hexdigest()
+            )
+            return j[["node", "lab"]]
+
+        labels = partitioned_final(
+            msgs.map_batches(tag_msgs, batch_format="pandas").union(
+                labels.map_batches(tag_own, batch_format="pandas")
+            ),
+            ["node"],
+            combine,
+            num_partitions=num_partitions,
+        ).materialize()
+
+    return labels.map_batches(
+        lambda b: b.rename(columns={"lab": "wl_label"}), batch_format="pandas"
+    )

@@ -262,3 +262,33 @@ def test_degree_assortativity_star_vs_clique(ray_session):
     ys = [deg[b] for a, b in wheel] + [deg[a] for a, b in wheel]
     r = np.corrcoef(xs, ys)[0, 1]
     assert abs(out_w["assortativity"].iloc[0] - r) < 1e-6
+
+
+def test_landmark_bfs_chain_distances(ray_session):
+    """0-1-2-3-4-5 chain, landmarks {0, 5}: per-landmark exact distances."""
+    from esmarc_ray.ops.graph import landmark_bfs
+
+    chain = [(i, i + 1) for i in range(5)]
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"u": [a for a, _ in chain], "v": [b for _, b in chain]})
+    )
+    got = landmark_bfs(edges, [0, 5], max_hops=5, num_partitions=4).to_pandas()
+    dist = {(r.lm, r.node): r.hop for r in got.itertuples()}
+    assert dist[(0, 3)] == 3 and dist[(5, 3)] == 2
+    assert dist[(0, 5)] == 5 and dist[(5, 0)] == 5
+    assert len(got) == 12  # 6 nodes × 2 landmarks, all reached
+
+
+def test_wl_refine_distinguishes_roles(ray_session):
+    """Star: after 1 round the center and the leaves get exactly two
+    distinct labels; leaves (structurally identical) share one."""
+    from esmarc_ray.ops.graph import wl_refine
+
+    star = [(0, i) for i in range(1, 6)]
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"u": [a for a, _ in star], "v": [b for _, b in star]})
+    )
+    got = wl_refine(edges, rounds=1, num_partitions=4).to_pandas()
+    labs = got.set_index("node")["wl_label"]
+    assert len(set(labs[i] for i in range(1, 6))) == 1
+    assert labs[0] != labs[1]
