@@ -542,6 +542,92 @@ def q_wl_labels(sf_dir: str):
     return out.sort_values("wl_label").reset_index(drop=True)
 
 
+def q_kg_authority_links(sf_dir: str):
+    """External-authority link histogram of the KG: node objects whose @id
+    resolves OUTSIDE data.slub-dresden.de, counted per (entity_class, pred,
+    authority host) — the linking dashboard showing which external KBs
+    (k10plus, zdb-services, GND…) the graph points into; complements
+    kg_dangling_refs, which audits the internal refs.  Vectorized regex
+    extraction + combiner counts; the oracle re-derives the same regex in
+    SQL over the mirrored triples."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["pred", "obj", "obj_kind", "entity_class"]
+    )
+    path = _kg_oracle_table(sf_dir, "authority_src", triples)
+    src = ray.data.read_parquet(path)
+
+    def hosts(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[batch["obj_kind"] == "node"]
+        ref = m["obj"].str.extract(r'"@id": "https?://([^/"]+)/', expand=False)
+        keep = ref.notna() & (ref != "data.slub-dresden.de")
+        return pd.DataFrame(
+            {
+                "entity_class": m["entity_class"][keep],
+                "pred": m["pred"][keep],
+                "authority": ref[keep],
+            }
+        ).reset_index(drop=True)
+
+    out = partial_groupby_agg(
+        src.map_batches(hosts, batch_format="pandas"),
+        ["entity_class", "pred", "authority"],
+        {"n_links": ("pred", "count")},
+    ).to_pandas()
+    return out.sort_values(["entity_class", "pred", "authority"]).reset_index(
+        drop=True
+    )
+
+
+def q_split_ngram_overlap(sf_dir: str):
+    """Train→test 8-gram overlap per language (deterministic Knuth hash
+    split, exact-string shingles, gram-partitioned membership) — the
+    memorization dashboard next to the contamination gate."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import hash_split
+    from esmarc_ray.ops.text import split_ngram_overlap
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return split_ngram_overlap(hash_split(docs, "doc_id"))
+
+
+def q_event_type_trend(sf_dir: str):
+    """Robust per-type activity trend: Theil–Sen slope (median of pairwise
+    slopes) over the DAILY EVENT COUNT series of each event type — the
+    outlier-immune alternative to least squares; integer counts and integer
+    day gaps make every slope an exact double in both engines."""
+    import datetime as _dt
+
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, theilsen_slope
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def day_ord(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["x"] = batch["ts"].dt.date.map(_dt.date.toordinal).astype("int64")
+        return batch[["event_type", "x"]]
+
+    daily = partial_groupby_agg(
+        events.map_batches(day_ord, batch_format="pandas"),
+        ["event_type", "x"],
+        {"y": ("x", "count")},
+    )
+    out = theilsen_slope(daily, ["event_type"], "x", "y").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_kg_two_hop(sf_dir: str):
     """Two-hop path census: internal @id references joined back to the
     subjects they resolve to, counted per (pred1, pred2) — the SPARQL-shaped
@@ -5207,6 +5293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_assortativity": q_copurchase_assortativity,
         "landmark_closeness": q_landmark_closeness,
         "wl_labels": q_wl_labels,
+        "kg_authority_links": q_kg_authority_links,
+        "split_ngram_overlap": q_split_ngram_overlap,
+        "event_type_trend": q_event_type_trend,
         "kg_subj_degree_hist": q_kg_subj_degree_hist,
         "kg_incremental": q_kg_incremental,
         "kg_obj_len_stats": q_kg_obj_len_stats,
@@ -5557,6 +5646,78 @@ def oracle_sql() -> dict[str, str]:
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                          * 1e6 + 0.5) / 1e6 AS assortativity
             FROM m
+        """,
+        "kg_authority_links": r"""
+            WITH h AS (
+                SELECT entity_class, pred,
+                       NULLIF(regexp_extract(obj,
+                           '"@id": "https?://([^/"]+)/', 1), '') AS authority
+                FROM read_parquet('/tmp/esmarc_ray_kg_oracle/authority_src/*.parquet')
+                WHERE obj_kind = 'node'
+            )
+            SELECT entity_class, pred, authority, count(*) AS n_links
+            FROM h
+            WHERE authority IS NOT NULL
+              AND authority <> 'data.slub-dresden.de'
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "split_ngram_overlap": r"""
+            WITH lbl AS (
+                SELECT doc_id, text, lang,
+                       CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+                                THEN 'train'
+                            WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 95
+                                THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents
+            ),
+            d AS (
+                SELECT doc_id, lang, split,
+                       list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                      '\s+'),
+                                   x -> x <> '') AS ws
+                FROM lbl WHERE split IN ('train', 'test')
+            ),
+            sh AS (
+                SELECT lang, split,
+                       unnest(CASE
+                         WHEN len(ws) = 0 THEN []::VARCHAR[]
+                         WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+                         ELSE list_transform(range(1, len(ws) - 6),
+                                             i -> array_to_string(ws[i:i+7], ' '))
+                       END) AS g
+                FROM d
+            ),
+            train AS (SELECT DISTINCT g FROM sh WHERE split = 'train'),
+            test AS (SELECT DISTINCT lang, g FROM sh WHERE split = 'test')
+            SELECT test.lang, count(*) AS n_test_ngrams,
+                   sum(CASE WHEN train.g IS NULL THEN 0 ELSE 1 END)::BIGINT
+                       AS n_seen,
+                   floor(sum(CASE WHEN train.g IS NULL THEN 0 ELSE 1 END)
+                         / count(*) * 1e6 + 0.5) / 1e6 AS overlap
+            FROM test LEFT JOIN train USING (g)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "event_type_trend": """
+            WITH d AS (
+                SELECT event_type,
+                       date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                           AS x,
+                       count(*) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            p AS (
+                SELECT a.event_type,
+                       CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+                           AS slope
+                FROM d a JOIN d b
+                  ON a.event_type = b.event_type AND a.x < b.x
+            ),
+            np AS (SELECT event_type, count(*) AS n_points FROM d GROUP BY 1),
+            med AS (SELECT event_type, median(slope) AS m FROM p GROUP BY 1)
+            SELECT event_type, n_points,
+                   floor(m * 1e6 + 0.5) / 1e6 AS slope
+            FROM np JOIN med USING (event_type) ORDER BY event_type
         """,
         "landmark_closeness": """
             WITH RECURSIVE e AS (

@@ -3396,3 +3396,42 @@ def skyline_2d(
     return candidates.repartition(1).map_batches(
         local_frontier, batch_format="pandas", batch_size=None
     )
+
+
+def theilsen_slope(
+    ds: ray.data.Dataset,
+    group_keys: list[str],
+    x_column: str,
+    y_column: str,
+    *,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-group Theil–Sen trend estimator: the MEDIAN of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i), i<j — the robust regression slope
+    (breakdown point ~29%, immune to the outliers that wreck least
+    squares).  Groups are hash-partitioned so each group's points land in
+    one task; the O(n²) pair enumeration is a numpy triu broadcast inside
+    that task, which is why the op expects PRE-AGGREGATED series (e.g. one
+    point per day) — pairs grow quadratically in the series length, not in
+    the dataset."""
+    import numpy as np
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for keys, g in part.groupby(group_keys):
+            x = g[x_column].to_numpy(dtype="float64")
+            y = g[y_column].to_numpy(dtype="float64")
+            i, j = np.triu_indices(len(x), k=1)
+            key_tuple = keys if isinstance(keys, tuple) else (keys,)
+            if len(i) == 0:
+                slope = float("nan")
+            else:
+                slope = float(np.median((y[j] - y[i]) / (x[j] - x[i])))
+            rows.append(
+                dict(zip(group_keys, key_tuple))
+                | {"n_points": int(len(x)),
+                   "slope": np.floor(slope * 1e6 + 0.5) / 1e6}
+            )
+        return pd.DataFrame(rows)
+
+    return partitioned_final(ds, group_keys, per_part, num_partitions)

@@ -1451,3 +1451,83 @@ def compression_ratio(
         )
 
     return docs.map_batches(ratio, batch_format="pandas")
+
+
+def split_ngram_overlap(
+    docs: ray.data.Dataset,
+    *,
+    ngram: int = 8,
+    text_column: str = "text",
+    lang_column: str = "lang",
+    split_column: str = "split",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Train→test n-gram overlap report: for every language, the share of
+    the TEST split's distinct word ``ngram``-grams that also occur anywhere
+    in the TRAIN split — the generalization-vs-memorization dashboard an
+    eval-set owner reads next to the contamination gate (same exact-string
+    shingles as :func:`decontaminate`: a hash collision here would be a
+    false "seen").
+
+    Scale shape: shingles are partitioned by the GRAM, so the train-side
+    membership set and the distinct (lang, gram) test pairs of any gram
+    co-locate in one partition; partials are per-(partition, lang) counts
+    and the merge is a tiny per-lang sum.  Shuffle volume is O(distinct
+    grams), never pairs."""
+    import numpy as np
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+
+    def shingles(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_g: list[str] = []
+        rows_l: list[str] = []
+        rows_k: list[str] = []
+        train_seen: set[str] = set()
+        for txt, lang, split in zip(
+            batch[text_column].fillna(""),
+            batch[lang_column],
+            batch[split_column],
+        ):
+            if split == "train":
+                train_seen.update(_shingle_set(txt, ngram))
+            elif split == "test":
+                for g in _shingle_set(txt, ngram):
+                    rows_g.append(g)
+                    rows_l.append(lang)
+                    rows_k.append("s")
+        rows_g.extend(train_seen)
+        rows_l.extend([""] * len(train_seen))
+        rows_k.extend(["t"] * len(train_seen))
+        return pd.DataFrame({"gram": rows_g, "lang": rows_l, "kind": rows_k})
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        train = set(part.loc[part["kind"] == "t", "gram"])
+        test = part.loc[part["kind"] == "s", ["lang", "gram"]].drop_duplicates()
+        if test.empty:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series(dtype="object"),
+                    "__n": pd.Series(dtype="int64"),
+                    "__s": pd.Series(dtype="int64"),
+                }
+            )
+        test = test.assign(__s=test["gram"].isin(train).astype("int64"), __n=1)
+        return test.groupby("lang", as_index=False).agg(
+            __n=("__n", "sum"), __s=("__s", "sum")
+        )
+
+    partials = partitioned_final(
+        docs.map_batches(shingles, batch_format="pandas"),
+        ["gram"],
+        per_part,
+        num_partitions=num_partitions,
+    )
+    out = partial_groupby_agg(
+        partials,
+        ["lang"],
+        {"n_test_ngrams": ("__n", "sum"), "n_seen": ("__s", "sum")},
+    ).to_pandas()
+    out["overlap"] = np.floor(
+        out["n_seen"] / out["n_test_ngrams"] * 1e6 + 0.5
+    ) / 1e6
+    return out.sort_values("lang").reset_index(drop=True)

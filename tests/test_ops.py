@@ -2609,3 +2609,17 @@ def test_skyline_2d_planted_frontier(ray_session):
             keep.append(i)
     assert sorted(got["id"]) == sorted(df.loc[keep, "id"])
     assert {0, 1} <= set(got["id"])
+
+
+def test_theilsen_slope_resists_outlier(ray_session):
+    """A line y=2x with one wrecked point: least squares would tilt, the
+    Theil–Sen median slope stays 2."""
+    from esmarc_ray.ops.relational import theilsen_slope
+
+    df = pd.DataFrame({"g": ["a"] * 10, "x": range(10), "y": [2 * i for i in range(10)]})
+    df.loc[9, "y"] = 500
+    out = theilsen_slope(
+        ray.data.from_pandas(df), ["g"], "x", "y", num_partitions=2
+    ).to_pandas()
+    assert out["slope"].iloc[0] == 2.0
+    assert out["n_points"].iloc[0] == 10

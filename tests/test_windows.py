@@ -103,3 +103,24 @@ def test_watermark_filter_flags_late_events(ray_session):
         .sort_values("arrival")
     )
     assert got["late"].tolist() == [False, False, True, False, False, True]
+
+
+def test_split_ngram_overlap_planted(ray_session):
+    """Test doc sharing its whole text with a train doc scores overlap 1;
+    a disjoint test doc scores 0."""
+    import ray.data
+
+    from esmarc_ray.ops.text import split_ngram_overlap
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [shared, shared, "one two three four five six seven eight nine"],
+            "lang": ["en", "en", "fr"],
+            "split": ["train", "test", "test"],
+        }
+    )
+    out = split_ngram_overlap(ray.data.from_pandas(rows)).sort_values("lang")
+    assert out.loc[out["lang"] == "en", "overlap"].iloc[0] == 1.0
+    assert out.loc[out["lang"] == "fr", "overlap"].iloc[0] == 0.0
