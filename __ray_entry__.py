@@ -628,6 +628,182 @@ def q_event_type_trend(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_kg_build_diff(sf_dir: str):
+    """Snapshot diff between two KG builds — "yesterday's harvest" (the 90%
+    of docs whose Knuth hash bucket < 90) vs today's full corpus — at the
+    TRIPLE level: every distinct full-row triple is classified
+    added/removed/changed/unchanged via the co-partitioned diff operator,
+    the regression gate an incremental-rebuild monitor reads after every
+    delta run."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import diff_datasets, partitioned_final
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    key = ["subj", "pred", "obj", "obj_kind", "doc_id"]
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(key)
+    path = _kg_oracle_table(sf_dir, "build_diff_src", triples)
+    src = ray.data.read_parquet(path)
+
+    def distinct(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates()
+
+    full = partitioned_final(src, key, distinct, num_partitions=32)
+
+    def old_half(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64").to_numpy().astype(np.uint64)
+        bucket = ((ids * np.uint64(2654435761)) % np.uint64(2**32)) % np.uint64(100)
+        return batch[bucket < 90]
+
+    old = full.map_batches(old_half, batch_format="pandas")
+    out = diff_datasets(old, full, key_cols=key, compare_cols=[]).to_pandas()
+    return out.sort_values("status").reset_index(drop=True)
+
+
+def q_event_type_ols(sf_dir: str):
+    """Exact least-squares trend per event type over the daily-count
+    series: slope, intercept and r² folded from integer moment partials
+    (Σx, Σy, Σxy, Σx², Σy² — day ordinals × counts stay int64-exact), so
+    both engines derive identical doubles from identical integers; the
+    parametric complement to the Theil–Sen robust slope."""
+    import datetime as _dt
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    _EPOCH_ORD = _dt.date(1970, 1, 1).toordinal()
+
+    def day_ord(batch: pd.DataFrame) -> pd.DataFrame:
+        # epoch-day index (matches the oracle's date_diff from 1970-01-01:
+        # the intercept, unlike the slope, is NOT offset-invariant)
+        batch["x"] = (
+            batch["ts"].dt.date.map(_dt.date.toordinal).astype("int64")
+            - _EPOCH_ORD
+        )
+        return batch[["event_type", "x"]]
+
+    daily = partial_groupby_agg(
+        events.map_batches(day_ord, batch_format="pandas"),
+        ["event_type", "x"],
+        {"y": ("x", "count")},
+    )
+
+    def moments(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["n"] = 1
+        b["xy"] = b["x"] * b["y"]
+        b["xx"] = b["x"] * b["x"]
+        b["yy"] = b["y"] * b["y"]
+        return b.groupby("event_type", as_index=False)[
+            ["n", "x", "y", "xy", "xx", "yy"]
+        ].sum()
+
+    sums = partial_groupby_agg(
+        daily.map_batches(moments, batch_format="pandas"),
+        ["event_type"],
+        {c: (c, "sum") for c in ["n", "x", "y", "xy", "xx", "yy"]},
+    ).to_pandas()
+
+    rows = []
+    for r in sums.itertuples():
+        n, sx, sy, sxy, sxx, syy = (
+            int(r.n), int(r.x), int(r.y), int(r.xy), int(r.xx), int(r.yy)
+        )
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        slope = float(num) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        r2 = (float(num) * float(num)) / (float(den) * float(deny))
+        rows.append(
+            {
+                "event_type": r.event_type,
+                "n_days": n,
+                "slope": np.floor(slope * 1e6 + 0.5) / 1e6,
+                "intercept": np.floor(intercept * 1e6 + 0.5) / 1e6,
+                "r2": np.floor(r2 * 1e6 + 0.5) / 1e6,
+            }
+        )
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+def q_blocking_quality(sf_dir: str):
+    """ER blocking-design audit for the fuzzy name linkage: pair
+    completeness (share of true jaccard≥0.4 matches the nation-equality
+    blocking retains) and reduction ratio (share of the cross product it
+    prunes) — the two numbers that justify a blocking key.  Blocked-pair
+    counts fold from per-nation size products (never materializing pairs);
+    ground truth scans customers against the BROADCAST supplier side (the
+    small dimension), exactly the metric the blocked join verifies with."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import _round_half_up, partial_groupby_agg
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    supplier_df = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).to_pandas()  # dimension side: |S| rows, broadcast below
+    sup_ref = ray.put(supplier_df)
+
+    c_per_nation = partial_groupby_agg(
+        customer, ["c_nationkey"], {"nc": ("c_custkey", "count")}
+    ).to_pandas()
+    s_per_nation = supplier_df.groupby("s_nationkey", as_index=False).size()
+    merged = c_per_nation.merge(
+        s_per_nation, left_on="c_nationkey", right_on="s_nationkey"
+    )
+    n_blocked = int((merged["nc"] * merged["size"]).sum())
+    n_cust = int(c_per_nation["nc"].sum())
+    n_sup = len(supplier_df)
+    n_total = n_cust * n_sup
+
+    def truth(batch: pd.DataFrame) -> pd.DataFrame:
+        sup = ray.get(sup_ref)
+        s_sets = [set(s) for s in sup["s_name"]]
+        s_nat = sup["s_nationkey"].to_numpy()
+        t = 0
+        tb = 0
+        for name, nat in zip(batch["c_name"], batch["c_nationkey"]):
+            cs = set(name)
+            for ss, sn in zip(s_sets, s_nat):
+                union = len(cs | ss)
+                sim = len(cs & ss) / union if union else 1.0
+                if _round_half_up(np.array([sim]), 6)[0] >= 0.4:
+                    t += 1
+                    if sn == nat:
+                        tb += 1
+        return pd.DataFrame({"t": [t], "tb": [tb]})
+
+    tt = customer.map_batches(truth, batch_format="pandas").to_pandas()
+    n_true = int(tt["t"].sum())
+    n_true_blocked = int(tt["tb"].sum())
+    pc = n_true_blocked / n_true if n_true else 1.0
+    rr = 1.0 - n_blocked / n_total
+    return pd.DataFrame(
+        {
+            "n_total_pairs": [n_total],
+            "n_blocked_pairs": [n_blocked],
+            "n_true": [n_true],
+            "n_true_blocked": [n_true_blocked],
+            "pair_completeness": [np.floor(pc * 1e6 + 0.5) / 1e6],
+            "reduction_ratio": [np.floor(rr * 1e6 + 0.5) / 1e6],
+        }
+    )
+
+
 def q_kg_two_hop(sf_dir: str):
     """Two-hop path census: internal @id references joined back to the
     subjects they resolve to, counted per (pred1, pred2) — the SPARQL-shaped
@@ -5296,6 +5472,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_authority_links": q_kg_authority_links,
         "split_ngram_overlap": q_split_ngram_overlap,
         "event_type_trend": q_event_type_trend,
+        "kg_build_diff": q_kg_build_diff,
+        "event_type_ols": q_event_type_ols,
+        "blocking_quality": q_blocking_quality,
         "kg_subj_degree_hist": q_kg_subj_degree_hist,
         "kg_incremental": q_kg_incremental,
         "kg_obj_len_stats": q_kg_obj_len_stats,
@@ -5646,6 +5825,88 @@ def oracle_sql() -> dict[str, str]:
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                          * 1e6 + 0.5) / 1e6 AS assortativity
             FROM m
+        """,
+        "kg_build_diff": """
+            WITH t AS (
+                SELECT DISTINCT subj, pred, obj, obj_kind, doc_id
+                FROM read_parquet('/tmp/esmarc_ray_kg_oracle/build_diff_src/*.parquet')
+            ),
+            a AS (
+                SELECT * FROM t
+                WHERE ((CAST(doc_id AS BIGINT) * 2654435761) % 4294967296)
+                      % 100 < 90
+            )
+            SELECT 'added' AS status,
+                   (SELECT count(*) FROM t) - (SELECT count(*) FROM a) AS n
+            UNION ALL SELECT 'changed', 0
+            UNION ALL SELECT 'removed', 0
+            UNION ALL SELECT 'unchanged', (SELECT count(*) FROM a)
+            ORDER BY status
+        """,
+        "event_type_ols": """
+            WITH d AS (
+                SELECT event_type,
+                       date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                           AS x,
+                       count(*) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT event_type, count(*) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(y * y) AS BIGINT) AS syy
+                FROM d GROUP BY 1
+            ),
+            calc AS (
+                SELECT event_type, n, sx, sy,
+                       CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+                       CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+                       CAST(n * syy - sy * sy AS DOUBLE) AS deny
+                FROM m
+            ),
+            fin AS (
+                SELECT event_type, n, num / den AS slope,
+                       (CAST(sy AS DOUBLE)
+                        - (num / den) * CAST(sx AS DOUBLE)) / n AS intercept,
+                       (num * num) / (den * deny) AS r2
+                FROM calc
+            )
+            SELECT event_type, n::BIGINT AS n_days,
+                   floor(slope * 1e6 + 0.5) / 1e6 AS slope,
+                   floor(intercept * 1e6 + 0.5) / 1e6 AS intercept,
+                   floor(r2 * 1e6 + 0.5) / 1e6 AS r2
+            FROM fin ORDER BY event_type
+        """,
+        "blocking_quality": """
+            WITH tm AS (
+                SELECT c_nationkey, s_nationkey
+                FROM customer, supplier
+                WHERE round(jaccard(c_name, s_name), 6) >= 0.4
+            ),
+            c AS (SELECT count(*) AS nc FROM customer),
+            s AS (SELECT count(*) AS ns FROM supplier),
+            b AS (
+                SELECT CAST(sum(cn * sn) AS BIGINT) AS nb FROM (
+                    SELECT c_nationkey, count(*) AS cn FROM customer GROUP BY 1
+                ) x JOIN (
+                    SELECT s_nationkey, count(*) AS sn FROM supplier GROUP BY 1
+                ) y ON x.c_nationkey = y.s_nationkey
+            )
+            SELECT (nc * ns)::BIGINT AS n_total_pairs,
+                   nb AS n_blocked_pairs,
+                   (SELECT count(*) FROM tm)::BIGINT AS n_true,
+                   (SELECT count(*) FROM tm
+                    WHERE c_nationkey = s_nationkey)::BIGINT AS n_true_blocked,
+                   floor((SELECT count(*) FROM tm
+                          WHERE c_nationkey = s_nationkey)
+                         / (SELECT count(*) FROM tm) * 1e6 + 0.5) / 1e6
+                       AS pair_completeness,
+                   floor((1.0 - CAST(nb AS DOUBLE) / (nc * ns)) * 1e6 + 0.5)
+                       / 1e6 AS reduction_ratio
+            FROM c, s, b
         """,
         "kg_authority_links": r"""
             WITH h AS (
