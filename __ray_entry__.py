@@ -804,6 +804,151 @@ def q_blocking_quality(sf_dir: str):
     )
 
 
+def q_local_clustering_topk(sf_dir: str):
+    """Top-20 co-purchase parts by LOCAL clustering coefficient
+    (2T(v)/(deg(v)(deg(v)−1)), deg ≥ 5): per-node triangle counts from the
+    hub-safe degree-ordered wedge match, coefficient from exact integer
+    inputs, deterministic (coeff desc, node asc) cut."""
+    import numpy as np
+    import pandas as pd
+
+    from esmarc_ray.ops.graph import per_node_triangles
+
+    nt = per_node_triangles(
+        _dedup_copurchase_edges(sf_dir), u="l_partkey_a", v="l_partkey_b"
+    )
+
+    def coeff(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["deg"] >= 5].copy()
+        if batch.empty:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype="int64"),
+                    "deg": pd.Series(dtype="int64"),
+                    "n_tri": pd.Series(dtype="int64"),
+                    "coeff": pd.Series(dtype="float64"),
+                }
+            )
+        d = batch["deg"].to_numpy(dtype="float64")
+        t = batch["n_tri"].to_numpy(dtype="float64")
+        batch["node"] = batch["node"].astype("int64")
+        batch["coeff"] = np.floor(2.0 * t / (d * (d - 1.0)) * 1e6 + 0.5) / 1e6
+        return batch[["node", "deg", "n_tri", "coeff"]]
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["coeff", "node"], ascending=[False, True]
+        ).head(20)
+
+    out = (
+        nt.map_batches(coeff, batch_format="pandas")
+        .map_batches(prune, batch_format="pandas")
+        .sort(["coeff", "node"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)
+
+
+def q_kg_ispartof_closure(sf_dir: str):
+    """SPARQL property-path closure ``isPartOf+`` over the KG's internal
+    references: (start, ancestor) pairs at min depth ≤ 5, reported as a
+    per-depth census — the transitive containment audit of the series /
+    multi-volume hierarchy.  Iterative frontier rounds (join on the hop URI
+    + anti-join against settled pairs, both co-hash-partitioned; each round
+    materializes); fan-out is bounded because isPartOf is
+    near-single-parent.  Oracle: recursive CTE, min depth per pair."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import (
+        partial_groupby_agg,
+        partitioned_final,
+        partitioned_join,
+    )
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["subj", "pred", "obj", "obj_kind"]
+    )
+    path = _kg_oracle_table(sf_dir, "ispartof_src", triples)
+    src = ray.data.read_parquet(path)
+
+    def edges_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[batch["pred"] == "isPartOf"]
+        ref = m["obj"].str.extract(_INTERNAL_REF_RE, expand=False)
+        keep = ref.notna()
+        return pd.DataFrame(
+            {"s": m["subj"][keep], "d": ref[keep]}
+        ).reset_index(drop=True)
+
+    edges = partitioned_final(
+        src.map_batches(edges_fn, batch_format="pandas"),
+        ["s", "d"],
+        lambda p: p.drop_duplicates(),
+        num_partitions=16,
+    ).materialize()
+
+    def add_depth(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"start": batch["s"], "node": batch["d"], "depth": 1}
+        )
+
+    settled = edges.map_batches(add_depth, batch_format="pandas").materialize()
+    frontier = settled
+
+    for depth in range(2, 6):
+        if frontier.count() == 0:
+            break
+        nxt = partitioned_join(
+            frontier.map_batches(
+                lambda b: b.rename(columns={"node": "s"}), batch_format="pandas"
+            ),
+            edges,
+            "s",
+            left_cols=["start"],
+            right_cols=["d"],
+            num_partitions=16,
+        ).map_batches(
+            lambda b, dep=depth: pd.DataFrame(
+                {"start": b["start"], "node": b["d"], "depth": dep,
+                 "kind": "c"}
+            ).drop_duplicates(subset=["start", "node"]),
+            batch_format="pandas",
+        )
+
+        def dedup_new(part: pd.DataFrame) -> pd.DataFrame:
+            # settled rows (kind=s) carry min depths; candidates (kind=c)
+            # survive only if their (start, node) pair is unseen
+            seen = part.loc[part["kind"] == "s", ["start", "node"]]
+            cand = part[part["kind"] == "c"].drop_duplicates(
+                subset=["start", "node"]
+            )
+            m = cand.merge(seen, on=["start", "node"], how="left", indicator=True)
+            return m[m["_merge"] == "left_only"][["start", "node", "depth"]]
+
+        frontier = partitioned_final(
+            nxt.union(
+                settled.map_batches(
+                    lambda b: b.assign(kind="s"), batch_format="pandas"
+                )
+            ),
+            ["start", "node"],
+            dedup_new,
+            num_partitions=16,
+        ).materialize()
+        if frontier.count() == 0:
+            break
+        # repartition: the union would otherwise ACCUMULATE blocks every
+        # round and per-task overhead grows quadratically over the loop
+        settled = settled.union(frontier).repartition(8).materialize()
+
+    out = partial_groupby_agg(
+        settled, ["depth"], {"n_pairs": ("depth", "count")}
+    ).to_pandas()
+    return out.sort_values("depth").reset_index(drop=True)
+
+
 def q_kg_two_hop(sf_dir: str):
     """Two-hop path census: internal @id references joined back to the
     subjects they resolve to, counted per (pred1, pred2) — the SPARQL-shaped
@@ -5475,6 +5620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_build_diff": q_kg_build_diff,
         "event_type_ols": q_event_type_ols,
         "blocking_quality": q_blocking_quality,
+        "local_clustering_topk": q_local_clustering_topk,
+        "kg_ispartof_closure": q_kg_ispartof_closure,
         "kg_subj_degree_hist": q_kg_subj_degree_hist,
         "kg_incremental": q_kg_incremental,
         "kg_obj_len_stats": q_kg_obj_len_stats,
@@ -5825,6 +5972,61 @@ def oracle_sql() -> dict[str, str]:
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                          * 1e6 + 0.5) / 1e6 AS assortativity
             FROM m
+        """,
+        "local_clustering_topk": """
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                WHERE a.l_orderkey < 500 AND b.l_orderkey < 500
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            corners AS (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ),
+            tc AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY 1),
+            d AS (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+                ) GROUP BY 1
+            ),
+            j AS (
+                SELECT d.node, d.deg, coalesce(tc.n_tri, 0) AS n_tri
+                FROM d LEFT JOIN tc USING (node)
+                WHERE d.deg >= 5
+            )
+            SELECT node, deg::BIGINT AS deg, n_tri::BIGINT AS n_tri,
+                   floor(2.0 * n_tri / (deg * (deg - 1.0)) * 1e6 + 0.5) / 1e6
+                       AS coeff
+            FROM j ORDER BY coeff DESC, node LIMIT 20
+        """,
+        "kg_ispartof_closure": r"""
+            WITH RECURSIVE ed AS (
+                SELECT DISTINCT subj AS s,
+                       NULLIF(regexp_extract(obj,
+                           '"@id": "(https://data\.slub-dresden\.de/[a-z]+/[^"]+)"',
+                           1), '') AS d
+                FROM read_parquet('/tmp/esmarc_ray_kg_oracle/ispartof_src/*.parquet')
+                WHERE pred = 'isPartOf' AND obj_kind = 'node'
+            ),
+            ed2 AS (SELECT s, d FROM ed WHERE d IS NOT NULL),
+            walk(s, node, depth) AS (
+                SELECT s, d, 1 FROM ed2
+                UNION
+                SELECT w.s, ed2.d, w.depth + 1
+                FROM walk w JOIN ed2 ON ed2.s = w.node
+                WHERE w.depth < 5
+            ),
+            md AS (SELECT s, node, min(depth) AS depth FROM walk GROUP BY 1, 2)
+            SELECT depth, count(*) AS n_pairs FROM md GROUP BY 1 ORDER BY 1
         """,
         "kg_build_diff": """
             WITH t AS (

@@ -1364,3 +1364,189 @@ def wl_refine(
     return labels.map_batches(
         lambda b: b.rename(columns={"lab": "wl_label"}), batch_format="pandas"
     )
+
+
+def per_node_triangles(
+    edges: ray.data.Dataset,
+    *,
+    u: str = "u",
+    v: str = "v",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-node triangle counts + degrees of the undirected simple graph —
+    the inputs of the LOCAL clustering coefficient 2T(v)/(deg(v)(deg(v)−1)).
+    Same degree-ordered orientation as :func:`triangle_count` (hub-safe
+    wedge fan-out), but matched wedges keep their APEX so each found
+    triangle credits all three corners; per-node totals then fold as a
+    combiner.  Returns (node, deg, n_tri) for every node of degree ≥ 2,
+    n_tri = 0 included (a zero coefficient is information)."""
+
+    def undirect(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[u].astype(str)
+        b = batch[v].astype(str)
+        lo = a.where(a < b, b)
+        hi = b.where(a < b, a)
+        out = pd.DataFrame({"a": lo, "b": hi})
+        return out[out["a"] != out["b"]].drop_duplicates()
+
+    from esmarc_ray.ops.dedup import _distinct_on
+    from esmarc_ray.ops.relational import (
+        partial_groupby_agg,
+        partitioned_final,
+        partitioned_join,
+    )
+
+    und = _distinct_on(
+        edges.map_batches(undirect, batch_format="pandas"), ["a", "b"],
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def deg_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.concat([batch["a"], batch["b"]], ignore_index=True)}
+        )
+
+    def deg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby("node", as_index=False, sort=False).size()
+        return out.rename(columns={"size": "deg"})
+
+    def deg_final(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("node", as_index=False, sort=False)["deg"].sum()
+
+    degrees = partitioned_final(
+        und.map_batches(deg_rows, batch_format="pandas").map_batches(
+            deg_partial, batch_format="pandas"
+        ),
+        ["node"],
+        deg_final,
+        num_partitions=num_partitions,
+    ).materialize()
+
+    with_da = partitioned_join(
+        und, degrees.map_batches(
+            lambda b: b.rename(columns={"node": "a", "deg": "deg_a"}),
+            batch_format="pandas",
+        ),
+        "a", left_cols=["b"], right_cols=["deg_a"],
+        num_partitions=num_partitions,
+    )
+    with_both = partitioned_join(
+        with_da, degrees.map_batches(
+            lambda b: b.rename(columns={"node": "b", "deg": "deg_b"}),
+            batch_format="pandas",
+        ),
+        "b", left_cols=["a", "deg_a"], right_cols=["deg_b"],
+        num_partitions=num_partitions,
+    )
+
+    def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        da = batch["deg_a"].astype("int64")
+        db = batch["deg_b"].astype("int64")
+        a_first = (da < db) | ((da == db) & (batch["a"] < batch["b"]))
+        return pd.DataFrame(
+            {
+                "lo": batch["a"].where(a_first, batch["b"]),
+                "hi": batch["b"].where(a_first, batch["a"]),
+                "deg_lo": da.where(a_first, db),
+                "deg_hi": db.where(a_first, da),
+            }
+        )
+
+    oriented = with_both.map_batches(orient, batch_format="pandas").materialize()
+
+    def tag_src(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["part"] = _part_series(batch["lo"], num_partitions)
+        return batch
+
+    def wedges(part: pd.DataFrame) -> pd.DataFrame:
+        # one row per wedge, apex kept — a matched wedge IS a triangle
+        # (apex, lo, hi) and must credit all three corners
+        m = part.merge(part, on="lo", suffixes=("_1", "_2"))
+        keep = (m["deg_hi_1"] < m["deg_hi_2"]) | (
+            (m["deg_hi_1"] == m["deg_hi_2"]) & (m["hi_1"] < m["hi_2"])
+        )
+        m = m[keep]
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "apex": pd.Series(dtype="object"),
+                    "lo": pd.Series(dtype="object"),
+                    "hi": pd.Series(dtype="object"),
+                }
+            )
+        return pd.DataFrame({"apex": m["lo"], "lo": m["hi_1"], "hi": m["hi_2"]})
+
+    candidates = (
+        oriented.map_batches(tag_src, batch_format="pandas")
+        .groupby("part")
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+    def tag_cand(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["lo"].astype(str) + "\x1f" + batch["hi"].astype(str)
+        return pd.DataFrame(
+            {
+                "key": key,
+                "apex": batch["apex"],
+                "side": "c",
+                "part": _part_series(key, num_partitions),
+            }
+        )
+
+    def tag_edge(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["lo"].astype(str) + "\x1f" + batch["hi"].astype(str)
+        return pd.DataFrame(
+            {
+                "key": key,
+                "apex": "",
+                "side": "e",
+                "part": _part_series(key, num_partitions),
+            }
+        )
+
+    def matched_corners(part: pd.DataFrame) -> pd.DataFrame:
+        edge_keys = set(part.loc[part["side"] == "e", "key"])
+        c = part[part["side"] == "c"]
+        tri = c[c["key"].isin(edge_keys)]
+        if not len(tri):
+            return pd.DataFrame({"node": pd.Series(dtype="object")})
+        corners = pd.concat(
+            [
+                tri["apex"],
+                tri["key"].str.split("\x1f").str[0],
+                tri["key"].str.split("\x1f").str[1],
+            ],
+            ignore_index=True,
+        )
+        return pd.DataFrame({"node": corners})
+
+    corners = (
+        candidates.map_batches(tag_cand, batch_format="pandas")
+        .union(oriented.map_batches(tag_edge, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(matched_corners, batch_format="pandas")
+    )
+
+    tri_counts = partial_groupby_agg(
+        corners, ["node"], {"n_tri": ("node", "count")}
+    )
+
+    # degrees LEFT-join triangle counts: zero-triangle nodes stay
+    out = partitioned_join(
+        degrees,
+        tri_counts,
+        "node",
+        left_cols=["deg"],
+        right_cols=["n_tri"],
+        num_partitions=num_partitions,
+        how="left",
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["deg"] >= 2].copy()
+        batch["n_tri"] = batch["n_tri"].fillna(0).astype("int64")
+        batch["deg"] = batch["deg"].astype("int64")
+        return batch[["node", "deg", "n_tri"]]
+
+    return out.map_batches(finish, batch_format="pandas")

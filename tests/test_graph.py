@@ -292,3 +292,22 @@ def test_wl_refine_distinguishes_roles(ray_session):
     labs = got.set_index("node")["wl_label"]
     assert len(set(labs[i] for i in range(1, 6))) == 1
     assert labs[0] != labs[1]
+
+
+def test_per_node_triangles_wheel(ray_session):
+    """5-wheel: center sits in 5 triangles, each rim node in 2; local
+    coefficients follow from exact degrees."""
+    from esmarc_ray.ops.graph import per_node_triangles
+
+    wheel = [(0, i) for i in range(1, 6)] + [
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 1)
+    ]
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"u": [a for a, _ in wheel], "v": [b for _, b in wheel]})
+    )
+    got = per_node_triangles(edges, num_partitions=4).to_pandas()
+    got["node"] = got["node"].astype(int)
+    by = got.set_index("node")
+    assert by.loc[0, "n_tri"] == 5 and by.loc[0, "deg"] == 5
+    for rim in range(1, 6):
+        assert by.loc[rim, "n_tri"] == 2 and by.loc[rim, "deg"] == 3
