@@ -949,6 +949,151 @@ def q_kg_ispartof_closure(sf_dir: str):
     return out.sort_values("depth").reset_index(drop=True)
 
 
+def q_kg_namespace_gate(sf_dir: str):
+    """Subject-URI namespace conformance gate: every subject must live at
+    ``https://data.slub-dresden.de/<its own entity_class>/…`` — per-class
+    distinct-subject totals and conforming counts (violations == total −
+    conform; expected 0).  Distinct (class, subj) resolves on
+    subj-co-partitioned reducers; the regex check is vectorized."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["subj", "entity_class"]
+    )
+    path = _kg_oracle_table(sf_dir, "namespace_src", triples)
+    src = ray.data.read_parquet(path)
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.drop_duplicates()
+        cls = d["subj"].str.extract(
+            r"^https://data\.slub-dresden\.de/([a-z]+)/", expand=False
+        )
+        g = d.assign(__ok=(cls == d["entity_class"]).astype("int64"), __n=1)
+        return g.groupby("entity_class", as_index=False).agg(
+            __n=("__n", "sum"), __ok=("__ok", "sum")
+        )
+
+    partials = partitioned_final(src, ["subj"], per_part, num_partitions=16)
+    out = partial_groupby_agg(
+        partials,
+        ["entity_class"],
+        {"n_subjects": ("__n", "sum"), "n_conform": ("__ok", "sum")},
+    ).to_pandas()
+    return out.sort_values("entity_class").reset_index(drop=True)
+
+
+def q_bigram_continuations(sf_dir: str):
+    """Distributed n-gram LM table slice: for each of the corpus's top-20
+    head tokens, the top-3 next-token continuations with counts and rank —
+    the conditional-frequency table an n-gram language model is built from.
+    Bigram counts fold as a combiner; the 20-head cut broadcasts into a
+    map-side semi-join; the per-head top-3 runs on head-partitioned
+    reducers.  Ties cut deterministically (count desc, token asc)."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, topk_per_group
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        h: list[str] = []
+        n: list[str] = []
+        for txt in batch["text"].fillna(""):
+            ws = txt.lower().split()
+            h.extend(ws[:-1])
+            n.extend(ws[1:])
+        out = pd.DataFrame({"head": h, "next": n})
+        return out.groupby(["head", "next"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    counts = partial_groupby_agg(
+        docs.map_batches(bigrams, batch_format="pandas"),
+        ["head", "next"],
+        {"n": ("n", "sum")},
+    ).materialize()
+
+    heads = partial_groupby_agg(
+        counts, ["head"], {"tot": ("n", "sum")}
+    ).to_pandas()
+    top_heads = set(
+        heads.sort_values(["tot", "head"], ascending=[False, True])
+        .head(20)["head"]
+    )
+
+    cand = counts.map_batches(
+        lambda b, hs=top_heads: b[b["head"].isin(hs)], batch_format="pandas"
+    )
+    out = topk_per_group(
+        cand, ["head"], ["n", "next"], 3, descending=True
+    ).to_pandas()
+    out = out.sort_values(["head", "n", "next"], ascending=[True, False, True])
+    out["rank"] = out.groupby("head").cumcount() + 1
+    return out[["head", "next", "n", "rank"]].reset_index(drop=True)
+
+
+def q_events_ewma(sf_dir: str):
+    """Exponentially-weighted moving average (α = 0.3) of each event type's
+    daily count series — the classic streaming smoother, defined by the
+    RECURSIVE fold y_t = 0.3·x_t + 0.7·y_{t−1} (seed y_1 = x_1) so both
+    engines execute the identical float sequence in identical day order
+    (an irreducibly sequential per-group scan: the loop runs once per
+    PARTITION of types, inputs are integer counts)."""
+    import datetime as _dt
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    _EPOCH_ORD = _dt.date(1970, 1, 1).toordinal()
+
+    def day_ord(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["x"] = (
+            batch["ts"].dt.date.map(_dt.date.toordinal).astype("int64")
+            - _EPOCH_ORD
+        )
+        return batch[["event_type", "x"]]
+
+    daily = partial_groupby_agg(
+        events.map_batches(day_ord, batch_format="pandas"),
+        ["event_type", "x"],
+        {"y": ("x", "count")},
+    )
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type"):
+            g = g.sort_values("x")
+            prev = None
+            for x, y in zip(g["x"], g["y"]):
+                prev = float(y) if prev is None else 0.3 * float(y) + 0.7 * prev
+                rows.append(
+                    {
+                        "event_type": et,
+                        "day_idx": int(x),
+                        "ewma": np.floor(prev * 1e6 + 0.5) / 1e6,
+                    }
+                )
+        return pd.DataFrame(rows)
+
+    out = partitioned_final(daily, ["event_type"], fold, num_partitions=8)
+    return out.to_pandas().sort_values(
+        ["event_type", "day_idx"]
+    ).reset_index(drop=True)
+
+
 def q_kg_two_hop(sf_dir: str):
     """Two-hop path census: internal @id references joined back to the
     subjects they resolve to, counted per (pred1, pred2) — the SPARQL-shaped
@@ -5622,6 +5767,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_quality": q_blocking_quality,
         "local_clustering_topk": q_local_clustering_topk,
         "kg_ispartof_closure": q_kg_ispartof_closure,
+        "kg_namespace_gate": q_kg_namespace_gate,
+        "bigram_continuations": q_bigram_continuations,
+        "events_ewma": q_events_ewma,
         "kg_subj_degree_hist": q_kg_subj_degree_hist,
         "kg_incremental": q_kg_incremental,
         "kg_obj_len_stats": q_kg_obj_len_stats,
@@ -5972,6 +6120,73 @@ def oracle_sql() -> dict[str, str]:
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                          * 1e6 + 0.5) / 1e6 AS assortativity
             FROM m
+        """,
+        "kg_namespace_gate": r"""
+            WITH d AS (
+                SELECT DISTINCT subj, entity_class
+                FROM read_parquet('/tmp/esmarc_ray_kg_oracle/namespace_src/*.parquet')
+            )
+            SELECT entity_class, count(*) AS n_subjects,
+                   sum(CASE WHEN regexp_extract(subj,
+                           '^https://data\.slub-dresden\.de/([a-z]+)/', 1)
+                           = entity_class THEN 1 ELSE 0 END)::BIGINT
+                       AS n_conform
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
+        "bigram_continuations": r"""
+            WITH d AS (
+                SELECT list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                      '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            bg AS (
+                SELECT ws[i] AS head, ws[i + 1] AS next
+                FROM d, unnest(range(1, len(ws))) AS t(i)
+            ),
+            c AS (SELECT head, next, count(*) AS n FROM bg GROUP BY 1, 2),
+            heads AS (
+                SELECT head FROM (
+                    SELECT head, sum(n) AS tot FROM c GROUP BY 1
+                ) ORDER BY tot DESC, head LIMIT 20
+            ),
+            ranked AS (
+                SELECT c.head, c.next, c.n,
+                       row_number() OVER (
+                           PARTITION BY c.head ORDER BY c.n DESC, c.next
+                       ) AS rank
+                FROM c JOIN heads USING (head)
+            )
+            SELECT head, next, n, rank FROM ranked
+            WHERE rank <= 3 ORDER BY head, rank
+        """,
+        "events_ewma": """
+            WITH RECURSIVE d AS (
+                SELECT event_type,
+                       date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                           AS x,
+                       count(*) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT event_type, x, y,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY x
+                       ) AS rn
+                FROM d
+            ),
+            r(event_type, rn, x, ewma) AS (
+                SELECT event_type, rn, x, CAST(y AS DOUBLE)
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT s.event_type, s.rn, s.x,
+                       0.3::DOUBLE * s.y + 0.7::DOUBLE * r.ewma
+                FROM r JOIN s
+                  ON s.event_type = r.event_type AND s.rn = r.rn + 1
+            )
+            SELECT event_type, x AS day_idx,
+                   floor(ewma * 1e6 + 0.5) / 1e6 AS ewma
+            FROM r ORDER BY event_type, day_idx
         """,
         "local_clustering_topk": """
             WITH e AS (
