@@ -1094,6 +1094,152 @@ def q_events_ewma(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_frequent_triples(sf_dir: str):
+    """A-priori level-3 market baskets: part triples co-purchased in ≥ 2
+    orders.  Candidate generation prunes with the broadcast frequent-PAIR
+    set before any triple is counted (the A-priori monotonicity argument —
+    pruning cannot change the answer, only the work; at web scale the
+    broadcast set becomes a PCY hash filter), pair and triple counts fold
+    as combiners on basket-partitioned tasks."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).filter(expr="l_orderkey < 6000")
+
+    def basket_dedup(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates()
+
+    baskets = partitioned_final(
+        li, ["l_orderkey"], basket_dedup, num_partitions=16
+    ).materialize()
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        m = part.merge(part, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        g = m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    pair_counts = partial_groupby_agg(
+        partitioned_final(baskets, ["l_orderkey"], pairs, num_partitions=16),
+        ["l_partkey_a", "l_partkey_b"],
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    freq_pairs = set(
+        map(
+            tuple,
+            pair_counts[pair_counts["n"] >= 2][
+                ["l_partkey_a", "l_partkey_b"]
+            ].itertuples(index=False),
+        )
+    )
+    fp_ref = ray.put(freq_pairs)
+
+    def triples(part: pd.DataFrame) -> pd.DataFrame:
+        fp = ray.get(fp_ref)
+        rows = []
+        for _, g in part.groupby("l_orderkey"):
+            items = sorted(g["l_partkey"])
+            for i in range(len(items)):
+                for j in range(i + 1, len(items)):
+                    if (items[i], items[j]) not in fp:
+                        continue
+                    for k in range(j + 1, len(items)):
+                        if (items[j], items[k]) in fp and (
+                            items[i], items[k]
+                        ) in fp:
+                            rows.append((items[i], items[j], items[k]))
+        out = pd.DataFrame(rows, columns=["p1", "p2", "p3"]).astype("int64")
+        out["n"] = 1
+        return out
+
+    tri_counts = partial_groupby_agg(
+        partitioned_final(baskets, ["l_orderkey"], triples, num_partitions=16),
+        ["p1", "p2", "p3"],
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    if tri_counts.empty:  # zero-block to_pandas drops columns — retype
+        tri_counts = pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ["p1", "p2", "p3", "n"]}
+        )
+    out = tri_counts[tri_counts["n"] >= 2]
+    return out.sort_values(["p1", "p2", "p3"]).reset_index(drop=True)
+
+
+def q_cusum_changepoints(sf_dir: str):
+    """CUSUM drift monitor per event type: over the daily-count series,
+    S_t = max(0, S_{t−1} + (x_t − μ) − 0.5σ), flag days where S_t > 2σ —
+    the classic sequential change-point detector.  μ and σ derive from
+    exact int64 moment folds, and the sequential fold is replayed by the
+    oracle's recursive CTE over the identical float expression, so the
+    flag set matches bit-for-bit."""
+    import datetime as _dt
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    _EPOCH_ORD = _dt.date(1970, 1, 1).toordinal()
+
+    def day_ord(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["x"] = (
+            batch["ts"].dt.date.map(_dt.date.toordinal).astype("int64")
+            - _EPOCH_ORD
+        )
+        return batch[["event_type", "x"]]
+
+    daily = partial_groupby_agg(
+        events.map_batches(day_ord, batch_format="pandas"),
+        ["event_type", "x"],
+        {"y": ("x", "count")},
+    )
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type"):
+            g = g.sort_values("x")
+            n = len(g)
+            sy = int(g["y"].sum())
+            syy = int((g["y"].astype("int64") ** 2).sum())
+            mu = float(sy) / float(n)
+            sigma = math.sqrt(float(n * syy - sy * sy)) / float(n)
+            s = 0.0
+            for x, y in zip(g["x"], g["y"]):
+                s = max(0.0, s + (float(y) - mu) - 0.5 * sigma)
+                if s > 2.0 * sigma:
+                    rows.append(
+                        {
+                            "event_type": et,
+                            "day_idx": int(x),
+                            "cusum": np.floor(s * 1e6 + 0.5) / 1e6,
+                        }
+                    )
+        return pd.DataFrame(
+            rows, columns=["event_type", "day_idx", "cusum"]
+        )
+
+    out = partitioned_final(daily, ["event_type"], fold, num_partitions=8)
+    df = out.to_pandas()
+    if df.empty:
+        df = pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "day_idx": pd.Series(dtype="int64"),
+                "cusum": pd.Series(dtype="float64"),
+            }
+        )
+    return df.sort_values(["event_type", "day_idx"]).reset_index(drop=True)
+
+
 def q_kg_two_hop(sf_dir: str):
     """Two-hop path census: internal @id references joined back to the
     subjects they resolve to, counted per (pred1, pred2) — the SPARQL-shaped
@@ -5770,6 +5916,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_namespace_gate": q_kg_namespace_gate,
         "bigram_continuations": q_bigram_continuations,
         "events_ewma": q_events_ewma,
+        "frequent_triples": q_frequent_triples,
+        "cusum_changepoints": q_cusum_changepoints,
         "kg_subj_degree_hist": q_kg_subj_degree_hist,
         "kg_incremental": q_kg_incremental,
         "kg_obj_len_stats": q_kg_obj_len_stats,
@@ -6120,6 +6268,67 @@ def oracle_sql() -> dict[str, str]:
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                          * 1e6 + 0.5) / 1e6 AS assortativity
             FROM m
+        """,
+        "frequent_triples": """
+            WITH b AS (
+                SELECT DISTINCT l_orderkey, l_partkey
+                FROM lineitem WHERE l_orderkey < 6000
+            )
+            SELECT a.l_partkey AS p1, c.l_partkey AS p2, e.l_partkey AS p3,
+                   count(*) AS n
+            FROM b a
+            JOIN b c ON a.l_orderkey = c.l_orderkey
+                    AND a.l_partkey < c.l_partkey
+            JOIN b e ON a.l_orderkey = e.l_orderkey
+                    AND c.l_partkey < e.l_partkey
+            GROUP BY 1, 2, 3 HAVING count(*) >= 2
+            ORDER BY 1, 2, 3
+        """,
+        "cusum_changepoints": """
+            WITH RECURSIVE d AS (
+                SELECT event_type,
+                       date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                           AS x,
+                       count(*) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT event_type, count(*) AS n,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(y * y) AS BIGINT) AS syy
+                FROM d GROUP BY 1
+            ),
+            mm AS (
+                SELECT event_type, CAST(sy AS DOUBLE) / n AS mu,
+                       sqrt(CAST(n * syy - sy * sy AS DOUBLE)) / n AS sigma
+                FROM m
+            ),
+            s AS (
+                SELECT d.event_type, d.x, d.y,
+                       row_number() OVER (
+                           PARTITION BY d.event_type ORDER BY d.x
+                       ) AS rn
+                FROM d
+            ),
+            r(event_type, rn, x, s) AS (
+                SELECT s.event_type, s.rn, s.x,
+                       greatest(0.0::DOUBLE,
+                                (s.y - mm.mu) - 0.5::DOUBLE * mm.sigma)
+                FROM s JOIN mm USING (event_type) WHERE rn = 1
+                UNION ALL
+                SELECT s.event_type, s.rn, s.x,
+                       greatest(0.0::DOUBLE,
+                                r.s + (s.y - mm.mu)
+                                - 0.5::DOUBLE * mm.sigma)
+                FROM r
+                JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+                JOIN mm ON mm.event_type = s.event_type
+            )
+            SELECT r.event_type, r.x AS day_idx,
+                   floor(r.s * 1e6 + 0.5) / 1e6 AS cusum
+            FROM r JOIN mm USING (event_type)
+            WHERE r.s > 2.0::DOUBLE * mm.sigma
+            ORDER BY 1, 2
         """,
         "kg_namespace_gate": r"""
             WITH d AS (
