@@ -1240,6 +1240,178 @@ def q_cusum_changepoints(sf_dir: str):
     return df.sort_values(["event_type", "day_idx"]).reset_index(drop=True)
 
 
+def q_langid_kappa(sf_dir: str):
+    """Cohen's kappa of the language-ID classifier against the labeled
+    lang — chance-corrected agreement from the exact integer confusion
+    counts (p_o = trace/N, p_e = Σ rowᵢ·colᵢ/N²), the single
+    classifier-quality number next to the full confusion matrix."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+    from esmarc_ray.ops.text import lang_id
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    conf = partial_groupby_agg(
+        lang_id(docs), ["lang", "lang_pred"], {"n": ("doc_id", "count")}
+    ).to_pandas()
+
+    n = int(conf["n"].sum())
+    agree = int(conf.loc[conf["lang"] == conf["lang_pred"], "n"].sum())
+    rows = conf.groupby("lang")["n"].sum()
+    cols = conf.groupby("lang_pred")["n"].sum()
+    labels = rows.index.union(cols.index)
+    chance = int(
+        sum(
+            int(rows.get(lab, 0)) * int(cols.get(lab, 0)) for lab in labels
+        )
+    )
+    po = float(agree) / float(n)
+    pe = float(chance) / (float(n) * float(n))
+    kappa = (po - pe) / (1.0 - pe)
+    return pd.DataFrame(
+        {
+            "n_docs": [n],
+            "p_observed": [np.floor(po * 1e6 + 0.5) / 1e6],
+            "p_expected": [np.floor(pe * 1e6 + 0.5) / 1e6],
+            "kappa": [np.floor(kappa * 1e6 + 0.5) / 1e6],
+        }
+    )
+
+
+def q_shard_balance_chi2(sf_dir: str):
+    """Shard-balance audit of the md5-sharded training export: χ² statistic
+    of the language distribution across shards vs the corpus marginal —
+    quantifies whether deterministic shuffling actually stratified the
+    languages (expected counts from exact integer marginals, identical
+    float algebra in both engines)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        # same assignment as the training-export sharder (seed 42,
+        # first-8-hex of md5("42:"+id) mod n) — pipelines/export.py
+        batch["shard"] = [
+            int(hashlib.md5(f"42:{d}".encode()).hexdigest()[:8], 16) % 8
+            for d in batch["doc_id"]
+        ]
+        return batch[["shard", "lang"]]
+
+    counts = partial_groupby_agg(
+        docs.map_batches(assign, batch_format="pandas"),
+        ["shard", "lang"],
+        {"n": ("lang", "count")},
+    ).to_pandas()
+
+    n = int(counts["n"].sum())
+    shard_tot = counts.groupby("shard")["n"].sum()
+    lang_tot = counts.groupby("lang")["n"].sum()
+    chi2 = 0.0
+    df = 0
+    for shard, st in sorted(shard_tot.items()):
+        for lang, lt in sorted(lang_tot.items()):
+            exp = float(int(st)) * float(int(lt)) / float(n)
+            obs = counts.loc[
+                (counts["shard"] == shard) & (counts["lang"] == lang), "n"
+            ]
+            o = float(int(obs.iloc[0])) if len(obs) else 0.0
+            chi2 = chi2 + (o - exp) * (o - exp) / exp
+            df += 1
+    df = df - len(shard_tot) - len(lang_tot) + 1
+    return pd.DataFrame(
+        {
+            "n_docs": [n],
+            "dof": [df],
+            "chi2": [np.floor(chi2 * 1e6 + 0.5) / 1e6],
+        }
+    )
+
+
+def q_zonemap_prune(sf_dir: str):
+    """Zone-map pruning effectiveness report — the number a lakehouse
+    OPTIMIZE ZORDER job is judged by: orders are bucketed into 256-row "row
+    groups" under two physical layouts (natural o_orderkey order vs Z-order
+    on (o_custkey, day)), each bucket gets a (min, max) o_custkey zone map,
+    and a custkey-selective predicate (lowest 10% of the key range) is
+    tested against every zone map.  Ranks come from the terasort-style
+    global_rank (no global sort bottleneck); zone maps fold as min/max
+    combiners.  Output: per layout, total and prunable bucket counts."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import (
+        global_rank,
+        partial_groupby_agg,
+        zorder_code,
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def day(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["o_day"] = (
+            batch["o_orderdate"].astype("datetime64[ns]").astype("int64")
+            // 86_400_000_000_000
+        )
+        return batch[["o_orderkey", "o_custkey", "o_day"]]
+
+    zd = zorder_code(
+        orders.map_batches(day, batch_format="pandas"), "o_custkey", "o_day"
+    ).materialize()
+
+    bounds = zd.aggregate(
+        ray.data.aggregate.Min("o_custkey"), ray.data.aggregate.Max("o_custkey")
+    )
+    lo_c = int(bounds["min(o_custkey)"])
+    hi_pred = lo_c + (int(bounds["max(o_custkey)"]) - lo_c) // 10
+
+    def report(ranked, layout: str) -> pd.DataFrame:
+        def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["bucket"] = (batch["rk"] - 1) // 256
+            return batch[["bucket", "o_custkey"]]
+
+        zones = partial_groupby_agg(
+            ranked.map_batches(bucketize, batch_format="pandas"),
+            ["bucket"],
+            {"lo": ("o_custkey", "min"), "hi": ("o_custkey", "max")},
+        ).to_pandas()
+        pruned = int((zones["lo"] > hi_pred).sum())
+        return pd.DataFrame(
+            {
+                "layout": [layout],
+                "n_buckets": [len(zones)],
+                "n_pruned": [pruned],
+            }
+        )
+
+    nat = report(
+        global_rank(zd, ["o_orderkey"], out_name="rk"), "natural"
+    )
+    zor = report(
+        global_rank(zd, ["zcode", "o_orderkey"], out_name="rk"), "zorder"
+    )
+    return pd.concat([nat, zor], ignore_index=True).sort_values(
+        "layout"
+    ).reset_index(drop=True)
+
+
 def q_kg_two_hop(sf_dir: str):
     """Two-hop path census: internal @id references joined back to the
     subjects they resolve to, counted per (pred1, pred2) — the SPARQL-shaped
@@ -5918,6 +6090,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": q_events_ewma,
         "frequent_triples": q_frequent_triples,
         "cusum_changepoints": q_cusum_changepoints,
+        "langid_kappa": q_langid_kappa,
+        "shard_balance_chi2": q_shard_balance_chi2,
+        "zonemap_prune": q_zonemap_prune,
         "kg_subj_degree_hist": q_kg_subj_degree_hist,
         "kg_incremental": q_kg_incremental,
         "kg_obj_len_stats": q_kg_obj_len_stats,
@@ -6268,6 +6443,136 @@ def oracle_sql() -> dict[str, str]:
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                          * 1e6 + 0.5) / 1e6 AS assortativity
             FROM m
+        """,
+        "langid_kappa": f"""
+            WITH pred AS ({_langid_oracle()}),
+            conf AS (
+                SELECT d.lang, p.lang_pred, count(*) AS n
+                FROM pred p JOIN documents d USING (doc_id) GROUP BY 1, 2
+            ),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM conf),
+            agr AS (
+                SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS a
+                FROM conf WHERE lang = lang_pred
+            ),
+            r AS (
+                SELECT lang AS lab, CAST(sum(n) AS BIGINT) AS rn
+                FROM conf GROUP BY 1
+            ),
+            c AS (
+                SELECT lang_pred AS lab, CAST(sum(n) AS BIGINT) AS cn
+                FROM conf GROUP BY 1
+            ),
+            ch AS (
+                SELECT CAST(coalesce(sum(rn * cn), 0) AS BIGINT) AS chance
+                FROM r JOIN c USING (lab)
+            ),
+            raw AS (
+                SELECT tot.n,
+                       CAST(a AS DOUBLE) / tot.n AS po,
+                       CAST(chance AS DOUBLE)
+                           / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                           AS pe
+                FROM tot, agr, ch
+            )
+            SELECT n AS n_docs,
+                   floor(po * 1e6 + 0.5) / 1e6 AS p_observed,
+                   floor(pe * 1e6 + 0.5) / 1e6 AS p_expected,
+                   floor((po - pe) / (1.0 - pe) * 1e6 + 0.5) / 1e6 AS kappa
+            FROM raw
+        """,
+        "shard_balance_chi2": """
+            WITH a AS (
+                SELECT (('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 8))
+                        ::UBIGINT % 8)::BIGINT AS shard, lang
+                FROM documents
+            ),
+            conf AS (SELECT shard, lang, count(*) AS n FROM a GROUP BY 1, 2),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM conf),
+            st AS (
+                SELECT shard, CAST(sum(n) AS BIGINT) AS stn
+                FROM conf GROUP BY 1
+            ),
+            lt AS (
+                SELECT lang, CAST(sum(n) AS BIGINT) AS ltn
+                FROM conf GROUP BY 1
+            ),
+            cell AS (
+                SELECT st.shard, lt.lang,
+                       CAST(st.stn AS DOUBLE) * CAST(lt.ltn AS DOUBLE)
+                           / tot.n AS exp,
+                       CAST(coalesce(conf.n, 0) AS DOUBLE) AS obs
+                FROM st CROSS JOIN lt CROSS JOIN tot
+                LEFT JOIN conf
+                  ON conf.shard = st.shard AND conf.lang = lt.lang
+            )
+            SELECT tot.n AS n_docs,
+                   (SELECT count(*) FROM cell)
+                   - (SELECT count(*) FROM st)
+                   - (SELECT count(*) FROM lt) + 1 AS dof,
+                   floor(sum((obs - exp) * (obs - exp) / exp) * 1e6 + 0.5)
+                       / 1e6 AS chi2
+            FROM cell, tot GROUP BY tot.n
+        """,
+        "zonemap_prune": """
+            WITH base AS (
+              SELECT o_orderkey, o_custkey,
+                     epoch_us(o_orderdate) // 86400000000 AS o_day
+              FROM orders
+            ),
+            mm AS (
+              SELECT min(o_custkey) AS lox, max(o_custkey) AS hix,
+                     min(o_day) AS loy, max(o_day) AS hiy
+              FROM base
+            ),
+            b AS (
+              SELECT o_orderkey,
+                     (o_custkey - mm.lox) * 65536
+                       // greatest(mm.hix - mm.lox + 1, 1) AS x,
+                     (o_day - mm.loy) * 65536
+                       // greatest(mm.hiy - mm.loy + 1, 1) AS y
+              FROM base, mm
+            ),
+            s1 AS (SELECT o_orderkey,
+                          (x | (x << 8)) & 16711935 AS x,
+                          (y | (y << 8)) & 16711935 AS y FROM b),
+            s2 AS (SELECT o_orderkey,
+                          (x | (x << 4)) & 252645135 AS x,
+                          (y | (y << 4)) & 252645135 AS y FROM s1),
+            s3 AS (SELECT o_orderkey,
+                          (x | (x << 2)) & 858993459 AS x,
+                          (y | (y << 2)) & 858993459 AS y FROM s2),
+            s4 AS (SELECT o_orderkey,
+                          (x | (x << 1)) & 1431655765 AS x,
+                          (y | (y << 1)) & 1431655765 AS y FROM s3),
+            z AS (SELECT o_orderkey, (x | (y << 1))::BIGINT AS zcode FROM s4),
+            j AS (
+              SELECT base.o_orderkey, base.o_custkey, z.zcode
+              FROM base JOIN z USING (o_orderkey)
+            ),
+            pred AS (
+              SELECT min(o_custkey)
+                     + (max(o_custkey) - min(o_custkey)) // 10 AS hi_pred
+              FROM base
+            ),
+            rn AS (
+              SELECT 'natural' AS layout, o_custkey,
+                     row_number() OVER (ORDER BY o_orderkey) AS rk
+              FROM j
+              UNION ALL
+              SELECT 'zorder', o_custkey,
+                     row_number() OVER (ORDER BY zcode, o_orderkey)
+              FROM j
+            ),
+            zones AS (
+              SELECT layout, (rk - 1) // 256 AS bucket,
+                     min(o_custkey) AS lo
+              FROM rn GROUP BY 1, 2
+            )
+            SELECT layout, count(*) AS n_buckets,
+                   CAST(sum(CASE WHEN lo > hi_pred THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pruned
+            FROM zones, pred GROUP BY layout ORDER BY layout
         """,
         "frequent_triples": """
             WITH b AS (
