@@ -1340,6 +1340,284 @@ def q_shard_balance_chi2(sf_dir: str):
     )
 
 
+def q_term_psi(sf_dir: str):
+    """Vocabulary drift monitor: population-stability-index contributions of
+    the corpus's top-50 terms between the two deterministic hash halves of
+    the document set — per-term (share_a, share_b, (pa−pb)·ln(pa/pb)) with
+    +1/+50 Laplace smoothing so a term missing from one half stays finite.
+    Per-term contributions (not a global sum) keep the float algebra
+    order-exact against the oracle."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+    from esmarc_ray.ops.text import _det_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def term_half_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        half = np.where(
+            ((ids * np.uint64(2654435761)) % np.uint64(2**32))
+            % np.uint64(2) == 0,
+            "a",
+            "b",
+        )
+        t: list[str] = []
+        h: list[str] = []
+        for txt, hv in zip(batch["text"].fillna(""), half):
+            ws = txt.lower().split()
+            t.extend(ws)
+            h.extend([hv] * len(ws))
+        out = pd.DataFrame({"term": t, "half": h})
+        return out.groupby(["term", "half"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    counts = partial_groupby_agg(
+        docs.map_batches(term_half_counts, batch_format="pandas"),
+        ["term", "half"],
+        {"n": ("n", "sum")},
+    ).materialize()
+
+    totals = partial_groupby_agg(
+        counts, ["term"], {"tot": ("n", "sum")}
+    )
+    top = _det_topk(totals, 50, "tot", ["term"]).to_pandas()
+    top_terms = set(top["term"])
+
+    cdf = counts.map_batches(
+        lambda b, ts=top_terms: b[b["term"].isin(ts)], batch_format="pandas"
+    ).to_pandas()  # ≤ 100 rows
+    piv = cdf.pivot_table(
+        index="term", columns="half", values="n", aggfunc="sum", fill_value=0
+    ).reindex(sorted(top_terms), fill_value=0)
+    for col in ("a", "b"):
+        if col not in piv.columns:
+            piv[col] = 0
+    ta = int(piv["a"].sum())
+    tb = int(piv["b"].sum())
+    rows = []
+    for term in piv.index:
+        pa = (float(int(piv.at[term, "a"])) + 1.0) / (float(ta) + 50.0)
+        pb = (float(int(piv.at[term, "b"])) + 1.0) / (float(tb) + 50.0)
+        rows.append(
+            {
+                "term": term,
+                "share_a": np.floor(pa * 1e6 + 0.5) / 1e6,
+                "share_b": np.floor(pb * 1e6 + 0.5) / 1e6,
+                "psi_contrib": np.floor(
+                    (pa - pb) * math.log(pa / pb) * 1e6 + 0.5
+                ) / 1e6,
+            }
+        )
+    return pd.DataFrame(rows).sort_values("term").reset_index(drop=True)
+
+
+def q_rich_club(sf_dir: str):
+    """Rich-club coefficient φ(k) of the co-purchase graph at k ∈ {5, 10,
+    20}: the edge density among nodes of degree > k — do the hubs trade
+    with each other?  Degrees fold as combiners, rejoin both endpoints via
+    co-hash-partitioned joins (no broadcast of the node-scale degree
+    table), and per-k counts collapse to six integers."""
+    import numpy as np
+    import pandas as pd
+
+    from esmarc_ray.ops.relational import (
+        partial_groupby_agg,
+        partitioned_final,
+        partitioned_join,
+    )
+
+    edges = partitioned_final(
+        _copurchase_edges(sf_dir),
+        ["l_partkey_a", "l_partkey_b"],
+        lambda p: p.drop_duplicates(),
+        num_partitions=16,
+    ).materialize()
+
+    def endpoint_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        s = pd.concat(
+            [batch["l_partkey_a"], batch["l_partkey_b"]], ignore_index=True
+        )
+        return s.value_counts().rename_axis("node").reset_index(name="cnt")
+
+    degrees = partitioned_final(
+        edges.map_batches(endpoint_counts, batch_format="pandas"),
+        ["node"],
+        lambda p: p.groupby("node", as_index=False)["cnt"].sum().rename(
+            columns={"cnt": "deg"}
+        ),
+        num_partitions=16,
+    ).materialize()
+
+    def rekey(old: str, new: str):
+        return lambda b: b.rename(columns={old: new})
+
+    with_du = partitioned_join(
+        edges.map_batches(rekey("l_partkey_a", "node"), batch_format="pandas"),
+        degrees.map_batches(rekey("deg", "du"), batch_format="pandas"),
+        "node",
+        left_cols=["l_partkey_b"],
+        right_cols=["du"],
+        num_partitions=16,
+    ).map_batches(rekey("node", "l_partkey_a"), batch_format="pandas")
+    with_both = partitioned_join(
+        with_du.map_batches(rekey("l_partkey_b", "node"), batch_format="pandas"),
+        degrees.map_batches(rekey("deg", "dv"), batch_format="pandas"),
+        "node",
+        left_cols=["l_partkey_a", "du"],
+        right_cols=["dv"],
+        num_partitions=16,
+    )
+
+    def edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k in (5, 10, 20):
+            rows.append(
+                {
+                    "k": k,
+                    "ek": int(
+                        ((batch["du"] > k) & (batch["dv"] > k)).sum()
+                    ),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    ek = partial_groupby_agg(
+        with_both.map_batches(edge_partial, batch_format="pandas"),
+        ["k"],
+        {"ek": ("ek", "sum")},
+    ).to_pandas().set_index("k")["ek"]
+
+    def node_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k in (5, 10, 20):
+            rows.append({"k": k, "nk": int((batch["deg"] > k).sum())})
+        return pd.DataFrame(rows)
+
+    nk = partial_groupby_agg(
+        degrees.map_batches(node_partial, batch_format="pandas"),
+        ["k"],
+        {"nk": ("nk", "sum")},
+    ).to_pandas().set_index("k")["nk"]
+
+    rows = []
+    for k in (5, 10, 20):
+        n = int(nk.get(k, 0))
+        e = int(ek.get(k, 0))
+        phi = (
+            (2.0 * float(e)) / (float(n) * (float(n) - 1.0))
+            if n > 1
+            else 0.0
+        )
+        rows.append(
+            {
+                "k": k,
+                "n_nodes": n,
+                "n_edges": e,
+                "phi": np.floor(phi * 1e6 + 0.5) / 1e6,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def q_brand_homophily(sf_dir: str):
+    """Brand homophily of the co-purchase graph: observed same-brand edge
+    share vs the degree-weighted null expectation Σ_b (endpoint-share_b)²
+    — the one-number modularity Q = obs − exp that says whether customers
+    bundle within brands.  Edge endpoints join the part dimension via
+    co-hash-partitioned joins; every statistic folds from exact integer
+    counts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import (
+        partial_groupby_agg,
+        partitioned_final,
+        partitioned_join,
+    )
+
+    edges = partitioned_final(
+        _copurchase_edges(sf_dir),
+        ["l_partkey_a", "l_partkey_b"],
+        lambda p: p.drop_duplicates(),
+        num_partitions=16,
+    ).materialize()
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+
+    def rekey(old: str, new: str):
+        return lambda b: b.rename(columns={old: new})
+
+    with_ba = partitioned_join(
+        edges.map_batches(
+            rekey("l_partkey_a", "p_partkey"), batch_format="pandas"
+        ),
+        part.map_batches(rekey("p_brand", "brand_a"), batch_format="pandas"),
+        "p_partkey",
+        left_cols=["l_partkey_b"],
+        right_cols=["brand_a"],
+        num_partitions=16,
+    ).map_batches(rekey("p_partkey", "l_partkey_a"), batch_format="pandas")
+    with_both = partitioned_join(
+        with_ba.map_batches(
+            rekey("l_partkey_b", "p_partkey"), batch_format="pandas"
+        ),
+        part.map_batches(rekey("p_brand", "brand_b"), batch_format="pandas"),
+        "p_partkey",
+        left_cols=["l_partkey_a", "brand_a"],
+        right_cols=["brand_b"],
+        num_partitions=16,
+    )
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        same = int((batch["brand_a"] == batch["brand_b"]).sum())
+        ends = pd.concat(
+            [batch["brand_a"], batch["brand_b"]], ignore_index=True
+        ).value_counts()
+        out = ends.rename_axis("brand").reset_index(name="m")
+        out["same"] = 0
+        out["e"] = 0
+        head = pd.DataFrame(
+            {"brand": ["\x1f__edges__"], "m": [0], "same": [same],
+             "e": [len(batch)]}
+        )
+        return pd.concat([head, out], ignore_index=True)
+
+    agg = partial_groupby_agg(
+        with_both.map_batches(partials, batch_format="pandas"),
+        ["brand"],
+        {"m": ("m", "sum"), "same": ("same", "sum"), "e": ("e", "sum")},
+    ).to_pandas()
+
+    sent = agg["brand"] == "\x1f__edges__"
+    n_edges = int(agg.loc[sent, "e"].sum())
+    n_same = int(agg.loc[sent, "same"].sum())
+    obs = float(n_same) / float(n_edges)
+    exp = 0.0
+    for _, r in agg[~sent].sort_values("brand").iterrows():
+        share = float(int(r["m"])) / (2.0 * float(n_edges))
+        exp = exp + share * share
+    q = obs - exp
+    return pd.DataFrame(
+        {
+            "n_edges": [n_edges],
+            "observed": [np.floor(obs * 1e6 + 0.5) / 1e6],
+            "expected": [np.floor(exp * 1e6 + 0.5) / 1e6],
+            "q": [np.floor(q * 1e6 + 0.5) / 1e6],
+        }
+    )
+
+
 def q_zonemap_prune(sf_dir: str):
     """Zone-map pruning effectiveness report — the number a lakehouse
     OPTIMIZE ZORDER job is judged by: orders are bucketed into 256-row "row
@@ -6093,6 +6371,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_kappa": q_langid_kappa,
         "shard_balance_chi2": q_shard_balance_chi2,
         "zonemap_prune": q_zonemap_prune,
+        "term_psi": q_term_psi,
+        "rich_club": q_rich_club,
+        "brand_homophily": q_brand_homophily,
         "kg_subj_degree_hist": q_kg_subj_degree_hist,
         "kg_incremental": q_kg_incremental,
         "kg_obj_len_stats": q_kg_obj_len_stats,
@@ -6443,6 +6724,126 @@ def oracle_sql() -> dict[str, str]:
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                          * 1e6 + 0.5) / 1e6 AS assortativity
             FROM m
+        """,
+        "term_psi": r"""
+            WITH lbl AS (
+                SELECT doc_id, text,
+                       CASE WHEN ((doc_id * 2654435761) % 4294967296) % 2 = 0
+                            THEN 'a' ELSE 'b' END AS half
+                FROM documents
+            ),
+            tok AS (
+                SELECT half,
+                       unnest(list_filter(
+                           string_split_regex(lower(coalesce(text, '')),
+                                              '\s+'),
+                           x -> x <> '')) AS term
+                FROM lbl
+            ),
+            c AS (SELECT term, half, count(*) AS n FROM tok GROUP BY 1, 2),
+            tot AS (
+                SELECT term, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1
+            ),
+            top AS (SELECT term FROM tot ORDER BY t DESC, term LIMIT 50),
+            ha AS (
+                SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS ta
+                FROM c JOIN top USING (term) WHERE half = 'a'
+            ),
+            hb AS (
+                SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tb
+                FROM c JOIN top USING (term) WHERE half = 'b'
+            ),
+            sh AS (
+                SELECT top.term,
+                       (CAST(coalesce(ca.n, 0) AS DOUBLE) + 1.0)
+                           / (CAST(ta AS DOUBLE) + 50.0) AS pa,
+                       (CAST(coalesce(cb.n, 0) AS DOUBLE) + 1.0)
+                           / (CAST(tb AS DOUBLE) + 50.0) AS pb
+                FROM top
+                LEFT JOIN c ca ON ca.term = top.term AND ca.half = 'a'
+                LEFT JOIN c cb ON cb.term = top.term AND cb.half = 'b'
+                CROSS JOIN ha CROSS JOIN hb
+            )
+            SELECT term,
+                   floor(pa * 1e6 + 0.5) / 1e6 AS share_a,
+                   floor(pb * 1e6 + 0.5) / 1e6 AS share_b,
+                   floor((pa - pb) * ln(pa / pb) * 1e6 + 0.5) / 1e6
+                       AS psi_contrib
+            FROM sh ORDER BY term
+        """,
+        "rich_club": """
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                WHERE a.l_orderkey < 1000 AND b.l_orderkey < 1000
+            ),
+            d AS (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT pa AS node FROM e
+                    UNION ALL SELECT pb AS node FROM e
+                ) GROUP BY 1
+            ),
+            j AS (
+                SELECT da.deg AS du, db.deg AS dv
+                FROM e
+                JOIN d da ON e.pa = da.node
+                JOIN d db ON e.pb = db.node
+            ),
+            ks AS (SELECT unnest([5, 10, 20]) AS k),
+            sel AS (
+                SELECT ks.k,
+                       (SELECT count(*) FROM d WHERE deg > ks.k) AS n,
+                       (SELECT count(*) FROM j
+                        WHERE du > ks.k AND dv > ks.k) AS e
+                FROM ks
+            )
+            SELECT k, n::BIGINT AS n_nodes, e::BIGINT AS n_edges,
+                   CASE WHEN n > 1
+                        THEN floor((2.0 * e) / (n * (n - 1.0)) * 1e6 + 0.5)
+                             / 1e6
+                        ELSE 0.0 END AS phi
+            FROM sel ORDER BY k
+        """,
+        "brand_homophily": """
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                WHERE a.l_orderkey < 1000 AND b.l_orderkey < 1000
+            ),
+            j AS (
+                SELECT ppa.p_brand AS ba, ppb.p_brand AS bb
+                FROM e
+                JOIN part ppa ON e.pa = ppa.p_partkey
+                JOIN part ppb ON e.pb = ppb.p_partkey
+            ),
+            tot AS (
+                SELECT count(*) AS ne,
+                       CAST(sum(CASE WHEN ba = bb THEN 1 ELSE 0 END)
+                            AS BIGINT) AS same
+                FROM j
+            ),
+            m AS (
+                SELECT brand, CAST(count(*) AS BIGINT) AS m FROM (
+                    SELECT ba AS brand FROM j
+                    UNION ALL SELECT bb FROM j
+                ) GROUP BY 1
+            ),
+            ex AS (
+                SELECT sum((CAST(m AS DOUBLE) / (2.0 * ne))
+                           * (CAST(m AS DOUBLE) / (2.0 * ne))) AS exp
+                FROM m, tot
+            )
+            SELECT ne::BIGINT AS n_edges,
+                   floor(CAST(same AS DOUBLE) / ne * 1e6 + 0.5) / 1e6
+                       AS observed,
+                   floor(exp * 1e6 + 0.5) / 1e6 AS expected,
+                   floor((CAST(same AS DOUBLE) / ne - exp) * 1e6 + 0.5) / 1e6
+                       AS q
+            FROM tot, ex
         """,
         "langid_kappa": f"""
             WITH pred AS ({_langid_oracle()}),
