@@ -1340,6 +1340,32 @@ def q_shard_balance_chi2(sf_dir: str):
     )
 
 
+def q_sorted_neighborhood_links(sf_dir: str):
+    """Sorted-neighborhood ER pass over customer names: sort by name,
+    compare each record with its next 3 neighbors only (halo/ghost-row
+    exchange between rank chunks — no global self-join), verify char-set
+    Jaccard ≥ 0.5 — the complementary blocking strategy to the
+    nation-equality blocking of fuzzy_name_links."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import sorted_neighborhood_join
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    out = sorted_neighborhood_join(
+        customer,
+        sort_keys=["c_name"],
+        id_column="c_custkey",
+        text_column="c_name",
+        window=3,
+        threshold=0.5,
+    ).to_pandas()
+    return out.sort_values(
+        ["c_custkey_a", "c_custkey_b"]
+    ).reset_index(drop=True)
+
+
 def q_term_psi(sf_dir: str):
     """Vocabulary drift monitor: population-stability-index contributions of
     the corpus's top-50 terms between the two deterministic hash halves of
@@ -6374,6 +6400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_psi": q_term_psi,
         "rich_club": q_rich_club,
         "brand_homophily": q_brand_homophily,
+        "sorted_neighborhood_links": q_sorted_neighborhood_links,
         "kg_subj_degree_hist": q_kg_subj_degree_hist,
         "kg_incremental": q_kg_incremental,
         "kg_obj_len_stats": q_kg_obj_len_stats,
@@ -6724,6 +6751,19 @@ def oracle_sql() -> dict[str, str]:
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                          * 1e6 + 0.5) / 1e6 AS assortativity
             FROM m
+        """,
+        "sorted_neighborhood_links": """
+            WITH r AS (
+                SELECT c_custkey, c_name,
+                       row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+                FROM customer
+            )
+            SELECT a.c_custkey AS c_custkey_a, b.c_custkey AS c_custkey_b,
+                   round(jaccard(a.c_name, b.c_name), 6) AS similarity
+            FROM r a JOIN r b
+              ON b.rn BETWEEN a.rn + 1 AND a.rn + 3
+            WHERE round(jaccard(a.c_name, b.c_name), 6) >= 0.5
+            ORDER BY 1, 2
         """,
         "term_psi": r"""
             WITH lbl AS (
