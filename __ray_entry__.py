@@ -1340,6 +1340,160 @@ def q_shard_balance_chi2(sf_dir: str):
     )
 
 
+def q_diameter_double_sweep(sf_dir: str):
+    """Double-sweep diameter lower bound of the co-purchase graph: BFS from
+    the minimum node id, then BFS again from the farthest node found (max
+    hop, min-id tie-break) — the standard 2-BFS estimate that is exact on
+    trees and sharp in practice.  Both sweeps ride the landmark-BFS frontier
+    loop; hop radius capped at 6 in engine AND oracle."""
+    import pandas as pd
+
+    from esmarc_ray.ops.graph import landmark_bfs
+
+    edges = _dedup_copurchase_edges(sf_dir).materialize()
+
+    def local_min(batch: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat(
+            [batch["l_partkey_a"], batch["l_partkey_b"]], ignore_index=True
+        ).drop_duplicates().nsmallest(1)
+        return pd.DataFrame({"node": nodes})
+
+    start = int(
+        edges.map_batches(local_min, batch_format="pandas")
+        .to_pandas()["node"].min()
+    )
+
+    d1 = landmark_bfs(
+        edges, [start], u="l_partkey_a", v="l_partkey_b", max_hops=6
+    ).to_pandas()
+    far_row = d1.sort_values(["hop", "node"], ascending=[False, True]).iloc[0]
+    far = int(far_row["node"])
+
+    d2 = landmark_bfs(
+        edges, [far], u="l_partkey_a", v="l_partkey_b", max_hops=6
+    ).to_pandas()
+    lb = int(d2["hop"].max())
+    return pd.DataFrame(
+        {"start": [start], "far_node": [far], "lb_diameter": [lb]}
+    )
+
+
+def q_kg_literal_types(sf_dir: str):
+    """Literal-object datatype inference over the KG: every literal object
+    classifies through the ordered rules date → integer → uri → text
+    (first match wins, identical regex chain in both engines), counted per
+    (pred, vtype) — the full-breakdown companion of the date-only
+    schema_typing gate."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["pred", "obj", "obj_kind"]
+    )
+    path = _kg_oracle_table(sf_dir, "littype_src", triples)
+    src = ray.data.read_parquet(path)
+
+    def classify(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[batch["obj_kind"] == "literal"].copy()
+        o = m["obj"].fillna("")
+        vtype = np.select(
+            [
+                o.str.match(r"^\d{4}(-\d{2}(-\d{2})?)?$"),
+                o.str.match(r"^-?\d+$"),
+                o.str.match(r"^https?://"),
+            ],
+            ["date", "integer", "uri"],
+            default="text",
+        )
+        m["vtype"] = vtype
+        return m[["pred", "vtype"]]
+
+    out = partial_groupby_agg(
+        src.map_batches(classify, batch_format="pandas"),
+        ["pred", "vtype"],
+        {"n": ("pred", "count")},
+    ).to_pandas()
+    return out.sort_values(["pred", "vtype"]).reset_index(drop=True)
+
+
+def q_pair_lift(sf_dir: str):
+    """Association-rule lift for co-purchase pairs with support ≥ 3:
+    lift = P(ab)/(P(a)P(b)) = n_ab·N / (n_a·n_b) over distinct baskets —
+    the number that separates genuinely-bundled parts from popularity
+    coincidence.  Pair and item supports fold as combiners; only the ≥ 3
+    survivors (a tiny set by construction) and their items' counts reach
+    the driver for the final ratio."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).filter(expr="l_orderkey < 6000")
+
+    baskets = partitioned_final(
+        li, ["l_orderkey"], lambda p: p.drop_duplicates(), num_partitions=16
+    ).materialize()
+    n_baskets = int(
+        partial_groupby_agg(
+            baskets, ["l_orderkey"], {"one": ("l_partkey", "count")}
+        ).count()
+    )
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        m = part.merge(part, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        g = m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    pair_counts = partial_groupby_agg(
+        partitioned_final(baskets, ["l_orderkey"], pairs, num_partitions=16),
+        ["l_partkey_a", "l_partkey_b"],
+        {"n_ab": ("n", "sum")},
+    ).to_pandas()
+    surv = pair_counts[pair_counts["n_ab"] >= 3]
+    items_needed = set(surv["l_partkey_a"]) | set(surv["l_partkey_b"])
+
+    item_counts = partial_groupby_agg(
+        baskets.map_batches(
+            lambda b, it=items_needed: b[b["l_partkey"].isin(it)],
+            batch_format="pandas",
+        ),
+        ["l_partkey"],
+        {"n": ("l_orderkey", "count")},
+    ).to_pandas().set_index("l_partkey")["n"]
+
+    rows = []
+    for r in surv.itertuples():
+        na = int(item_counts[r.l_partkey_a])
+        nb = int(item_counts[r.l_partkey_b])
+        lift = (float(int(r.n_ab)) * float(n_baskets)) / (
+            float(na) * float(nb)
+        )
+        rows.append(
+            {
+                "p1": int(r.l_partkey_a),
+                "p2": int(r.l_partkey_b),
+                "n_ab": int(r.n_ab),
+                "lift": np.floor(lift * 1e6 + 0.5) / 1e6,
+            }
+        )
+    out = pd.DataFrame(
+        rows, columns=["p1", "p2", "n_ab", "lift"]
+    )
+    if out.empty:
+        out = out.astype(
+            {"p1": "int64", "p2": "int64", "n_ab": "int64", "lift": "float64"}
+        )
+    return out.sort_values(["p1", "p2"]).reset_index(drop=True)
+
+
 def q_sorted_neighborhood_links(sf_dir: str):
     """Sorted-neighborhood ER pass over customer names: sort by name,
     compare each record with its next 3 neighbors only (halo/ghost-row
@@ -6178,6 +6332,147 @@ def q_edit_distance_links(sf_dir: str):
     )
 
 
+def q_fellegi_sunter_links(sf_dir: str):
+    """Fellegi–Sunter probabilistic record linkage, customers × suppliers
+    blocked on nation: three comparison fields (char-set name Jaccard ≥ 0.5,
+    entity-number last-2 equality, acctbal 1000-bucket equality) score
+    precomputed ln(m/u) log-likelihood weights, and the summed weight
+    tri-classifies link / possible / non_link.  Only non-'non_link' pairs
+    return (the clerical-review queue)."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import fellegi_sunter_join
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    ).map_batches(
+        lambda b: b.rename(columns={"c_nationkey": "nationkey"}),
+        batch_format="pandas",
+    )
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+    ).map_batches(
+        lambda b: b.rename(columns={"s_nationkey": "nationkey"}),
+        batch_format="pandas",
+    )
+    out = fellegi_sunter_join(
+        customer, supplier,
+        block_on="nationkey",
+        fields=[
+            {"name": "name", "left": "c_name", "right": "s_name",
+             "kind": "jaccard_ge", "threshold": 0.5,
+             "w_agree": 2.1972, "w_disagree": -2.1972},
+            {"name": "num", "left": "c_name", "right": "s_name",
+             "kind": "suffix_eq", "n": 2,
+             "w_agree": 4.5539, "w_disagree": -2.9857},
+            {"name": "bal", "left": "c_acctbal", "right": "s_acctbal",
+             "kind": "bucket_eq", "width": 1000.0,
+             "w_agree": 2.7726, "w_disagree": -1.5581},
+        ],
+        left_cols=["c_custkey"], right_cols=["s_suppkey"],
+        upper=4.0, lower=0.0, num_partitions=16,
+    ).filter(expr="decision != 'non_link'").to_pandas()
+    out = out.astype({"c_custkey": "int64", "s_suppkey": "int64"})
+    return (
+        out[["c_custkey", "s_suppkey", "ag_name", "ag_num", "ag_bal",
+             "weight", "decision"]]
+        .sort_values(["c_custkey", "s_suppkey"])
+        .reset_index(drop=True)
+    )
+
+
+def q_kg_bgp_match(sf_dir: str):
+    """SPARQL-shaped basic-graph-pattern query over the KG:
+    ``?a isPartOf ?b . ?b preferredName ?t . ?a contributor ?d`` — the generic
+    BGP join core (path + star in one query), solved by
+    :func:`esmarc_ray.ops.graph.bgp_match` as two hash-partitioned joins on
+    the shared variables.  Node-kind objects flatten to their first internal
+    @id URI (the two-hop census rule) so patterns join on clean terms;
+    DuckDB re-derives the identical binding table with self-joins."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.graph import bgp_match
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["subj", "pred", "obj", "obj_kind"]
+    )
+
+    def flatten(batch: pd.DataFrame) -> pd.DataFrame:
+        objv = batch["obj"].copy()
+        node = batch["obj_kind"] == "node"
+        objv[node] = batch.loc[node, "obj"].str.extract(
+            _INTERNAL_REF_RE, expand=False
+        )
+        out = pd.DataFrame(
+            {"subj": batch["subj"], "pred": batch["pred"], "objv": objv}
+        )
+        return out[out["objv"].notna()]
+
+    path = _kg_oracle_table(
+        sf_dir, "bgp_src", triples.map_batches(flatten, batch_format="pandas")
+    )
+    out = bgp_match(
+        ray.data.read_parquet(path),
+        [
+            ("?a", "isPartOf", "?b"),
+            ("?b", "preferredName", "?t"),
+            ("?a", "contributor", "?d"),
+        ],
+        obj_column="objv",
+        num_partitions=16,
+    ).to_pandas()
+    if out.empty:  # an empty Dataset drops its schema on to_pandas
+        out = pd.DataFrame({c: pd.Series(dtype="object") for c in "abtd"})
+    return (
+        out[["a", "b", "t", "d"]]
+        .sort_values(["a", "b", "t", "d"])
+        .reset_index(drop=True)
+    )
+
+
+def q_dup_window_spans(sf_dir: str):
+    """Exact duplicate-substring detection over documents (Lee et al. 2022,
+    window-sampled): 32-char spans at stride 16, spans present in ≥ 2
+    distinct docs, top-100 by document frequency — hash-checked against a
+    DuckDB generate_series + substr re-derivation."""
+    import ray.data
+
+    from esmarc_ray.ops.dedup import duplicate_window_spans
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = duplicate_window_spans(
+        docs, window=32, stride=16, min_docs=2, top_k=100,
+    ).to_pandas()
+    return out.sort_values(
+        ["n_docs", "win"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+def q_scd2_user_type(sf_dir: str):
+    """Slowly-changing-dimension type-2 history of each user's event_type:
+    one row per attribute CHANGE with a validity interval (epoch-microsecond
+    valid_from/valid_to, -1 = open) and a version ordinal — the Kimball
+    warehouse dimension build as one hash-partitioned reduce."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import scd2_intervals
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    out = scd2_intervals(
+        events, "user_id", "event_type", ["ts", "event_id"],
+    ).to_pandas()
+    return out.sort_values(["user_id", "version"]).reset_index(drop=True)
+
+
 def q_copurchase_triangles(sf_dir: str):
     """Triangle count of the part co-purchase graph (parts sharing an
     order are linked): degree-ordered distributed counting, hash-checked
@@ -6401,6 +6696,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club": q_rich_club,
         "brand_homophily": q_brand_homophily,
         "sorted_neighborhood_links": q_sorted_neighborhood_links,
+        "diameter_double_sweep": q_diameter_double_sweep,
+        "kg_literal_types": q_kg_literal_types,
+        "pair_lift": q_pair_lift,
         "kg_subj_degree_hist": q_kg_subj_degree_hist,
         "kg_incremental": q_kg_incremental,
         "kg_obj_len_stats": q_kg_obj_len_stats,
@@ -6606,6 +6904,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_quota": q_source_token_quota,
         "event_funnel": q_event_funnel,
         "edit_distance_links": q_edit_distance_links,
+        "fellegi_sunter_links": q_fellegi_sunter_links,
+        "kg_bgp_match": q_kg_bgp_match,
+        "dup_window_spans": q_dup_window_spans,
+        "scd2_user_type": q_scd2_user_type,
     }
     # hash-oracled entries first (stable relative order), rows-only after:
     # the driver's correctness gate value-checks a prefix of this dict, so
@@ -6619,6 +6921,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # approx_quantile's fixed-bin histogram is fully deterministic (bin =
+        # trunc((v-lo)/width) clipped to [0, n_bins-1]; median bin = first bin
+        # whose CDF >= q*total; value = lo + (bin+0.5)*width), so DuckDB can
+        # reproduce the "approximate" answer bit-for-bit.  width = 600000/4096
+        # = 9375/64, so (2b+1)*width/2 never lands on a .xx5 rounding tie
+        # ((2b+1)*775 is odd, 16 mod 32 is even) — np.round == SQL round here.
+        "approx_median_price": """
+            WITH h AS (
+                SELECT o_orderpriority,
+                       least(greatest(CAST(trunc(o_totalprice
+                                                 / (600000.0 / 4096)) AS BIGINT),
+                                      0), 4095) AS b
+                FROM orders
+            ),
+            c AS (
+                SELECT o_orderpriority, b, count(*) AS n FROM h GROUP BY 1, 2
+            ),
+            cdf AS (
+                SELECT o_orderpriority, b,
+                       sum(n) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY b) AS cum,
+                       sum(n) OVER (PARTITION BY o_orderpriority) AS tot
+                FROM c
+            )
+            SELECT o_orderpriority,
+                   round((min(b) FILTER (WHERE cum >= 0.5 * tot) + 0.5)
+                         * (600000.0 / 4096), 2) AS approx_median
+            FROM cdf GROUP BY 1 ORDER BY 1
+        """,
         # KG aggregate views: DuckDB independently re-aggregates the triple /
         # entity tables the Ray query just wrote (hash-checks the flagship
         # path's distributed groupby + parquet write; the KG pipeline itself
@@ -6751,6 +7082,78 @@ def oracle_sql() -> dict[str, str]:
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                          * 1e6 + 0.5) / 1e6 AS assortativity
             FROM m
+        """,
+        "diameter_double_sweep": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey <> b.l_partkey
+                WHERE a.l_orderkey < 500 AND b.l_orderkey < 500
+            ),
+            st AS (SELECT min(s) AS node FROM e),
+            w1(node, hop) AS (
+                SELECT node, 0 FROM st
+                UNION
+                SELECT e.d, w1.hop + 1 FROM w1 JOIN e ON e.s = w1.node
+                WHERE w1.hop < 6
+            ),
+            d1 AS (SELECT node, min(hop) AS hop FROM w1 GROUP BY 1),
+            far AS (
+                SELECT node FROM d1 ORDER BY hop DESC, node LIMIT 1
+            ),
+            w2(node, hop) AS (
+                SELECT node, 0 FROM far
+                UNION
+                SELECT e.d, w2.hop + 1 FROM w2 JOIN e ON e.s = w2.node
+                WHERE w2.hop < 6
+            ),
+            d2 AS (SELECT node, min(hop) AS hop FROM w2 GROUP BY 1)
+            SELECT st.node AS start, far.node AS far_node,
+                   (SELECT max(hop) FROM d2) AS lb_diameter
+            FROM st, far
+        """,
+        "kg_literal_types": r"""
+            SELECT pred,
+                   CASE
+                     WHEN regexp_matches(coalesce(obj, ''),
+                                         '^\d{4}(-\d{2}(-\d{2})?)?$')
+                       THEN 'date'
+                     WHEN regexp_matches(coalesce(obj, ''), '^-?\d+$')
+                       THEN 'integer'
+                     WHEN regexp_matches(coalesce(obj, ''), '^https?://')
+                       THEN 'uri'
+                     ELSE 'text'
+                   END AS vtype,
+                   count(*) AS n
+            FROM read_parquet('/tmp/esmarc_ray_kg_oracle/littype_src/*.parquet')
+            WHERE obj_kind = 'literal'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "pair_lift": """
+            WITH b AS (
+                SELECT DISTINCT l_orderkey, l_partkey
+                FROM lineitem WHERE l_orderkey < 6000
+            ),
+            nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM b),
+            ic AS (SELECT l_partkey, count(*) AS ni FROM b GROUP BY 1),
+            pc AS (
+                SELECT x.l_partkey AS p1, y.l_partkey AS p2,
+                       count(*) AS n_ab
+                FROM b x JOIN b y
+                  ON x.l_orderkey = y.l_orderkey
+                 AND x.l_partkey < y.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 3
+            )
+            SELECT p1, p2, n_ab,
+                   floor((CAST(n_ab AS DOUBLE) * CAST(nb.n AS DOUBLE))
+                         / (CAST(ia.ni AS DOUBLE) * CAST(ib.ni AS DOUBLE))
+                         * 1e6 + 0.5) / 1e6 AS lift
+            FROM pc
+            JOIN ic ia ON pc.p1 = ia.l_partkey
+            JOIN ic ib ON pc.p2 = ib.l_partkey
+            CROSS JOIN nb
+            ORDER BY 1, 2
         """,
         "sorted_neighborhood_links": """
             WITH r AS (
@@ -8578,6 +8981,88 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
             WHERE levenshtein(c.c_name, s.s_name) <= 7
             ORDER BY c.c_custkey, s.s_suppkey
+        """,
+        # Fellegi–Sunter weights are literal decimal constants (precomputed
+        # ln(m/u), the production idiom), so both engines sum identical
+        # float64 literals in identical field order — no libm ln anywhere
+        "fellegi_sunter_links": """
+            WITH p AS (
+                SELECT c.c_custkey, s.s_suppkey,
+                       jaccard(c.c_name, s.s_name) >= 0.5 AS ag_name,
+                       right(c.c_name, 2) = right(s.s_name, 2) AS ag_num,
+                       floor(c.c_acctbal / 1000.0)
+                         = floor(s.s_acctbal / 1000.0) AS ag_bal
+                FROM customer c JOIN supplier s
+                  ON c.c_nationkey = s.s_nationkey
+            ),
+            w AS (
+                SELECT *,
+                       round((CASE WHEN ag_name THEN 2.1972 ELSE -2.1972 END)
+                           + (CASE WHEN ag_num THEN 4.5539 ELSE -2.9857 END)
+                           + (CASE WHEN ag_bal THEN 2.7726 ELSE -1.5581 END),
+                             6) AS weight
+                FROM p
+            )
+            SELECT c_custkey, s_suppkey, ag_name, ag_num, ag_bal, weight,
+                   CASE WHEN weight >= 4.0 THEN 'link'
+                        WHEN weight >= 0.0 THEN 'possible'
+                        ELSE 'non_link' END AS decision
+            FROM w
+            WHERE weight >= 0.0
+            ORDER BY c_custkey, s_suppkey
+        """,
+        # BGP bindings re-derived with plain self-joins over the flattened
+        # triple mirror the Ray query wrote (node objs → first internal @id)
+        "kg_bgp_match": """
+            WITH s AS (
+                SELECT subj, pred, objv
+                FROM read_parquet('/tmp/esmarc_ray_kg_oracle/bgp_src/*.parquet')
+            )
+            SELECT p1.subj AS a, p1.objv AS b, p2.objv AS t, p3.objv AS d
+            FROM s p1
+            JOIN s p2 ON p2.subj = p1.objv AND p2.pred = 'preferredName'
+            JOIN s p3 ON p3.subj = p1.subj AND p3.pred = 'contributor'
+            WHERE p1.pred = 'isPartOf'
+            ORDER BY 1, 2, 3, 4
+        """,
+        "dup_window_spans": """
+            WITH pos AS (
+                SELECT doc_id,
+                       unnest(generate_series(1,
+                              greatest(length(text) - 31, 0), 16)) AS i,
+                       text
+                FROM documents
+            ),
+            w AS (
+                SELECT DISTINCT doc_id,
+                       substr(text, CAST(i AS INT), 32) AS win
+                FROM pos
+            ),
+            c AS (
+                SELECT win, count(*) AS n_docs FROM w
+                GROUP BY 1 HAVING count(*) >= 2
+            )
+            SELECT win, n_docs FROM c ORDER BY n_docs DESC, win LIMIT 100
+        """,
+        "scd2_user_type": """
+            WITH o AS (
+                SELECT user_id, event_type, ts, event_id,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+                FROM events
+            ),
+            chg AS (
+                SELECT user_id, event_type,
+                       epoch_us(ts) AS valid_from_us,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS version
+                FROM o WHERE prev IS NULL OR prev <> event_type
+            )
+            SELECT user_id, version, event_type, valid_from_us,
+                   coalesce(lead(valid_from_us)
+                            OVER (PARTITION BY user_id ORDER BY version),
+                            -1) AS valid_to_us
+            FROM chg ORDER BY user_id, version
         """,
         # FK audit re-derived with NOT IN anti-joins; integer counts only
         "fk_violations": """

@@ -1129,3 +1129,60 @@ def jaccard_dedup(
         .drop_columns(["__key", "__drop"])
     )
     return deduped, pairs
+
+
+def duplicate_window_spans(
+    docs: ray.data.Dataset,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    window: int = 32,
+    stride: int = 16,
+    min_docs: int = 2,
+    top_k: int = 100,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Exact duplicate-substring detection, window-sampled: the signal from
+    "Deduplicating Training Data Makes Language Models Better" (Lee et al.
+    2022) without the suffix array — every ``window``-char span at ``stride``
+    offsets is hashed out by CONTENT, and spans seen in ≥ ``min_docs``
+    distinct documents surface, ranked by document frequency.
+
+    Scale shape: the span table shuffles ONCE hash-partitioned by span text
+    (each span's copies co-locate, so the distinct-doc count is
+    partition-exact); per-batch ``drop_duplicates`` pre-shrinks repeated
+    spans within a doc before the exchange.  The per-doc window walk is a
+    Python loop over ``len/stride`` slices — string slicing has no Arrow
+    kernel; the loop count is bounded by stride, not corpus size.  Fully
+    SQL-expressible (``generate_series`` + ``substr``), so the whole operator
+    hash-checks against DuckDB."""
+    from esmarc_ray.ops.relational import partitioned_final
+    from esmarc_ray.ops.text import _det_topk
+
+    def spans(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        wins: list[str] = []
+        for did, txt in zip(batch[id_column], batch[text_column].fillna("")):
+            for i in range(0, max(len(txt) - window + 1, 0), stride):
+                ids.append(did)
+                wins.append(txt[i : i + window])
+        return pd.DataFrame({id_column: ids, "win": wins}).drop_duplicates()
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            part.drop_duplicates()
+            .groupby("win", as_index=False)
+            .agg(n_docs=(id_column, "nunique"))
+        )
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g[g["n_docs"] >= min_docs]
+
+    counts = partitioned_final(
+        docs.select_columns([id_column, text_column]).map_batches(
+            spans, batch_format="pandas"
+        ),
+        ["win"],
+        final,
+        num_partitions=num_partitions,
+    )
+    return _det_topk(counts, top_k, "n_docs", ["win"])

@@ -1161,6 +1161,7 @@ def landmark_bfs(
     v: str = "v",
     max_hops: int = 4,
     num_partitions: int = 16,
+    small_graph_limit: int = 200_000,
 ) -> ray.data.Dataset:
     """Per-landmark BFS distances — the landmark (distance-sketch) labeling
     used to approximate point-to-point shortest paths and closeness at
@@ -1174,7 +1175,19 @@ def landmark_bfs(
     the settled table per round (multiply-referenced intermediates must
     materialize or the round lineage re-executes).  L landmarks cost the
     same number of rounds as one — the frontier just carries L times the
-    rows — which is exactly why landmark sketches beat per-source BFS."""
+    rows — which is exactly why landmark sketches beat per-source BFS.
+
+    Plan switch (same size-gated pattern as ``jaccard_dedup``'s union-find
+    path): an edge table at or under ``small_graph_limit`` rows runs the
+    whole BFS vectorized in ONE pass on the collected edge list — the
+    round-based plan pays ~2 all-to-all exchanges per hop, which is pure
+    fixed overhead on a bounded subgraph (e.g. a cutoff-filtered census
+    slice).  Both plans return identical rows (tested)."""
+    if edges.count() <= small_graph_limit:
+        df = edges.to_pandas()
+        return ray.data.from_pandas(
+            _bfs_local(df[u].to_numpy(), df[v].to_numpy(), landmarks, max_hops)
+        )
 
     def undirect(batch: pd.DataFrame) -> pd.DataFrame:
         fwd = batch[[u, v]].rename(columns={u: "s", v: "d"})
@@ -1185,6 +1198,74 @@ def landmark_bfs(
         out["kind"] = "e"
         out["hop"] = -1
         return out
+
+    return _landmark_bfs_rounds(
+        edges, landmarks, undirect, max_hops=max_hops,
+        num_partitions=num_partitions,
+    )
+
+
+def _bfs_local(us, vs, landmarks: list, max_hops: int) -> pd.DataFrame:
+    """Single-pass vectorized BFS over a collected edge list (the
+    small-graph plan of :func:`landmark_bfs`): CSR adjacency via one sort +
+    searchsorted, frontier expansion with repeat/cumsum gathers — no Python
+    loop over edges.  Row-identical to the distributed rounds."""
+    s = np.concatenate([us, vs])
+    d = np.concatenate([vs, us])
+    nodes = np.unique(s)
+    order = np.argsort(s, kind="stable")
+    si = np.searchsorted(nodes, s[order])
+    di = d[order]
+    starts = np.searchsorted(si, np.arange(len(nodes) + 1))
+    di_idx = np.searchsorted(nodes, di)
+
+    lms, outs, hops = [], [], []
+    for lm in landmarks:
+        lms.append(lm)
+        outs.append(lm)
+        hops.append(0)
+        pos = np.searchsorted(nodes, lm)
+        if pos >= len(nodes) or nodes[pos] != lm:
+            continue  # isolated landmark: only its own hop-0 row
+        dist = np.full(len(nodes), -1, dtype=np.int64)
+        dist[pos] = 0
+        frontier = np.array([pos])
+        for h in range(1, max_hops + 1):
+            cnt = starts[frontier + 1] - starts[frontier]
+            total = int(cnt.sum())
+            if total == 0:
+                break
+            base = np.repeat(starts[frontier], cnt)
+            offs = np.arange(total) - np.repeat(
+                np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt
+            )
+            neigh = np.unique(di_idx[base + offs])
+            new = neigh[dist[neigh] == -1]
+            if len(new) == 0:
+                break
+            dist[new] = h
+            frontier = new
+            lms.extend([lm] * len(new))
+            outs.extend(nodes[new].tolist())
+            hops.extend([h] * len(new))
+    return pd.DataFrame(
+        {
+            "lm": pd.Series(lms),
+            "node": pd.Series(outs),
+            "hop": pd.Series(hops, dtype="int64"),
+        }
+    )
+
+
+def _landmark_bfs_rounds(
+    edges: ray.data.Dataset,
+    landmarks: list,
+    undirect,
+    *,
+    max_hops: int,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """The distributed round-based plan of :func:`landmark_bfs`."""
 
     edges_tagged = edges.map_batches(undirect, batch_format="pandas").materialize()
 
@@ -1550,3 +1631,76 @@ def per_node_triangles(
         return batch[["node", "deg", "n_tri"]]
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def bgp_match(
+    triples: "ray.data.Dataset",
+    patterns: "list[tuple[str, str, str]]",
+    *,
+    subj_column: str = "subj",
+    pred_column: str = "pred",
+    obj_column: str = "obj",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Basic-graph-pattern matcher — the SPARQL join core: each pattern is a
+    ``(subject, predicate, object)`` triple whose terms are either variables
+    (``"?name"``) or constants, and the result is the binding table of every
+    variable (one column per variable, one row per solution, bag semantics
+    like SPARQL BGP matching over a duplicate-free graph).
+
+    Plan: each pattern projects + filters the triple table once (constants
+    become vectorized equality filters; variables become renamed columns),
+    then patterns fold left-to-right with a hash-partitioned equi-join on
+    the (single) shared variable — the classic subject/object join chain.
+    Patterns must chain: every pattern after the first shares EXACTLY one
+    variable with the bindings accumulated so far (star and path queries
+    both satisfy this; a cartesian pattern raises).  Scale shape: one
+    shuffle per join on the shared variable, never an all-to-all over
+    unjoined bindings.
+    """
+    from esmarc_ray.ops.relational import partitioned_join
+
+    col_of = {"s": subj_column, "p": pred_column, "o": obj_column}
+
+    def pattern_table(pat):
+        s, p, o = pat
+        terms = {"s": s, "p": p, "o": o}
+        consts = {k: v for k, v in terms.items() if not v.startswith("?")}
+        var_cols = {
+            col_of[k]: v[1:] for k, v in terms.items() if v.startswith("?")
+        }
+        if not var_cols:
+            raise ValueError("bgp_match: pattern with no variables")
+
+        def project(batch: pd.DataFrame) -> pd.DataFrame:
+            mask = pd.Series(True, index=batch.index)
+            for k, v in consts.items():
+                mask &= batch[col_of[k]] == v
+            out = batch.loc[mask, list(var_cols)].rename(columns=var_cols)
+            # repeated variable inside one pattern (?x p ?x): equality filter
+            if len(set(var_cols.values())) < len(var_cols):
+                out = out.loc[:, ~out.columns.duplicated()]
+            return out
+
+        return triples.map_batches(project, batch_format="pandas"), set(
+            var_cols.values()
+        )
+
+    bindings, bound = pattern_table(patterns[0])
+    for pat in patterns[1:]:
+        tbl, tbl_vars = pattern_table(pat)
+        shared = sorted(bound & tbl_vars)
+        if len(shared) != 1:
+            raise ValueError(
+                f"bgp_match: pattern {pat} shares {len(shared)} variables "
+                "with the accumulated bindings; exactly 1 required"
+            )
+        on = shared[0]
+        bindings = partitioned_join(
+            bindings, tbl, on,
+            left_cols=sorted(bound - {on}),
+            right_cols=sorted(tbl_vars - {on}),
+            num_partitions=num_partitions, how="inner",
+        )
+        bound |= tbl_vars
+    return bindings

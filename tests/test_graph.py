@@ -279,6 +279,27 @@ def test_landmark_bfs_chain_distances(ray_session):
     assert len(got) == 12  # 6 nodes × 2 landmarks, all reached
 
 
+def test_landmark_bfs_plan_equality(ray_session):
+    """The size-gated local plan and the distributed rounds return the
+    same (lm, node, hop) rows — incl. an isolated landmark (hop-0 only)."""
+    from esmarc_ray.ops.graph import landmark_bfs
+
+    ring = [(i, (i + 1) % 7) for i in range(7)] + [(2, 5)]
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"u": [a for a, _ in ring], "v": [b for _, b in ring]})
+    )
+    key = lambda df: sorted(map(tuple, df[["lm", "node", "hop"]].to_numpy()))
+    local = landmark_bfs(edges, [0, 99], max_hops=3).to_pandas()
+    dist = landmark_bfs(
+        edges, [0, 99], max_hops=3, num_partitions=4, small_graph_limit=0
+    ).to_pandas()
+    assert key(local) == key(dist)
+    assert (0, 99, 99) not in {(r.lm, r.node, r.hop) for r in local.itertuples()}
+    assert {(99, 99, 0)} == {
+        (r.lm, r.node, r.hop) for r in local.itertuples() if r.lm == 99
+    }
+
+
 def test_wl_refine_distinguishes_roles(ray_session):
     """Star: after 1 round the center and the leaves get exactly two
     distinct labels; leaves (structurally identical) share one."""
@@ -311,3 +332,33 @@ def test_per_node_triangles_wheel(ray_session):
     assert by.loc[0, "n_tri"] == 5 and by.loc[0, "deg"] == 5
     for rim in range(1, 6):
         assert by.loc[rim, "n_tri"] == 2 and by.loc[rim, "deg"] == 3
+
+
+def test_bgp_match_path_star(ray_session):
+    """3-pattern BGP (path + star): bindings match the hand-joined truth;
+    a cartesian (unshared) pattern raises."""
+    import pytest
+
+    from esmarc_ray.ops.graph import bgp_match
+
+    df = pd.DataFrame(
+        {
+            "subj": ["x1", "x1", "y1", "x2", "x2", "y2", "x3"],
+            "pred": ["partOf", "date", "name", "partOf", "date", "name",
+                      "partOf"],
+            "obj": ["y1", "2001", "N1", "y2", "2002", "N2", "y3"],
+        }
+    )
+    got = bgp_match(
+        ray.data.from_pandas(df),
+        [("?a", "partOf", "?b"), ("?b", "name", "?n"), ("?a", "date", "?d")],
+        num_partitions=4,
+    ).to_pandas()
+    rows = sorted(map(tuple, got[["a", "b", "n", "d"]].to_numpy()))
+    assert rows == [("x1", "y1", "N1", "2001"), ("x2", "y2", "N2", "2002")]
+
+    with pytest.raises(ValueError, match="shares 0 variables"):
+        bgp_match(
+            ray.data.from_pandas(df),
+            [("?a", "partOf", "?b"), ("?c", "name", "?n")],
+        ).to_pandas()
