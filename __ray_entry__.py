@@ -1420,6 +1420,92 @@ def q_kg_literal_types(sf_dir: str):
     return out.sort_values(["pred", "vtype"]).reset_index(drop=True)
 
 
+def q_kg_domain_range(sf_dir: str):
+    """Ontology domain/range induction over the KG: per predicate, the
+    dominant SUBJECT entity class (+ its share) and the object-side profile
+    — literal count, internal-reference count, dominant referenced class —
+    the schema-discovery pass that turns an instance graph into
+    domain/range axioms.  Three combiner aggregations (one per profile);
+    only the O(preds × classes) count tables reach the driver fold."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["subj", "pred", "obj", "obj_kind", "entity_class"]
+    )
+    path = _kg_oracle_table(sf_dir, "domran_src", triples)
+    src = ray.data.read_parquet(path)
+
+    sc = partial_groupby_agg(
+        src.select_columns(["pred", "entity_class"]),
+        ["pred", "entity_class"],
+        {"n": ("entity_class", "count")},
+    ).to_pandas()
+
+    def kinds(batch: pd.DataFrame) -> pd.DataFrame:
+        node = batch["obj_kind"] == "node"
+        ref = pd.Series("", index=batch.index)
+        if node.any():
+            ref[node] = (
+                batch.loc[node, "obj"]
+                .str.extract(_INTERNAL_REF_RE, expand=False)
+                .fillna("")
+            )
+        return pd.DataFrame(
+            {
+                "pred": batch["pred"],
+                "is_lit": (batch["obj_kind"] == "literal").astype("int64"),
+                "is_ref": (ref != "").astype("int64"),
+            }
+        )
+
+    tot = partial_groupby_agg(
+        src.map_batches(kinds, batch_format="pandas"),
+        ["pred"],
+        {"n_total": ("is_lit", "count"), "n_lit": ("is_lit", "sum"),
+         "n_ref": ("is_ref", "sum")},
+    ).to_pandas()
+
+    rc = partial_groupby_agg(
+        src.map_batches(
+            lambda b: _kg_internal_refs(b)[["pred", "ref_class"]],
+            batch_format="pandas",
+        ),
+        ["pred", "ref_class"],
+        {"n": ("ref_class", "count")},
+    ).to_pandas()
+
+    top_s = (
+        sc.sort_values(["pred", "n", "entity_class"],
+                       ascending=[True, False, True])
+        .groupby("pred", as_index=False).first()
+        .rename(columns={"entity_class": "top_subj_class", "n": "n_top"})
+    )
+    top_r = (
+        rc.sort_values(["pred", "n", "ref_class"], ascending=[True, False, True])
+        .groupby("pred", as_index=False).first()
+        .rename(columns={"ref_class": "top_ref_class"})[["pred", "top_ref_class"]]
+        if len(rc)
+        else pd.DataFrame({"pred": pd.Series(dtype="object"),
+                           "top_ref_class": pd.Series(dtype="object")})
+    )
+    out = tot.merge(top_s, on="pred").merge(top_r, on="pred", how="left")
+    out["top_ref_class"] = out["top_ref_class"].fillna("")
+    out["subj_share"] = (
+        np.floor(out["n_top"].astype("float64") * 1e6
+                 / out["n_total"].astype("float64") + 0.5) / 1e6
+    )
+    out = out[["pred", "n_total", "top_subj_class", "subj_share",
+               "n_lit", "n_ref", "top_ref_class"]].astype(
+        {"n_total": "int64", "n_lit": "int64", "n_ref": "int64"}
+    )
+    return out.sort_values("pred").reset_index(drop=True)
+
+
 def q_pair_lift(sf_dir: str):
     """Association-rule lift for co-purchase pairs with support ≥ 3:
     lift = P(ab)/(P(a)P(b)) = n_ab·N / (n_a·n_b) over distinct baskets —
@@ -1594,6 +1680,84 @@ def q_term_psi(sf_dir: str):
                 "psi_contrib": np.floor(
                     (pa - pb) * math.log(pa / pb) * 1e6 + 0.5
                 ) / 1e6,
+            }
+        )
+    return pd.DataFrame(rows).sort_values("term").reset_index(drop=True)
+
+
+def q_term_log_odds(sf_dir: str):
+    """Smoothed log-odds-ratio corpus comparison (the Monroe-et-al
+    fightin'-words family, Haldane +0.5 smoothing) of the top-50 terms
+    between the two deterministic hash halves: per term
+    ``lo = ln((ca+0.5)/(Ta−ca+0.5)) − ln((cb+0.5)/(Tb−cb+0.5))`` over the
+    top-term token mass — the directional complement of the magnitude-only
+    PSI drift monitor.  Same split, same combiner counts, same ln-parity
+    float path as q_term_psi."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+    from esmarc_ray.ops.text import _det_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def term_half_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        half = np.where(
+            ((ids * np.uint64(2654435761)) % np.uint64(2**32))
+            % np.uint64(2) == 0,
+            "a",
+            "b",
+        )
+        t: list[str] = []
+        h: list[str] = []
+        for txt, hv in zip(batch["text"].fillna(""), half):
+            ws = txt.lower().split()
+            t.extend(ws)
+            h.extend([hv] * len(ws))
+        out = pd.DataFrame({"term": t, "half": h})
+        return out.groupby(["term", "half"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    counts = partial_groupby_agg(
+        docs.map_batches(term_half_counts, batch_format="pandas"),
+        ["term", "half"],
+        {"n": ("n", "sum")},
+    ).materialize()
+    totals = partial_groupby_agg(counts, ["term"], {"tot": ("n", "sum")})
+    top = _det_topk(totals, 50, "tot", ["term"]).to_pandas()
+    top_terms = set(top["term"])
+
+    cdf = counts.map_batches(
+        lambda b, ts=top_terms: b[b["term"].isin(ts)], batch_format="pandas"
+    ).to_pandas()  # ≤ 100 rows
+    piv = cdf.pivot_table(
+        index="term", columns="half", values="n", aggfunc="sum", fill_value=0
+    ).reindex(sorted(top_terms), fill_value=0)
+    for col in ("a", "b"):
+        if col not in piv.columns:
+            piv[col] = 0
+    ta = int(piv["a"].sum())
+    tb = int(piv["b"].sum())
+    rows = []
+    for term in piv.index:
+        ca = float(int(piv.at[term, "a"]))
+        cb = float(int(piv.at[term, "b"]))
+        lo = math.log((ca + 0.5) / (float(ta) - ca + 0.5)) - math.log(
+            (cb + 0.5) / (float(tb) - cb + 0.5)
+        )
+        rows.append(
+            {
+                "term": term,
+                "n_a": int(ca),
+                "n_b": int(cb),
+                "log_odds": np.floor(lo * 1e6 + 0.5) / 1e6,
             }
         )
     return pd.DataFrame(rows).sort_values("term").reset_index(drop=True)
@@ -2926,6 +3090,71 @@ def q_jaccard_dups(sf_dir: str):
     if out.empty:
         out = pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def q_ppjoin_dups(sf_dir: str):
+    """Prefix-filtered set-similarity join (PPJoin): identical rows to
+    jaccard_dups (token-Jaccard ≥ 0.95) but candidates come only from each
+    doc's rarest prefix tokens — the scale plan when the all-token
+    self-merge blows up on common tokens.  Oracled by the SAME DuckDB
+    unnest self-join, which proves the prefix filter lossless on real
+    data."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.dedup import ppjoin_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = ppjoin_pairs(docs, threshold=0.95).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def q_debounced_events(sf_dir: str):
+    """Debounce dedup over the event stream: an event survives only if the
+    previous event of the same (user, type) is > 60 s older — retry-storm
+    collapse, lag-semantics chained (SQL-exact)."""
+    import ray.data
+
+    from esmarc_ray.ops.windows import debounce
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    out = debounce(
+        events, ["user_id", "event_type"], "ts",
+        gap_us=60_000_000, order_tiebreak=["event_id"],
+    ).to_pandas()
+    return (
+        out[["event_id", "user_id", "event_type"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_sequential_funnel(sf_dir: str):
+    """STRICT-SEQUENCE conversion funnel signup → click → purchase: step k
+    counts a user only if it fired strictly after the user's step-(k-1)
+    anchor (the earliest qualifying occurrence) — the subsequence-matching
+    variant that the first-occurrence funnel (q_event_funnel) explicitly is
+    not.  One user-partitioned shuffle; only the 3-row count table leaves
+    the reducers."""
+    import ray.data
+
+    from esmarc_ray.ops.windows import funnel_steps
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    out = funnel_steps(
+        events, "user_id", "event_type", "ts",
+        ["signup", "click", "purchase"],
+    ).to_pandas()
+    return out.sort_values("step_idx").reset_index(drop=True)
 
 
 def q_jaccard_dup_clusters(sf_dir: str):
@@ -6908,6 +7137,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_match": q_kg_bgp_match,
         "dup_window_spans": q_dup_window_spans,
         "scd2_user_type": q_scd2_user_type,
+        "ppjoin_dups": q_ppjoin_dups,
+        "debounced_events": q_debounced_events,
+        "sequential_funnel": q_sequential_funnel,
+        "kg_domain_range": q_kg_domain_range,
+        "term_log_odds": q_term_log_odds,
     }
     # hash-oracled entries first (stable relative order), rows-only after:
     # the driver's correctness gate value-checks a prefix of this dict, so
@@ -9010,6 +9244,165 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             WHERE weight >= 0.0
             ORDER BY c_custkey, s_suppkey
+        """,
+        # ppjoin returns EXACTLY the jaccard_dups rows (different engine
+        # plan, same answer) — the oracle is the same unnest self-join,
+        # which proves the prefix filter lossless on real data
+        "ppjoin_dups": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(string_split(
+                               regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                               ' ')) AS tok
+                    FROM documents
+                ) WHERE tok <> ''
+            ), sz AS (
+                SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 1e6 + 0.5) / 1e6
+                       AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = inter.doc_a
+            JOIN sz sb ON sb.doc_id = inter.doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.95
+            ORDER BY doc_a, doc_b
+        """,
+        "debounced_events": """
+            WITH o AS (
+                SELECT event_id, user_id, event_type,
+                       epoch_us(ts) - epoch_us(
+                           lag(ts) OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts, event_id)) AS gap
+                FROM events
+            )
+            SELECT event_id, user_id, event_type FROM o
+            WHERE gap IS NULL OR gap > 60000000
+            ORDER BY event_id
+        """,
+        "sequential_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                                     AND e.ts > s1.t
+                WHERE e.event_type = 'click' GROUP BY 1
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                                     AND e.ts > s2.t
+                WHERE e.event_type = 'purchase' GROUP BY 1
+            )
+            SELECT * FROM (
+                SELECT 1 AS step_idx, 'signup' AS step,
+                       (SELECT count(*) FROM s1)::BIGINT AS n_users
+                UNION ALL
+                SELECT 2, 'click', (SELECT count(*) FROM s2)::BIGINT
+                UNION ALL
+                SELECT 3, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+            ) ORDER BY step_idx
+        """,
+        "kg_domain_range": r"""
+            WITH t AS (
+                SELECT *,
+                       NULLIF(regexp_extract(obj,
+                           '"@id": "(https://data\.slub-dresden\.de/[a-z]+/[^"]+)"',
+                           1), '') AS ref_uri
+                FROM read_parquet('/tmp/esmarc_ray_kg_oracle/domran_src/*.parquet')
+            ),
+            sc AS (
+                SELECT pred, entity_class, count(*) AS n FROM t GROUP BY 1, 2
+            ),
+            top_s AS (
+                SELECT pred, entity_class AS top_subj_class, n,
+                       row_number() OVER (PARTITION BY pred
+                                          ORDER BY n DESC, entity_class) AS rn
+                FROM sc
+            ),
+            tot AS (
+                SELECT pred, count(*) AS n_total,
+                       count(*) FILTER (WHERE obj_kind = 'literal') AS n_lit,
+                       count(*) FILTER (WHERE obj_kind = 'node'
+                                          AND ref_uri IS NOT NULL) AS n_ref
+                FROM t GROUP BY 1
+            ),
+            rc AS (
+                SELECT pred,
+                       regexp_extract(ref_uri,
+                           'data\.slub-dresden\.de/([a-z]+)/', 1) AS ref_class,
+                       count(*) AS n
+                FROM t WHERE obj_kind = 'node' AND ref_uri IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            top_r AS (
+                SELECT pred, ref_class AS top_ref_class,
+                       row_number() OVER (PARTITION BY pred
+                                          ORDER BY n DESC, ref_class) AS rn
+                FROM rc
+            )
+            SELECT tot.pred, tot.n_total, ts.top_subj_class,
+                   floor(CAST(ts.n AS DOUBLE) * 1e6
+                         / CAST(tot.n_total AS DOUBLE) + 0.5) / 1e6
+                       AS subj_share,
+                   tot.n_lit, tot.n_ref,
+                   coalesce(tr.top_ref_class, '') AS top_ref_class
+            FROM tot
+            JOIN top_s ts ON ts.pred = tot.pred AND ts.rn = 1
+            LEFT JOIN top_r tr ON tr.pred = tot.pred AND tr.rn = 1
+            ORDER BY tot.pred
+        """,
+        "term_log_odds": r"""
+            WITH lbl AS (
+                SELECT doc_id, text,
+                       CASE WHEN ((doc_id * 2654435761) % 4294967296) % 2 = 0
+                            THEN 'a' ELSE 'b' END AS half
+                FROM documents
+            ),
+            tok AS (
+                SELECT half,
+                       unnest(list_filter(
+                           string_split_regex(lower(coalesce(text, '')),
+                                              '\s+'),
+                           x -> x <> '')) AS term
+                FROM lbl
+            ),
+            c AS (SELECT term, half, count(*) AS n FROM tok GROUP BY 1, 2),
+            tot AS (
+                SELECT term, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1
+            ),
+            top AS (SELECT term FROM tot ORDER BY t DESC, term LIMIT 50),
+            ha AS (
+                SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS ta
+                FROM c JOIN top USING (term) WHERE half = 'a'
+            ),
+            hb AS (
+                SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tb
+                FROM c JOIN top USING (term) WHERE half = 'b'
+            ),
+            j AS (
+                SELECT top.term,
+                       CAST(coalesce(ca.n, 0) AS DOUBLE) AS ca,
+                       CAST(coalesce(cb.n, 0) AS DOUBLE) AS cb,
+                       CAST(ta AS DOUBLE) AS tad, CAST(tb AS DOUBLE) AS tbd
+                FROM top
+                LEFT JOIN c ca ON ca.term = top.term AND ca.half = 'a'
+                LEFT JOIN c cb ON cb.term = top.term AND cb.half = 'b'
+                CROSS JOIN ha CROSS JOIN hb
+            )
+            SELECT term, CAST(ca AS BIGINT) AS n_a, CAST(cb AS BIGINT) AS n_b,
+                   floor((ln((ca + 0.5) / (tad - ca + 0.5))
+                          - ln((cb + 0.5) / (tbd - cb + 0.5)))
+                         * 1e6 + 0.5) / 1e6 AS log_odds
+            FROM j ORDER BY term
         """,
         # BGP bindings re-derived with plain self-joins over the flattened
         # triple mirror the Ray query wrote (node objs → first internal @id)

@@ -1186,3 +1186,145 @@ def duplicate_window_spans(
         num_partitions=num_partitions,
     )
     return _det_topk(counts, top_k, "n_docs", ["win"])
+
+
+def ppjoin_pairs(
+    docs: ray.data.Dataset,
+    *,
+    threshold: float = 0.8,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Prefix-filtered set-similarity join (the PPJoin idea, Xiao et al.
+    2008): returns EXACTLY the rows of :func:`jaccard_pairs` — (doc_a,
+    doc_b, jaccard ≥ threshold), same tokenization contract — but generates
+    candidates only from each document's PREFIX tokens under the global
+    (doc-frequency asc, token asc) order.  Two docs with Jaccard ≥ t must
+    share a token among their first ``|T| - ceil(t·|T|) + 1`` rarest tokens,
+    so the frequent tokens that dominate the all-token plan's pair blowup
+    never emit a pair here; a candidate's Jaccard is then verified exactly.
+
+    Scale plan (all distributed, no driver vocabulary): (1) distinct
+    (token, doc) rows; (2) combiner doc-frequency per token; (3) one
+    hash-join attaches df to each token row; (4) one doc-partitioned pass
+    sorts each doc's tokens by (df, token) and keeps the prefix; (5) prefix
+    tokens hash-partition and self-merge into candidate pairs (distinct);
+    (6) each pair meets its two token sets through two hash joins and
+    verifies exactly.  The ceil in the prefix length is computed as
+    ``ceil(t·n − 1e-9)`` so float noise can only LENGTHEN the prefix (never
+    lose a pair)."""
+    import math
+    import re
+
+    from esmarc_ray.ops.relational import (
+        _add_hash_part,
+        partial_groupby_agg,
+        partitioned_final,
+        partitioned_join,
+    )
+
+    pat = re.compile(r"[a-z0-9]+")
+
+    def tokenize(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        toks: list[str] = []
+        sizes: list[int] = []
+        for i, t in zip(batch[id_column], batch[text_column]):
+            s = set(pat.findall((t or "").lower()))
+            ids.extend([i] * len(s))
+            toks.extend(s)
+            sizes.extend([len(s)] * len(s))
+        return pd.DataFrame({"token": toks, "doc_id": ids, "n_tok": sizes})
+
+    tokens = docs.map_batches(tokenize, batch_format="pandas").materialize()
+    dfreq = partial_groupby_agg(
+        tokens.select_columns(["token", "doc_id"]),
+        ["token"],
+        {"df": ("doc_id", "count")},
+        num_partitions=num_partitions,
+    )
+    ranked = partitioned_join(
+        tokens, dfreq, "token",
+        left_cols=["doc_id", "n_tok"], right_cols=["df"],
+        num_partitions=num_partitions,
+    )
+
+    def take_prefix(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["doc_id", "df", "token"], kind="mergesort")
+        rank = part.groupby("doc_id").cumcount().to_numpy()
+        n = part["n_tok"].to_numpy(dtype="float64")
+        p = n - np.ceil(threshold * n - 1e-9) + 1
+        return part.loc[rank < p, ["token", "doc_id"]]
+
+    prefixes = partitioned_final(
+        ranked, ["doc_id"], take_prefix, num_partitions=num_partitions
+    )
+
+    def emit_cands(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop(columns="__part")
+        m = part.merge(part, on="token", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return m[["doc_id_a", "doc_id_b"]].drop_duplicates().rename(
+            columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"}
+        )
+
+    candidates = _distinct_on(
+        prefixes.map_batches(
+            _add_hash_part(["token"], num_partitions), batch_format="pandas"
+        )
+        .groupby("__part")
+        .map_groups(emit_cands, batch_format="pandas"),
+        ["doc_a", "doc_b"],
+        num_partitions,
+    )
+
+    def tok_sets(batch: pd.DataFrame) -> pd.DataFrame:
+        # re-tokenize from the doc row (NOT from the token table: a block
+        # split could sever a doc's token rows across batches)
+        return pd.DataFrame(
+            {
+                "doc_id": batch[id_column],
+                "toks": [
+                    "\x1f".join(sorted(set(pat.findall((t or "").lower()))))
+                    for t in batch[text_column]
+                ],
+            }
+        )
+
+    sets = docs.map_batches(tok_sets, batch_format="pandas")
+
+    sa = sets.map_batches(
+        lambda b: b.rename(columns={"doc_id": "doc_a", "toks": "toks_a"}),
+        batch_format="pandas",
+    )
+    sb = sets.map_batches(
+        lambda b: b.rename(columns={"doc_id": "doc_b", "toks": "toks_b"}),
+        batch_format="pandas",
+    )
+    joined = partitioned_join(
+        partitioned_join(
+            candidates, sa, "doc_a",
+            left_cols=["doc_b"], right_cols=["toks_a"],
+            num_partitions=num_partitions,
+        ),
+        sb, "doc_b",
+        left_cols=["doc_a", "toks_a"], right_cols=["toks_b"],
+        num_partitions=num_partitions,
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        js = np.empty(len(batch), dtype="float64")
+        for i, (ta, tb) in enumerate(zip(batch["toks_a"], batch["toks_b"])):
+            a = set(ta.split("\x1f"))
+            b = set(tb.split("\x1f"))
+            inter = len(a & b)
+            union = len(a) + len(b) - inter
+            js[i] = inter / union if union else 0.0
+        # the union-schema joins leave id columns object-dtyped; restore the
+        # native dtype so the output is column-identical to jaccard_pairs
+        out = batch[["doc_a", "doc_b"]].infer_objects()
+        out["jaccard"] = np.floor(js * 1e6 + 0.5) / 1e6
+        return out[np.asarray(js) >= threshold]
+
+    return joined.map_batches(verify, batch_format="pandas")

@@ -190,3 +190,88 @@ def watermark_filter(
         .groupby("__part")
         .map_groups(flag, batch_format="pandas")
     )
+
+
+def debounce(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    ts_column: str,
+    *,
+    gap_us: int,
+    order_tiebreak: list[str] | None = None,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Debounce / rate-limit dedup over an event stream: within each key
+    group (ordered by time), an event survives only if the PREVIOUS event of
+    the same key is more than ``gap_us`` microseconds older — the standard
+    telemetry/click-stream cleanup that collapses double-fires and retry
+    storms to their first occurrence.
+
+    Note the chained semantics (matching SQL ``lag``): the gap compares to
+    the previous RAW event, not the previous survivor — three events 40 s
+    apart under a 60 s gap keep only the first... second comparison is
+    40 s < 60 s to event 2, not 80 s to event 1.  One hash-partitioned
+    shuffle on the keys; change detection is a vectorized grouped shift."""
+    from esmarc_ray.ops.relational import partitioned_final
+
+    tiebreak = order_tiebreak or []
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(keys + [ts_column] + tiebreak, kind="mergesort")
+        us = part[ts_column].to_numpy().astype("datetime64[us]").astype("int64")
+        part = part.assign(__us=us)
+        prev = part.groupby(keys)["__us"].shift(1)
+        keep = prev.isna() | ((part["__us"] - prev) > gap_us)
+        return part.loc[keep].drop(columns="__us")
+
+    return partitioned_final(ds, keys, final, num_partitions=num_partitions)
+
+
+def funnel_steps(
+    ds: "ray.data.Dataset",
+    user_column: str,
+    type_column: str,
+    ts_column: str,
+    steps: list[str],
+    *,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Ordered funnel analysis: for each user, step k counts only if an
+    event of ``steps[k]`` happens STRICTLY AFTER the user's step-(k-1)
+    anchor time (anchor = the EARLIEST qualifying occurrence, the standard
+    product-analytics rule).  Returns one row per step — (step_idx, step,
+    n_users) — monotonically non-increasing down the funnel.
+
+    One shuffle hash-partitioned by user; inside a partition every step
+    resolves as a vectorized grouped min over the user's events (no per-user
+    Python dispatch), and only the |steps|-row count table leaves."""
+    from esmarc_ray.ops.relational import partitioned_final
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        anchor = None  # Series: user -> anchor ts of previous step
+        for k, step in enumerate(steps):
+            ev = part[part[type_column] == step]
+            if anchor is not None:
+                prev = ev[user_column].map(anchor)
+                ev = ev[prev.notna() & (ev[ts_column] > prev)]
+            anchor = ev.groupby(user_column)[ts_column].min()
+            counts.append(
+                {"step_idx": k + 1, "step": step, "n_users": int(len(anchor))}
+            )
+        return pd.DataFrame(counts, columns=["step_idx", "step", "n_users"])
+
+    partials = partitioned_final(
+        ds.select_columns([user_column, type_column, ts_column]),
+        [user_column],
+        final,
+        num_partitions=num_partitions,
+    )
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["step_idx", "step"], as_index=False)["n_users"].sum()
+        return g
+
+    return partials.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None
+    )

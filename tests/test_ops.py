@@ -2623,3 +2623,23 @@ def test_theilsen_slope_resists_outlier(ray_session):
     ).to_pandas()
     assert out["slope"].iloc[0] == 2.0
     assert out["n_points"].iloc[0] == 10
+
+
+def test_ppjoin_equals_exact_jaccard_pairs(ray_session):
+    """The prefix-filtered PPJoin plan returns EXACTLY the all-token exact
+    plan's rows at the same threshold (lossless prefix filter), at two
+    thresholds bracketing the corpus's similarity mass."""
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    for t in (0.9, 0.6):
+        exact = (
+            dedup.jaccard_pairs(docs, threshold=t)
+            .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+        pp = (
+            dedup.ppjoin_pairs(docs, threshold=t)
+            .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+        assert len(pp) == len(exact) and len(exact) > 0, t
+        assert pp.equals(exact), t
