@@ -6702,6 +6702,187 @@ def q_scd2_user_type(sf_dir: str):
     return out.sort_values(["user_id", "version"]).reset_index(drop=True)
 
 
+def q_jw_name_links(sf_dir: str):
+    """Record-linkage join with the Jaro–Winkler verify (the classic
+    name-matching metric): block customers × suppliers on nation, keep
+    pairs at JW ≥ 0.8 — float-identical to DuckDB's
+    jaro_winkler_similarity() (floored half-transposition rule, 0.7 boost
+    threshold, prefix cap 4 — fuzz-verified over 6k cases)."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import blocked_fuzzy_join
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.rename(columns={"c_nationkey": "nationkey"}),
+        batch_format="pandas",
+    )
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).map_batches(
+        lambda b: b.rename(columns={"s_nationkey": "nationkey"}),
+        batch_format="pandas",
+    )
+    out = blocked_fuzzy_join(
+        customer, supplier,
+        block_on="nationkey", left_text="c_name", right_text="s_name",
+        threshold=0.8, left_cols=["c_custkey"], right_cols=["s_suppkey"],
+        num_partitions=16, metric="jaro_winkler", sim_name="jw",
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {"c_custkey": pd.Series(dtype="int64"),
+             "s_suppkey": pd.Series(dtype="int64"),
+             "jw": pd.Series(dtype="float64")}
+        )
+    out = out.astype({"c_custkey": "int64", "s_suppkey": "int64"})
+    return (
+        out[["c_custkey", "s_suppkey", "jw"]]
+        .sort_values(["c_custkey", "s_suppkey"])
+        .reset_index(drop=True)
+    )
+
+
+def q_fd_audit(sf_dir: str):
+    """Functional-dependency discovery over orders: is each candidate
+    ``lhs -> rhs`` a real dependency?  (o_orderkey -> o_custkey must hold —
+    key; o_custkey -> o_orderpriority must not.)  Determinant-partitioned
+    distinct + integer fold, the schema-profiling pass behind key
+    detection."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import fd_check
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus"],
+    )
+    out = fd_check(
+        orders,
+        [
+            (["o_orderkey"], "o_custkey"),
+            (["o_custkey"], "o_orderpriority"),
+            (["o_custkey", "o_orderstatus"], "o_orderpriority"),
+        ],
+    ).to_pandas()
+    return out.sort_values("fd").reset_index(drop=True)
+
+
+def q_ks_drift(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of click vs purchase events — the distribution-drift
+    detector, computed with the distributed two-pass prefix-CDF plan (no
+    value ever reaches the driver)."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import ks_statistic
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return ks_statistic(events, "event_type", "value", "click", "purchase")
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf's-law exponent of the corpus vocabulary: Theil–Sen slope of
+    (ln rank, ln count) over the top-100 terms — the robust lexical-statistics
+    fit (median of pairwise slopes — selection-exact, so both engines agree
+    bit-for-bit despite the ln float path)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, theilsen_slope
+    from esmarc_ray.ops.text import _det_topk
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def term_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        terms: list[str] = []
+        for txt in batch["text"].fillna(""):
+            terms.extend(txt.lower().split())
+        out = pd.DataFrame({"term": terms})
+        return out.groupby("term", as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    counts = partial_groupby_agg(
+        docs.map_batches(term_counts, batch_format="pandas"),
+        ["term"],
+        {"n": ("n", "sum")},
+    )
+    top = _det_topk(counts, 100, "n", ["term"]).to_pandas()
+    top = top.sort_values(["n", "term"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    pts = pd.DataFrame(
+        {
+            "corpus": "all",
+            "x": np.log(np.arange(1, len(top) + 1, dtype="float64")),
+            "y": np.log(top["n"].to_numpy(dtype="float64")),
+        }
+    )
+    out = theilsen_slope(
+        ray.data.from_pandas(pts), ["corpus"], "x", "y", num_partitions=2
+    ).to_pandas()
+    return out.sort_values("corpus").reset_index(drop=True)
+
+
+def q_quantity_anova(sf_dir: str):
+    """One-way ANOVA F statistic of lineitem quantity across the three
+    return flags: integer (n, Σq, Σq²) moments per group — quantities are
+    integral, so every moment is exact — folded into SSB/SSW/F with a
+    hardcoded A,N,R term order so both engines execute the identical IEEE
+    sequence."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        q = batch["l_quantity"].astype("int64")
+        return pd.DataFrame(
+            {"l_returnflag": batch["l_returnflag"], "q": q, "q2": q * q}
+        )
+
+    g = partial_groupby_agg(
+        li, ["l_returnflag"],
+        {"n": ("q", "count"), "s": ("q", "sum"), "q2": ("q2", "sum")},
+        pre_map=pre,
+    ).to_pandas().set_index("l_returnflag")
+
+    def w(flag: str) -> float:
+        return (
+            float(g.at[flag, "s"]) * float(g.at[flag, "s"])
+            / float(g.at[flag, "n"])
+        )
+
+    n = int(g["n"].sum())
+    s = int(g["s"].sum())
+    q2 = int(g["q2"].sum())
+    within = w("A") + w("N") + w("R")
+    ssb = within - float(s) * float(s) / float(n)
+    ssw = float(q2) - within
+    k = 3
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    return pd.DataFrame(
+        {
+            "n_total": [n],
+            "k": [k],
+            "ssb": [np.floor(ssb * 1e6 + 0.5) / 1e6],
+            "ssw": [np.floor(ssw * 1e6 + 0.5) / 1e6],
+            "f_stat": [np.floor(f_stat * 1e6 + 0.5) / 1e6],
+        }
+    )
+
+
 def q_copurchase_triangles(sf_dir: str):
     """Triangle count of the part co-purchase graph (parts sharing an
     order are linked): degree-ordered distributed counting, hash-checked
@@ -7142,6 +7323,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequential_funnel": q_sequential_funnel,
         "kg_domain_range": q_kg_domain_range,
         "term_log_odds": q_term_log_odds,
+        "jw_name_links": q_jw_name_links,
+        "fd_audit": q_fd_audit,
+        "ks_drift": q_ks_drift,
+        "zipf_slope": q_zipf_slope,
+        "quantity_anova": q_quantity_anova,
     }
     # hash-oracled entries first (stable relative order), rows-only after:
     # the driver's correctness gate value-checks a prefix of this dict, so
@@ -9244,6 +9430,129 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             WHERE weight >= 0.0
             ORDER BY c_custkey, s_suppkey
+        """,
+        "jw_name_links": """
+            SELECT c.c_custkey, s.s_suppkey,
+                   round(jaro_winkler_similarity(c.c_name, s.s_name), 6) AS jw
+            FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+            WHERE round(jaro_winkler_similarity(c.c_name, s.s_name), 6)
+                      >= 0.8
+            ORDER BY c.c_custkey, s.s_suppkey
+        """,
+        "fd_audit": """
+            WITH cand AS (
+                SELECT 'o_orderkey->o_custkey' AS fd, o_orderkey::VARCHAR
+                           AS lhs, o_custkey::VARCHAR AS rhs FROM orders
+                UNION ALL
+                SELECT 'o_custkey->o_orderpriority', o_custkey::VARCHAR,
+                       o_orderpriority FROM orders
+                UNION ALL
+                SELECT 'o_custkey+o_orderstatus->o_orderpriority',
+                       o_custkey::VARCHAR || chr(31) || o_orderstatus,
+                       o_orderpriority FROM orders
+            ),
+            g AS (
+                SELECT fd, lhs, count(DISTINCT rhs) AS d
+                FROM cand GROUP BY 1, 2
+            )
+            SELECT fd, count(*)::BIGINT AS n_groups,
+                   (count(*) FILTER (WHERE d > 1))::BIGINT AS n_violating,
+                   CAST(coalesce(sum(d - 1), 0) AS BIGINT) AS n_extra,
+                   count(*) FILTER (WHERE d > 1) = 0 AS holds
+            FROM g GROUP BY fd ORDER BY fd
+        """,
+        "ks_drift": """
+            WITH f AS (
+                SELECT value AS v,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS na,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS nb
+                FROM events WHERE event_type IN ('click', 'purchase')
+            ),
+            c AS (
+                SELECT v, CAST(sum(na) AS BIGINT) AS ca,
+                       CAST(sum(nb) AS BIGINT) AS cb
+                FROM f GROUP BY 1
+            ),
+            t AS (
+                SELECT CAST(sum(ca) AS BIGINT) AS ta,
+                       CAST(sum(cb) AS BIGINT) AS tb FROM c
+            ),
+            w AS (
+                SELECT sum(ca) OVER (ORDER BY v) AS cum_a,
+                       sum(cb) OVER (ORDER BY v) AS cum_b
+                FROM c
+            )
+            SELECT 'click' AS group_a, 'purchase' AS group_b,
+                   t.ta AS n_a, t.tb AS n_b,
+                   floor(max(abs(CAST(cum_a AS DOUBLE) / CAST(t.ta AS DOUBLE)
+                                 - CAST(cum_b AS DOUBLE)
+                                   / CAST(t.tb AS DOUBLE)))
+                         * 1e6 + 0.5) / 1e6 AS d_stat
+            FROM w CROSS JOIN t GROUP BY t.ta, t.tb
+        """,
+        "zipf_slope": r"""
+            WITH tok AS (
+                SELECT unnest(list_filter(
+                           string_split_regex(lower(coalesce(text, '')),
+                                              '\s+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ),
+            c AS (SELECT term, count(*) AS n FROM tok GROUP BY 1),
+            top AS (
+                SELECT n,
+                       row_number() OVER (ORDER BY n DESC, term) AS r
+                FROM c ORDER BY n DESC, term LIMIT 100
+            ),
+            p AS (
+                SELECT (ln(CAST(b.n AS DOUBLE)) - ln(CAST(a.n AS DOUBLE)))
+                       / (ln(CAST(b.r AS DOUBLE)) - ln(CAST(a.r AS DOUBLE)))
+                           AS sl
+                FROM top a JOIN top b ON a.r < b.r
+            )
+            SELECT 'all' AS corpus, (SELECT count(*) FROM top)::BIGINT
+                       AS n_points,
+                   floor(median(sl) * 1e6 + 0.5) / 1e6 AS slope
+            FROM p
+        """,
+        # integer moments (quantities are integral) + hardcoded A,N,R term
+        # order -> both engines execute the identical IEEE sequence
+        "quantity_anova": """
+            WITH g AS (
+                SELECT l_returnflag AS f, count(*)::BIGINT AS n,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+                       CAST(sum(CAST(l_quantity AS BIGINT)
+                                * CAST(l_quantity AS BIGINT)) AS BIGINT) AS q2
+                FROM lineitem GROUP BY 1
+            ),
+            m AS (
+                SELECT
+                    (SELECT CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                / CAST(n AS DOUBLE) FROM g WHERE f = 'A')
+                        AS wa,
+                    (SELECT CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                / CAST(n AS DOUBLE) FROM g WHERE f = 'N')
+                        AS wn,
+                    (SELECT CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                / CAST(n AS DOUBLE) FROM g WHERE f = 'R')
+                        AS wr,
+                    (SELECT sum(n) FROM g) AS n,
+                    (SELECT sum(s) FROM g) AS s,
+                    (SELECT sum(q2) FROM g) AS q2
+            ),
+            e AS (
+                SELECT n,
+                       (wa + wn + wr) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(n AS DOUBLE) AS ssb,
+                       CAST(q2 AS DOUBLE) - (wa + wn + wr) AS ssw
+                FROM m
+            )
+            SELECT CAST(n AS BIGINT) AS n_total, 3 AS k,
+                   floor(ssb * 1e6 + 0.5) / 1e6 AS ssb,
+                   floor(ssw * 1e6 + 0.5) / 1e6 AS ssw,
+                   floor((ssb / 2) / (ssw / (CAST(n AS DOUBLE) - 3))
+                         * 1e6 + 0.5) / 1e6 AS f_stat
+            FROM e
         """,
         # ppjoin returns EXACTLY the jaccard_dups rows (different engine
         # plan, same answer) — the oracle is the same unnest self-join,

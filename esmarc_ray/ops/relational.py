@@ -2583,7 +2583,7 @@ def blocked_fuzzy_join(
     map-only filter — no all-pairs stage anywhere.  Pick ``block_on`` with
     enough selectivity that a block fits a reducer (the ER blocking-design
     problem, documented here rather than hidden)."""
-    if metric not in ("jaccard", "levenshtein"):
+    if metric not in ("jaccard", "levenshtein", "jaro_winkler"):
         raise ValueError(f"blocked_fuzzy_join: unknown metric {metric!r}")
     joined = partitioned_join(
         left, right, block_on,
@@ -2610,9 +2610,55 @@ def blocked_fuzzy_join(
         batch[sim_name] = dists
         return batch[batch[sim_name] <= threshold]
 
-    return joined.map_batches(
-        verify_lev if metric == "levenshtein" else verify, batch_format="pandas"
-    )
+    def verify_jw(batch: pd.DataFrame) -> pd.DataFrame:
+        sims = np.empty(len(batch), dtype="float64")
+        for i, (a, b) in enumerate(zip(batch[left_text], batch[right_text])):
+            sims[i] = _jaro_winkler(a or "", b or "")
+        batch = batch.copy()
+        batch[sim_name] = _round_half_up(sims, round_to)
+        return batch[batch[sim_name] >= threshold]
+
+    verifiers = {"jaccard": verify, "levenshtein": verify_lev,
+                 "jaro_winkler": verify_jw}
+    return joined.map_batches(verifiers[metric], batch_format="pandas")
+
+
+def _jaro_winkler(a: str, b: str) -> float:
+    """Jaro–Winkler similarity, DuckDB's ``jaro_winkler_similarity()``
+    definition (verified empirically): empty strings score 0, match window
+    ``max(|a|,|b|)//2 − 1``, Winkler boost ``+ l·0.1·(1−jaro)`` applied only
+    when jaro > 0.7, common prefix ``l`` capped at 4."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    matched_b = [False] * lb
+    ma: list[str] = []
+    for i, ca in enumerate(a):
+        lo = i - window if i > window else 0
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not matched_b[j] and b[j] == ca:
+                matched_b[j] = True
+                ma.append(ca)
+                break
+    m = len(ma)
+    if m == 0:
+        return 0.0
+    mb = [b[j] for j in range(lb) if matched_b[j]]
+    half_transpositions = sum(ca != cb for ca, cb in zip(ma, mb))
+    t = float(half_transpositions // 2)  # DuckDB floors the half count
+    jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    if jaro > 0.7:
+        l = 0
+        for ca, cb in zip(a[:4], b[:4]):
+            if ca != cb:
+                break
+            l += 1
+        jaro = jaro + l * 0.1 * (1.0 - jaro)
+    return jaro
 
 
 def fellegi_sunter_join(
@@ -3639,4 +3685,149 @@ def scd2_intervals(
         [key],
         final,
         num_partitions=num_partitions,
+    )
+
+
+def fd_check(
+    ds: ray.data.Dataset,
+    fds: "list[tuple[list[str], str]]",
+    *,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Functional-dependency discovery/audit (the data-profiling pass behind
+    key detection and normalization): for each candidate ``lhs -> rhs``,
+    count determinant groups, groups violating the dependency (more than one
+    distinct rhs), and the total violating extra values ``Σ(|rhs|-1)``.
+    ``holds`` is the exact FD verdict.
+
+    Per candidate: one distributed DISTINCT on (lhs ∪ rhs) hash-partitioned
+    by lhs — a group's rows co-locate, so the per-group distinct-rhs count
+    is partition-exact and only (n_groups, n_violating, n_extra) integers
+    leave each partition."""
+
+    def check_one(lhs: list[str], rhs: str) -> ray.data.Dataset:
+        name = "+".join(lhs) + "->" + rhs
+        pairs = _distinct_on(
+            ds.select_columns(list(dict.fromkeys(lhs + [rhs]))),
+            list(dict.fromkeys(lhs + [rhs])),
+            num_partitions,
+        )
+
+        def final(part: pd.DataFrame) -> pd.DataFrame:
+            g = part.groupby(lhs, sort=False).size()
+            return pd.DataFrame(
+                {
+                    "fd": [name],
+                    "n_groups": [int(len(g))],
+                    "n_violating": [int((g > 1).sum())],
+                    "n_extra": [int((g - 1).sum())],
+                }
+            )
+
+        return partitioned_final(pairs, lhs, final, num_partitions)
+
+    parts = check_one(*fds[0])
+    for fd in fds[1:]:
+        parts = parts.union(check_one(*fd))
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby("fd", as_index=False)[
+            ["n_groups", "n_violating", "n_extra"]
+        ].sum()
+        out["holds"] = out["n_violating"] == 0
+        return out
+
+    return parts.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None
+    )
+
+
+def _distinct_on(ds: ray.data.Dataset, columns: list[str], num_partitions: int):
+    from esmarc_ray.ops.dedup import _distinct_on as _d
+
+    return _d(ds, columns, num_partitions)
+
+
+def ks_statistic(
+    ds: ray.data.Dataset,
+    group_column: str,
+    value_column: str,
+    group_a: str,
+    group_b: str,
+    *,
+    num_partitions: int = 32,
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Exact two-sample Kolmogorov–Smirnov statistic — the distribution-drift
+    detector: ``D = max |ECDF_a(v) − ECDF_b(v)|`` over every observed value.
+
+    Distributed exact plan: per-value group counts fold as combiners
+    (O(distinct values) rows), a range sort orders them, and the running
+    CDFs resolve with the two-pass prefix trick (per-block sums to the
+    driver — O(blocks) ints — then offsets broadcast back); the max folds
+    as an aggregate.  No value column ever collects to the driver."""
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch[group_column].isin([group_a, group_b])]
+        return pd.DataFrame(
+            {
+                "v": sel[value_column],
+                "na": (sel[group_column] == group_a).astype("int64"),
+                "nb": (sel[group_column] == group_b).astype("int64"),
+            }
+        )
+
+    counts = (
+        partial_groupby_agg(
+            ds.map_batches(tag, batch_format="pandas"),
+            ["v"],
+            {"ca": ("na", "sum"), "cb": ("nb", "sum")},
+            num_partitions=num_partitions,
+        )
+        .sort("v")
+        .materialize()
+    )
+
+    import ray as _ray
+
+    @_ray.remote
+    def block_sums(block):
+        df = block.to_pandas() if hasattr(block, "to_pandas") else block
+        return int(df["ca"].sum()), int(df["cb"].sum())
+
+    blocks = counts.get_internal_block_refs()
+    sums = _ray.get([block_sums.remote(b) for b in blocks])
+    off_a = off_b = 0
+    offsets = []
+    for sa, sb in sums:
+        offsets.append((off_a, off_b))
+        off_a += sa
+        off_b += sb
+    tot_a, tot_b = float(off_a), float(off_b)
+
+    out_blocks = []
+    for (oa, ob), ref in zip(offsets, blocks):
+
+        @_ray.remote
+        def block_d(block, oa=oa, ob=ob):
+            df = block.to_pandas() if hasattr(block, "to_pandas") else block
+            df = df.sort_values("v")
+            cum_a = (df["ca"].cumsum() + oa).to_numpy(dtype="float64")
+            cum_b = (df["cb"].cumsum() + ob).to_numpy(dtype="float64")
+            d = np.abs(cum_a / tot_a - cum_b / tot_b)
+            return float(d.max()) if len(d) else 0.0
+
+        out_blocks.append(block_d.remote(ref))
+    d_stat = max(_ray.get(out_blocks)) if out_blocks else 0.0
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "group_a": [group_a],
+                "group_b": [group_b],
+                "n_a": [int(tot_a)],
+                "n_b": [int(tot_b)],
+                "d_stat": [float(np.floor(d_stat * 10.0**round_to + 0.5))
+                           / 10.0**round_to],
+            }
+        )
     )
