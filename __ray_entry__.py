@@ -1094,6 +1094,99 @@ def q_events_ewma(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_events_holt(sf_dir: str):
+    """Holt linear (double-exponential) smoothing of each event type's
+    daily count series — level + trend recursion (α = 0.5, β = 0.3, seeds
+    l₁ = x₁, b₁ = 0), the forecasting upgrade of the EWMA smoother: both
+    engines execute the identical float sequence in identical day order
+    (irreducibly sequential per TYPE; the loop runs once per partition)."""
+    import datetime as _dt
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    _EPOCH_ORD = _dt.date(1970, 1, 1).toordinal()
+
+    def day_ord(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["x"] = (
+            batch["ts"].dt.date.map(_dt.date.toordinal).astype("int64")
+            - _EPOCH_ORD
+        )
+        return batch[["event_type", "x"]]
+
+    daily = partial_groupby_agg(
+        events.map_batches(day_ord, batch_format="pandas"),
+        ["event_type", "x"],
+        {"y": ("x", "count")},
+    )
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type"):
+            g = g.sort_values("x")
+            level = trend = None
+            for x, y in zip(g["x"], g["y"]):
+                if level is None:
+                    level, trend = float(y), 0.0
+                else:
+                    prev = level
+                    level = 0.5 * float(y) + 0.5 * (level + trend)
+                    trend = 0.3 * (level - prev) + 0.7 * trend
+                rows.append(
+                    {
+                        "event_type": et,
+                        "day_idx": int(x),
+                        "level": np.floor(level * 1e6 + 0.5) / 1e6,
+                        "trend": (
+                            np.floor(trend * 1e6 + 0.5) / 1e6
+                            if trend >= 0
+                            else -np.floor(-trend * 1e6 + 0.5) / 1e6
+                        ),
+                    }
+                )
+        return pd.DataFrame(rows)
+
+    out = partitioned_final(daily, ["event_type"], fold, num_partitions=8)
+    return out.to_pandas().sort_values(
+        ["event_type", "day_idx"]
+    ).reset_index(drop=True)
+
+
+def q_boolean_and(sf_dir: str):
+    """Conjunctive Boolean retrieval: docs containing ALL of {sort, merge,
+    table} — map-only, zero shuffle."""
+    import ray.data
+
+    from esmarc_ray.ops.text import boolean_and_search
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = boolean_and_search(docs, ["sort", "merge", "table"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_flesch(sf_dir: str):
+    """Flesch reading-ease readability per document (vowel-group syllable
+    heuristic) — the classic quality signal, fully SQL-re-derivable."""
+    import ray.data
+
+    from esmarc_ray.ops.text import flesch_scores
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return flesch_scores(docs).to_pandas().sort_values("doc_id").reset_index(
+        drop=True
+    )
+
+
 def q_frequent_triples(sf_dir: str):
     """A-priori level-3 market baskets: part triples co-purchased in ≥ 2
     orders.  Candidate generation prunes with the broadcast frequent-PAIR
@@ -5864,6 +5957,60 @@ def q_kg_jsonld_counts(sf_dir: str):
     return counts
 
 
+def q_kg_ntriples_counts(sf_dir: str):
+    """RDF N-Triples sink check: serialize the triple table as .nt lines
+    (schema.org-qualified predicates, escaped literals, URI objects for
+    internal refs), then return per-(pred, kind) counts from the parquet
+    mirror; the oracle re-parses every written LINE with DuckDB's raw CSV
+    reader and re-derives the same counts — any malformed, split or
+    unescaped line breaks the hash."""
+    import shutil
+
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.io import write_ntriples
+    from esmarc_ray.ops.relational import partial_groupby_agg
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["subj", "pred", "obj", "obj_kind"]
+    )
+    path = _kg_oracle_table(sf_dir, "nt_src", triples)
+    src = ray.data.read_parquet(path)
+    out = _KG_ORACLE_DIR / "ntriples"
+    if out.exists():
+        shutil.rmtree(out)
+    manifest = write_ntriples(src, str(out)).to_pandas()
+    assert int(manifest["n_triples"].sum()) > 0
+
+    def kinds(batch: pd.DataFrame) -> pd.DataFrame:
+        node = batch["obj_kind"] == "node"
+        uri = pd.Series("", index=batch.index)
+        if node.any():
+            uri[node] = (
+                batch.loc[node, "obj"]
+                .str.extract(_INTERNAL_REF_RE, expand=False)
+                .fillna("")
+            )
+        return pd.DataFrame(
+            {
+                "pred": batch["pred"],
+                "okind": pd.Series(
+                    ["uri" if u != "" else "literal" for u in uri],
+                    index=batch.index,
+                ),
+            }
+        )
+
+    counts = partial_groupby_agg(
+        src.map_batches(kinds, batch_format="pandas"),
+        ["pred", "okind"],
+        {"n": ("okind", "count")},
+    ).to_pandas()
+    return counts.sort_values(["pred", "okind"]).reset_index(drop=True)
+
+
 def q_schema_typing(sf_dir: str):
     """Declared output-schema typing gate: the reference types every emitted
     subfield in per-class ES index mappings (reference
@@ -7328,6 +7475,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift": q_ks_drift,
         "zipf_slope": q_zipf_slope,
         "quantity_anova": q_quantity_anova,
+        "kg_ntriples_counts": q_kg_ntriples_counts,
+        "events_holt": q_events_holt,
+        "boolean_and": q_boolean_and,
+        "flesch": q_flesch,
     }
     # hash-oracled entries first (stable relative order), rows-only after:
     # the driver's correctness gate value-checks a prefix of this dict, so
@@ -9430,6 +9581,109 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             WHERE weight >= 0.0
             ORDER BY c_custkey, s_suppkey
+        """,
+        # the .nt lines re-parse with the raw CSV reader (quoting disabled);
+        # object kind decides by the term's trailing character
+        "kg_ntriples_counts": r"""
+            WITH l AS (
+                SELECT line FROM read_csv(
+                    '/tmp/esmarc_ray_kg_oracle/ntriples/*.nt',
+                    header=false, delim='', quote='', escape='',
+                    columns={'line': 'VARCHAR'})
+            ),
+            p AS (
+                SELECT regexp_extract(line,
+                           '^<[^>]+> <https://schema\.org/([^>]+)> ', 1)
+                           AS pred,
+                       CASE WHEN regexp_matches(line, '> \.$')
+                            THEN 'uri' ELSE 'literal' END AS okind
+                FROM l
+            )
+            SELECT pred, okind, count(*) AS n
+            FROM p GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_holt": """
+            WITH RECURSIVE d AS (
+                SELECT event_type,
+                       date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                           AS x,
+                       count(*) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT event_type, x, y,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY x
+                       ) AS rn
+                FROM d
+            ),
+            r(event_type, rn, x, l, b) AS (
+                SELECT event_type, rn, x, CAST(y AS DOUBLE), 0.0::DOUBLE
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT s.event_type, s.rn, s.x,
+                       0.5::DOUBLE * s.y + 0.5::DOUBLE * (r.l + r.b),
+                       0.3::DOUBLE * ((0.5::DOUBLE * s.y
+                                       + 0.5::DOUBLE * (r.l + r.b)) - r.l)
+                           + 0.7::DOUBLE * r.b
+                FROM r JOIN s
+                  ON s.event_type = r.event_type AND s.rn = r.rn + 1
+            )
+            SELECT event_type, x AS day_idx,
+                   floor(l * 1e6 + 0.5) / 1e6 AS level,
+                   CASE WHEN b >= 0 THEN floor(b * 1e6 + 0.5) / 1e6
+                        ELSE -floor(-b * 1e6 + 0.5) / 1e6 END AS trend
+            FROM r ORDER BY event_type, day_idx
+        """,
+        "boolean_and": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(string_split(
+                               regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                              'g'), ' ')) AS tok
+                    FROM documents
+                ) WHERE tok IN ('sort', 'merge', 'table')
+            )
+            SELECT doc_id FROM tok GROUP BY 1
+            HAVING count(*) = 3 ORDER BY 1
+        """,
+        "flesch": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(coalesce(text, '')), '\s+'),
+                           x -> x <> '') AS words,
+                       greatest(len(regexp_extract_all(
+                           coalesce(text, ''), '[.!?]+')), 1) AS s
+                FROM documents
+            ),
+            syl AS (
+                SELECT doc_id,
+                       CAST(coalesce(sum(greatest(len(regexp_extract_all(
+                           wd, '[aeiouy]+')), 1)), 0) AS BIGINT) AS n_syllables
+                FROM (SELECT doc_id, unnest(words) AS wd FROM w)
+                GROUP BY 1
+            ),
+            m AS (
+                SELECT w.doc_id, len(w.words)::BIGINT AS n_words, w.s::BIGINT
+                           AS n_sentences,
+                       coalesce(syl.n_syllables, 0) AS n_syllables
+                FROM w LEFT JOIN syl ON w.doc_id = syl.doc_id
+            ),
+            f AS (
+                SELECT *,
+                       206.835 - 1.015 * (CAST(n_words AS DOUBLE)
+                                          / CAST(n_sentences AS DOUBLE))
+                               - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                         / CAST(greatest(n_words, 1)
+                                                AS DOUBLE)) AS fl
+                FROM m
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CASE WHEN fl >= 0 THEN floor(fl * 1e4 + 0.5) / 1e4
+                        ELSE -floor(-fl * 1e4 + 0.5) / 1e4 END AS flesch
+            FROM f ORDER BY doc_id
         """,
         "jw_name_links": """
             SELECT c.c_custkey, s.s_suppkey,

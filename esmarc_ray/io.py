@@ -283,3 +283,59 @@ def merge_agg_store(
         return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
                              "n_rows": pd.Series(dtype="int64")})
     return manifest.sort_values("bucket").reset_index(drop=True)
+
+
+def write_ntriples(
+    triples: "ray.data.Dataset",
+    out_dir: str,
+    *,
+    pred_namespace: str = "https://schema.org/",
+) -> "ray.data.Dataset":
+    """RDF N-Triples sink over the triple table — the line-oriented
+    canonical RDF serialization (complementing the reference-format JSON-LD
+    sink): one ``<subj> <pred> <obj>|"literal" .`` line per triple.  Bare
+    predicate names qualify under ``pred_namespace``; node-kind objects
+    whose payload carries an internal ``@id`` serialize as URI terms, every
+    other object as an escaped literal (N-Triples ``\\``/``"``/newline/tab
+    escapes, so a triple is ALWAYS one line).
+
+    Each block writes its own uniquely-named ``.nt`` file (idempotent into
+    a fresh dir, no append contention — same layout contract as
+    :func:`write_jsonld`).  Returns the small (path, n_triples) manifest
+    Dataset; consume it to drive the write.  The vectorized escape chain is
+    pandas ``str.replace`` (order: backslash first)."""
+    import pathlib
+    import re
+    import uuid
+
+    import pandas as pd
+
+    base = pathlib.Path(out_dir)
+    base.mkdir(parents=True, exist_ok=True)
+    id_re = re.compile(r'"@id": "(https://data\.slub-dresden\.de/[a-z]+/[^"]+)"')
+
+    def write_block(batch: pd.DataFrame) -> pd.DataFrame:
+        node = batch["obj_kind"] == "node"
+        uri = pd.Series("", index=batch.index)
+        if node.any():
+            uri[node] = (
+                batch.loc[node, "obj"].str.extract(id_re, expand=False).fillna("")
+            )
+        lit = (
+            batch["obj"].fillna("")
+            .str.replace("\\", "\\\\", regex=False)
+            .str.replace('"', '\\"', regex=False)
+            .str.replace("\n", "\\n", regex=False)
+            .str.replace("\r", "\\r", regex=False)
+            .str.replace("\t", "\\t", regex=False)
+        )
+        obj_term = ('"' + lit + '"').where(uri == "", "<" + uri + ">")
+        lines = (
+            "<" + batch["subj"].astype(str) + "> <" + pred_namespace
+            + batch["pred"].astype(str) + "> " + obj_term + " ."
+        )
+        path = base / f"{uuid.uuid4().hex}.nt"
+        path.write_text("\n".join(lines.tolist()) + "\n", encoding="utf-8")
+        return pd.DataFrame({"path": [str(path)], "n_triples": [len(batch)]})
+
+    return triples.map_batches(write_block, batch_format="pandas")

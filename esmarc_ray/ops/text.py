@@ -1531,3 +1531,79 @@ def split_ngram_overlap(
         out["n_seen"] / out["n_test_ngrams"] * 1e6 + 0.5
     ) / 1e6
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def boolean_and_search(
+    docs: "ray.data.Dataset",
+    terms: list[str],
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> "ray.data.Dataset":
+    """Conjunctive Boolean retrieval: documents whose token set contains ALL
+    query terms (the AND baseline under BM25 — the filter stage of a
+    retrieve-then-rank pipeline).  Map-only, zero shuffle: each batch tests
+    its own docs against the (tiny, closure-carried) term set; tokenization
+    is the corpus contract (lowercase, ``[a-z0-9]+`` runs)."""
+    import re
+
+    pat = re.compile(r"[a-z0-9]+")
+    want = set(terms)
+
+    def match(batch: "pd.DataFrame") -> "pd.DataFrame":
+        keep = [
+            want <= set(pat.findall((t or "").lower()))
+            for t in batch[text_column]
+        ]
+        return batch.loc[keep, [id_column]]
+
+    return docs.map_batches(match, batch_format="pandas")
+
+
+def flesch_scores(
+    docs: "ray.data.Dataset",
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    round_to: int = 4,
+) -> "ray.data.Dataset":
+    """Flesch reading-ease per document — the classic readability quality
+    signal: ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``
+    with syllables approximated as ``[aeiouy]+`` vowel-group runs per word
+    (min 1) — the standard heuristic, fully SQL-expressible so the whole op
+    hash-checks.  Map-only, one pass; the per-word regex loop is bounded by
+    the doc's word count (the same shape as every tokenizer here)."""
+    import re
+
+    sent_re = re.compile(r"[.!?]+")
+    vowel_re = re.compile(r"[aeiouy]+")
+
+    def score(batch: "pd.DataFrame") -> "pd.DataFrame":
+        n_words, n_sents, n_syll, scores = [], [], [], []
+        for t in batch[text_column]:
+            txt = t or ""
+            words = [w for w in txt.lower().split() if w]
+            w = len(words)
+            s = max(len(sent_re.findall(txt)), 1)
+            syl = sum(max(len(vowel_re.findall(wd)), 1) for wd in words)
+            w0 = max(w, 1)
+            f = 206.835 - 1.015 * (float(w) / float(s)) - 84.6 * (
+                float(syl) / float(w0)
+            )
+            n_words.append(w)
+            n_sents.append(s)
+            n_syll.append(syl)
+            scores.append(np.floor(f * 10.0**round_to + 0.5) / 10.0**round_to
+                          if f >= 0 else
+                          -np.floor(-f * 10.0**round_to + 0.5) / 10.0**round_to)
+        return pd.DataFrame(
+            {
+                id_column: batch[id_column],
+                "n_words": pd.Series(n_words, dtype="int64"),
+                "n_sentences": pd.Series(n_sents, dtype="int64"),
+                "n_syllables": pd.Series(n_syll, dtype="int64"),
+                "flesch": scores,
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
