@@ -432,6 +432,121 @@ def q_kg_functional_violations(sf_dir: str):
     return out.sort_values("pred").reset_index(drop=True)
 
 
+# Schema metadata for the KG reasoning family (ops/kg_reason.py): the
+# schema.org taxonomy slice the corpus instantiates, the owl:inverseOf
+# declarations over the reference's cross-record predicates
+# (reference/esmarc/esmarc.py relatedTo / get_ispartof / handle_contributor
+# family), and SHACL-lite cardinality shapes mirroring the reference's
+# single_or_multi arity declarations.  All metadata-small; broadcast.
+_KG_TAXONOMY = [
+    ("http://schema.org/Event", "http://schema.org/Thing"),
+    ("http://schema.org/Place", "http://schema.org/Thing"),
+    ("http://schema.org/Organization", "http://schema.org/Thing"),
+    ("http://schema.org/Person", "http://schema.org/Thing"),
+    ("http://schema.org/CreativeWork", "http://schema.org/Thing"),
+]
+
+_KG_INVERSES = {
+    "contributor": "contributorTo",
+    "isPartOf": "hasPart",
+    "location": "locationOf",
+    "mentions": "mentionedIn",
+    "offers": "offeredBy",
+    "sameAs": "sameAs",  # owl:SymmetricProperty
+}
+
+_KG_SHAPES = [
+    {"entity_class": "persons", "pred": "preferredName", "min_count": 1,
+     "max_count": 1},
+    {"entity_class": "persons", "pred": "birthDate", "max_count": 1},
+    {"entity_class": "resources", "pred": "@type", "min_count": 1,
+     "max_count": 1},
+    {"entity_class": "resources", "pred": "isPartOf", "max_count": 1},
+    {"entity_class": "resources", "pred": "contributor", "min_count": 1},
+    {"entity_class": "resources", "pred": "mentions", "max_count": 3},
+    {"entity_class": "works", "pred": "preferredName", "min_count": 1,
+     "max_count": 1},
+]
+
+
+def q_kg_void_stats(sf_dir: str):
+    """VoID dataset description of the KG: per entity class, triple count and
+    exact distinct subject/predicate/object counts — the publisher-side
+    statistics block (W3C VoID) the reference leaves to its ES consumers.
+    Distincts are exact and distributed (full-dedup-key hash partitioning);
+    DuckDB re-derives every number from the mirrored triple table."""
+    import ray.data
+
+    from esmarc_ray.ops.kg_reason import void_stats
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["subj", "pred", "obj", "entity_class"]
+    )
+    path = _kg_oracle_table(sf_dir, "void_src", triples)
+    out = void_stats(ray.data.read_parquet(path)).to_pandas()
+    return out.sort_values(["entity_class", "stat"]).reset_index(drop=True)
+
+
+def q_kg_rdfs_types(sf_dir: str):
+    """RDFS forward chaining (rule rdfs9): every subject's direct @type
+    expands through the schema.org subClassOf closure, counted as exact
+    distinct subjects per (entity_class, inferred_type).  The closure is
+    broadcast schema metadata; the oracle inlines the same closure as a
+    VALUES join."""
+    import ray.data
+
+    from esmarc_ray.ops.kg_reason import rdfs_type_counts
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["subj", "pred", "obj", "entity_class"]
+    )
+    path = _kg_oracle_table(sf_dir, "rdfs_src", triples)
+    out = rdfs_type_counts(ray.data.read_parquet(path), _KG_TAXONOMY).to_pandas()
+    return out.sort_values(["entity_class", "inferred_type"]).reset_index(
+        drop=True
+    )
+
+
+def q_kg_inverse_triples(sf_dir: str):
+    """owl:inverseOf materialization: for every cross-record triple whose
+    predicate declares an inverse and whose object node references an
+    internal entity, emit (target, inverse(pred), source) — the full inverse
+    edge table, every value hash-checked against DuckDB's regexp_extract over
+    the same mirror (map-only, zero shuffle)."""
+    import ray.data
+
+    from esmarc_ray.ops.kg_reason import inverse_triples
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["subj", "pred", "obj"]
+    )
+    path = _kg_oracle_table(sf_dir, "inverse_src", triples)
+    return inverse_triples(
+        ray.data.read_parquet(path), _KG_INVERSES, _INTERNAL_REF_RE
+    )
+
+
+def q_kg_shacl_report(sf_dir: str):
+    """SHACL-lite cardinality validation: per shape (class, pred, min/max
+    count), how many subjects were checked and how many violate — the
+    constraint report mirroring the reference's single_or_multi arity
+    declarations, computed with hash-partitioned per-subject counts (never a
+    task per subject) and oracled shape-by-shape in SQL."""
+    import ray.data
+
+    from esmarc_ray.ops.kg_reason import shacl_cardinality_report
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["subj", "pred", "entity_class"]
+    )
+    path = _kg_oracle_table(sf_dir, "shacl_src", triples)
+    return shacl_cardinality_report(ray.data.read_parquet(path), _KG_SHAPES)
+
+
 def q_orders_skyline(sf_dir: str):
     """Pareto frontier of URGENT orders — maximize o_totalprice, minimize
     o_orderdate ("no order was both earlier and at least as expensive"):
@@ -7228,6 +7343,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pred_coverage": q_kg_pred_coverage,
         "kg_dangling_refs": q_kg_dangling_refs,
         "kg_functional_violations": q_kg_functional_violations,
+        "kg_void_stats": q_kg_void_stats,
+        "kg_rdfs_types": q_kg_rdfs_types,
+        "kg_inverse_triples": q_kg_inverse_triples,
+        "kg_shacl_report": q_kg_shacl_report,
         "kg_two_hop": q_kg_two_hop,
         "orders_skyline": q_orders_skyline,
         "copurchase_assortativity": q_copurchase_assortativity,
@@ -8394,6 +8513,132 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred, count(*) AS n_subjects,
                    sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)::BIGINT AS n_multi
             FROM g GROUP BY 1 ORDER BY pred
+        """,
+        "kg_void_stats": """
+            WITH t AS (
+                SELECT * FROM
+                    read_parquet('/tmp/esmarc_ray_kg_oracle/void_src/*.parquet')
+            )
+            SELECT entity_class, 'triples' AS stat, count(*) AS n
+            FROM t GROUP BY 1
+            UNION ALL
+            SELECT entity_class, 'distinct_subjects', count(DISTINCT subj)
+            FROM t GROUP BY 1
+            UNION ALL
+            SELECT entity_class, 'distinct_predicates', count(DISTINCT pred)
+            FROM t GROUP BY 1
+            UNION ALL
+            SELECT entity_class, 'distinct_objects', count(DISTINCT obj)
+            FROM t GROUP BY 1
+            ORDER BY 1, 2
+        """,
+        "kg_rdfs_types": """
+            WITH c(child, super) AS (VALUES
+                ('http://schema.org/Event', 'http://schema.org/Event'),
+                ('http://schema.org/Event', 'http://schema.org/Thing'),
+                ('http://schema.org/Place', 'http://schema.org/Place'),
+                ('http://schema.org/Place', 'http://schema.org/Thing'),
+                ('http://schema.org/Organization',
+                 'http://schema.org/Organization'),
+                ('http://schema.org/Organization', 'http://schema.org/Thing'),
+                ('http://schema.org/Person', 'http://schema.org/Person'),
+                ('http://schema.org/Person', 'http://schema.org/Thing'),
+                ('http://schema.org/CreativeWork',
+                 'http://schema.org/CreativeWork'),
+                ('http://schema.org/CreativeWork', 'http://schema.org/Thing'),
+                ('http://schema.org/Thing', 'http://schema.org/Thing'))
+            SELECT t.entity_class, c.super AS inferred_type,
+                   count(DISTINCT t.subj) AS n_subjects
+            FROM read_parquet('/tmp/esmarc_ray_kg_oracle/rdfs_src/*.parquet') t
+            JOIN c ON t.obj = c.child
+            WHERE t.pred = '@type'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "kg_inverse_triples": r"""
+            WITH x AS (
+                SELECT NULLIF(regexp_extract(obj,
+                           '"@id": "(https://data\.slub-dresden\.de/[a-z]+/[^"]+)"',
+                           1), '') AS ref,
+                       pred, subj
+                FROM read_parquet(
+                    '/tmp/esmarc_ray_kg_oracle/inverse_src/*.parquet')
+                WHERE pred IN ('contributor', 'isPartOf', 'location',
+                               'mentions', 'offers', 'sameAs')
+            )
+            SELECT ref AS subj,
+                   CASE pred
+                       WHEN 'contributor' THEN 'contributorTo'
+                       WHEN 'isPartOf' THEN 'hasPart'
+                       WHEN 'location' THEN 'locationOf'
+                       WHEN 'mentions' THEN 'mentionedIn'
+                       WHEN 'offers' THEN 'offeredBy'
+                       ELSE 'sameAs'
+                   END AS pred,
+                   subj AS obj
+            FROM x WHERE ref IS NOT NULL
+        """,
+        "kg_shacl_report": """
+            WITH t AS (
+                SELECT * FROM
+                    read_parquet('/tmp/esmarc_ray_kg_oracle/shacl_src/*.parquet')
+            ),
+            cnt AS (
+                SELECT entity_class, subj, pred, count(*) AS c
+                FROM t GROUP BY 1, 2, 3
+            ),
+            tot AS (
+                SELECT entity_class, count(DISTINCT subj) AS n
+                FROM t GROUP BY 1
+            )
+            SELECT 'persons' AS entity_class, 'preferredName' AS pred,
+                   'minCount=1,maxCount=1' AS "constraint",
+                   (SELECT n FROM tot WHERE entity_class = 'persons')
+                       AS n_checked,
+                   (SELECT n FROM tot WHERE entity_class = 'persons')
+                     - (SELECT count(*) FROM cnt WHERE entity_class = 'persons'
+                        AND pred = 'preferredName' AND c >= 1)
+                     + (SELECT count(*) FROM cnt WHERE entity_class = 'persons'
+                        AND pred = 'preferredName' AND c > 1) AS n_violations
+            UNION ALL
+            SELECT 'persons', 'birthDate', 'maxCount=1',
+                   (SELECT n FROM tot WHERE entity_class = 'persons'),
+                   (SELECT count(*) FROM cnt WHERE entity_class = 'persons'
+                    AND pred = 'birthDate' AND c > 1)
+            UNION ALL
+            SELECT 'resources', '@type', 'minCount=1,maxCount=1',
+                   (SELECT n FROM tot WHERE entity_class = 'resources'),
+                   (SELECT n FROM tot WHERE entity_class = 'resources')
+                     - (SELECT count(*) FROM cnt
+                        WHERE entity_class = 'resources'
+                        AND pred = '@type' AND c >= 1)
+                     + (SELECT count(*) FROM cnt
+                        WHERE entity_class = 'resources'
+                        AND pred = '@type' AND c > 1)
+            UNION ALL
+            SELECT 'resources', 'isPartOf', 'maxCount=1',
+                   (SELECT n FROM tot WHERE entity_class = 'resources'),
+                   (SELECT count(*) FROM cnt WHERE entity_class = 'resources'
+                    AND pred = 'isPartOf' AND c > 1)
+            UNION ALL
+            SELECT 'resources', 'contributor', 'minCount=1',
+                   (SELECT n FROM tot WHERE entity_class = 'resources'),
+                   (SELECT n FROM tot WHERE entity_class = 'resources')
+                     - (SELECT count(*) FROM cnt
+                        WHERE entity_class = 'resources'
+                        AND pred = 'contributor' AND c >= 1)
+            UNION ALL
+            SELECT 'resources', 'mentions', 'maxCount=3',
+                   (SELECT n FROM tot WHERE entity_class = 'resources'),
+                   (SELECT count(*) FROM cnt WHERE entity_class = 'resources'
+                    AND pred = 'mentions' AND c > 3)
+            UNION ALL
+            SELECT 'works', 'preferredName', 'minCount=1,maxCount=1',
+                   (SELECT n FROM tot WHERE entity_class = 'works'),
+                   (SELECT n FROM tot WHERE entity_class = 'works')
+                     - (SELECT count(*) FROM cnt WHERE entity_class = 'works'
+                        AND pred = 'preferredName' AND c >= 1)
+                     + (SELECT count(*) FROM cnt WHERE entity_class = 'works'
+                        AND pred = 'preferredName' AND c > 1)
         """,
         "kg_two_hop": r"""
             WITH r AS (
