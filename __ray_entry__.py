@@ -547,6 +547,101 @@ def q_kg_shacl_report(sf_dir: str):
     return shacl_cardinality_report(ray.data.read_parquet(path), _KG_SHAPES)
 
 
+# persons property-table schema: the reference's single-valued person
+# predicates (mapping/persons.json) plus one deliberately multi-valued one
+# (alternateName) to exercise the deterministic min(obj) collapse
+_KG_PROP_PREDS = [
+    "@type",
+    "_ppn",
+    "preferredName",
+    "alternateName",
+    "birthDate",
+    "deathDate",
+]
+
+
+def q_kg_property_table(sf_dir: str):
+    """RDF property-table pivot of the persons class: one row per subject,
+    one column per declared predicate (min(obj) on multi-valued) — the
+    star-query layout a triple-store consumer materializes.  Subjects
+    hash-partition once; each partition pivots vectorized.  DuckDB re-derives
+    every cell with conditional aggregation over the mirrored triples."""
+    import ray.data
+
+    from esmarc_ray.ops.kg_reason import property_table
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["subj", "pred", "obj", "entity_class"]
+    )
+    path = _kg_oracle_table(sf_dir, "proptab_src", triples)
+    return property_table(
+        ray.data.read_parquet(path), _KG_PROP_PREDS, entity_class="persons"
+    )
+
+
+def q_priority_target_encoding(sf_dir: str):
+    """Leave-one-out target encoding of order priority against price — the
+    leakage-safe categorical feature encoder: each order receives the mean
+    price of all OTHER orders sharing its priority.  Combiner + broadcast,
+    rows never shuffle; prices sum exactly as integer cents (exact_scale) so
+    the encoding is bit-reproducible regardless of partial-sum order."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import loo_target_encode
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    out = loo_target_encode(
+        orders,
+        ["o_orderpriority"],
+        "o_totalprice",
+        out_name="loo_price",
+        exact_scale=100,
+    ).to_pandas()
+    return (
+        out[["o_orderkey", "loo_price"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+def q_events_value_minmax(sf_dir: str):
+    """Per-user min-max scaling of event values to [0, 1] (constant users
+    map to 0) — bit-exact across engines because min/max carry no float
+    accumulation order; the oracle recomputes with window min/max."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import grouped_minmax_scale
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    out = grouped_minmax_scale(events, ["user_id"], "value").to_pandas()
+    return (
+        out[["event_id", "value_mm"]].sort_values("event_id").reset_index(drop=True)
+    )
+
+
+def q_events_value_robust(sf_dir: str):
+    """Per-event-type robust scaling ((v − median) / IQR, percentile_cont
+    semantics) — the heavy-tail-safe feature scaler; exact per-group
+    quantiles from one shared-sort shuffle, broadcast transform."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import grouped_robust_scale
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    out = grouped_robust_scale(events, ["event_type"], "value").to_pandas()
+    return (
+        out[["event_id", "value_rs"]].sort_values("event_id").reset_index(drop=True)
+    )
+
+
 def q_orders_skyline(sf_dir: str):
     """Pareto frontier of URGENT orders — maximize o_totalprice, minimize
     o_orderdate ("no order was both earlier and at least as expensive"):
@@ -7347,6 +7442,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rdfs_types": q_kg_rdfs_types,
         "kg_inverse_triples": q_kg_inverse_triples,
         "kg_shacl_report": q_kg_shacl_report,
+        "kg_property_table": q_kg_property_table,
+        "priority_target_encoding": q_priority_target_encoding,
+        "events_value_minmax": q_events_value_minmax,
+        "events_value_robust": q_events_value_robust,
         "kg_two_hop": q_kg_two_hop,
         "orders_skyline": q_orders_skyline,
         "copurchase_assortativity": q_copurchase_assortativity,
@@ -8639,6 +8738,68 @@ def oracle_sql() -> dict[str, str]:
                         AND pred = 'preferredName' AND c >= 1)
                      + (SELECT count(*) FROM cnt WHERE entity_class = 'works'
                         AND pred = 'preferredName' AND c > 1)
+        """,
+        "kg_property_table": """
+            SELECT subj,
+                   min(CASE WHEN pred = '@type' THEN obj END) AS "@type",
+                   min(CASE WHEN pred = '_ppn' THEN obj END) AS "_ppn",
+                   min(CASE WHEN pred = 'preferredName' THEN obj END)
+                       AS "preferredName",
+                   min(CASE WHEN pred = 'alternateName' THEN obj END)
+                       AS "alternateName",
+                   min(CASE WHEN pred = 'birthDate' THEN obj END)
+                       AS "birthDate",
+                   min(CASE WHEN pred = 'deathDate' THEN obj END)
+                       AS "deathDate"
+            FROM read_parquet('/tmp/esmarc_ray_kg_oracle/proptab_src/*.parquet')
+            WHERE entity_class = 'persons'
+              AND pred IN ('@type', '_ppn', 'preferredName', 'alternateName',
+                           'birthDate', 'deathDate')
+            GROUP BY subj ORDER BY subj
+        """,
+        "priority_target_encoding": """
+            WITH c AS (
+                SELECT o_orderkey, o_orderpriority,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            )
+            SELECT o_orderkey,
+                   CASE WHEN count(*) OVER w = 1 THEN NULL
+                        ELSE round(((sum(cents) OVER w - cents) / 100.0)
+                                   / (count(*) OVER w - 1), 2)
+                   END AS loo_price
+            FROM c
+            WINDOW w AS (PARTITION BY o_orderpriority)
+            ORDER BY o_orderkey
+        """,
+        "events_value_minmax": """
+            SELECT event_id,
+                   round(CASE WHEN max(value) OVER w = min(value) OVER w
+                              THEN 0.0
+                              ELSE (value - min(value) OVER w)
+                                   / (max(value) OVER w - min(value) OVER w)
+                         END, 6) AS value_mm
+            FROM events
+            WINDOW w AS (PARTITION BY user_id)
+            ORDER BY event_id
+        """,
+        "events_value_robust": """
+            WITH s AS (
+                SELECT event_type,
+                       percentile_cont(0.25) WITHIN GROUP (ORDER BY value)
+                           AS q1,
+                       percentile_cont(0.5) WITHIN GROUP (ORDER BY value)
+                           AS q2,
+                       percentile_cont(0.75) WITHIN GROUP (ORDER BY value)
+                           AS q3
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_id,
+                   round(CASE WHEN s.q3 - s.q1 = 0 THEN 0.0
+                              ELSE (e.value - s.q2) / (s.q3 - s.q1)
+                         END, 6) AS value_rs
+            FROM events e JOIN s USING (event_type)
+            ORDER BY event_id
         """,
         "kg_two_hop": r"""
             WITH r AS (

@@ -343,6 +343,54 @@ def shacl_cardinality_report(
     ).reset_index(drop=True)
 
 
+def property_table(
+    triples: ray.data.Dataset,
+    preds: list[str],
+    *,
+    entity_class: str | None = None,
+    class_column: str = "entity_class",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """RDF property-table transform: the row-store layout triple stores build
+    for star-query speed — one row per subject, one column per requested
+    predicate, ``min(obj)`` when a predicate is multi-valued (deterministic,
+    SQL-reproducible choice), null when absent.
+
+    Subjects hash-partition ONCE (all of a subject's triples co-locate), each
+    partition pivots with a single vectorized groupby+unstack — never a task
+    or a Python loop per subject.  ``preds`` is the declared output schema
+    and is metadata-small."""
+
+    preds = list(preds)
+
+    def narrow(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch
+        if entity_class is not None:
+            m = m[m[class_column] == entity_class]
+        m = m[m["pred"].isin(preds)]
+        return m[["subj", "pred", "obj"]]
+
+    def pivot(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return pd.DataFrame(columns=["subj"] + preds)
+        g = part.groupby(["subj", "pred"])["obj"].min().unstack("pred")
+        # keep absent predicates as object-typed None columns so every
+        # partition's block carries the same Arrow string schema (a reindex
+        # NaN column would otherwise type as float64 and break the union)
+        g = g.reindex(columns=preds).astype(object)
+        g = g.where(g.notna(), None)
+        out = g.reset_index()
+        out.columns = ["subj"] + preds
+        return out
+
+    return partitioned_final(
+        triples.map_batches(narrow, batch_format="pandas"),
+        ["subj"],
+        pivot,
+        num_partitions=num_partitions,
+    )
+
+
 def _shape_label(s: dict) -> str:
     parts = []
     if s.get("min_count"):

@@ -9,6 +9,7 @@ import ray.data
 
 from esmarc_ray.ops.kg_reason import (
     inverse_triples,
+    property_table,
     rdfs_type_counts,
     shacl_cardinality_report,
     subclass_closure,
@@ -124,6 +125,30 @@ def test_shacl_cardinality_min_max(ray_session):
     assert name.n_violations == 2  # s3 missing + s1 over
     other = by[("c1", "other")]
     assert other.n_checked == 3 and other.n_violations == 0
+
+
+def test_property_table_pivot_min_and_nulls(ray_session):
+    ds = _triples(
+        [
+            ("s1", "name", "zeta", "c1"),
+            ("s1", "name", "alpha", "c1"),  # multi-valued -> min
+            ("s1", "born", "1901", "c1"),
+            ("s2", "name", "beta", "c1"),  # born absent -> null
+            ("s3", "other", "x", "c1"),  # no shaped pred -> no row
+            ("s9", "name", "gamma", "c2"),  # filtered by class
+        ]
+    )
+    out = (
+        property_table(ds, ["name", "born"], entity_class="c1")
+        .to_pandas()
+        .sort_values("subj")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["subj", "name", "born"]
+    assert out["subj"].tolist() == ["s1", "s2"]
+    assert out["name"].tolist() == ["alpha", "beta"]
+    assert out.loc[0, "born"] == "1901"
+    assert out.loc[1, "born"] is None or pd.isna(out.loc[1, "born"])
 
 
 def test_shacl_empty_pred_never_seen(ray_session):

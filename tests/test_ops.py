@@ -2643,3 +2643,55 @@ def test_ppjoin_equals_exact_jaccard_pairs(ray_session):
         )
         assert len(pp) == len(exact) and len(exact) > 0, t
         assert pp.equals(exact), t
+
+
+def test_grouped_minmax_scale(ray_session):
+    from esmarc_ray.ops.relational import grouped_minmax_scale
+
+    df = pd.DataFrame(
+        {"g": ["a", "a", "a", "b", "b"], "v": [10.0, 20.0, 15.0, 7.0, 7.0]}
+    )
+    out = (
+        grouped_minmax_scale(ray.data.from_pandas(df).repartition(3), ["g"], "v")
+        .to_pandas().sort_values(["g", "v"]).reset_index(drop=True)
+    )
+    assert out["value_mm"].tolist() == [0.0, 0.5, 1.0, 0.0, 0.0]  # const g=b -> 0
+
+
+def test_grouped_robust_scale_matches_percentile_cont(ray_session):
+    import numpy as np
+
+    from esmarc_ray.ops.relational import grouped_robust_scale
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {"g": ["a"] * 50 + ["b"] * 30, "v": rng.gamma(2.0, 10.0, 80)}
+    )
+    out = (
+        grouped_robust_scale(ray.data.from_pandas(df).repartition(4), ["g"], "v")
+        .to_pandas()
+    )
+    for g, sub in df.groupby("g"):
+        q1, med, q3 = np.quantile(sub["v"], [0.25, 0.5, 0.75])
+        want = (sub["v"] - med) / (q3 - q1)
+        got = out[out["g"] == g].set_index(out[out["g"] == g].index)["value_rs"]
+        assert np.allclose(sorted(got), sorted(want.round(6)), atol=1e-6)
+
+
+def test_loo_target_encode_exact_and_singleton(ray_session):
+    import numpy as np
+
+    from esmarc_ray.ops.relational import loo_target_encode
+
+    df = pd.DataFrame(
+        {"g": ["a", "a", "a", "s"], "v": [10.0, 20.0, 30.0, 99.0]}
+    )
+    out = (
+        loo_target_encode(
+            ray.data.from_pandas(df).repartition(2), ["g"], "v",
+            exact_scale=100,
+        )
+        .to_pandas().sort_values(["g", "v"]).reset_index(drop=True)
+    )
+    assert out["loo_mean"].tolist()[:3] == [25.0, 20.0, 15.0]
+    assert np.isnan(out["loo_mean"].iloc[3])  # singleton key -> null
