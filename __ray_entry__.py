@@ -642,6 +642,71 @@ def q_events_value_robust(sf_dir: str):
     )
 
 
+def q_kg_entity_summaries(sf_dir: str):
+    """Entity cards: per subject the 3 globally-rarest facts (pred frequency
+    ascending, pred/obj tie-break) — informativeness-ranked summarization
+    over the mirrored triple table; DuckDB re-ranks with a window."""
+    import ray.data
+
+    from esmarc_ray.ops.kg_reason import entity_summaries
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["subj", "pred", "obj"]
+    )
+    path = _kg_oracle_table(sf_dir, "summaries_src", triples)
+    return entity_summaries(ray.data.read_parquet(path), k=3)
+
+
+def q_l_diverse_orders(sf_dir: str):
+    """l-diversity release gate: orders whose quasi-identifier group
+    (priority × 10k price band) carries ≥ 3 distinct order statuses —
+    k-anonymity's missing half (a uniform-status group leaks the sensitive
+    attribute however large it is)."""
+    import numpy as np
+    import ray.data
+
+    from esmarc_ray.ops.relational import l_diversify
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def band(batch):
+        batch = batch.copy()
+        batch["band"] = np.floor(
+            batch["o_totalprice"].to_numpy(dtype="float64") / 10000.0
+        ).astype("int64")
+        return batch
+
+    out = l_diversify(
+        orders.map_batches(band, batch_format="pandas"),
+        ["o_orderpriority", "band"],
+        "o_orderstatus",
+        3,
+    ).to_pandas()
+    return (
+        out[["o_orderkey", "o_orderpriority", "band"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+def q_ab_mannwhitney(sf_dir: str):
+    """Mann-Whitney U rank-sum test (click vs purchase event values) — the
+    heavy-tail-safe A/B readout; distributed terasort ranks, exact under
+    ties because only per-value rank sums enter the statistic."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import mann_whitney_u
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return mann_whitney_u(events, "event_type", "value", "click", "purchase")
+
+
 def q_orders_skyline(sf_dir: str):
     """Pareto frontier of URGENT orders — maximize o_totalprice, minimize
     o_orderdate ("no order was both earlier and at least as expensive"):
@@ -7443,6 +7508,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_inverse_triples": q_kg_inverse_triples,
         "kg_shacl_report": q_kg_shacl_report,
         "kg_property_table": q_kg_property_table,
+        "kg_entity_summaries": q_kg_entity_summaries,
+        "l_diverse_orders": q_l_diverse_orders,
+        "ab_mannwhitney": q_ab_mannwhitney,
         "priority_target_encoding": q_priority_target_encoding,
         "events_value_minmax": q_events_value_minmax,
         "events_value_robust": q_events_value_robust,
@@ -8800,6 +8868,65 @@ def oracle_sql() -> dict[str, str]:
                          END, 6) AS value_rs
             FROM events e JOIN s USING (event_type)
             ORDER BY event_id
+        """,
+        "kg_entity_summaries": """
+            WITH t AS (
+                SELECT * FROM read_parquet(
+                    '/tmp/esmarc_ray_kg_oracle/summaries_src/*.parquet')
+            ),
+            f AS (SELECT pred, count(*) AS nf FROM t GROUP BY 1),
+            r AS (
+                SELECT t.subj, t.pred, t.obj,
+                       row_number() OVER (
+                           PARTITION BY t.subj
+                           ORDER BY f.nf, t.pred, t.obj
+                       ) AS rank
+                FROM t JOIN f USING (pred)
+            )
+            SELECT subj, pred, obj, rank FROM r WHERE rank <= 3
+            ORDER BY subj, rank
+        """,
+        "l_diverse_orders": """
+            WITH o AS (
+                SELECT o_orderkey, o_orderpriority, o_orderstatus,
+                       CAST(floor(o_totalprice / 10000) AS BIGINT) AS band
+                FROM orders
+            ),
+            g AS (
+                SELECT o_orderpriority, band,
+                       count(DISTINCT o_orderstatus) AS d
+                FROM o GROUP BY 1, 2
+            )
+            SELECT o.o_orderkey, o.o_orderpriority, o.band
+            FROM o JOIN g USING (o_orderpriority, band)
+            WHERE g.d >= 3 ORDER BY o_orderkey
+        """,
+        "ab_mannwhitney": """
+            WITH e AS (
+                SELECT event_type AS g, value FROM events
+                WHERE event_type IN ('click', 'purchase')
+            ),
+            t AS (
+                SELECT g,
+                       rank() OVER (ORDER BY value)
+                           + (count(*) OVER (PARTITION BY value) - 1) / 2.0
+                           AS ar
+                FROM e
+            ),
+            s AS (
+                SELECT sum(CASE WHEN g = 'click' THEN ar ELSE 0 END) AS ra,
+                       CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                            AS DOUBLE) AS n1,
+                       CAST(sum(CASE WHEN g <> 'click' THEN 1 ELSE 0 END)
+                            AS DOUBLE) AS n2
+                FROM t
+            )
+            SELECT 'click' AS group_a, 'purchase' AS group_b,
+                   CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+                   round(ra - n1 * (n1 + 1) / 2, 6) AS u_stat,
+                   round((ra - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
+                         / sqrt(n1 * n2 * (n1 + n2 + 1) / 12), 6) AS z
+            FROM s
         """,
         "kg_two_hop": r"""
             WITH r AS (

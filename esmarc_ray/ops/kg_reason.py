@@ -391,6 +391,50 @@ def property_table(
     )
 
 
+def entity_summaries(
+    triples: ray.data.Dataset,
+    k: int = 3,
+    *,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Entity summarization: per subject keep the ``k`` globally-RAREST
+    facts (predicate frequency ascending, then pred/obj lexicographic
+    tie-break) — the informativeness-ranked "entity card" a KG front-end
+    renders, rarity standing in for IDF.
+
+    The predicate-frequency table is metadata-small (one row per distinct
+    predicate) and broadcast; subjects hash-partition ONCE and each
+    partition's top-k is a single vectorized sort + cumcount — never a task
+    or Python loop per subject.  Output: (subj, pred, obj, rank)."""
+
+    freq = partial_groupby_agg(
+        triples.map_batches(lambda b: b[["pred"]], batch_format="pandas"),
+        ["pred"],
+        {"nf": ("pred", "count")},
+    ).to_pandas()
+    nf = dict(zip(freq["pred"], freq["nf"].astype("int64")))
+
+    def narrow(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["subj", "pred", "obj"]].copy()
+        out["__nf"] = out["pred"].map(nf).astype("int64")
+        return out
+
+    def topk(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            ["subj", "__nf", "pred", "obj"], kind="mergesort"
+        )
+        part = part.assign(rank=(part.groupby("subj").cumcount() + 1))
+        part = part[part["rank"] <= k]
+        return part[["subj", "pred", "obj", "rank"]]
+
+    return partitioned_final(
+        triples.map_batches(narrow, batch_format="pandas"),
+        ["subj"],
+        topk,
+        num_partitions=num_partitions,
+    )
+
+
 def _shape_label(s: dict) -> str:
     parts = []
     if s.get("min_count"):

@@ -1941,6 +1941,153 @@ def k_anonymize(
     return kept.drop_columns(["__qi"])
 
 
+def l_diversify(
+    ds: ray.data.Dataset,
+    quasi_columns: list[str],
+    sensitive_column: str,
+    l_distinct: int,
+    *,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """l-diversity suppression (Machanavajjhala et al. 2007) — the privacy
+    gate k-anonymity misses: a 50-row QI group whose rows all share ONE
+    sensitive value is k-anonymous yet leaks the attribute, so drop every
+    row whose quasi-identifier group carries fewer than ``l_distinct``
+    DISTINCT sensitive values.
+
+    Distinct counting is exact and distributed: (QI, sensitive) pairs dedup
+    batch-locally, hash-partition on the FULL pair key (partition-local
+    dedup is then globally correct), per-QI distinct counts sum, and the
+    ≥l key set semi-joins back as a Dataset — the QI space never lands on
+    the driver."""
+    sep = "\x1f"
+
+    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        if len(quasi_columns) == 1:
+            batch["__qi"] = batch[quasi_columns[0]].astype(str)
+        else:
+            batch["__qi"] = batch[quasi_columns].astype(str).agg(sep.join, axis=1)
+        return batch
+
+    def pair_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        b = add_key(batch)
+        return pd.DataFrame(
+            {"__qi": b["__qi"], "__s": b[sensitive_column].astype(str)}
+        ).drop_duplicates()
+
+    def count_part(part: pd.DataFrame) -> pd.DataFrame:
+        return (
+            part.drop_duplicates()
+            .groupby("__qi", as_index=False)
+            .size()
+            .rename(columns={"size": "n_part"})
+        )
+
+    counts = partial_groupby_agg(
+        partitioned_final(
+            ds.map_batches(pair_rows, batch_format="pandas"),
+            ["__qi", "__s"],
+            count_part,
+            num_partitions=num_partitions,
+        ),
+        ["__qi"],
+        {"n": ("n_part", "sum")},
+    )
+    keep = counts.map_batches(
+        lambda b: b.loc[b["n"] >= l_distinct, ["__qi"]], batch_format="pandas"
+    )
+    kept = partitioned_semi_join(
+        ds.map_batches(add_key, batch_format="pandas"),
+        keep,
+        "__qi",
+        num_partitions=num_partitions,
+    )
+    return kept.drop_columns(["__qi"])
+
+
+def mann_whitney_u(
+    ds: ray.data.Dataset,
+    group_column: str,
+    value_column: str,
+    group_a: str,
+    group_b: str,
+    *,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Mann-Whitney U rank-sum test between two groups (the nonparametric
+    A/B readout when values are heavy-tailed and a t/z test's mean is the
+    wrong summary).  Returns one row: (group_a, group_b, n_a, n_b, u_stat,
+    z) with the normal approximation, no tie correction (documented).
+
+    Fully distributed and EXACT under ties: ranks come from the terasort
+    :func:`global_rank` (sampled range partitioning — no global sort
+    bottleneck), and only per-value rank SUMS enter the statistic — a tie
+    block's ranks are a permutation of a consecutive run, so its sum (hence
+    every average rank, a half-integer) is independent of how the ranking
+    broke the tie.  All arithmetic stays exact in float64, making the
+    statistic bit-reproducible by a SQL engine evaluating the same
+    expression."""
+    import math
+
+    import numpy as np
+
+    def narrow(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[batch[group_column].isin([group_a, group_b])]
+        return m[[group_column, value_column]]
+
+    ranked = global_rank(
+        ds.map_batches(narrow, batch_format="pandas"), [value_column]
+    )
+
+    def per_value(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                value_column: batch[value_column],
+                "__na": (batch[group_column] == group_a).astype("int64"),
+                "__n": 1,
+                "__sr": batch["global_rank"].astype("int64"),
+            }
+        )
+        return b.groupby(value_column, as_index=False).sum()
+
+    per_v = partial_groupby_agg(
+        ranked.map_batches(per_value, batch_format="pandas"),
+        [value_column],
+        {"na": ("__na", "sum"), "n": ("__n", "sum"), "sr": ("__sr", "sum")},
+    )
+
+    def batch_sums(batch: pd.DataFrame) -> pd.DataFrame:
+        avg = batch["sr"].to_numpy(dtype="float64") / batch["n"].to_numpy(
+            dtype="float64"
+        )  # (rmin+rmax)/2 — a half-integer, exactly representable
+        na = batch["na"].to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {
+                "ra": [float((na * avg).sum())],
+                "n1": [float(na.sum())],
+                "n2": [float((batch["n"].to_numpy(dtype="float64") - na).sum())],
+            }
+        )
+
+    sums = per_v.map_batches(batch_sums, batch_format="pandas").to_pandas()
+    ra = float(sums["ra"].sum())
+    n1 = float(sums["n1"].sum())
+    n2 = float(sums["n2"].sum())
+    u = ra - n1 * (n1 + 1) / 2
+    z = (u - n1 * n2 / 2) / math.sqrt(n1 * n2 * (n1 + n2 + 1) / 12)
+    return pd.DataFrame(
+        {
+            "group_a": [group_a],
+            "group_b": [group_b],
+            "n_a": [int(n1)],
+            "n_b": [int(n2)],
+            "u_stat": [float(_round_half_up(u, round_to))],
+            "z": [float(_round_half_up(z, round_to))],
+        }
+    )
+
+
 def event_transitions(
     ds: ray.data.Dataset,
     *,

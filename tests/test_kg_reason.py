@@ -158,3 +158,30 @@ def test_shacl_empty_pred_never_seen(ray_session):
     )
     assert out.loc[0, "n_checked"] == 1
     assert out.loc[0, "n_violations"] == 1
+
+
+def test_entity_summaries_rarest_first(ray_session):
+    ds = _triples(
+        [
+            # common pred (3 uses), rare preds (1 use each)
+            ("s1", "common", "c1v", "c1"),
+            ("s2", "common", "c2v", "c1"),
+            ("s3", "common", "c3v", "c1"),
+            ("s1", "rare1", "r1", "c1"),
+            ("s1", "rare2", "r2", "c1"),
+            ("s1", "zrare", "r3", "c1"),
+        ]
+    ).drop_columns(["entity_class"])
+    from esmarc_ray.ops.kg_reason import entity_summaries
+
+    out = (
+        entity_summaries(ds, k=3)
+        .to_pandas()
+        .sort_values(["subj", "rank"])
+        .reset_index(drop=True)
+    )
+    s1 = out[out["subj"] == "s1"]
+    # the 3 rare facts outrank the common one; pred lexicographic tie-break
+    assert s1["pred"].tolist() == ["rare1", "rare2", "zrare"]
+    assert s1["rank"].tolist() == [1, 2, 3]
+    assert out[out["subj"] == "s2"]["pred"].tolist() == ["common"]

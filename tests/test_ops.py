@@ -2695,3 +2695,39 @@ def test_loo_target_encode_exact_and_singleton(ray_session):
     )
     assert out["loo_mean"].tolist()[:3] == [25.0, 20.0, 15.0]
     assert np.isnan(out["loo_mean"].iloc[3])  # singleton key -> null
+
+
+def test_l_diversify_drops_uniform_groups(ray_session):
+    from esmarc_ray.ops.relational import l_diversify
+
+    df = pd.DataFrame(
+        {
+            "qi": ["a"] * 4 + ["b"] * 3,
+            "sens": ["x", "y", "x", "z", "x", "x", "x"],  # a: 3 distinct, b: 1
+            "id": range(7),
+        }
+    )
+    out = l_diversify(
+        ray.data.from_pandas(df).repartition(3), ["qi"], "sens", 3,
+        num_partitions=4,
+    ).to_pandas()
+    assert sorted(out["id"]) == [0, 1, 2, 3]  # only the diverse group survives
+
+
+def test_mann_whitney_matches_hand_computation(ray_session):
+    """Hand-checkable MWU with ties: a=[1,2,2], b=[2,3].
+    avg ranks: 1->1, 2->3 (ranks 2,3,4), 3->5. Ra=1+3+3=7, U=7-6=1."""
+    import numpy as np
+
+    from esmarc_ray.ops.relational import mann_whitney_u
+
+    df = pd.DataFrame(
+        {"g": ["a", "a", "a", "b", "b"], "v": [1.0, 2.0, 2.0, 2.0, 3.0]}
+    )
+    out = mann_whitney_u(
+        ray.data.from_pandas(df).repartition(2), "g", "v", "a", "b"
+    )
+    assert out.loc[0, "n_a"] == 3 and out.loc[0, "n_b"] == 2
+    assert out.loc[0, "u_stat"] == 1.0
+    mu, sigma = 3.0, np.sqrt(3 * 2 * 6 / 12)
+    assert abs(out.loc[0, "z"] - (1.0 - mu) / sigma) < 1e-6
