@@ -707,6 +707,141 @@ def q_ab_mannwhitney(sf_dir: str):
     return mann_whitney_u(events, "event_type", "value", "click", "purchase")
 
 
+def q_kg_sameas_components(sf_dir: str):
+    """Identity clusters of the KG: connected components over the internal
+    sameAs edges — the engine's pointer-jumping CC (2 shuffles/round,
+    log-diameter rounds) hash-checked against DuckDB's full recursive
+    closure with min-label representatives.  This oracles the CC operator
+    itself on real graph data, not just its pytest fixtures."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.graph import connected_components
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["subj", "pred", "obj", "obj_kind"]
+    )
+    path = _kg_oracle_table(sf_dir, "sameas_src", triples)
+    src = ray.data.read_parquet(path)
+
+    def edges(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[(batch["pred"] == "sameAs") & (batch["obj_kind"] == "node")]
+        ref = m["obj"].str.extract(_INTERNAL_REF_RE, expand=False)
+        keep = ref.notna()
+        return pd.DataFrame({"u": m["subj"][keep], "v": ref[keep]})
+
+    comp = connected_components(
+        src.map_batches(edges, batch_format="pandas"), u="u", v="v"
+    )
+    out = comp.to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_kg_sameas_symmetry(sf_dir: str):
+    """owl:sameAs symmetry audit: per referenced class, how many internal
+    sameAs edges lack their reverse inside the corpus — a consistency
+    report for the identity graph.  Distinct edges and their reverse
+    witnesses co-hash-partition on the PAIR key (one shuffle), so the
+    per-partition absence test is exact."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["subj", "pred", "obj", "obj_kind"]
+    )
+    path = _kg_oracle_table(sf_dir, "sameas_sym_src", triples)
+    src = ray.data.read_parquet(path)
+    sep = "\x1f"
+
+    def pair_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[(batch["pred"] == "sameAs") & (batch["obj_kind"] == "node")]
+        ref = m["obj"].str.extract(_INTERNAL_REF_RE, expand=False)
+        keep = ref.notna()
+        a = m["subj"][keep]
+        b = ref[keep]
+        cls = b.str.extract(r"data\.slub-dresden\.de/([a-z]+)/", expand=False)
+        fwd = pd.DataFrame({"key": a + sep + b, "cls": cls, "kind": "f"})
+        wit = pd.DataFrame({"key": b + sep + a, "cls": "", "kind": "w"})
+        return pd.concat([fwd, wit], ignore_index=True).drop_duplicates()
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates()
+        wit = set(part.loc[part["kind"] == "w", "key"])
+        f = part[part["kind"] == "f"]
+        if f.empty:
+            return pd.DataFrame(
+                {"cls": pd.Series(dtype=object),
+                 "n_edges": pd.Series(dtype="int64"),
+                 "n_asym": pd.Series(dtype="int64")}
+            )
+        g = f.assign(
+            asym=(~f["key"].isin(wit)).astype("int64"), one=1
+        ).groupby("cls", as_index=False).agg(
+            n_edges=("one", "sum"), n_asym=("asym", "sum")
+        )
+        return g
+
+    out = partial_groupby_agg(
+        partitioned_final(
+            src.map_batches(pair_rows, batch_format="pandas"),
+            ["key"],
+            per_part,
+            num_partitions=32,
+        ),
+        ["cls"],
+        {"n_edges": ("n_edges", "sum"), "n_asymmetric": ("n_asym", "sum")},
+    ).to_pandas()
+    out = out.rename(columns={"cls": "ref_class"})
+    return out.sort_values("ref_class").reset_index(drop=True)
+
+
+def q_als_factors(sf_dir: str):
+    """Distributed ALS matrix factorization of the customer×part quantity
+    matrix (normal-equation partials per entity, stacked k×k solves per
+    hash partition) — one-row fit report.  Iterative float least squares →
+    rows-only; semantics gated by the synthetic low-rank pytest."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.similarity import als_factorize, als_rmse
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).to_pandas()
+    omap = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+
+    def to_ratings(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user": batch["l_orderkey"].map(omap),
+                "item": batch["l_partkey"],
+                "rating": batch["l_quantity"].astype("float64"),
+            }
+        )
+
+    ratings = li.map_batches(to_ratings, batch_format="pandas")
+    uf, itf = als_factorize(ratings, rank=4, iterations=3)
+    rmse = als_rmse(ratings, uf, itf)
+    return pd.DataFrame(
+        {
+            "n_users": [len(uf)],
+            "n_items": [len(itf)],
+            "rank": [4],
+            "iterations": [3],
+            "rmse": [round(rmse, 4)],
+        }
+    )
+
+
 def q_orders_skyline(sf_dir: str):
     """Pareto frontier of URGENT orders — maximize o_totalprice, minimize
     o_orderdate ("no order was both earlier and at least as expensive"):
@@ -7509,6 +7644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_shacl_report": q_kg_shacl_report,
         "kg_property_table": q_kg_property_table,
         "kg_entity_summaries": q_kg_entity_summaries,
+        "kg_sameas_components": q_kg_sameas_components,
+        "kg_sameas_symmetry": q_kg_sameas_symmetry,
         "l_diverse_orders": q_l_diverse_orders,
         "ab_mannwhitney": q_ab_mannwhitney,
         "priority_target_encoding": q_priority_target_encoding,
@@ -7674,6 +7811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_term_freq": q_cms_term_freq,
         "audience_overlap": q_audience_overlap,
         "ivf_topk": q_ivf_topk,
+        "als_factors": q_als_factors,
         "minhash_dups": q_minhash_dups,
         "jaccard_dups": q_jaccard_dups,
         "orders_global_rank": q_orders_global_rank,
@@ -8927,6 +9065,48 @@ def oracle_sql() -> dict[str, str]:
                    round((ra - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
                          / sqrt(n1 * n2 * (n1 + n2 + 1) / 12), 6) AS z
             FROM s
+        """,
+        "kg_sameas_components": r"""
+            WITH RECURSIVE e AS (
+                SELECT subj AS a,
+                       NULLIF(regexp_extract(obj,
+                           '"@id": "(https://data\.slub-dresden\.de/[a-z]+/[^"]+)"',
+                           1), '') AS b
+                FROM read_parquet(
+                    '/tmp/esmarc_ray_kg_oracle/sameas_src/*.parquet')
+                WHERE pred = 'sameAs' AND obj_kind = 'node'
+            ),
+            ed AS (SELECT a, b FROM e WHERE b IS NOT NULL),
+            und AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+            reach(n, m) AS (
+                SELECT a, b FROM und
+                UNION
+                SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a
+            )
+            SELECT n AS node, least(n, min(m)) AS component
+            FROM reach GROUP BY n ORDER BY node
+        """,
+        "kg_sameas_symmetry": r"""
+            WITH e AS (
+                SELECT DISTINCT subj AS a,
+                       NULLIF(regexp_extract(obj,
+                           '"@id": "(https://data\.slub-dresden\.de/[a-z]+/[^"]+)"',
+                           1), '') AS b
+                FROM read_parquet(
+                    '/tmp/esmarc_ray_kg_oracle/sameas_sym_src/*.parquet')
+                WHERE pred = 'sameAs' AND obj_kind = 'node'
+            ),
+            ed AS (
+                SELECT a, b,
+                       regexp_extract(b, 'data\.slub-dresden\.de/([a-z]+)/', 1)
+                           AS cls
+                FROM e WHERE b IS NOT NULL
+            )
+            SELECT ed.cls AS ref_class, count(*) AS n_edges,
+                   sum(CASE WHEN r.a IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_asymmetric
+            FROM ed LEFT JOIN ed r ON ed.a = r.b AND ed.b = r.a
+            GROUP BY 1 ORDER BY 1
         """,
         "kg_two_hop": r"""
             WITH r AS (

@@ -539,3 +539,154 @@ def quantize_embeddings(
         )
 
     return embeddings.map_batches(quant, batch_format="pandas")
+
+
+def als_factorize(
+    ratings: ray.data.Dataset,
+    *,
+    user_column: str = "user",
+    item_column: str = "item",
+    rating_column: str = "rating",
+    rank: int = 8,
+    iterations: int = 5,
+    reg: float = 0.1,
+    seed: int = 42,
+    num_partitions: int = 32,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Distributed Alternating Least Squares matrix factorization
+    (Zhou et al. 2008, "Large-scale Parallel Collaborative Filtering") —
+    the classic implicit/explicit recommender factorizer.
+
+    Each half-step is fully combiner-shaped, never a task per entity:
+
+    1. the CURRENT side's factor table broadcasts into a ``map_batches``
+       pass over the ratings, where each batch reduces to per-entity normal
+       equation partials ``(A_u += q_i q_iᵀ, b_u += r·q_i)`` — k²+k floats
+       per (batch × entity), not per rating;
+    2. partials hash-partition by entity and each partition solves its
+       entities' k×k systems with ONE stacked ``np.linalg.solve`` call.
+
+    The factor tables are O(entities × k).  This implementation broadcasts
+    the opposite side's factors each half-step (the standard
+    broadcast-ALS plan: right for the common case where at least one side —
+    items — fits a worker; a 100-TB two-giant-sides run would swap the
+    broadcast for a third co-partitioned exchange of the factor table,
+    same partial algebra).  Deterministic: factors init from a seeded RNG
+    keyed by entity hash order, and every solve consumes summed partials.
+
+    Returns (user_factors, item_factors) as pandas DataFrames with columns
+    [entity, f0..f{k-1}].
+    """
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+
+    k = rank
+
+    def narrow(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "u": batch[user_column].astype(str),
+                "i": batch[item_column].astype(str),
+                "r": batch[rating_column].astype("float64"),
+            }
+        )
+
+    rat = ratings.map_batches(narrow, batch_format="pandas").materialize()
+
+    # deterministic per-item init: hash-seeded uniform rows (entity order
+    # independent — each entity's row derives from its own name)
+    def init_rows(names: pd.Series) -> pd.DataFrame:
+        import zlib
+
+        rows = np.empty((len(names), k), dtype="float64")
+        for j, name in enumerate(names):  # runs once over DISTINCT entities
+            rng = np.random.RandomState(
+                (zlib.crc32(name.encode()) ^ seed) & 0x7FFFFFFF
+            )
+            rows[j] = rng.uniform(0.1, 1.0, k)
+        out = pd.DataFrame(rows, columns=[f"f{j}" for j in range(k)])
+        out.insert(0, "entity", names.to_numpy())
+        return out
+
+    items = (
+        partial_groupby_agg(
+            rat.map_batches(
+                lambda b: b[["i"]].drop_duplicates(), batch_format="pandas"
+            ),
+            ["i"],
+            {"n": ("i", "count")},
+        )
+        .to_pandas()["i"]
+    )
+    item_f = init_rows(items)
+    user_f: pd.DataFrame | None = None
+
+    def half_step(fixed: pd.DataFrame, group_col: str, other_col: str):
+        fcols = [f"f{j}" for j in range(k)]
+        fixed_idx = fixed.set_index("entity")[fcols]
+
+        def partials(batch: pd.DataFrame) -> pd.DataFrame:
+            # vectorized broadcast-side gather: one indexed .loc, no row loop
+            q = fixed_idx.loc[batch[other_col].to_numpy()].to_numpy()
+            r = batch["r"].to_numpy()
+            outer = q[:, :, None] * q[:, None, :]  # (n, k, k)
+            rq = q * r[:, None]
+            df = pd.DataFrame(
+                {
+                    "e": batch[group_col].to_numpy(),
+                }
+            )
+            flat = outer.reshape(len(batch), k * k)
+            for j in range(k * k):
+                df[f"a{j}"] = flat[:, j]
+            for j in range(k):
+                df[f"b{j}"] = rq[:, j]
+            return df.groupby("e", as_index=False).sum()
+
+        def solve(part: pd.DataFrame) -> pd.DataFrame:
+            g = part.groupby("e", as_index=False).sum()
+            a = g[[f"a{j}" for j in range(k * k)]].to_numpy().reshape(-1, k, k)
+            b = g[[f"b{j}" for j in range(k)]].to_numpy()
+            a = a + reg * np.eye(k)[None, :, :]
+            sol = np.linalg.solve(a, b)  # stacked: one LAPACK call for all
+            out = pd.DataFrame(sol, columns=[f"f{j}" for j in range(k)])
+            out.insert(0, "entity", g["e"].to_numpy())
+            return out
+
+        return partitioned_final(
+            rat.map_batches(partials, batch_format="pandas"),
+            ["e"],
+            solve,
+            num_partitions=num_partitions,
+        ).to_pandas()
+
+    for _ in range(iterations):
+        user_f = half_step(item_f, "u", "i")
+        item_f = half_step(user_f, "i", "u")
+    return user_f, item_f
+
+
+def als_rmse(
+    ratings: ray.data.Dataset,
+    user_f: pd.DataFrame,
+    item_f: pd.DataFrame,
+    *,
+    user_column: str = "user",
+    item_column: str = "item",
+    rating_column: str = "rating",
+) -> float:
+    """Distributed RMSE of an ALS factorization: factors broadcast, each
+    batch reduces to (sq_err_sum, n) partials."""
+    k = sum(c.startswith("f") for c in user_f.columns)
+    cols = [f"f{j}" for j in range(k)]
+    umap = dict(zip(user_f["entity"], map(tuple, user_f[cols].to_numpy())))
+    imap = dict(zip(item_f["entity"], map(tuple, item_f[cols].to_numpy())))
+
+    def err(batch: pd.DataFrame) -> pd.DataFrame:
+        u = np.stack([umap[str(e)] for e in batch[user_column]])
+        v = np.stack([imap[str(e)] for e in batch[item_column]])
+        pred = (u * v).sum(axis=1)
+        d = batch[rating_column].to_numpy(dtype="float64") - pred
+        return pd.DataFrame({"se": [float((d * d).sum())], "n": [len(d)]})
+
+    parts = ratings.map_batches(err, batch_format="pandas").to_pandas()
+    return float(np.sqrt(parts["se"].sum() / parts["n"].sum()))

@@ -2731,3 +2731,29 @@ def test_mann_whitney_matches_hand_computation(ray_session):
     assert out.loc[0, "u_stat"] == 1.0
     mu, sigma = 3.0, np.sqrt(3 * 2 * 6 / 12)
     assert abs(out.loc[0, "z"] - (1.0 - mu) / sigma) < 1e-6
+
+
+def test_als_recovers_low_rank_matrix(ray_session):
+    """ALS on an exactly rank-2 synthetic matrix drives RMSE near zero, and
+    iterating improves the fit."""
+    import numpy as np
+
+    from esmarc_ray.ops.similarity import als_factorize, als_rmse
+
+    rng = np.random.RandomState(3)
+    u_true = rng.uniform(0.5, 1.5, (30, 2))
+    v_true = rng.uniform(0.5, 1.5, (20, 2))
+    rows = [
+        {"user": f"u{i}", "item": f"i{j}", "rating": float(u_true[i] @ v_true[j])}
+        for i in range(30)
+        for j in range(20)
+        if (i * 20 + j) % 3 != 0  # hold out a third of the cells
+    ]
+    ratings = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+    uf1, if1 = als_factorize(ratings, rank=2, iterations=1, reg=0.01)
+    uf5, if5 = als_factorize(ratings, rank=2, iterations=6, reg=0.01)
+    r1 = als_rmse(ratings, uf1, if1)
+    r5 = als_rmse(ratings, uf5, if5)
+    assert r5 < r1
+    assert r5 < 0.05, r5
+    assert len(uf5) == 30 and len(if5) == 20
