@@ -707,6 +707,46 @@ def q_ab_mannwhitney(sf_dir: str):
     return mann_whitney_u(events, "event_type", "value", "click", "purchase")
 
 
+def _span_mirror(sf_dir: str, name: str) -> str:
+    """Hardlink the span corpus under the oracle dir so DuckDB can unnest the
+    SAME parquet the Ray pipeline reads (source-level oracle)."""
+    import shutil
+
+    corpus = _span_corpus(_corpus_size_for(sf_dir))
+    mirror = _KG_ORACLE_DIR / name
+    if mirror.exists():
+        shutil.rmtree(mirror)
+    mirror.mkdir(parents=True)
+    for f in pathlib.Path(corpus).glob("*.parquet"):
+        (mirror / f.name).hardlink_to(f)
+    return corpus
+
+
+def q_media_captions(sf_dir: str):
+    """Interleaved caption pairing: every media span paired with its nearest
+    preceding text span — the image-text training-pair extraction of an
+    interleaved multimodal corpus.  Map-only zero-copy Arrow flatten + one
+    vectorized forward-fill; DuckDB re-derives each pair with a window over
+    the unnested SAME parquet."""
+    from esmarc_ray.io import read_documents
+    from esmarc_ray.pipelines.media import media_captions
+
+    corpus = _span_mirror(sf_dir, "spans_cap")
+    return media_captions(read_documents(corpus))
+
+
+def q_media_transitions(sf_dir: str):
+    """Interleaving-structure profile: adjacent span-kind bigram counts over
+    the binary text/media classification — the corpus-QA readout for
+    multimodal training data."""
+    from esmarc_ray.io import read_documents
+    from esmarc_ray.pipelines.media import media_transitions
+
+    corpus = _span_mirror(sf_dir, "spans_tr")
+    out = media_transitions(read_documents(corpus)).to_pandas()
+    return out.sort_values(["src_kind", "dst_kind"]).reset_index(drop=True)
+
+
 def q_kg_sameas_components(sf_dir: str):
     """Identity clusters of the KG: connected components over the internal
     sameAs edges — the engine's pointer-jumping CC (2 shuffles/round,
@@ -7849,6 +7889,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # interleaved text+media: span extraction (source-level oracle) and
         # the fetch→decode→feature actor-pool path
         "media_ref_counts": q_media_ref_counts,
+        "media_captions": q_media_captions,
+        "media_transitions": q_media_transitions,
         "doc_media_features": q_doc_media_features,
         # TPC-H Q5-shaped 6-table join chain (region/nation/supplier)
         "regional_revenue": q_regional_revenue,
@@ -9251,6 +9293,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         # source-level oracle: DuckDB unnests the same span parquet the Ray
         # extractor read (hardlinked by the query into .../spans)
+        "media_captions": """
+            WITH w AS (
+                SELECT doc_id, s.kind AS kind, s.text AS text,
+                       s.media_ref AS media_ref, s."offset" AS off
+                FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet(
+                    '/tmp/esmarc_ray_kg_oracle/spans_cap/*.parquet'))
+            ),
+            m AS (SELECT doc_id, media_ref, off FROM w WHERE kind = 'media'),
+            t AS (SELECT doc_id, text, off FROM w WHERE kind <> 'media'),
+            j AS (
+                SELECT m.doc_id, m.media_ref, m.off AS span_order,
+                       t.text AS caption,
+                       row_number() OVER (
+                           PARTITION BY m.doc_id, m.off ORDER BY t.off DESC
+                       ) AS rn
+                FROM m LEFT JOIN t
+                  ON t.doc_id = m.doc_id AND t.off < m.off
+            )
+            SELECT doc_id, media_ref, span_order, caption
+            FROM j WHERE rn = 1 ORDER BY doc_id, span_order
+        """,
+        "media_transitions": """
+            WITH w AS (
+                SELECT doc_id,
+                       CASE WHEN s.kind = 'media' THEN 'media' ELSE 'text'
+                           END AS k,
+                       s."offset" AS off
+                FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet(
+                    '/tmp/esmarc_ray_kg_oracle/spans_tr/*.parquet'))
+            ),
+            b AS (
+                SELECT k AS src_kind,
+                       lead(k) OVER (PARTITION BY doc_id ORDER BY off)
+                           AS dst_kind
+                FROM w
+            )
+            SELECT src_kind, dst_kind, count(*) AS n
+            FROM b WHERE dst_kind IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "media_ref_counts": """
             SELECT doc_id, count(*) AS n_media
             FROM (SELECT doc_id, unnest(spans) AS s

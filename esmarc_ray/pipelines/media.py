@@ -64,6 +64,85 @@ def media_refs(docs: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def _flat_spans(batch: pa.Table):
+    """Shared zero-copy flatten: (doc_ids, parent_idx, kind, text, media_ref,
+    offset) numpy/pandas views over the span list column."""
+    import numpy as np
+
+    spans = batch.column("spans").combine_chunks()
+    flat = spans.flatten()
+    parent = pc.list_parent_indices(spans).to_numpy()
+    off = flat.field("offset").to_numpy()
+    # spans are stored in offset order within each list; enforce it anyway so
+    # the pairing below never depends on writer layout
+    order = np.lexsort((off, parent))
+    return (
+        batch.column("doc_id").to_pandas().to_numpy(),
+        parent[order],
+        flat.field("kind").to_pandas().to_numpy()[order],
+        flat.field("text").to_pandas().to_numpy()[order],
+        flat.field("media_ref").to_pandas().to_numpy()[order],
+        off[order],
+    )
+
+
+def media_captions(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, media_ref, span_order, caption) — every media span paired
+    with its nearest PRECEDING text span: the caption heuristic that turns
+    interleaved documents into image-text training pairs (the standard
+    recipe for interleaved multimodal corpora).  Null caption when a media
+    span opens its document.
+
+    A document's spans live inside its own row, so the pairing is map-only
+    and zero-shuffle: one Arrow list flatten + one vectorized forward-fill
+    per batch, no Python loop over spans."""
+    import numpy as np
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        doc_ids, parent, kind, text, media_ref, off = _flat_spans(batch)
+        is_media = kind == "media"
+        # forward-fill the latest text-span text within each doc run
+        cap = pd.Series(np.where(is_media, None, text), dtype=object)
+        cap = cap.groupby(parent).ffill()
+        m = is_media
+        out = pd.DataFrame(
+            {
+                "doc_id": doc_ids[parent[m]],
+                "media_ref": media_ref[m],
+                "span_order": off[m].astype("int64"),
+                "caption": cap.to_numpy()[m],
+            }
+        )
+        return out
+
+    return docs.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def media_transitions(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Interleaving-structure profile: global counts of adjacent span-kind
+    bigrams over the binary text/media classification — (src_kind, dst_kind,
+    n).  The corpus-QA readout for multimodal training data ("are media
+    spans isolated or clustered?").  Map-only per batch (a doc's spans never
+    leave its row) + one tiny combiner."""
+    import numpy as np
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    def bigrams(batch: pa.Table) -> pd.DataFrame:
+        _, parent, kind, _, _, _ = _flat_spans(batch)
+        k = np.where(kind == "media", "media", "text")
+        same_doc = parent[1:] == parent[:-1]
+        return pd.DataFrame(
+            {"src_kind": k[:-1][same_doc], "dst_kind": k[1:][same_doc]}
+        )
+
+    return partial_groupby_agg(
+        docs.map_batches(bigrams, batch_format="pyarrow", zero_copy_batch=True),
+        ["src_kind", "dst_kind"],
+        {"n": ("src_kind", "count")},
+    )
+
+
 def _bmp_payload(ref: str, payload_bytes: int) -> bytes:
     """Deterministic REAL BMP for a media ref: a square gradient image whose
     pixel area approximately fills ``payload_bytes``, phase-shifted by the
