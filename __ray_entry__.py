@@ -992,6 +992,27 @@ def q_wl_labels(sf_dir: str):
     return out.sort_values("wl_label").reset_index(drop=True)
 
 
+def q_link_prediction(sf_dir: str):
+    """Missing-edge candidates of the co-purchase graph ranked by exact
+    common-neighbor count, with Adamic-Adar and neighborhood-Jaccard scores
+    (Liben-Nowell & Kleinberg link prediction) — in the KG this is the
+    "suggest a relatedTo/sameAs edge" primitive.  Wedges are generated per
+    center partition with ln(deg) joined on locally, summed by one
+    hash-partitioned groupby, known edges anti-joined out co-partitioned
+    on the pair key; top-k cut on the exact integer cn so the result is
+    partitioning-independent.  The oracle re-derives every score with an
+    adjacency self-join in SQL."""
+    from esmarc_ray.ops.graph import link_prediction_scores
+
+    return link_prediction_scores(
+        _dedup_copurchase_edges(sf_dir),
+        u="l_partkey_a",
+        v="l_partkey_b",
+        min_common=2,
+        top_k=100,
+    )
+
+
 def q_kg_authority_links(sf_dir: str):
     """External-authority link histogram of the KG: node objects whose @id
     resolves OUTSIDE data.slub-dresden.de, counted per (entity_class, pred,
@@ -7696,6 +7717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_assortativity": q_copurchase_assortativity,
         "landmark_closeness": q_landmark_closeness,
         "wl_labels": q_wl_labels,
+        "link_prediction": q_link_prediction,
         "kg_authority_links": q_kg_authority_links,
         "split_ngram_overlap": q_split_ngram_overlap,
         "event_type_trend": q_event_type_trend,
@@ -8815,6 +8837,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lm, hop, count(*) AS n_nodes
             FROM dist GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "link_prediction": """
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                WHERE a.l_orderkey < 500 AND b.l_orderkey < 500
+            ),
+            adj AS (
+                SELECT x AS w, y AS n FROM e
+                UNION ALL
+                SELECT y AS w, x AS n FROM e
+            ),
+            deg AS (SELECT w AS node, count(*) AS deg FROM adj GROUP BY 1),
+            wed AS (
+                SELECT a1.n AS x, a2.n AS y, count(*) AS cn,
+                       sum(1.0 / ln(d.deg)) AS aa
+                FROM adj a1
+                JOIN adj a2 ON a1.w = a2.w AND a1.n < a2.n
+                JOIN deg d ON d.node = a1.w
+                GROUP BY 1, 2
+            ),
+            cand AS (
+                SELECT w.x, w.y, w.cn, w.aa,
+                       dx.deg AS deg_x, dy.deg AS deg_y
+                FROM wed w
+                JOIN deg dx ON dx.node = w.x
+                JOIN deg dy ON dy.node = w.y
+                LEFT JOIN e ON e.x = w.x AND e.y = w.y
+                WHERE e.x IS NULL AND w.cn >= 2
+            )
+            SELECT x, y, cn,
+                   floor(aa * 1e6 + 0.5) / 1e6 AS adamic_adar,
+                   floor((CAST(cn AS DOUBLE) / (deg_x + deg_y - cn)) * 1e6
+                         + 0.5) / 1e6 AS jaccard
+            FROM cand
+            ORDER BY cn DESC, x, y
+            LIMIT 100
         """,
         "wl_labels": """
             WITH e AS (
