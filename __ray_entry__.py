@@ -1804,6 +1804,78 @@ def q_cusum_changepoints(sf_dir: str):
     return df.sort_values(["event_type", "day_idx"]).reset_index(drop=True)
 
 
+def q_events_acf(sf_dir: str):
+    """Autocorrelation function (lags 1..7) of each event type's daily-count
+    series — the periodicity/seasonality probe of a monitoring pipeline.
+    The daily series is a combiner-shaped groupby (the only thing that
+    scales with data); each per-type ACF folds EXACT int64 moments
+    (Σy·y_lag, Σy head/tail sums) so the final float expression is
+    bit-identical to the oracle's, which re-derives every lag with a
+    row_number self-join over the same daily table."""
+    import datetime as _dt
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    _EPOCH_ORD = _dt.date(1970, 1, 1).toordinal()
+
+    def day_ord(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["x"] = (
+            batch["ts"].dt.date.map(_dt.date.toordinal).astype("int64")
+            - _EPOCH_ORD
+        )
+        return batch[["event_type", "x"]]
+
+    daily = partial_groupby_agg(
+        events.map_batches(day_ord, batch_format="pandas"),
+        ["event_type", "x"],
+        {"y": ("x", "count")},
+    )
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type"):
+            y = g.sort_values("x")["y"].to_numpy("int64")
+            n = len(y)
+            sy = int(y.sum())
+            syy = int((y * y).sum())
+            mu = float(sy) / float(n)
+            den = float(syy) - float(sy) * float(sy) / float(n)
+            for k in range(1, 8):
+                if n <= k or den == 0.0:
+                    continue
+                sxy = int((y[k:] * y[:-k]).sum())
+                a = int(y[k:].sum())
+                b = int(y[:-k].sum())
+                num = float(sxy) - mu * float(a + b) + float(n - k) * mu * mu
+                rows.append(
+                    {
+                        "event_type": et,
+                        "lag": k,
+                        "acf": float(np.floor(num / den * 1e6 + 0.5) / 1e6),
+                    }
+                )
+        return pd.DataFrame(rows, columns=["event_type", "lag", "acf"])
+
+    df = partitioned_final(daily, ["event_type"], fold, num_partitions=8).to_pandas()
+    if df.empty:
+        df = pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "lag": pd.Series(dtype="int64"),
+                "acf": pd.Series(dtype="float64"),
+            }
+        )
+    df["lag"] = df["lag"].astype("int64")
+    return df.sort_values(["event_type", "lag"]).reset_index(drop=True)
+
+
 def q_langid_kappa(sf_dir: str):
     """Cohen's kappa of the language-ID classifier against the labeled
     lang — chance-corrected agreement from the exact integer confusion
@@ -7731,6 +7803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": q_events_ewma,
         "frequent_triples": q_frequent_triples,
         "cusum_changepoints": q_cusum_changepoints,
+        "events_acf": q_events_acf,
         "langid_kappa": q_langid_kappa,
         "shard_balance_chi2": q_shard_balance_chi2,
         "zonemap_prune": q_zonemap_prune,
@@ -8491,6 +8564,54 @@ def oracle_sql() -> dict[str, str]:
                     AND c.l_partkey < e.l_partkey
             GROUP BY 1, 2, 3 HAVING count(*) >= 2
             ORDER BY 1, 2, 3
+        """,
+        "events_acf": """
+            WITH d AS (
+                SELECT event_type,
+                       date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                           AS x,
+                       count(*) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT event_type, y,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY x
+                       ) AS rn
+                FROM d
+            ),
+            m AS (
+                SELECT event_type, count(*) AS n,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(y * y) AS BIGINT) AS syy
+                FROM s GROUP BY 1
+            ),
+            lags AS (SELECT unnest(range(1, 8)) AS k),
+            p AS (
+                SELECT s1.event_type, lags.k,
+                       CAST(sum(s1.y * s2.y) AS BIGINT) AS sxy,
+                       CAST(sum(s1.y) AS BIGINT) AS a,
+                       CAST(sum(s2.y) AS BIGINT) AS b
+                FROM lags
+                JOIN s s1 ON TRUE
+                JOIN s s2 ON s2.event_type = s1.event_type
+                         AND s2.rn = s1.rn - lags.k
+                GROUP BY 1, 2
+            )
+            SELECT p.event_type, CAST(p.k AS BIGINT) AS lag,
+                   floor((CAST(p.sxy AS DOUBLE)
+                          - (CAST(m.sy AS DOUBLE) / m.n)
+                            * CAST(p.a + p.b AS DOUBLE)
+                          + CAST(m.n - p.k AS DOUBLE)
+                            * (CAST(m.sy AS DOUBLE) / m.n)
+                            * (CAST(m.sy AS DOUBLE) / m.n))
+                         / (CAST(m.syy AS DOUBLE)
+                            - CAST(m.sy AS DOUBLE) * CAST(m.sy AS DOUBLE)
+                              / m.n)
+                         * 1e6 + 0.5) / 1e6 AS acf
+            FROM p JOIN m ON m.event_type = p.event_type
+            WHERE m.syy * m.n <> m.sy * m.sy
+            ORDER BY 1, 2
         """,
         "cusum_changepoints": """
             WITH RECURSIVE d AS (
