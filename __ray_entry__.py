@@ -1876,6 +1876,25 @@ def q_events_acf(sf_dir: str):
     return df.sort_values(["event_type", "lag"]).reset_index(drop=True)
 
 
+def q_bpe_merges(sf_dir: str):
+    """Tokenizer training as a pipeline stage: the first 16 BPE merges
+    learned over the documents corpus (Sennrich et al. 2016).  The corpus
+    is read once by a combiner-shaped word-count groupby; every merge
+    iteration runs over the vocabulary-sized word table only (numpy
+    flatten pair counting, deterministic argmax on the exact integer
+    count, prefiltered leftmost-greedy rewrite).  Not SQL-expressible
+    (iterative data-dependent state) — merge-order equality vs a
+    sequential reference implementation is pytest-gated."""
+    import ray.data
+
+    from esmarc_ray.ops.text import bpe_train
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bpe_train(docs, n_merges=16)
+
+
 def q_langid_kappa(sf_dir: str):
     """Cohen's kappa of the language-ID classifier against the labeled
     lang — chance-corrected agreement from the exact integer confusion
@@ -7916,6 +7935,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "item_cooc_sim": q_item_cooc_sim,
         "negative_sampling_weights": q_negative_sampling_weights,
         "vocab_coverage": q_vocab_coverage,
+        # tokenizer training: iterative merges are not SQL-expressible;
+        # gated by tests/test_ops.py::test_bpe_train_matches_reference
+        # (merge-order equality vs a sequential Sennrich-style reference)
+        "bpe_merges": q_bpe_merges,
         "dup_rate_by_source": q_dup_rate_by_source,
         "eval_sample_per_lang": q_eval_sample_per_lang,
         "doc_compress_ratio": q_doc_compress_ratio,

@@ -1607,3 +1607,146 @@ def flesch_scores(
         )
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+def bpe_train(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    n_merges: int = 20,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Learn the top-``n_merges`` byte-pair-encoding merges of the corpus
+    (Sennrich et al. 2016) — tokenizer training as a data-pipeline stage.
+
+    Returns (rank, left, right, merged, n) — the merge table in learned
+    order, ``n`` = the pair's corpus frequency at the time it was chosen.
+
+    Scale shape: the CORPUS is touched exactly once, by a combiner-shaped
+    word-count groupby (the standard industrial trick — BPE statistics only
+    depend on the word-frequency table, which is vocabulary-sized, not
+    corpus-sized).  Each of the ``n_merges`` iterations then runs over the
+    word table: a zero-copy numpy flatten counts adjacent symbol pairs
+    (weighted by word freq, no per-word Python), one small fold picks the
+    argmax pair (count desc, then lexicographic — deterministic under any
+    partitioning), and the merge is applied only to words whose padded
+    symbol string contains the exact adjacency (vectorized prefilter; the
+    per-word rewrite loop runs on that usually-tiny subset).  The pair
+    table collected per iteration is bounded by the symbol-pair vocabulary
+    (10^4-10^5), never the corpus; at extreme vocab scale, prune it with
+    ops.sketches.heavy_hitters first.
+    """
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    word_re = re.compile(r"[a-z0-9]+")
+
+    def words_of(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            batch[text_col]
+            .astype(str)
+            .str.lower()
+            .str.findall(word_re)
+            .explode()
+            .dropna()
+        )
+        return pd.DataFrame({"word": toks.to_numpy()})
+
+    vocab = partial_groupby_agg(
+        docs,
+        ["word"],
+        {"freq": ("word", "count")},
+        pre_map=words_of,
+        num_partitions=num_partitions,
+    )
+
+    # symbol state: one space-joined string per word ("h e l l o </w>") —
+    # adjacency tests and flattening both come straight off this column
+    def init_syms(batch: pd.DataFrame) -> pd.DataFrame:
+        joined = batch["word"].map(lambda w: " ".join(list(w) + ["</w>"]))
+        return pd.DataFrame({"syms": joined, "freq": batch["freq"]})
+
+    state = vocab.map_batches(init_syms, batch_format="pandas").materialize()
+
+    _EMPTY_PAIRS = pd.DataFrame(
+        {
+            "left": pd.Series(dtype="object"),
+            "right": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+        }
+    )
+
+    def pair_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return _EMPTY_PAIRS
+        parts = batch["syms"].str.split(" ")
+        lens = parts.str.len().to_numpy()
+        flat = np.concatenate(parts.to_numpy())
+        parent = np.repeat(np.arange(len(batch)), lens)
+        same = parent[1:] == parent[:-1]
+        w = batch["freq"].to_numpy()[parent[:-1][same]]
+        df = pd.DataFrame(
+            {"left": flat[:-1][same], "right": flat[1:][same], "n": w}
+        )
+        return df.groupby(["left", "right"], as_index=False)["n"].sum()
+
+    merges: list[dict] = []
+    for rank in range(n_merges):
+        pairs = partial_groupby_agg(
+            state,
+            ["left", "right"],
+            {"n": ("n", "sum")},
+            pre_map=pair_partials,
+            num_partitions=num_partitions,
+        ).to_pandas()
+        if pairs.empty:
+            break
+        best = pairs.sort_values(
+            ["n", "left", "right"], ascending=[False, True, True]
+        ).iloc[0]
+        left, right, n = str(best["left"]), str(best["right"]), int(best["n"])
+        merged = left + right
+        merges.append(
+            {"rank": rank, "left": left, "right": right, "merged": merged,
+             "n": n}
+        )
+
+        pat = f"{left} {right}"
+
+        def apply_merge(batch: pd.DataFrame) -> pd.DataFrame:
+            padded = " " + batch["syms"] + " "
+            hit = padded.str.contains(f" {pat} ", regex=False)
+            if hit.any():
+                # leftmost-greedy rewrite on the affected words only; the
+                # two-pass replace handles overlapping runs ("a a a") the
+                # same way the sequential scan would
+                def rewrite(s: str) -> str:
+                    out = []
+                    toks = s.split(" ")
+                    i = 0
+                    while i < len(toks):
+                        if (
+                            i + 1 < len(toks)
+                            and toks[i] == left
+                            and toks[i + 1] == right
+                        ):
+                            out.append(merged)
+                            i += 2
+                        else:
+                            out.append(toks[i])
+                            i += 1
+                    return " ".join(out)
+
+                batch = batch.copy()
+                batch.loc[hit, "syms"] = batch.loc[hit, "syms"].map(rewrite)
+            return batch
+
+        state = state.map_batches(
+            apply_merge, batch_format="pandas"
+        ).materialize()
+
+    out = pd.DataFrame(
+        merges, columns=["rank", "left", "right", "merged", "n"]
+    )
+    out["rank"] = out["rank"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out

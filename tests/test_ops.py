@@ -2757,3 +2757,55 @@ def test_als_recovers_low_rank_matrix(ray_session):
     assert r5 < r1
     assert r5 < 0.05, r5
     assert len(uf5) == 30 and len(if5) == 20
+
+
+def test_bpe_train_matches_reference(ray_session):
+    """bpe_train == a straightforward sequential BPE (Sennrich-style) on the
+    same corpus: identical merge order, pair identities and counts."""
+    corpus = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "widest widest widest",
+        "low lower newest widest new",
+    ]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(len(corpus)), "text": corpus})
+    )
+    got = text.bpe_train(ds, n_merges=12)
+
+    # sequential reference: dict of word -> freq, tuple-of-symbols state
+    import collections
+    import re as _re
+
+    vocab = collections.Counter()
+    for doc in corpus:
+        for w in _re.findall(r"[a-z0-9]+", doc.lower()):
+            vocab[w] += 1
+    state = {w: tuple(list(w) + ["</w>"]) for w in vocab}
+    expected = []
+    for rank in range(12):
+        counts = collections.Counter()
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += vocab[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (l, r), n = best
+        expected.append((rank, l, r, l + r, n))
+        new_state = {}
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_state[w] = tuple(out)
+        state = new_state
+
+    got_rows = list(got.itertuples(index=False, name=None))
+    assert got_rows == expected
