@@ -992,6 +992,23 @@ def q_wl_labels(sf_dir: str):
     return out.sort_values("wl_label").reset_index(drop=True)
 
 
+def q_copurchase_butterflies(sf_dir: str):
+    """Butterfly (bipartite 4-cycle) census of the order-part bipartite
+    graph — two orders sharing two parts form a butterfly, the bipartite
+    analogue of a triangle and the standard cohesion readout before any
+    one-mode projection.  Wedges per part-side hash partition, pair counts
+    via one partitioned groupby, C(c,2) folded from per-batch int partials;
+    the oracle re-derives the census with a bipartite self-join."""
+    import ray.data
+
+    from esmarc_ray.ops.graph import butterfly_count
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).filter(expr="l_orderkey < 2000")
+    return butterfly_count(li, u="l_orderkey", v="l_partkey")
+
+
 def q_link_prediction(sf_dir: str):
     """Missing-edge candidates of the co-purchase graph ranked by exact
     common-neighbor count, with Adamic-Adar and neighborhood-Jaccard scores
@@ -7809,6 +7826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "landmark_closeness": q_landmark_closeness,
         "wl_labels": q_wl_labels,
         "link_prediction": q_link_prediction,
+        "copurchase_butterflies": q_copurchase_butterflies,
         "kg_authority_links": q_kg_authority_links,
         "split_ngram_overlap": q_split_ngram_overlap,
         "event_type_trend": q_event_type_trend,
@@ -8981,6 +8999,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lm, hop, count(*) AS n_nodes
             FROM dist GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "copurchase_butterflies": """
+            WITH e AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem WHERE l_orderkey < 2000
+            ),
+            w AS (
+                SELECT a.o AS u1, b.o AS u2, count(*) AS c
+                FROM e a JOIN e b ON a.p = b.p AND a.o < b.o
+                GROUP BY 1, 2
+            )
+            SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
+                       AS n_butterflies,
+                   count(*) AS n_copaired,
+                   CAST(coalesce(max(c), 0) AS BIGINT) AS max_copair
+            FROM w
         """,
         "link_prediction": """
             WITH e AS (
