@@ -992,6 +992,27 @@ def q_wl_labels(sf_dir: str):
     return out.sort_values("wl_label").reset_index(drop=True)
 
 
+def q_part_canopies(sf_dir: str):
+    """Canopy pre-blocking (McCallum-Nigam-Ungar) over part names: cheap
+    token-Jaccard canopies that bound which part pairs the expensive ER
+    stage may ever compare.  Two-level distributed canopy — per-partition
+    greedy centers, one global center merge, broadcast assign — output
+    deterministic under any partitioning (id-sorted greedy at both
+    levels).  Greedy sequential center selection is not SQL-expressible;
+    gated by tests/test_ops.py::test_canopy_clusters_blocking."""
+    import ray.data
+
+    from esmarc_ray.ops.relational import canopy_clusters
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).filter(expr="p_partkey < 400")
+    out = canopy_clusters(
+        parts, id_col="p_partkey", text_col="p_name", t1=0.55, t2=0.75
+    ).to_pandas()
+    return out.sort_values(["id", "canopy"]).reset_index(drop=True)
+
+
 def q_copurchase_butterflies(sf_dir: str):
     """Butterfly (bipartite 4-cycle) census of the order-part bipartite
     graph — two orders sharing two parts form a butterfly, the bipartite
@@ -7827,6 +7848,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wl_labels": q_wl_labels,
         "link_prediction": q_link_prediction,
         "copurchase_butterflies": q_copurchase_butterflies,
+        # greedy canopy selection is sequential/not SQL-expressible; gated
+        # by tests/test_ops.py::test_canopy_clusters_blocking
+        "part_canopies": q_part_canopies,
         "kg_authority_links": q_kg_authority_links,
         "split_ngram_overlap": q_split_ngram_overlap,
         "event_type_trend": q_event_type_trend,

@@ -4137,3 +4137,101 @@ def ks_statistic(
             }
         )
     )
+
+
+def canopy_clusters(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    text_col: str,
+    t1: float = 0.35,
+    t2: float = 0.7,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Canopy clustering (McCallum-Nigam-Ungar 2000): cheap-distance
+    pre-blocking for entity resolution.  Returns (id, canopy) rows — a
+    record can land in SEVERAL canopies (loose threshold ``t1``), and only
+    records inside a canopy are ever compared by the expensive ER stage.
+
+    Cheap distance = 1 - token-set Jaccard of the lowercased word tokens.
+    ``t1`` (loose, join a canopy) > ``t2`` (tight, stop being a candidate
+    center) in DISTANCE terms: t1=0.35 means "Jaccard >= 0.65 joins".
+
+    Distributed shape (the standard two-level MapReduce canopy):
+      1. per-partition greedy canopy over id-sorted rows picks LOCAL
+         centers (one task per hash partition, no cross-partition state);
+      2. the local centers — bounded by data diversity, not size — are
+         greedily merged once on the driver (centers within ``t2`` of an
+         accepted center are dropped), id-sorted so the result is
+         deterministic under any partitioning;
+      3. the final center token sets broadcast back through one
+         ``map_batches`` assign: every record joins every canopy within
+         ``t1``; records matching none become their own singleton canopy.
+    """
+
+    def toks(s: str) -> frozenset:
+        return frozenset(str(s).lower().split())
+
+    def jac(a: frozenset, b: frozenset) -> float:
+        if not a and not b:
+            return 1.0
+        inter = len(a & b)
+        return inter / (len(a) + len(b) - inter)
+
+    def local_centers(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(id_col)
+        centers: list[tuple] = []  # (center_id, tokset)
+        for rid, txt in zip(part[id_col], part[text_col]):
+            t = toks(txt)
+            if all(1.0 - jac(t, ct) > t2 for _, ct in centers):
+                centers.append((rid, t))
+        return pd.DataFrame(
+            {
+                "center_id": [c for c, _ in centers],
+                "center_text": [" ".join(sorted(t)) for _, t in centers],
+            }
+        )
+
+    from esmarc_ray.ops.graph import _part_series
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["part"] = _part_series(batch[id_col].astype(str), num_partitions)
+        return batch
+
+    local = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("part")
+        .map_groups(local_centers, batch_format="pandas")
+        .to_pandas()
+        .sort_values("center_id")
+    )
+
+    # global greedy merge over the (small) center table, deterministic order
+    final: list[tuple] = []
+    for rid, txt in zip(local["center_id"], local["center_text"]):
+        t = toks(txt)
+        if all(1.0 - jac(t, ct) > t2 for _, ct in final):
+            final.append((rid, t))
+
+    import ray
+
+    centers_ref = ray.put(final)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        centers = ray.get(centers_ref)
+        ids, canopies = [], []
+        for rid, txt in zip(batch[id_col], batch[text_col]):
+            t = toks(txt)
+            hit = False
+            for cid, ct in centers:
+                if 1.0 - jac(t, ct) <= t1:
+                    ids.append(rid)
+                    canopies.append(cid)
+                    hit = True
+            if not hit:
+                ids.append(rid)
+                canopies.append(rid)
+        return pd.DataFrame({"id": ids, "canopy": canopies})
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -2809,3 +2809,45 @@ def test_bpe_train_matches_reference(ray_session):
 
     got_rows = list(got.itertuples(index=False, name=None))
     assert got_rows == expected
+
+
+def test_canopy_clusters_blocking(ray_session):
+    """Canopy pre-blocking: every true near-dup pair shares >=1 canopy;
+    unrelated records never share one; output is deterministic."""
+    rows = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": [
+                "johann sebastian bach composer leipzig",
+                "johann sebastian bach komponist leipzig",   # near-dup of 0
+                "bach johann sebastian composer leipzig",    # dup of 0 (reordered)
+                "wolfgang amadeus mozart composer salzburg",
+                "wolfgang amadeus mozart komponist salzburg",  # near-dup of 3
+                "ludwig van beethoven composer bonn",
+                "completely unrelated text about ray data shuffles",
+                "another unrelated doc on arrow batches",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(rows)
+    out = relational.canopy_clusters(
+        ds, id_col="doc_id", text_col="text", t1=0.6, t2=0.75
+    ).to_pandas()
+
+    canopies = out.groupby("id")["canopy"].apply(set).to_dict()
+    # true dup groups share a canopy
+    assert canopies[0] & canopies[1]
+    assert canopies[0] & canopies[2]
+    assert canopies[3] & canopies[4]
+    # unrelated pairs never share one
+    assert not (canopies[0] & canopies[6])
+    assert not (canopies[3] & canopies[7])
+    assert not (canopies[6] & canopies[7])
+
+    # deterministic under re-execution
+    out2 = relational.canopy_clusters(
+        ds, id_col="doc_id", text_col="text", t1=0.6, t2=0.75
+    ).to_pandas()
+    a = out.sort_values(["id", "canopy"]).reset_index(drop=True)
+    b = out2.sort_values(["id", "canopy"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
