@@ -992,6 +992,56 @@ def q_wl_labels(sf_dir: str):
     return out.sort_values("wl_label").reset_index(drop=True)
 
 
+def q_ppr_related_parts(sf_dir: str):
+    """Random-walk-with-restart relatedness: personalized PageRank over the
+    co-purchase graph seeded at the 2 smallest part ids — "parts related to
+    these seeds" ranked by walk proximity (the KG related-entities
+    primitive).  Teleport and dangling mass go only to the seeds.
+    Iterative → rows-only for the driver; the operator equals the dense
+    RWR iteration in tests/test_graph.py."""
+    import pandas as pd
+
+    from esmarc_ray.ops.graph import pagerank
+
+    edges = _dedup_copurchase_edges(sf_dir).materialize()
+
+    def local_min(batch: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat(
+            [batch["l_partkey_a"], batch["l_partkey_b"]], ignore_index=True
+        ).drop_duplicates().nsmallest(2)
+        return pd.DataFrame({"node": nodes})
+
+    cand = edges.map_batches(local_min, batch_format="pandas").to_pandas()
+    seeds = [str(s) for s in sorted(cand["node"].drop_duplicates().nsmallest(2))]
+
+    # undirected walk: feed both edge orientations
+    both = edges.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "u": pd.concat(
+                    [b["l_partkey_a"], b["l_partkey_b"]], ignore_index=True
+                ),
+                "v": pd.concat(
+                    [b["l_partkey_b"], b["l_partkey_a"]], ignore_index=True
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+    ranks = pagerank(both, n_iter=8, num_partitions=16, seeds=seeds)
+
+    def round_rank(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["rank"] = batch["rank"].round(10)
+        return batch
+
+    return (
+        ranks.map_batches(round_rank, batch_format="pandas")
+        .sort(["rank", "node"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+
+
 def q_part_canopies(sf_dir: str):
     """Canopy pre-blocking (McCallum-Nigam-Ungar) over part names: cheap
     token-Jaccard canopies that bound which part pairs the expensive ER
@@ -7851,6 +7901,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # greedy canopy selection is sequential/not SQL-expressible; gated
         # by tests/test_ops.py::test_canopy_clusters_blocking
         "part_canopies": q_part_canopies,
+        # iterative random-walk-with-restart — rows-only; equals the dense
+        # RWR iteration in tests/test_graph.py
+        "ppr_related_parts": q_ppr_related_parts,
         "kg_authority_links": q_kg_authority_links,
         "split_ngram_overlap": q_split_ngram_overlap,
         "event_type_trend": q_event_type_trend,

@@ -213,10 +213,17 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 10,
     num_partitions: int = 16,
+    seeds: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Distributed PageRank over a directed edge list — entity importance in
     the constructed KG (rank entities by how much reference mass flows into
     them through triples).
+
+    ``seeds``: optional personalization set — teleport AND dangling mass
+    are redistributed uniformly over the seed nodes instead of all nodes
+    (personalized PageRank: rank = proximity to the seeds, the KG
+    "related entities" / random-walk-with-restart primitive).  Seeds must
+    be node ids present in the edge list.
 
     Same machinery as :func:`connected_components`: the tagged edge table is
     shuffled ONCE outside the loop; each iteration co-partitions the
@@ -294,11 +301,27 @@ def pagerank(
         .materialize()
     )
 
-    init = 1.0 / n_nodes
-    ranks = nodes.map_batches(
-        lambda b: pd.DataFrame({"node": b["node"], "rank": init}),
-        batch_format="pandas",
-    ).materialize()
+    seed_set = frozenset(str(s) for s in seeds) if seeds is not None else None
+    if seed_set is not None and not seed_set:
+        raise ValueError("pagerank: seeds must be non-empty when given")
+
+    if seed_set is None:
+        init = 1.0 / n_nodes
+        ranks = nodes.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "rank": init}),
+            batch_format="pandas",
+        ).materialize()
+    else:
+        seed_init = 1.0 / len(seed_set)
+        ranks = nodes.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "rank": np.where(b["node"].isin(seed_set), seed_init, 0.0),
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
 
     def tag_deg(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -355,9 +378,15 @@ def pagerank(
         tagged = tagged_edges.union(tagged_deg).union(
             ranks.map_batches(tag_ranks, batch_format="pandas")
         )
+        # repartition before materializing: sort-based groupby emits one
+        # block per RefBundle, and feeding those back into the next round's
+        # union grows the per-round task count linearly (driver scheduling
+        # cost then quadratically over the loop) — same pitfall as the
+        # isPartOf closure; a small coalesce per round keeps it flat
         sums = (
             tagged.groupby("part")
             .map_groups(contribute, batch_format="pandas")
+            .repartition(num_partitions)
             .materialize()
         )
         dangling_total = sum(
@@ -366,7 +395,14 @@ def pagerank(
                 lambda b: b[b["node"] == _DANGLING], batch_format="pandas"
             ).take_all()
         )
-        base = (1.0 - damping) / n_nodes + damping * dangling_total / n_nodes
+        if seed_set is None:
+            base = (1.0 - damping) / n_nodes + damping * dangling_total / n_nodes
+            seed_base = None
+        else:
+            base = 0.0
+            seed_base = (
+                (1.0 - damping) + damping * dangling_total
+            ) / len(seed_set)
 
         # new rank = base + damping * inbound contributions (nodes with no
         # inbound rows simply get base) — tag-union-partition against nodes
@@ -399,18 +435,17 @@ def pagerank(
             )
             n = part[part["side"] == "n"][["key"]]
             m = n.merge(c, on="key", how="left")
-            return pd.DataFrame(
-                {
-                    "node": m["key"],
-                    "rank": base + damping * m["val"].fillna(0.0),
-                }
-            )
+            rank = base + damping * m["val"].fillna(0.0)
+            if seed_base is not None:
+                rank = rank + np.where(m["key"].isin(seed_set), seed_base, 0.0)
+            return pd.DataFrame({"node": m["key"], "rank": rank})
 
         ranks = (
             sums.map_batches(tag_contrib, batch_format="pandas")
             .union(nodes.map_batches(tag_nodes, batch_format="pandas"))
             .groupby("part")
             .map_groups(apply_update, batch_format="pandas")
+            .repartition(num_partitions)
             .materialize()
         )
 

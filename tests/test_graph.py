@@ -362,3 +362,38 @@ def test_bgp_match_path_star(ray_session):
             ray.data.from_pandas(df),
             [("?a", "partOf", "?b"), ("?c", "name", "?n")],
         ).to_pandas()
+
+
+def test_personalized_pagerank_matches_power_iteration(ray_session):
+    """seeds= teleports (and dangling mass) only to the seed set; equals the
+    dense random-walk-with-restart iteration to 1e-9."""
+    import numpy as np
+
+    from esmarc_ray.ops.graph import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"), ("c", "e")]
+    nodes = sorted({x for e in edges for x in e})
+    seeds = ["a", "d"]
+    got_df = pagerank(
+        ray.data.from_pandas(pd.DataFrame(edges, columns=["u", "v"])),
+        damping=0.85, n_iter=20, num_partitions=4, seeds=seeds,
+    ).to_pandas()
+    got = dict(zip(got_df["node"], got_df["rank"]))
+
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[idx[d], idx[s]] += 1.0
+    out_deg = A.sum(axis=0)
+    P = np.divide(A, out_deg, out=np.zeros_like(A), where=out_deg > 0)
+    e = np.zeros(n)
+    for s in seeds:
+        e[idx[s]] = 1.0 / len(seeds)
+    r = e.copy()
+    for _ in range(20):
+        dangling = r[out_deg == 0].sum()
+        r = 0.85 * (P @ r) + ((1 - 0.85) + 0.85 * dangling) * e
+    for name, i in idx.items():
+        assert abs(got[name] - r[i]) < 1e-9, name
+    assert abs(sum(got.values()) - 1.0) < 1e-9
