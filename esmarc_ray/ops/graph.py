@@ -193,7 +193,11 @@ def connected_components(
             labels.map_batches(tag_labels_and_queries, batch_format="pandas")
         )
         msgs = tagged.groupby("part").map_groups(resolve, batch_format="pandas")
-        new_labels = _min_by_node(msgs, num_partitions).materialize()
+        new_labels = (
+            _min_by_node(msgs, num_partitions)
+            .repartition(num_partitions)
+            .materialize()
+        )
         new_checksum = _label_checksum(new_labels)
         labels = new_labels
         if new_checksum == checksum:
@@ -751,6 +755,7 @@ def bfs_hops(
             .union(settled.map_batches(tag_settled, batch_format="pandas"))
             .groupby("part")
             .map_groups(resolve, batch_format="pandas")
+            .repartition(num_partitions)
             .materialize()
         )
 
@@ -891,6 +896,7 @@ def label_propagation(
                 lambda part: mode_per_node(part.drop(columns="part")),
                 batch_format="pandas",
             )
+            .repartition(num_partitions)
             .materialize()
         )
         cur = _label_checksum(labels)
@@ -1016,6 +1022,7 @@ def sssp(
             .union(settled.map_batches(tag_settled, batch_format="pandas"))
             .groupby("part")
             .map_groups(resolve, batch_format="pandas")
+            .repartition(num_partitions)
             .materialize()
         )
 
@@ -1373,6 +1380,7 @@ def _landmark_bfs_rounds(
             .union(settled.map_batches(tag_settled, batch_format="pandas"))
             .groupby("part")
             .map_groups(resolve, batch_format="pandas")
+            .repartition(num_partitions)
             .materialize()
         )
 
@@ -1468,14 +1476,18 @@ def wl_refine(
             )
             return j[["node", "lab"]]
 
-        labels = partitioned_final(
-            msgs.map_batches(tag_msgs, batch_format="pandas").union(
-                labels.map_batches(tag_own, batch_format="pandas")
-            ),
-            ["node"],
-            combine,
-            num_partitions=num_partitions,
-        ).materialize()
+        labels = (
+            partitioned_final(
+                msgs.map_batches(tag_msgs, batch_format="pandas").union(
+                    labels.map_batches(tag_own, batch_format="pandas")
+                ),
+                ["node"],
+                combine,
+                num_partitions=num_partitions,
+            )
+            .repartition(num_partitions)
+            .materialize()
+        )
 
     return labels.map_batches(
         lambda b: b.rename(columns={"lab": "wl_label"}), batch_format="pandas"
