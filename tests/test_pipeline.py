@@ -613,3 +613,44 @@ def test_curate_documents_checkpoint_dir_reuse(ray_session, tmp_path):
         kept, annotated, report = curate_documents(docs, checkpoint_dir=ckpt)
         assert int(report["n"].sum()) == 2
         assert annotated.count() == 2
+
+
+def test_er_pipeline_planted_duplicates(ray_session):
+    """Blocked ER end-to-end: planted fuzzy duplicates cluster together
+    (P == R == 1.0 on the planted truth), singletons stay alone."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.pipelines.er import resolve_entities
+
+    rows = pd.DataFrame(
+        {
+            "id": [f"r{i}" for i in range(9)],
+            "name": [
+                "johann sebastian bach",
+                "johann sebastien bach",      # typo dup of 0
+                "johann sebastian bach jr",   # near dup of 0
+                "wolfgang amadeus mozart",
+                "wolfgang amadeus mozartt",   # typo dup of 3
+                "ludwig van beethoven",
+                "clara schumann",
+                "robert schumann",            # NOT a dup of clara (JW < thr)
+                "antonin dvorak",
+            ],
+        }
+    )
+    out = resolve_entities(
+        ray.data.from_pandas(rows), id_col="id", text_col="name",
+        t1=0.8, t2=0.9, jw_threshold=0.9, num_partitions=4,
+    ).to_pandas()
+
+    canon = dict(zip(out["id"], out["canon_id"]))
+    assert canon["r0"] == canon["r1"] == canon["r2"]
+    assert canon["r3"] == canon["r4"]
+    assert canon["r0"] != canon["r3"]
+    assert canon["r6"] != canon["r7"]
+    # singletons resolve to themselves
+    for rid in ["r5", "r6", "r7", "r8"]:
+        assert canon[rid] == rid
+    sizes = dict(zip(out["id"], out["cluster_size"]))
+    assert sizes["r0"] == 3 and sizes["r3"] == 2 and sizes["r8"] == 1
