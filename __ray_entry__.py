@@ -1063,6 +1063,29 @@ def q_part_canopies(sf_dir: str):
     return out.sort_values(["id", "canopy"]).reset_index(drop=True)
 
 
+def q_er_clusters(sf_dir: str):
+    """End-to-end blocked entity resolution over part names: shared-token
+    blocking → Jaro-Winkler verify (bit-identical to DuckDB's
+    jaro_winkler_similarity) → connected-components clustering, every record
+    labelled with its cluster's min record id + cluster size.  The token
+    blocking mode exists precisely so the WHOLE pipeline (blocking included)
+    hash-checks against a SQL oracle (unnest self-join + recursive-CTE
+    closure); the scale default is canopy blocking (part_canopies)."""
+    import ray.data
+
+    from esmarc_ray.pipelines.er import resolve_entities
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).filter(expr="p_partkey < 300")
+    out = resolve_entities(
+        parts, id_col="p_partkey", text_col="p_name", blocking="token",
+        jw_threshold=0.94, num_partitions=8,
+    ).to_pandas()
+    out["cluster_size"] = out["cluster_size"].astype("int64")
+    return out.sort_values("id").reset_index(drop=True)
+
+
 def q_copurchase_butterflies(sf_dir: str):
     """Butterfly (bipartite 4-cycle) census of the order-part bipartite
     graph — two orders sharing two parts form a butterfly, the bipartite
@@ -7901,6 +7924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # greedy canopy selection is sequential/not SQL-expressible; gated
         # by tests/test_ops.py::test_canopy_clusters_blocking
         "part_canopies": q_part_canopies,
+        "er_clusters": q_er_clusters,
         # iterative random-walk-with-restart — rows-only; equals the dense
         # RWR iteration in tests/test_graph.py
         "ppr_related_parts": q_ppr_related_parts,
@@ -10013,6 +10037,45 @@ def oracle_sql() -> dict[str, str]:
                    round(jaccard(c_name, s_name), 6) AS similarity
             FROM customer JOIN supplier ON c_nationkey = s_nationkey
             WHERE round(jaccard(c_name, s_name), 6) >= 0.4
+        """,
+        "er_clusters": """
+            WITH RECURSIVE recs AS (
+                SELECT CAST(p_partkey AS VARCHAR) AS id, p_name AS txt
+                FROM part WHERE p_partkey < 300
+            ),
+            toks AS (
+                SELECT DISTINCT * FROM (
+                    SELECT id, txt,
+                           unnest(string_split(txt, ' ')) AS tok
+                    FROM recs
+                ) WHERE tok <> ''
+            ),
+            cand AS (
+                SELECT DISTINCT a.id AS ida, b.id AS idb,
+                                a.txt AS ta, b.txt AS tb
+                FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+            ),
+            ed AS (
+                SELECT ida AS a, idb AS b FROM cand
+                WHERE jaro_winkler_similarity(ta, tb) >= 0.94
+            ),
+            und AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+            reach(n, m) AS (
+                SELECT a, b FROM und
+                UNION
+                SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a
+            ),
+            comp AS (
+                SELECT n AS id, least(n, min(m)) AS canon_id
+                FROM reach GROUP BY n
+            ),
+            lab AS (
+                SELECT recs.id, coalesce(comp.canon_id, recs.id) AS canon_id
+                FROM recs LEFT JOIN comp ON recs.id = comp.id
+            )
+            SELECT id, canon_id,
+                   count(*) OVER (PARTITION BY canon_id) AS cluster_size
+            FROM lab ORDER BY id
         """,
         "events_trailing_7d": """
             SELECT user_id, ts, value,

@@ -3,11 +3,15 @@
 The full ER recipe over any (id, name) table, each stage the repo's own
 distributed operator:
 
-1. **canopy pre-blocking** (`ops.relational.canopy_clusters`) — cheap
-   token-Jaccard canopies bound the candidate space; only records sharing a
-   canopy are ever compared (never all-pairs).
-2. **pair generation** — per-canopy hash partition, self-merge a<b,
-   globally deduped (a pair sharing two canopies is compared once).
+1. **blocking** — either canopy pre-blocking
+   (`ops.relational.canopy_clusters`: cheap token-Jaccard canopies, the
+   scale default) or exact shared-token blocking (``blocking="token"``:
+   records are candidates iff they share a whitespace token — fully
+   SQL-expressible, so the whole pipeline gets a DuckDB oracle).  Either
+   way, only records sharing a block key are ever compared (never
+   all-pairs).
+2. **pair generation** — per-block-key hash partition, self-merge a<b,
+   globally deduped (a pair sharing two block keys is compared once).
 3. **verify** — exact Jaro–Winkler on each candidate pair (the expensive
    inner loop runs only on blocked pairs), threshold gate.
 4. **cluster** — pointer-jumping connected components over accepted match
@@ -31,6 +35,7 @@ def resolve_entities(
     *,
     id_col: str,
     text_col: str,
+    blocking: str = "canopy",
     t1: float = 0.5,
     t2: float = 0.75,
     jw_threshold: float = 0.88,
@@ -38,7 +43,12 @@ def resolve_entities(
 ) -> ray.data.Dataset:
     """Run the blocked ER pipeline; returns (id, canon_id, cluster_size).
 
-    Deterministic under any partitioning: canopies are deterministic,
+    ``blocking="canopy"`` (default) blocks on canopy membership;
+    ``blocking="token"`` blocks on exact shared whitespace tokens (split on
+    a single space, empties dropped — mirrors SQL ``string_split(txt, ' ')``
+    so a DuckDB oracle reproduces the candidate set bit-for-bit).
+
+    Deterministic under any partitioning: block keys are deterministic,
     pair verification is pure, and the cluster id is the min record id of
     the component.
     """
@@ -58,38 +68,54 @@ def resolve_entities(
         batch_format="pandas",
     ).materialize()
 
-    # 1. blocking
-    canopies = canopy_clusters(
-        ds, id_col=id_col, text_col=text_col, t1=t1, t2=t2,
-        num_partitions=num_partitions,
-    ).map_batches(
-        lambda b: pd.DataFrame(
-            {"rid": b["id"].astype(str), "canopy": b["canopy"].astype(str)}
-        ),
-        batch_format="pandas",
-    )
+    # 1. blocking → a (rid, bkey, txt) table, one row per block membership
+    if blocking == "token":
+        def tok_rows(batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch["txt"].str.split(" ")
+            out = pd.DataFrame(
+                {"rid": batch["rid"], "txt": batch["txt"], "bkey": toks}
+            ).explode("bkey")
+            out = out[out["bkey"].astype(str) != ""]
+            # one membership row per DISTINCT token per record: a repeated
+            # token inside one name must not double-enrol the record (the
+            # pair would survive the global distinct anyway, but this keeps
+            # the shuffle lean)
+            return out.drop_duplicates(["rid", "bkey"])[["rid", "bkey", "txt"]]
 
-    # attach the text to each (rid, canopy) row so pair generation is local
-    with_text = partitioned_join(
-        canopies, ids_text, "rid",
-        left_cols=["canopy"], right_cols=["txt"],
-        num_partitions=num_partitions,
-    )
+        with_text = ids_text.map_batches(tok_rows, batch_format="pandas")
+    elif blocking == "canopy":
+        canopies = canopy_clusters(
+            ds, id_col=id_col, text_col=text_col, t1=t1, t2=t2,
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {"rid": b["id"].astype(str), "bkey": b["canopy"].astype(str)}
+            ),
+            batch_format="pandas",
+        )
+        # attach the text to each (rid, bkey) row so pair generation is local
+        with_text = partitioned_join(
+            canopies, ids_text, "rid",
+            left_cols=["bkey"], right_cols=["txt"],
+            num_partitions=num_partitions,
+        )
+    else:
+        raise ValueError(f"unknown blocking mode: {blocking!r}")
 
-    # 2. per-canopy candidate pairs, globally distinct
+    # 2. per-block-key candidate pairs, globally distinct
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["part"] = _part_series(batch["canopy"], num_partitions)
+        batch["part"] = _part_series(batch["bkey"], num_partitions)
         return batch
 
     def pairs(part: pd.DataFrame) -> pd.DataFrame:
-        m = part.merge(part, on="canopy", suffixes=("_a", "_b"))
+        m = part.merge(part, on="bkey", suffixes=("_a", "_b"))
         m = m[m["rid_a"] < m["rid_b"]]
         return m[["rid_a", "rid_b", "txt_a", "txt_b"]]
 
-    # distinct on all four columns: a pair sharing two canopies carries the
-    # same texts, so this is exactly per-pair dedup (and _distinct_on keeps
-    # only the listed columns)
+    # distinct on all four columns: a pair sharing two block keys carries
+    # the same texts, so this is exactly per-pair dedup (and _distinct_on
+    # keeps only the listed columns)
     cand = _distinct_on(
         with_text.map_batches(tag, batch_format="pandas")
         .groupby("part")
