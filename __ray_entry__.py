@@ -1086,6 +1086,27 @@ def q_er_clusters(sf_dir: str):
     return out.sort_values("id").reset_index(drop=True)
 
 
+def q_exact_substr_dedup(sf_dir: str):
+    """ExactSubstr training-data dedup (Lee et al. ACL 2022) over the
+    document corpus: every 8-token span occurring ≥2 times corpus-wide is
+    cut from every document carrying it.  One hash shuffle of (gram, doc,
+    pos) rows + one doc-payload co-partition — the distributed stand-in for
+    the paper's suffix array.  The oracle re-derives cleaned text verbatim
+    (lead()-window grams, interval mask, ordered string_agg), so the hash
+    check covers the rebuilt TEXT, not just counts."""
+    import ray.data
+
+    from esmarc_ray.ops.text import duplicate_span_removal
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = duplicate_span_removal(
+        docs, width=8, min_count=2, num_partitions=32
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_copurchase_butterflies(sf_dir: str):
     """Butterfly (bipartite 4-cycle) census of the order-part bipartite
     graph — two orders sharing two parts form a butterfly, the bipartite
@@ -7925,6 +7946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # by tests/test_ops.py::test_canopy_clusters_blocking
         "part_canopies": q_part_canopies,
         "er_clusters": q_er_clusters,
+        "exact_substr_dedup": q_exact_substr_dedup,
         # iterative random-walk-with-restart — rows-only; equals the dense
         # RWR iteration in tests/test_graph.py
         "ppr_related_parts": q_ppr_related_parts,
@@ -10076,6 +10098,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, canon_id,
                    count(*) OVER (PARTITION BY canon_id) AS cluster_size
             FROM lab ORDER BY id
+        """,
+        "exact_substr_dedup": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos,
+                       len(string_split(text, ' ')) AS n
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, pos, n,
+                       tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+                       lead(tok, 2) OVER w || ' ' || lead(tok, 3) OVER w ||
+                       ' ' || lead(tok, 4) OVER w || ' ' ||
+                       lead(tok, 5) OVER w || ' ' || lead(tok, 6) OVER w ||
+                       ' ' || lead(tok, 7) OVER w AS gram
+                FROM toks
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            valid AS (
+                SELECT doc_id, pos, gram FROM grams
+                WHERE pos + 7 <= n AND gram IS NOT NULL
+            ),
+            dup AS (SELECT gram FROM valid GROUP BY gram HAVING count(*) >= 2),
+            mk AS (
+                SELECT DISTINCT doc_id, mpos FROM (
+                    SELECT v.doc_id,
+                           unnest(generate_series(v.pos, v.pos + 7)) AS mpos
+                    FROM valid v JOIN dup d USING (gram)
+                )
+            ),
+            kept AS (
+                SELECT t.doc_id, t.pos, t.tok
+                FROM toks t
+                LEFT JOIN mk ON t.doc_id = mk.doc_id AND t.pos = mk.mpos
+                WHERE mk.mpos IS NULL
+            ),
+            agg AS (
+                SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(a.text, '') AS text,
+                   len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+                   (len(string_split(d.text, ' '))
+                    - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY d.doc_id
         """,
         "events_trailing_7d": """
             SELECT user_id, ts, value,

@@ -1750,3 +1750,175 @@ def bpe_train(
     out["rank"] = out["rank"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return out
+
+
+def duplicate_span_removal(
+    docs: ray.data.Dataset,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    width: int = 8,
+    min_count: int = 2,
+    num_partitions: int = 128,
+) -> ray.data.Dataset:
+    """Exact duplicated-substring removal at token granularity (the
+    ExactSubstr curation step of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022): every ``width``-token span
+    whose exact token sequence occurs ≥ ``min_count`` times corpus-wide
+    (across documents or repeated inside one) is cut from EVERY document
+    that contains it; remaining tokens are reassembled in order.
+
+    Returns (id_column, text_column [cleaned], n_tokens [original],
+    n_removed) — one row per input document, empty-string text when
+    everything was duplicated (the row is kept, unlike paragraph_dedup's
+    drop semantics, so attrition is readable per doc).
+
+    Plan (the distributed stand-in for the paper's suffix array):
+
+    1. **gram explode** — one (gram_hash, doc, pos) row per token position,
+       fully vectorized: tokens of a whole batch are flattened into one
+       array, sip-hashed once, and the ``width``-token rolling hash is
+       ``width`` numpy shift-multiply-adds over that flat array (windows
+       crossing a document boundary masked out via offset arithmetic).
+       64-bit polynomial combine — collision odds ~(n_grams²)/2⁶⁵,
+       negligible below ~10¹² grams; beyond that raise to a 128-bit pair.
+    2. **duplicate detect** — ONE hash shuffle: rows partition on
+       ``gram_hash % P``, so all occurrences of a gram land together and a
+       per-PARTITION vectorized group-size filter keeps exactly the
+       occurrences of grams with corpus count ≥ min_count.  No global
+       count table, no driver state.
+    3. **rebuild** — duplicate occurrences and the doc payload co-partition
+       on ``hash(doc_id) % P`` (tag-union, the repo's standard partitioned
+       join); per doc a diff-array interval union marks [pos, pos+width)
+       covers and the kept tokens are rejoined.  The doc text shuffles
+       exactly once.
+
+    Scale note: stage 1 emits one 16-byte row per corpus TOKEN — that
+    shuffle is the inherent cost of exactness (the suffix array it replaces
+    is also O(tokens)); at the 100-TB tier raise ``width`` (the paper uses
+    50) and ``num_partitions``, or pre-gate with a fingerprint pass.
+    Tokenization is ``split(' ')`` exactly (empties from runs of spaces
+    kept) so a SQL oracle reproduces the token grid bit-for-bit.
+    """
+    import numpy as np
+
+    prime = np.uint64(1099511628211)
+
+    def explode_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_column].fillna("").tolist()
+        ids = batch[id_column].to_numpy()
+        toks_per_doc = [t.split(" ") for t in texts]
+        lens = np.array([len(t) for t in toks_per_doc], dtype="int64")
+        total = int(lens.sum())
+        if not total:
+            return pd.DataFrame(
+                {"__h": pd.Series(dtype="uint64"),
+                 id_column: pd.Series(dtype=ids.dtype),
+                 "__pos": pd.Series(dtype="int64")}
+            )
+        flat = [tok for toks in toks_per_doc for tok in toks]
+        th = (
+            pd.util.hash_pandas_object(pd.Series(flat), index=False)
+            .to_numpy()
+            .astype(np.uint64)
+        )
+        with np.errstate(over="ignore"):
+            gh = th.copy()
+            mult = np.uint64(1)
+            for j in range(1, width):
+                mult = mult * prime
+                gh[: total - j] += th[j:] * mult
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(total, dtype="int64") - offsets[doc_idx]
+        valid = pos <= (lens[doc_idx] - width)
+        return pd.DataFrame(
+            {"__h": gh[valid], id_column: ids[doc_idx[valid]],
+             "__pos": pos[valid]}
+        )
+
+    def add_gram_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__part"] = (batch["__h"] % num_partitions).astype("int32")
+        return batch
+
+    def keep_duplicated(part: pd.DataFrame) -> pd.DataFrame:
+        sizes = part.groupby("__h")["__h"].transform("size")
+        hit = part[sizes >= min_count]
+        return hit[[id_column, "__pos"]]
+
+    dup_occ = (
+        docs.map_batches(explode_grams, batch_format="pandas")
+        .map_batches(add_gram_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(keep_duplicated, batch_format="pandas")
+    )
+
+    def tag_docs(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_column: batch[id_column],
+                "__txt": batch[text_column].fillna(""),
+                "__pos": np.int64(-1),
+                "__part": (
+                    pd.util.hash_pandas_object(
+                        batch[id_column].astype(str), index=False
+                    ).to_numpy()
+                    % num_partitions
+                ).astype("int32"),
+            }
+        )
+
+    def tag_dups(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_column: batch[id_column],
+                "__txt": "",
+                "__pos": batch["__pos"].astype("int64"),
+                "__part": (
+                    pd.util.hash_pandas_object(
+                        batch[id_column].astype(str), index=False
+                    ).to_numpy()
+                    % num_partitions
+                ).astype("int32"),
+            }
+        )
+
+    def rebuild(part: pd.DataFrame) -> pd.DataFrame:
+        texts = part[part["__pos"] < 0]
+        spans = part[part["__pos"] >= 0]
+        spans_by_doc = {
+            k: g["__pos"].to_numpy() for k, g in spans.groupby(id_column)
+        }
+        out_ids, out_txt, out_n, out_rm = [], [], [], []
+        for doc_id, text in zip(texts[id_column], texts["__txt"]):
+            toks = text.split(" ")
+            n = len(toks)
+            starts = spans_by_doc.get(doc_id)
+            if starts is None:
+                out_ids.append(doc_id)
+                out_txt.append(text)
+                out_n.append(n)
+                out_rm.append(0)
+                continue
+            diff = np.zeros(n + 1, dtype="int64")
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, np.minimum(starts + width, n), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            kept = [t for t, c in zip(toks, covered) if not c]
+            out_ids.append(doc_id)
+            out_txt.append(" ".join(kept))
+            out_n.append(n)
+            out_rm.append(int(covered.sum()))
+        return pd.DataFrame(
+            {
+                id_column: out_ids,
+                text_column: out_txt,
+                "n_tokens": pd.array(out_n, dtype="int64"),
+                "n_removed": pd.array(out_rm, dtype="int64"),
+            }
+        )
+
+    tagged = docs.map_batches(tag_docs, batch_format="pandas").union(
+        dup_occ.map_batches(tag_dups, batch_format="pandas")
+    )
+    return tagged.groupby("__part").map_groups(rebuild, batch_format="pandas")

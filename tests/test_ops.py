@@ -2851,3 +2851,38 @@ def test_canopy_clusters_blocking(ray_session):
     a = out.sort_values(["id", "canopy"]).reset_index(drop=True)
     b = out2.sort_values(["id", "canopy"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_duplicate_span_removal_exact_substr(ray_session):
+    """ExactSubstr dedup: a planted 8-gram shared across two docs is cut
+    from BOTH; a within-doc repeat is cut; unique docs pass untouched."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops import text
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b c d e f g h i j",
+                "x a b c d e f g h y z",
+                "unique words only here nothing repeats at all",
+                "p p p p p p p p p p",
+            ],
+        }
+    )
+    out = (
+        text.duplicate_span_removal(
+            ray.data.from_pandas(docs), width=8, num_partitions=4
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == [
+        "i j", "x y z",
+        "unique words only here nothing repeats at all", "",
+    ]
+    assert out["n_tokens"].tolist() == [10, 11, 8, 10]
+    assert out["n_removed"].tolist() == [8, 8, 0, 10]
