@@ -1107,6 +1107,44 @@ def q_exact_substr_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_kg_transe_scores(sf_dir: str):
+    """Distributed TransE embedding training over the order-contains-part
+    graph, then plausibility scores for every training edge.  The loop is
+    pure Dataset machinery — entity embeddings live as hash-partitioned
+    (ent, float32-bytes) rows, in-batch negatives, mean-gradient SGD, four
+    entity-keyed shuffles per epoch; the driver holds |predicates|·dim
+    floats.  Iterative SGD is not SQL-expressible — rows-only here; the
+    learning signal is gated by tests/test_graph.py::
+    test_transe_separates_clusters (planted clusters, AUC ≥ 0.9)."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.kg_embed import transe_score, transe_train
+
+    edges = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        )
+        .filter(expr="l_orderkey < 2000")
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "subj": "o" + b["l_orderkey"].astype(str),
+                    "pred": "contains",
+                    "obj": "p" + b["l_partkey"].astype(str),
+                }
+            ).drop_duplicates(),
+            batch_format="pandas",
+        )
+    )
+    emb, rel = transe_train(
+        edges, dim=8, epochs=3, lr=0.5, seed=13, num_partitions=16
+    )
+    out = transe_score(edges, emb, rel, num_partitions=16).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out.sort_values(["subj", "obj"]).reset_index(drop=True)
+
+
 def q_copurchase_butterflies(sf_dir: str):
     """Butterfly (bipartite 4-cycle) census of the order-part bipartite
     graph — two orders sharing two parts form a butterfly, the bipartite
@@ -7950,6 +7988,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative random-walk-with-restart — rows-only; equals the dense
         # RWR iteration in tests/test_graph.py
         "ppr_related_parts": q_ppr_related_parts,
+        # iterative SGD (KG embedding training) — rows-only; learning gated
+        # by tests/test_graph.py::test_transe_separates_clusters
+        "kg_transe_scores": q_kg_transe_scores,
         "kg_authority_links": q_kg_authority_links,
         "split_ngram_overlap": q_split_ngram_overlap,
         "event_type_trend": q_event_type_trend,

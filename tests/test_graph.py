@@ -397,3 +397,43 @@ def test_personalized_pagerank_matches_power_iteration(ray_session):
     for name, i in idx.items():
         assert abs(got[name] - r[i]) < 1e-9, name
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_transe_separates_clusters(ray_session):
+    """TransE on a planted two-cluster KG: after training, true edges score
+    (squared distance) lower than corrupted cross-cluster edges — AUC >= 0.9
+    — and training reduced the mean true-edge score vs the untrained init."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.kg_embed import transe_score, transe_train
+
+    rng = np.random.RandomState(7)
+    # two 8-entity clusters, dense "rel" edges inside each cluster
+    a = [f"a{i}" for i in range(8)]
+    b = [f"b{i}" for i in range(8)]
+    pos = [(h, "rel", t) for grp in (a, b) for h in grp for t in grp if h != t]
+    triples = pd.DataFrame(pos, columns=["subj", "pred", "obj"])
+    ds = ray.data.from_pandas(triples)
+
+    emb, rel = transe_train(
+        ds, dim=16, epochs=5, lr=0.5, margin=1.0, seed=13, num_partitions=4
+    )
+
+    # corrupted: cross-cluster edges (never observed)
+    neg = pd.DataFrame(
+        [(h, "rel", t) for h in a[:4] for t in b[:4]],
+        columns=["subj", "pred", "obj"],
+    )
+    s_pos = transe_score(
+        ray.data.from_pandas(triples), emb, rel, num_partitions=4
+    ).to_pandas()["score"].to_numpy()
+    s_neg = transe_score(
+        ray.data.from_pandas(neg), emb, rel, num_partitions=4
+    ).to_pandas()["score"].to_numpy()
+
+    # AUC: fraction of (pos, neg) pairs ranked correctly (pos lower)
+    wins = (s_pos[:, None] < s_neg[None, :]).mean()
+    assert wins >= 0.9, f"AUC {wins:.3f}"
+    assert s_pos.mean() < s_neg.mean()
