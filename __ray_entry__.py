@@ -1107,6 +1107,40 @@ def q_exact_substr_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_hyperball_anf(sf_dir: str):
+    """HyperBall approximate neighbourhood function over the order-part
+    bipartite graph: per-node 128-byte HLL counters, per-round register-max
+    merges along edges — the Boldi-Vigna distance-distribution / effective-
+    diameter sketch at O(n·2^p) state.  Deterministic (siphash registers,
+    no RNG) but approximate, so no SQL oracle; accuracy gated by
+    tests/test_graph.py::test_hyperball_matches_exact_anf (≤20% vs exact
+    BFS, effective diameter ±1)."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.graph import hyperball
+
+    edges = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        )
+        .filter(expr="l_orderkey < 4000")
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "u": "o" + b["l_orderkey"].astype(str),
+                    "v": "p" + b["l_partkey"].astype(str),
+                }
+            ).drop_duplicates(),
+            batch_format="pandas",
+        )
+    )
+    out = hyperball(edges, p=7, max_t=10, num_partitions=16)
+    out["nf"] = out["nf"].round(2)
+    out["coverage"] = out["coverage"].round(6)
+    return out
+
+
 def q_kg_transe_scores(sf_dir: str):
     """Distributed TransE embedding training over the order-contains-part
     graph, then plausibility scores for every training edge.  The loop is
@@ -7991,6 +8025,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative SGD (KG embedding training) — rows-only; learning gated
         # by tests/test_graph.py::test_transe_separates_clusters
         "kg_transe_scores": q_kg_transe_scores,
+        # HLL register-max fixpoint — rows-only; accuracy gated by
+        # tests/test_graph.py::test_hyperball_matches_exact_anf
+        "hyperball_anf": q_hyperball_anf,
         "kg_authority_links": q_kg_authority_links,
         "split_ngram_overlap": q_split_ngram_overlap,
         "event_type_trend": q_event_type_trend,

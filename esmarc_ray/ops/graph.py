@@ -2052,3 +2052,180 @@ def butterfly_count(
             "max_copair": pd.Series([mx], dtype="int64"),
         }
     )
+
+
+def hyperball(
+    edges: ray.data.Dataset,
+    *,
+    u: str = "u",
+    v: str = "v",
+    p: int = 7,
+    max_t: int = 12,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """HyperBall approximate neighborhood function (Boldi & Vigna, "In-Core
+    Computation of Geometric Centralities with HyperBall", 2013): one tiny
+    HLL counter per node, per round every node's counter absorbs its
+    neighbours' counters (elementwise register max), so after t rounds node
+    u's counter estimates ``|ball(u, t)|``.
+
+    Returns a small frame (t, nf, coverage): ``nf`` = Σ_u |ball(u, t)|
+    (the graph's neighbourhood function — nf(0)=n, nf(∞)=Σ reachable
+    pairs), ``coverage`` = nf(t)/nf(T).  The effective-diameter readout is
+    the first t with coverage ≥ 0.9.  Undirected (edges mirrored).
+
+    Scale shape: the state is one 2^p-byte blob per node (p=7 → 128 B),
+    hash-partitioned; a round is ONE counter⋈edge co-partition + one
+    per-partition vectorized register-max reduce (np.maximum.at over
+    factorized node codes) — the same two-exchange loop as
+    :func:`connected_components`, with `repartition` before each
+    materialize (block-count control).  Convergence: registers are
+    monotone, so the loop stops the first round the global register
+    checksum is unchanged.  Deterministic (siphash registers, no RNG).
+    Not SQL-expressible (register-max fixpoint) — gated by
+    tests/test_graph.py::test_hyperball_matches_exact_anf against exact
+    BFS pair counts.
+    """
+    from esmarc_ray.ops.relational import partitioned_join
+
+    m = 1 << p
+    alpha = (
+        {16: 0.673, 32: 0.697, 64: 0.709}[m]
+        if m < 128
+        else 0.7213 / (1.0 + 1.079 / m)
+    )
+
+    def _estimate(regs: np.ndarray) -> np.ndarray:
+        """Rowwise HLL estimate over an (n, m) uint8 register matrix."""
+        est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum(axis=1)
+        zeros = (regs == 0).sum(axis=1)
+        small = (est <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            lin = m * np.log(m / np.maximum(zeros, 1).astype(np.float64))
+        return np.where(small, lin, est)
+
+    und = edges.map_batches(
+        lambda b: pd.concat(
+            [
+                pd.DataFrame({"src": b[u].astype(str), "dst": b[v].astype(str)}),
+                pd.DataFrame({"src": b[v].astype(str), "dst": b[u].astype(str)}),
+            ]
+        ).drop_duplicates(),
+        batch_format="pandas",
+    ).materialize()
+
+    from esmarc_ray.ops.dedup import _distinct_on
+
+    nodes = _distinct_on(
+        und.map_batches(
+            lambda b: pd.DataFrame({"node": b["src"]}), batch_format="pandas"
+        ),
+        ["node"],
+        num_partitions=num_partitions,
+    )
+
+    def init_regs(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            batch["node"].astype(str), index=False
+        ).to_numpy(dtype=np.uint64)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h & np.uint64((1 << (64 - p)) - 1)
+        rank = np.empty(len(h), dtype=np.uint8)
+        zero = rest == 0
+        rank[zero] = (64 - p) + 1
+        nz = ~zero
+        rank[nz] = (
+            (64 - p)
+            - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+        ).astype(np.uint8)
+        regs = np.zeros((len(h), m), dtype=np.uint8)
+        regs[np.arange(len(h)), idx] = rank
+        return pd.DataFrame(
+            {"node": batch["node"], "regs": [r.tobytes() for r in regs]}
+        )
+
+    counters = nodes.map_batches(init_regs, batch_format="pandas").materialize()
+
+    def _decode(col) -> np.ndarray:
+        vals = list(col)
+        if not vals:
+            return np.empty((0, m), dtype=np.uint8)
+        return np.frombuffer(b"".join(vals), dtype=np.uint8).reshape(-1, m)
+
+    def sum_estimate(cs: ray.data.Dataset) -> tuple[float, int]:
+        parts = cs.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "s": [float(_estimate(_decode(b["regs"])).sum())],
+                    "ck": [
+                        int(
+                            pd.util.hash_pandas_object(
+                                b["regs"], index=False
+                            ).to_numpy().sum(dtype=np.uint64)
+                        )
+                    ],
+                }
+            ),
+            batch_format="pandas",
+        ).to_pandas()
+        return float(parts["s"].sum()), int(
+            np.array(parts["ck"].to_numpy(), dtype=np.uint64).sum(dtype=np.uint64)
+        )
+
+    nf = []
+    n0, checksum = sum_estimate(counters)
+    nf.append(n0)
+
+    for _t in range(max_t):
+        # neighbours' counters: counter rows keyed by dst → (src, regs)
+        incoming = partitioned_join(
+            und,
+            counters.map_batches(
+                lambda b: b.rename(columns={"node": "dst"}),
+                batch_format="pandas",
+            ),
+            "dst",
+            left_cols=["src"],
+            right_cols=["regs"],
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda b: pd.DataFrame({"node": b["src"], "regs": b["regs"]}),
+            batch_format="pandas",
+        )
+
+        def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["part"] = _part_series(batch["node"], num_partitions)
+            return batch
+
+        def merge_max(part: pd.DataFrame) -> pd.DataFrame:
+            regs = _decode(part["regs"])
+            codes, uniq = pd.factorize(part["node"], sort=False)
+            acc = np.zeros((len(uniq), m), dtype=np.uint8)
+            np.maximum.at(acc, codes, regs)
+            return pd.DataFrame(
+                {"node": uniq, "regs": [r.tobytes() for r in acc]}
+            )
+
+        counters = (
+            counters.union(incoming)
+            .map_batches(add_part, batch_format="pandas")
+            .groupby("part")
+            .map_groups(merge_max, batch_format="pandas")
+            .repartition(num_partitions)
+            .materialize()
+        )
+        total, new_checksum = sum_estimate(counters)
+        nf.append(total)
+        if new_checksum == checksum:
+            break
+        checksum = new_checksum
+
+    final = nf[-1]
+    return pd.DataFrame(
+        {
+            "t": np.arange(len(nf), dtype="int64"),
+            "nf": np.array(nf, dtype="float64"),
+            "coverage": np.array(nf, dtype="float64") / max(final, 1e-12),
+        }
+    )

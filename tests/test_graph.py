@@ -437,3 +437,61 @@ def test_transe_separates_clusters(ray_session):
     wins = (s_pos[:, None] < s_neg[None, :]).mean()
     assert wins >= 0.9, f"AUC {wins:.3f}"
     assert s_pos.mean() < s_neg.mean()
+
+
+def test_hyperball_matches_exact_anf(ray_session):
+    """HyperBall ANF vs exact BFS pair counts on a planted graph (two
+    cliques bridged by a path): per-t neighbourhood function within 20%,
+    effective-diameter readout within ±1 of exact."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.graph import hyperball
+
+    # clique A (10) — path of 4 — clique B (10)
+    A = [f"a{i}" for i in range(10)]
+    B = [f"b{i}" for i in range(10)]
+    P = ["p0", "p1", "p2", "p3"]
+    edges = (
+        [(x, y) for i, x in enumerate(A) for y in A[i + 1:]]
+        + [(x, y) for i, x in enumerate(B) for y in B[i + 1:]]
+        + [(A[0], P[0]), (P[0], P[1]), (P[1], P[2]), (P[2], P[3]), (P[3], B[0])]
+    )
+    df = pd.DataFrame(edges, columns=["u", "v"])
+    out = hyperball(
+        ray.data.from_pandas(df), p=7, max_t=12, num_partitions=4
+    )
+
+    # exact ANF by BFS
+    nodes = sorted(set(df["u"]) | set(df["v"]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj = [[] for _ in range(n)]
+    for a, b in edges:
+        adj[idx[a]].append(idx[b])
+        adj[idx[b]].append(idx[a])
+    dist = np.full((n, n), -1, dtype=int)
+    for s in range(n):
+        dist[s, s] = 0
+        q = [s]
+        while q:
+            nxt = []
+            for x in q:
+                for y in adj[x]:
+                    if dist[s, y] < 0:
+                        dist[s, y] = dist[s, x] + 1
+                        nxt.append(y)
+            q = nxt
+    exact = [
+        float((dist <= t).sum()) for t in range(int(out["t"].max()) + 1)
+    ]
+    got = out["nf"].to_numpy()
+    rel = np.abs(got - np.array(exact)) / np.array(exact)
+    assert rel.max() < 0.20, f"max rel err {rel.max():.3f}"
+
+    eff_exact = next(
+        t for t, e in enumerate(exact) if e >= 0.9 * exact[-1]
+    )
+    eff_hb = int(out.loc[out["coverage"] >= 0.9, "t"].iloc[0])
+    assert abs(eff_hb - eff_exact) <= 1
