@@ -1107,6 +1107,81 @@ def q_exact_substr_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_kg_path_query(sf_dir: str):
+    """SPARQL 1.1 property-path query over the KG: ``(parent|children|
+    sibling|spouse)+`` — the "relative" reachability set of every person,
+    evaluated with the distributed pair-set algebra (union-DISTINCT,
+    mid-node co-partition composition, anti-join frontier closure).  The
+    oracle re-derives the pair set with a depth-bounded recursive CTE over
+    the same written triple table."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.graph import path_eval
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    from esmarc_ray.ops.relational import partitioned_final, partitioned_join
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["subj", "pred", "obj", "obj_kind"]
+    )
+    path = _kg_oracle_table(sf_dir, "path_src", triples)
+    src = ray.data.read_parquet(path).materialize()
+
+    # both endpoints chained in GND space: a person's own GND comes from the
+    # anchored @id of its sameAs triples (min per subject — deterministic
+    # pick), the related person's GND from the relation object's sameAs URI
+    def own_gnd_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[batch["pred"] == "sameAs"]
+        g = m["obj"].str.extract(
+            r'^\{"@id": "https://d-nb\.info/gnd/([^"]+)"', expand=False
+        )
+        keep = g.notna()
+        return pd.DataFrame({"subj": m["subj"][keep], "g": g[keep]}).reset_index(
+            drop=True
+        )
+
+    own_gnd = partitioned_final(
+        src.map_batches(own_gnd_rows, batch_format="pandas"),
+        ["subj"],
+        lambda p: p.groupby("subj", as_index=False, sort=False)["g"].min(),
+        num_partitions=16,
+    ).materialize()
+
+    def pairs_of(pred: str) -> ray.data.Dataset:
+        def extract(batch: pd.DataFrame) -> pd.DataFrame:
+            m = batch[(batch["pred"] == pred) & (batch["obj_kind"] == "node")]
+            ref = m["obj"].str.extract(
+                r'"sameAs": "https://d-nb\.info/gnd/([^"]+)"', expand=False
+            )
+            keep = ref.notna()
+            return pd.DataFrame(
+                {"subj": m["subj"][keep], "o": ref[keep]}
+            ).reset_index(drop=True)
+
+        return partitioned_join(
+            src.map_batches(extract, batch_format="pandas"),
+            own_gnd,
+            "subj",
+            left_cols=["o"],
+            right_cols=["g"],
+            num_partitions=16,
+        ).map_batches(
+            lambda b: pd.DataFrame({"s": b["g"], "o": b["o"]}),
+            batch_format="pandas",
+        )
+
+    out = path_eval(
+        pairs_of,
+        ("plus", ("alt", "parent", "children", "sibling", "spouse")),
+        max_depth=8,
+        num_partitions=16,
+    ).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"s": pd.Series(dtype="str"), "o": pd.Series(dtype="str")})
+    return out.sort_values(["s", "o"]).reset_index(drop=True)
+
+
 def q_hyperball_anf(sf_dir: str):
     """HyperBall approximate neighbourhood function over the order-part
     bipartite graph: per-node 128-byte HLL counters, per-round register-max
@@ -8019,6 +8094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_canopies": q_part_canopies,
         "er_clusters": q_er_clusters,
         "exact_substr_dedup": q_exact_substr_dedup,
+        "kg_path_query": q_kg_path_query,
         # iterative random-walk-with-restart — rows-only; equals the dense
         # RWR iteration in tests/test_graph.py
         "ppr_related_parts": q_ppr_related_parts,
@@ -9547,6 +9623,41 @@ def oracle_sql() -> dict[str, str]:
                    round((ra - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
                          / sqrt(n1 * n2 * (n1 + n2 + 1) / 12), 6) AS z
             FROM s
+        """,
+        "kg_path_query": r"""
+            WITH RECURSIVE own AS (
+                SELECT subj, min(g) AS g FROM (
+                    SELECT subj,
+                           NULLIF(regexp_extract(obj,
+                               '^\{"@id": "https://d-nb\.info/gnd/([^"]+)"',
+                               1), '') AS g
+                    FROM read_parquet(
+                        '/tmp/esmarc_ray_kg_oracle/path_src/*.parquet')
+                    WHERE pred = 'sameAs'
+                ) WHERE g IS NOT NULL GROUP BY subj
+            ),
+            rel AS (
+                SELECT subj,
+                       NULLIF(regexp_extract(obj,
+                           '"sameAs": "https://d-nb\.info/gnd/([^"]+)"',
+                           1), '') AS o
+                FROM read_parquet(
+                    '/tmp/esmarc_ray_kg_oracle/path_src/*.parquet')
+                WHERE pred IN ('parent', 'children', 'sibling', 'spouse')
+                  AND obj_kind = 'node'
+            ),
+            ed AS (
+                SELECT DISTINCT own.g AS s, rel.o
+                FROM rel JOIN own USING (subj) WHERE rel.o IS NOT NULL
+            ),
+            reach(s, o, d) AS (
+                SELECT s, o, 1 FROM ed
+                UNION
+                SELECT r.s, ed.o, r.d + 1
+                FROM reach r JOIN ed ON r.o = ed.s
+                WHERE r.d < 8
+            )
+            SELECT DISTINCT s, o FROM reach ORDER BY s, o
         """,
         "kg_sameas_components": r"""
             WITH RECURSIVE e AS (

@@ -2229,3 +2229,160 @@ def hyperball(
             "coverage": np.array(nf, dtype="float64") / max(final, 1e-12),
         }
     )
+
+
+def path_eval(
+    pairs_of,
+    path,
+    *,
+    max_depth: int = 8,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """SPARQL 1.1 property-path evaluator over edge relations: returns the
+    DISTINCT (s, o) pair set the path expression denotes.
+
+    ``pairs_of(pred_name) -> Dataset[(s, o)]`` resolves an atom predicate to
+    its edge relation (the caller owns triple-format specifics — e.g.
+    extracting internal @id refs from the KG's JSON-LD objects).  ``path``
+    is an AST:
+
+    * ``"pred"`` — atom
+    * ``("inv", p)`` — ``^p`` (swap s/o)
+    * ``("alt", p1, p2, …)`` — ``p1|p2|…`` (union)
+    * ``("seq", p1, p2, …)`` — ``p1/p2/…`` (relational composition)
+    * ``("plus", p)`` — ``p+`` (transitive closure, ≤ max_depth hops)
+    * ``("star", p)`` — ``p*`` (``p+`` ∪ identity over p's node set)
+
+    Every operator is a distributed pair-set algebra: union+DISTINCT
+    (hash-partitioned), composition as a mid-node co-partition join, and
+    closure as frontier rounds — new pairs found via a pair-key ANTI join
+    against the settled set (both sides hash-partitioned, nothing driver-
+    side), with ``repartition`` before each round's materialize (block-count
+    control) and early exit when a round adds nothing.  The closure's
+    shuffle volume is O(result pairs), the inherent cost of reachability
+    materialization.
+
+    Oracle pattern (tests + queries): a DuckDB recursive CTE with the same
+    depth bound reproduces the pair set exactly — see
+    ``__ray_entry__.q_kg_path_query``.
+    """
+    from esmarc_ray.ops.dedup import _distinct_on
+    from esmarc_ray.ops.relational import partitioned_join, partitioned_semi_join
+
+    def dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return _distinct_on(ds, ["s", "o"], num_partitions=num_partitions)
+
+    def ev(expr) -> ray.data.Dataset:
+        if isinstance(expr, str):
+            return pairs_of(expr)
+        op = expr[0]
+        if op == "inv":
+            return ev(expr[1]).map_batches(
+                lambda b: pd.DataFrame({"s": b["o"], "o": b["s"]}),
+                batch_format="pandas",
+            )
+        if op == "alt":
+            out = ev(expr[1])
+            for sub in expr[2:]:
+                out = out.union(ev(sub))
+            return dedup(out)
+        if op == "seq":
+            left = ev(expr[1])
+            for sub in expr[2:]:
+                right = ev(sub).map_batches(
+                    lambda b: pd.DataFrame({"mid": b["s"], "o2": b["o"]}),
+                    batch_format="pandas",
+                )
+                left = dedup(
+                    partitioned_join(
+                        left.map_batches(
+                            lambda b: pd.DataFrame({"s": b["s"], "mid": b["o"]}),
+                            batch_format="pandas",
+                        ),
+                        right,
+                        "mid",
+                        left_cols=["s"],
+                        right_cols=["o2"],
+                        num_partitions=num_partitions,
+                    ).map_batches(
+                        lambda b: pd.DataFrame({"s": b["s"], "o": b["o2"]}),
+                        batch_format="pandas",
+                    )
+                )
+            return left
+        if op in ("plus", "star"):
+            base = dedup(ev(expr[1])).materialize()
+            total = base
+            frontier = base
+            for _d in range(max_depth - 1):
+                stepped = partitioned_join(
+                    frontier.map_batches(
+                        lambda b: pd.DataFrame({"s": b["s"], "mid": b["o"]}),
+                        batch_format="pandas",
+                    ),
+                    base.map_batches(
+                        lambda b: pd.DataFrame({"mid": b["s"], "o2": b["o"]}),
+                        batch_format="pandas",
+                    ),
+                    "mid",
+                    left_cols=["s"],
+                    right_cols=["o2"],
+                    num_partitions=num_partitions,
+                ).map_batches(
+                    lambda b: pd.DataFrame({"s": b["s"], "o": b["o2"]}),
+                    batch_format="pandas",
+                )
+
+                def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+                    batch = batch.copy()
+                    batch["pk"] = batch["s"].astype(str) + "\x1f" + batch["o"].astype(str)
+                    return batch
+
+                stepped_d = (
+                    dedup(stepped)
+                    .map_batches(add_key, batch_format="pandas")
+                    .repartition(num_partitions)
+                    .materialize()
+                )
+                # an empty composition round ends the closure; it also has
+                # no schema, which partitioned_semi_join can't take
+                if stepped_d.count() == 0:
+                    break
+                new = (
+                    partitioned_semi_join(
+                        stepped_d,
+                        total.map_batches(add_key, batch_format="pandas"),
+                        "pk",
+                        anti=True,
+                        num_partitions=num_partitions,
+                    )
+                    .map_batches(
+                        lambda b: pd.DataFrame({"s": b["s"], "o": b["o"]}),
+                        batch_format="pandas",
+                    )
+                    .repartition(num_partitions)
+                    .materialize()
+                )
+                if new.count() == 0:
+                    break
+                total = (
+                    total.union(new).repartition(num_partitions).materialize()
+                )
+                frontier = new
+            if op == "star":
+                ident = dedup(
+                    base.map_batches(
+                        lambda b: pd.DataFrame(
+                            {
+                                "s": pd.concat([b["s"], b["o"]]),
+                                "o": pd.concat([b["s"], b["o"]]),
+                            }
+                        ),
+                        batch_format="pandas",
+                    )
+                )
+                total = dedup(total.union(ident))
+            return total
+        raise ValueError(f"unknown path operator: {expr!r}")
+
+    return ev(path)

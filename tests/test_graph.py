@@ -495,3 +495,44 @@ def test_hyperball_matches_exact_anf(ray_session):
     )
     eff_hb = int(out.loc[out["coverage"] >= 0.9, "t"].iloc[0])
     assert abs(eff_hb - eff_exact) <= 1
+
+
+def test_path_eval_operators(ray_session):
+    """SPARQL property-path algebra vs hand-computed pair sets: atom, inv,
+    alt, seq, plus (closure with cycle), star (adds identity)."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.graph import path_eval
+
+    rels = {
+        # a chain with a cycle: 1→2→3→1, plus 3→4
+        "p": pd.DataFrame({"s": ["1", "2", "3", "3"], "o": ["2", "3", "1", "4"]}),
+        "q": pd.DataFrame({"s": ["4"], "o": ["5"]}),
+    }
+
+    def pairs_of(name):
+        return ray.data.from_pandas(rels[name])
+
+    def run(path, **kw):
+        got = path_eval(pairs_of, path, num_partitions=2, **kw).to_pandas()
+        return set(zip(got["s"], got["o"]))
+
+    assert run("p") == {("1", "2"), ("2", "3"), ("3", "1"), ("3", "4")}
+    assert run(("inv", "q")) == {("5", "4")}
+    assert run(("alt", "p", "q")) == {
+        ("1", "2"), ("2", "3"), ("3", "1"), ("3", "4"), ("4", "5")
+    }
+    assert run(("seq", "p", "q")) == {("3", "5")}
+    # closure: within the 3-cycle every node reaches every node (incl.
+    # itself), and all of 1/2/3 reach 4
+    want_plus = {
+        (a, b) for a in "123" for b in "1234"
+    } | {("3", "4")}
+    assert run(("plus", "p")) == want_plus
+    # star adds identity over p's node set (4 included, 5 not in p)
+    assert run(("star", "p")) == want_plus | {(x, x) for x in "1234"}
+    # depth bound: max_depth=2 keeps only ≤2-hop pairs
+    two_hop = {("1", "2"), ("2", "3"), ("3", "1"), ("3", "4"),
+               ("1", "3"), ("2", "1"), ("3", "2"), ("2", "4")}
+    assert run(("plus", "p"), max_depth=2) == two_hop
