@@ -6549,6 +6549,26 @@ def q_media_decode(sf_dir: str):
     )
 
 
+def q_audio_features(sf_dir: str):
+    """Audio DSP features (RMS, ZCR, rFFT spectral centroid / bandwidth /
+    rolloff) over the synthetic WAV clips — the audio leg of the interleaved
+    media path; actor-pool stage, one rFFT per clip.  FFT feature math is
+    not SQL-expressible — rows-only; the DSP is gated by
+    tests/test_media.py::test_audio_features_dsp (planted sine/noise)."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.multimodal import audio_features, synthetic_media_table
+
+    media = ray.data.from_arrow(synthetic_media_table(200, payloads="native"))
+    out = audio_features(media).to_pandas()
+    out = out[out["audio_ok"]].drop(columns=["audio_ok"])
+    for c in out.columns:
+        if c != "media_id":
+            out[c] = out[c].round(6)
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_order_price_quartiles(sf_dir: str):
     import ray.data
 
@@ -8296,6 +8316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": q_embedding_dim_stats,
         "media_decode": q_media_decode,
         "media_frames": q_media_frames,
+        # rFFT spectral features — rows-only; DSP gated by
+        # tests/test_media.py::test_audio_features_dsp
+        "audio_features": q_audio_features,
         # end-to-end curation pipeline (gates + decontam + dedup, fused)
         "curated_docs": q_curated_docs,
         "curation_report": q_curation_report,

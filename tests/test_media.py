@@ -153,3 +153,46 @@ def test_interleave_chunks_media_positions(ray_session):
     assert got["n_text_tokens"].tolist() == [5, 3]
     assert got["media_refs"].tolist() == ["m1", "m2"]
     assert got["n_media"].tolist() == [1, 1]
+
+
+def test_audio_features_dsp(ray_session):
+    """Spectral features recover planted signal structure: a pure sine's
+    centroid and ZCR sit at its frequency (±1 bin), white noise has much
+    wider bandwidth, a truncated payload dead-letters with audio_ok=False."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from esmarc_ray.ops.media_codecs import encode_wav
+    from esmarc_ray.ops.multimodal import audio_features
+
+    sr, n = 8000, 8000
+    t = np.arange(n) / sr
+    sine = encode_wav((np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16), sr)
+    rng = np.random.RandomState(3)
+    noise = encode_wav((rng.randn(n) * 8000).clip(-32000, 32000).astype(np.int16), sr)
+    broken = sine[:20]
+
+    media = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(["sine", "noise", "broken"]),
+                "payload": pa.array([sine, noise, broken], pa.binary()),
+            }
+        )
+    )
+    out = audio_features(media, concurrency=(1, 2)).to_pandas().set_index("media_id")
+
+    s = out.loc["sine"]
+    assert s["audio_ok"]
+    assert abs(s["spectral_centroid_hz"] - 440) < 2.0
+    assert abs(s["zcr_hz"] - 440) < 2.0
+    assert s["spectral_bandwidth_hz"] < 20.0
+    assert abs(s["duration_s"] - 1.0) < 1e-9
+
+    nz = out.loc["noise"]
+    assert nz["audio_ok"]
+    assert nz["spectral_bandwidth_hz"] > 500.0
+
+    assert not out.loc["broken"]["audio_ok"]
