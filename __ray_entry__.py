@@ -7917,6 +7917,36 @@ def q_copurchase_triangles(sf_dir: str):
     return pd.DataFrame({"n_triangles": [n]})
 
 
+def q_copurchase_ktruss(sf_dir: str):
+    """4-truss core of the part co-purchase graph: every surviving edge sits
+    in ≥ 2 triangles — the cohesive-cluster extraction one notch stronger
+    than k-core.  Iterative peel (per-round degree-ordered wedge support +
+    hash-partitioned filter) is not SQL-expressible — rows-only; peel
+    correctness gated by tests/test_graph.py::test_k_truss_matches_bruteforce."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.graph import k_truss
+    from esmarc_ray.ops.relational import partitioned_final
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).filter(expr="l_orderkey < 1500")
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        m = part.merge(part, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        return m[["l_partkey_a", "l_partkey_b"]].drop_duplicates()
+
+    edges = partitioned_final(li, ["l_orderkey"], pairs, num_partitions=16)
+    out = k_truss(
+        edges, k=4, u="l_partkey_a", v="l_partkey_b", num_partitions=16
+    ).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"a": pd.Series(dtype="str"), "b": pd.Series(dtype="str")})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_top_collocations(sf_dir: str):
     """Top-50 PMI collocations over the documents table — oracle recomputes
     the identical ln(n_pair·N/(n1·n2)) ranking in SQL."""
@@ -8124,6 +8154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HLL register-max fixpoint — rows-only; accuracy gated by
         # tests/test_graph.py::test_hyperball_matches_exact_anf
         "hyperball_anf": q_hyperball_anf,
+        # iterative truss peel — rows-only; gated by
+        # tests/test_graph.py::test_k_truss_matches_bruteforce
+        "copurchase_ktruss": q_copurchase_ktruss,
         "kg_authority_links": q_kg_authority_links,
         "split_ngram_overlap": q_split_ngram_overlap,
         "event_type_trend": q_event_type_trend,

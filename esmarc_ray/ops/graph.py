@@ -2386,3 +2386,212 @@ def path_eval(
         raise ValueError(f"unknown path operator: {expr!r}")
 
     return ev(path)
+
+
+def k_truss(
+    edges: ray.data.Dataset,
+    *,
+    k: int = 4,
+    u: str = "u",
+    v: str = "v",
+    num_partitions: int = 16,
+    max_rounds: int = 16,
+) -> ray.data.Dataset:
+    """k-truss decomposition: the maximal subgraph in which every edge is
+    supported by ≥ k−2 triangles (Cohen 2008) — the standard cohesive-core
+    extraction one notch stronger than k-core (every k-truss is a
+    (k−1)-core).  Returns the surviving undirected edge set (a, b), a < b.
+
+    Peeling loop: each round recomputes per-EDGE triangle support with the
+    same degree-ordered wedge plan as :func:`triangle_count` (orient edges
+    low-degree→high, self-join wedges per source partition, verify the
+    closing edge with a key-partitioned match — hub-safe fan-out), then
+    drops edges with support < k−2.  Dropping an edge can only reduce other
+    edges' support, so the loop repeats until an edge census is stable
+    (≤ max_rounds).  Support recomputation per round is the simple
+    scale-correct plan (all stages hash-partitioned; the decrement-
+    propagation variant trades shuffles for round count and only wins on
+    adversarial peel chains).  Iterative peel is not SQL-expressible —
+    gated by tests/test_graph.py::test_k_truss_matches_bruteforce.
+    """
+    from esmarc_ray.ops.dedup import _distinct_on
+    from esmarc_ray.ops.relational import (
+        partial_groupby_agg,
+        partitioned_final,
+        partitioned_join,
+    )
+
+    def undirect(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[u].astype(str)
+        b = batch[v].astype(str)
+        lo = a.where(a < b, b)
+        hi = b.where(a < b, a)
+        out = pd.DataFrame({"a": lo, "b": hi})
+        return out[out["a"] != out["b"]].drop_duplicates()
+
+    und = _distinct_on(
+        edges.map_batches(undirect, batch_format="pandas"), ["a", "b"],
+        num_partitions=num_partitions,
+    ).repartition(num_partitions).materialize()
+    n_edges = und.count()
+    min_support = k - 2
+
+    for _round in range(max_rounds):
+        if n_edges == 0:
+            break
+
+        # --- per-edge triangle support over the CURRENT edge set -------- #
+        def deg_rows(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node": pd.concat([batch["a"], batch["b"]], ignore_index=True)}
+            )
+
+        degrees = partial_groupby_agg(
+            und.map_batches(deg_rows, batch_format="pandas"),
+            ["node"],
+            {"deg": ("node", "count")},
+            num_partitions=num_partitions,
+        )
+
+        with_da = partitioned_join(
+            und,
+            degrees.map_batches(
+                lambda b: b.rename(columns={"node": "a", "deg": "deg_a"}),
+                batch_format="pandas",
+            ),
+            "a", left_cols=["b"], right_cols=["deg_a"],
+            num_partitions=num_partitions,
+        )
+        with_both = partitioned_join(
+            with_da,
+            degrees.map_batches(
+                lambda b: b.rename(columns={"node": "b", "deg": "deg_b"}),
+                batch_format="pandas",
+            ),
+            "b", left_cols=["a", "deg_a"], right_cols=["deg_b"],
+            num_partitions=num_partitions,
+        )
+
+        def orient(batch: pd.DataFrame) -> pd.DataFrame:
+            da = batch["deg_a"].astype("int64")
+            db = batch["deg_b"].astype("int64")
+            a_first = (da < db) | ((da == db) & (batch["a"] < batch["b"]))
+            return pd.DataFrame(
+                {
+                    "lo": batch["a"].where(a_first, batch["b"]),
+                    "hi": batch["b"].where(a_first, batch["a"]),
+                    "deg_hi": db.where(a_first, da),
+                }
+            )
+
+        oriented = (
+            with_both.map_batches(orient, batch_format="pandas")
+            .repartition(num_partitions)
+            .materialize()
+        )
+
+        def tag_src(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["part"] = _part_series(batch["lo"], num_partitions)
+            return batch
+
+        def wedges(part: pd.DataFrame) -> pd.DataFrame:
+            m = part.merge(part, on="lo", suffixes=("_1", "_2"))
+            keep = (m["deg_hi_1"] < m["deg_hi_2"]) | (
+                (m["deg_hi_1"] == m["deg_hi_2"]) & (m["hi_1"] < m["hi_2"])
+            )
+            m = m[keep]
+            return pd.DataFrame(
+                {"apex": m["lo"], "x": m["hi_1"], "y": m["hi_2"]}
+            ).reset_index(drop=True)
+
+        candidates = (
+            oriented.map_batches(tag_src, batch_format="pandas")
+            .groupby("part")
+            .map_groups(wedges, batch_format="pandas")
+        )
+
+        def tag_cand(batch: pd.DataFrame) -> pd.DataFrame:
+            lo = batch["x"].where(batch["x"] < batch["y"], batch["y"])
+            hi = batch["y"].where(batch["x"] < batch["y"], batch["x"])
+            key = lo.astype(str) + "\x1f" + hi.astype(str)
+            return pd.DataFrame(
+                {
+                    "key": key,
+                    "apex": batch["apex"],
+                    "side": "c",
+                    "part": _part_series(key, num_partitions),
+                }
+            )
+
+        def tag_edge(batch: pd.DataFrame) -> pd.DataFrame:
+            key = batch["a"].astype(str) + "\x1f" + batch["b"].astype(str)
+            return pd.DataFrame(
+                {
+                    "key": key,
+                    "apex": "",
+                    "side": "e",
+                    "part": _part_series(key, num_partitions),
+                }
+            )
+
+        def edge_rows(part: pd.DataFrame) -> pd.DataFrame:
+            """Matched triangle (apex, x—y): one support row for EACH of the
+            three edges, normalized (min, max)."""
+            edge_keys = set(part.loc[part["side"] == "e", "key"])
+            c = part[part["side"] == "c"]
+            tri = c[c["key"].isin(edge_keys)]
+            if not len(tri):
+                return pd.DataFrame({"ekey": pd.Series(dtype="object")})
+            xy = tri["key"].str.split("\x1f")
+            x = xy.str[0]
+            y = xy.str[1]
+            ap = tri["apex"]
+            k1 = ap.where(ap < x, x) + "\x1f" + x.where(ap < x, ap)
+            k2 = ap.where(ap < y, y) + "\x1f" + y.where(ap < y, ap)
+            return pd.DataFrame(
+                {"ekey": pd.concat([tri["key"], k1, k2], ignore_index=True)}
+            )
+
+        support_rows = (
+            candidates.map_batches(tag_cand, batch_format="pandas")
+            .union(und.map_batches(tag_edge, batch_format="pandas"))
+            .groupby("part")
+            .map_groups(edge_rows, batch_format="pandas")
+        )
+        support = partial_groupby_agg(
+            support_rows, ["ekey"], {"support": ("ekey", "count")},
+            num_partitions=num_partitions,
+        )
+
+        # --- peel -------------------------------------------------------- #
+        def ekey_edges(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["ekey"] = batch["a"].astype(str) + "\x1f" + batch["b"].astype(str)
+            return batch
+
+        def keep_fn(batch: pd.DataFrame) -> pd.DataFrame:
+            sup = batch["support"].fillna(0).astype("int64")
+            kept = batch[sup >= min_support]
+            return pd.DataFrame({"a": kept["a"], "b": kept["b"]})
+
+        und = (
+            partitioned_join(
+                und.map_batches(ekey_edges, batch_format="pandas"),
+                support,
+                "ekey",
+                left_cols=["a", "b"],
+                right_cols=["support"],
+                num_partitions=num_partitions,
+                how="left",
+            )
+            .map_batches(keep_fn, batch_format="pandas")
+            .repartition(num_partitions)
+            .materialize()
+        )
+        n_now = und.count()
+        if n_now == n_edges:
+            break
+        n_edges = n_now
+
+    return und

@@ -536,3 +536,48 @@ def test_path_eval_operators(ray_session):
     two_hop = {("1", "2"), ("2", "3"), ("3", "1"), ("3", "4"),
                ("1", "3"), ("2", "1"), ("3", "2"), ("2", "4")}
     assert run(("plus", "p"), max_depth=2) == two_hop
+
+
+def _truss_reference(edge_list, k):
+    """Brute-force peel: recompute per-edge triangle support, drop < k-2."""
+    edges = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    while True:
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        support = {
+            e: len(adj[e[0]] & adj[e[1]]) for e in edges
+        }
+        kept = {e for e in edges if support[e] >= k - 2}
+        if kept == edges:
+            return edges
+        edges = kept
+
+
+def test_k_truss_matches_bruteforce(ray_session):
+    """k-truss vs brute-force peeling on a graph with a 5-clique, a pendant
+    triangle and a chain: k=3 keeps triangles, k=4/5 isolate the clique
+    (cascade: the bridge edge dies only after the pendant triangle peels)."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.graph import k_truss
+
+    clique = [f"c{i}" for i in range(5)]
+    edge_list = [
+        (a, b) for i, a in enumerate(clique) for b in clique[i + 1:]
+    ]
+    # pendant triangle hanging off the clique + a chain
+    edge_list += [("c0", "t1"), ("t1", "t2"), ("t2", "c0")]
+    edge_list += [("t2", "x1"), ("x1", "x2"), ("x2", "x3")]
+
+    ds = ray.data.from_pandas(pd.DataFrame(edge_list, columns=["u", "v"]))
+    for k in (3, 4, 5):
+        got_df = k_truss(ds, k=k, num_partitions=4).to_pandas()
+        got = (
+            set(zip(got_df["a"], got_df["b"])) if len(got_df) else set()
+        )
+        assert got == _truss_reference(edge_list, k), f"k={k}"
+    # k=6 on a 5-clique: empty
+    assert k_truss(ds, k=6, num_partitions=4).count() == 0
