@@ -329,6 +329,43 @@ def _kg_internal_refs(batch):
     return out.reset_index(drop=True)
 
 
+def q_kg_hits(sf_dir: str):
+    """HITS hubs & authorities over the KG's internal-reference graph
+    (record → @id target): hubs are records referencing many well-referenced
+    authorities, authorities are entities cited by strong hubs — the classic
+    bibliographic-coupling importance signal, and a natural complement to
+    the rows-only PageRank entry.  Integer-exact unnormalized algebra
+    (:func:`esmarc_ray.ops.graph.hits_scores`) makes the whole fixpoint
+    SQL-re-derivable bit-for-bit: DuckDB replays the same two rounds as
+    chained join+sum CTEs over the mirrored edge table."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.graph import hits_scores
+    from esmarc_ray.stages.extract import docs_to_triples
+
+    triples = docs_to_triples(_kg_docs(sf_dir)).select_columns(
+        ["subj", "pred", "obj", "obj_kind"]
+    )
+
+    def edges(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[batch["obj_kind"] == "node"]
+        ref = m["obj"].str.extract(_INTERNAL_REF_RE, expand=False)
+        keep = ref.notna()
+        return pd.DataFrame(
+            {"src": m["subj"][keep].to_numpy(), "dst": ref[keep].to_numpy()}
+        )
+
+    edge_ds = triples.map_batches(edges, batch_format="pandas")
+    path = _kg_oracle_table(sf_dir, "hits_edges", edge_ds)
+    out = hits_scores(
+        ray.data.read_parquet(path), rounds=2, top_k=20
+    ).to_pandas()
+    return out.sort_values(
+        ["role", "score", "node"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
 def q_kg_dangling_refs(sf_dir: str):
     """Referential-integrity audit of the KG: every internal @id reference is
     checked against the subject set; a ref whose target URI never appears as
@@ -1920,6 +1957,63 @@ def q_boolean_and(sf_dir: str):
     )
     out = boolean_and_search(docs, ["sort", "merge", "table"]).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_mentions(sf_dir: str):
+    """Broadcast-dictionary mention detection — the batched
+    mention-detection shape the reference's entity-link stage applies to
+    authority name lists (reference esmarc/entityfacts.py), exercised over
+    the documents corpus: the dictionary (top-20 corpus bigrams + top-10
+    unigrams under the deterministic count-desc/gram-asc cut, derived with
+    combiner-shaped distributed counts) is ``ray.put`` once and every task
+    slides token n-grams over its batch, set-filtering against it — corpus
+    never shuffles, only the tiny (doc, name) hit table does."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+    from esmarc_ray.ops.text import _det_topk, dictionary_mentions
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def uni_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for text in batch["text"]:
+            if isinstance(text, str):
+                out.extend(text.lower().split())
+        return pd.DataFrame({"g": pd.Series(out, dtype="object")})
+
+    def bi_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for text in batch["text"]:
+            if isinstance(text, str):
+                toks = text.lower().split()
+                out.extend(
+                    f"{a} {b}" for a, b in zip(toks[:-1], toks[1:])
+                )
+        return pd.DataFrame({"g": pd.Series(out, dtype="object")})
+
+    top_uni = _det_topk(
+        partial_groupby_agg(
+            docs.map_batches(uni_rows, batch_format="pandas"),
+            ["g"], {"n": ("g", "count")},
+        ),
+        10, "n", ["g"],
+    )
+    top_bi = _det_topk(
+        partial_groupby_agg(
+            docs.map_batches(bi_rows, batch_format="pandas"),
+            ["g"], {"n": ("g", "count")},
+        ),
+        20, "n", ["g"],
+    )
+    names = [r["g"] for r in top_uni.take_all()] + [
+        r["g"] for r in top_bi.take_all()
+    ]
+    out = dictionary_mentions(docs, names).to_pandas()
+    return out.sort_values(["doc_id", "name"]).reset_index(drop=True)
 
 
 def q_flesch(sf_dir: str):
@@ -8118,6 +8212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pred_counts": q_kg_pred_counts,
         "kg_pred_coverage": q_kg_pred_coverage,
         "kg_dangling_refs": q_kg_dangling_refs,
+        "kg_hits": q_kg_hits,
         "kg_functional_violations": q_kg_functional_violations,
         "kg_void_stats": q_kg_void_stats,
         "kg_rdfs_types": q_kg_rdfs_types,
@@ -8413,6 +8508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ntriples_counts": q_kg_ntriples_counts,
         "events_holt": q_events_holt,
         "boolean_and": q_boolean_and,
+        "doc_mentions": q_doc_mentions,
         "flesch": q_flesch,
     }
     # hash-oracled entries first (stable relative order), rows-only after:
@@ -9756,6 +9852,29 @@ def oracle_sql() -> dict[str, str]:
                        AS n_asymmetric
             FROM ed LEFT JOIN ed r ON ed.a = r.b AND ed.b = r.a
             GROUP BY 1 ORDER BY 1
+        """,
+        # integer-exact HITS: DuckDB replays the same 2 rounds as chained
+        # join+sum CTEs over the mirrored edge table — bit-identical scores
+        "kg_hits": """
+            WITH e AS (
+                SELECT src, dst
+                FROM read_parquet('/tmp/esmarc_ray_kg_oracle/hits_edges/*.parquet')
+            ),
+            h1 AS (SELECT src AS node, count(*)::BIGINT AS s FROM e GROUP BY 1),
+            a1 AS (SELECT e.dst AS node, sum(h1.s)::BIGINT AS s
+                   FROM e JOIN h1 ON e.src = h1.node GROUP BY 1),
+            h2 AS (SELECT e.src AS node, sum(a1.s)::BIGINT AS s
+                   FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1),
+            a2 AS (SELECT e.dst AS node, sum(h2.s)::BIGINT AS s
+                   FROM e JOIN h2 ON e.src = h2.node GROUP BY 1),
+            th AS (SELECT 'hub' AS role, node, s AS score FROM h2
+                   ORDER BY s DESC, node LIMIT 20),
+            ta AS (SELECT 'authority' AS role, node, s AS score FROM a2
+                   ORDER BY s DESC, node LIMIT 20)
+            SELECT role, node, score FROM th
+            UNION ALL
+            SELECT role, node, score FROM ta
+            ORDER BY role, score DESC, node
         """,
         "kg_two_hop": r"""
             WITH r AS (
@@ -11135,6 +11254,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM tok GROUP BY 1
             HAVING count(*) = 3 ORDER BY 1
+        """,
+        "doc_mentions": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(coalesce(text, '')), '\s+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            uni AS (SELECT doc_id, unnest(ws) AS g FROM d),
+            bi AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+                              ELSE list_transform(range(1, len(ws)),
+                                                  i -> ws[i] || ' ' || ws[i+1])
+                              END) AS g
+                FROM d
+            ),
+            top_uni AS (
+                SELECT g FROM (SELECT g, count(*) AS n FROM uni GROUP BY 1)
+                ORDER BY n DESC, g LIMIT 10
+            ),
+            top_bi AS (
+                SELECT g FROM (SELECT g, count(*) AS n FROM bi GROUP BY 1)
+                ORDER BY n DESC, g LIMIT 20
+            ),
+            dict AS (SELECT g FROM top_uni UNION SELECT g FROM top_bi),
+            occ AS (
+                SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi
+            )
+            SELECT occ.doc_id, occ.g AS name, count(*) AS n_mentions
+            FROM occ JOIN dict USING (g)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "flesch": r"""
             WITH w AS (

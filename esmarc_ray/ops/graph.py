@@ -2595,3 +2595,97 @@ def k_truss(
         n_edges = n_now
 
     return und
+
+
+def hits_scores(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+    top_k: int = 20,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Unnormalized integer HITS (Kleinberg 1999): with ``a⁽⁰⁾ = 1`` on every
+    node, ``h⁽ᵏ⁾ = A a⁽ᵏ⁻¹⁾`` and ``a⁽ᵏ⁾ = Aᵀ h⁽ᵏ⁾`` — every score after any
+    number of rounds is an exact INTEGER (entries of ``(A Aᵀ)ᵏ · 1``), so
+    distributed evaluation, SQL re-derivation and the textbook algorithm
+    agree bit-for-bit regardless of summation order.  The float ℓ₂
+    normalization of textbook HITS rescales each vector uniformly and never
+    reorders nodes, so the integer top-k IS the HITS top-k.
+
+    Scale shape: each half-round is one co-hash-partitioned equi-join of the
+    edge table against the current (node, score) table plus one
+    combiner-shaped groupby-sum — ``2·rounds`` shuffles of a table no wider
+    than (node, int64), no per-node driver state, no adjacency
+    materialization.  Parallel edges keep bag semantics (a duplicated edge
+    doubles its contribution) on both engines.
+
+    ``rounds`` is capped at 3: scores grow like ``(n·d_max²)ᵏ`` and round 4
+    can overflow int64 on a head-heavy web-scale graph; 2 rounds already
+    separates hubs from authorities (and is the classic "one full HITS
+    iteration" after the degree bootstrap).
+
+    Returns ``(role, node, score)`` — the deterministic top-k hubs and top-k
+    authorities under (score desc, node asc).
+    """
+    if not 1 <= rounds <= 3:
+        raise ValueError("hits_scores: rounds must be in 1..3 (int64 overflow)")
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_join
+
+    edges = edges.select_columns([src, dst]).materialize()  # joined 2·rounds times
+
+    # bootstrap: a⁽⁰⁾ = 1 everywhere ⇒ h⁽¹⁾(u) = out-degree(u)
+    hubs = partial_groupby_agg(
+        edges, [src], {"score": (dst, "count")},
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda b: b.rename(columns={src: "node"}), batch_format="pandas"
+    )
+
+    def _push(scores: ray.data.Dataset, key: str, out_key: str) -> ray.data.Dataset:
+        """score(out_key) = Σ score(key) over edges — one join + one sum."""
+        relabeled = scores.map_batches(
+            lambda b, k=key: b.rename(columns={"node": k}),
+            batch_format="pandas",
+        )
+        joined = partitioned_join(
+            edges, relabeled, key,
+            left_cols=[out_key], right_cols=["score"],
+            num_partitions=num_partitions,
+        )
+        return partial_groupby_agg(
+            joined, [out_key], {"score": ("score", "sum")},
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda b: b.rename(columns={out_key: "node"}), batch_format="pandas"
+        )
+
+    auths = None
+    for r in range(rounds):
+        if r > 0:
+            hubs = _push(auths, dst, src)  # h⁽ʳ⁺¹⁾ = A a⁽ʳ⁾
+        # joins key on the edge column name, so relabel node → src/dst
+        auths = _push(hubs, src, dst)      # a⁽ʳ⁺¹⁾ = Aᵀ h⁽ʳ⁺¹⁾
+
+    def _topk(ds: ray.data.Dataset, role: str) -> ray.data.Dataset:
+        def prune(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.sort_values(
+                ["score", "node"], ascending=[False, True]
+            ).head(top_k)
+            return out
+
+        def tag(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch.insert(0, "role", role)
+            return batch[["role", "node", "score"]]
+
+        return (
+            ds.map_batches(prune, batch_format="pandas")
+            .sort(["score", "node"], descending=[True, False])
+            .limit(top_k)
+            .map_batches(tag, batch_format="pandas")
+        )
+
+    return _topk(hubs, "hub").union(_topk(auths, "authority"))

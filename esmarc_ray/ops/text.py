@@ -1533,6 +1533,91 @@ def split_ngram_overlap(
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def dictionary_mentions(
+    docs: "ray.data.Dataset",
+    names: list[str],
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Broadcast-dictionary mention tagging — the batched mention-detection
+    shape of a KG pipeline (the reference scans record strings against its
+    authority-name lists when linking, reference esmarc/entityfacts.py): a
+    small entity-name dictionary is grouped by token length, ``ray.put``
+    ONCE, and every corpus task slides token n-grams over its batch and
+    set-filters them against the broadcast dictionary — the corpus side
+    never shuffles; only the tiny (doc, name) hit table does, through one
+    combiner-shaped groupby-count.
+
+    Matching semantics (mirrored exactly by the DuckDB oracle): lowercased
+    whitespace tokenization, a name of n tokens matches every position
+    where the doc's n consecutive tokens equal it (overlaps counted).
+
+    Output: ``(id_column, name, n_mentions)`` — one row per (doc, matched
+    dictionary name).
+    """
+    import ray
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    by_len: dict[int, frozenset[str]] = {}
+    for name in names:
+        n = len(name.split())
+        if n == 0:
+            continue
+        by_len.setdefault(n, set()).add(name.lower())  # type: ignore[attr-defined]
+    by_len = {n: frozenset(s) for n, s in by_len.items()}
+    dict_ref = ray.put(by_len)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        groups = ray.get(dict_ref)
+        batch = batch.reset_index(drop=True)  # labels == positions below
+        toks = batch[text_column].fillna("").str.lower().str.split()
+        words = toks.explode()
+        words = words[words.notna()]
+        ids = pd.Series(words.index, index=words.index)  # doc row per token
+        w = words.reset_index(drop=True)
+        p = ids.reset_index(drop=True)
+        hit_ids, hit_names = [], []
+        for n, nameset in groups.items():
+            if len(w) < n:
+                continue
+            if n == 1:
+                g, gp = w, p
+            else:
+                parts = [w.shift(-j) for j in range(1, n)]
+                g = w.str.cat(parts, sep=" ", na_rep="\x00")
+                same_doc = p.shift(-(n - 1)) == p
+                g, gp = g[same_doc], p[same_doc]
+            mask = g.isin(nameset)
+            if mask.any():
+                hit_names.append(g[mask])
+                hit_ids.append(gp[mask])
+        if not hit_ids:
+            return pd.DataFrame({id_column: pd.Series([], dtype="int64"),
+                                 "name": pd.Series([], dtype="object"),
+                                 "n_mentions": pd.Series([], dtype="int64")})
+        rows = pd.DataFrame({
+            "__row": pd.concat(hit_ids, ignore_index=True),
+            "name": pd.concat(hit_names, ignore_index=True),
+        })
+        rows[id_column] = batch[id_column].to_numpy()[rows["__row"].to_numpy()]
+        # batch-local combine before the (tiny) global shuffle
+        return (
+            rows.groupby([id_column, "name"], sort=False)
+            .size()
+            .rename("n_mentions")
+            .reset_index()
+        )
+
+    hits = docs.map_batches(tag, batch_format="pandas")
+    return partial_groupby_agg(
+        hits, [id_column, "name"], {"n_mentions": ("n_mentions", "sum")},
+        num_partitions=num_partitions,
+    )
+
+
 def boolean_and_search(
     docs: "ray.data.Dataset",
     terms: list[str],
