@@ -8203,6 +8203,115 @@ def q_event_funnel(sf_dir: str):
     return funnel_counts(events, ["signup", "view", "click", "purchase"])
 
 
+def q_user_streaks(sf_dir: str):
+    """Longest consecutive-day activity streak per user (gaps-and-islands):
+    distinct active days per user, island anchor = epoch_day − rank (ties
+    impossible after the distinct), longest island per user.  Batch-local
+    day-distinct prunes the shuffle; the per-user segmentation runs once per
+    hash PARTITION (``partitioned_final``), never once per user."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partitioned_final
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def to_days(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                # exact integer epoch days — both engines share this path
+                "day": (batch["ts"].values.astype("datetime64[D]")).astype("int64"),
+            }
+        )
+        return out.drop_duplicates()  # batch-local prune before the shuffle
+
+    days = events.map_batches(to_days, batch_format="pandas")
+
+    def streaks(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates().sort_values(["user_id", "day"])
+        rank = part.groupby("user_id").cumcount().to_numpy()
+        part = part.assign(anchor=part["day"].to_numpy() - rank)
+        runs = (
+            part.groupby(["user_id", "anchor"], sort=False)
+            .size()
+            .rename("len")
+            .reset_index()
+        )
+        out = runs.groupby("user_id").agg(
+            longest_streak=("len", "max"), n_active_days=("len", "sum")
+        )
+        return out.reset_index().astype(
+            {"longest_streak": "int64", "n_active_days": "int64"}
+        )
+
+    return partitioned_final(days, ["user_id"], streaks, num_partitions=32)
+
+
+def q_reorder_intervals(sf_dir: str):
+    """Per-customer gap statistics between consecutive orders, in exact
+    integer epoch days (consecutive diffs of a sorted numeric sequence are
+    invariant under tie order, so ORDER BY o_orderdate alone is
+    deterministic).  Customers with ≥ 2 orders only."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partitioned_final
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def to_days(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"],
+                "day": batch["o_orderdate"].values.astype("datetime64[D]").astype("int64"),
+            }
+        )
+
+    days = orders.map_batches(to_days, batch_format="pandas")
+
+    def gaps(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["o_custkey", "day"])
+        d = part["day"].to_numpy()
+        same = part["o_custkey"].to_numpy()
+        gap = np.diff(d, prepend=d[:1])
+        valid = np.concatenate(([False], same[1:] == same[:-1]))
+        g = pd.DataFrame({"o_custkey": part["o_custkey"], "gap": gap})[valid]
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series([], dtype="int64"),
+                    "n_orders": pd.Series([], dtype="int64"),
+                    "avg_gap_days": pd.Series([], dtype="float64"),
+                    "max_gap_days": pd.Series([], dtype="int64"),
+                }
+            )
+        agg = g.groupby("o_custkey").agg(
+            n_gaps=("gap", "size"),
+            sum_gap=("gap", "sum"),
+            max_gap_days=("gap", "max"),
+        )
+        out = pd.DataFrame(
+            {
+                "o_custkey": agg.index,
+                "n_orders": (agg["n_gaps"] + 1).astype("int64"),
+                "avg_gap_days": (
+                    np.floor(agg["sum_gap"] / agg["n_gaps"] * 1e4 + 0.5) / 1e4
+                ),
+                "max_gap_days": agg["max_gap_days"].astype("int64"),
+            }
+        )
+        return out.reset_index(drop=True)
+
+    return partitioned_final(days, ["o_custkey"], gaps, num_partitions=32)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     reg = {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -8510,6 +8619,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and": q_boolean_and,
         "doc_mentions": q_doc_mentions,
         "flesch": q_flesch,
+        # gaps-and-islands segmentation + consecutive-order gap windows
+        "user_streaks": q_user_streaks,
+        "reorder_intervals": q_reorder_intervals,
     }
     # hash-oracled entries first (stable relative order), rows-only after:
     # the driver's correctness gate value-checks a prefix of this dict, so
@@ -12943,5 +13055,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, 'l_discount',
                    CAST(l_discount AS DOUBLE)
             FROM lineitem WHERE l_orderkey < 1000
+        """,
+        "user_streaks": """
+            WITH days AS (
+                SELECT DISTINCT user_id,
+                       datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+                FROM events
+            ),
+            isl AS (
+                SELECT user_id, day,
+                       day - (row_number() OVER (
+                           PARTITION BY user_id ORDER BY day) - 1) AS anchor
+                FROM days
+            ),
+            runs AS (
+                SELECT user_id, anchor, count(*) AS len
+                FROM isl GROUP BY user_id, anchor
+            )
+            SELECT user_id,
+                   max(len)::BIGINT AS longest_streak,
+                   sum(len)::BIGINT AS n_active_days
+            FROM runs GROUP BY user_id
+        """,
+        "reorder_intervals": """
+            WITH d AS (
+                SELECT o_custkey,
+                       datediff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS day
+                FROM orders
+            ),
+            g AS (
+                SELECT o_custkey,
+                       day - lag(day) OVER (
+                           PARTITION BY o_custkey ORDER BY day) AS gap
+                FROM d
+            )
+            SELECT o_custkey,
+                   (count(gap) + 1)::BIGINT AS n_orders,
+                   floor(sum(gap)::DOUBLE / count(gap) * 1e4 + 0.5) / 1e4
+                       AS avg_gap_days,
+                   max(gap)::BIGINT AS max_gap_days
+            FROM g
+            WHERE gap IS NOT NULL
+            GROUP BY o_custkey
         """,
     }
