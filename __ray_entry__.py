@@ -8312,6 +8312,57 @@ def q_reorder_intervals(sf_dir: str):
     return partitioned_final(days, ["o_custkey"], gaps, num_partitions=32)
 
 
+def q_betweenness_top(sf_dir: str):
+    """Approximate betweenness centrality of the part co-purchase graph:
+    sampled-source Brandes (16 hash-deterministic sources = the smallest
+    part keys in the edge set), top-20 nodes.  Iterative frontier algebra —
+    rows-only; exactness gated by tests/test_graph.py::test_betweenness_*
+    against the textbook Brandes."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.graph import betweenness
+    from esmarc_ray.ops.relational import partitioned_final
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).filter(expr="l_orderkey < 3000")
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        m = part.merge(part, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        return m[["l_partkey_a", "l_partkey_b"]].drop_duplicates()
+
+    edges = partitioned_final(li, ["l_orderkey"], pairs, num_partitions=16)
+
+    # deterministic sources: the 16 smallest node ids — per-block local
+    # min-k partials, tiny driver merge (k × blocks rows)
+    def local_min_k(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = pd.unique(
+            pd.concat([batch["l_partkey_a"], batch["l_partkey_b"]])
+        )
+        return pd.DataFrame({"node": pd.Series(sorted(vals)[:16])})
+
+    partials = edges.map_batches(local_min_k, batch_format="pandas").to_pandas()
+    sources = sorted(partials["node"].unique())[:16]
+
+    import numpy as np
+
+    bc = betweenness(
+        edges,
+        list(sources),
+        u="l_partkey_a",
+        v="l_partkey_b",
+        max_hops=8,
+        num_partitions=16,
+    ).to_pandas()
+    bc["betweenness"] = np.floor(bc["betweenness"] * 1e4 + 0.5) / 1e4
+    out = bc.sort_values(
+        ["betweenness", "node"], ascending=[False, True]
+    ).head(20)
+    return out.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     reg = {
         # KG engine (span corpus); entity_counts/pred_counts are
@@ -8622,6 +8673,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gaps-and-islands segmentation + consecutive-order gap windows
         "user_streaks": q_user_streaks,
         "reorder_intervals": q_reorder_intervals,
+        # sampled-source Brandes (rows-only; brute-force-gated in pytest)
+        "betweenness_top": q_betweenness_top,
     }
     # hash-oracled entries first (stable relative order), rows-only after:
     # the driver's correctness gate value-checks a prefix of this dict, so

@@ -2689,3 +2689,283 @@ def hits_scores(
         )
 
     return _topk(hubs, "hub").union(_topk(auths, "authority"))
+
+
+def betweenness(
+    edges: ray.data.Dataset,
+    sources: list,
+    *,
+    u: str = "u",
+    v: str = "v",
+    max_hops: int = 12,
+    num_partitions: int = 16,
+    undirected_pairs: bool = False,
+) -> ray.data.Dataset:
+    """Sampled-source Brandes betweenness centrality over the undirected
+    edge list: returns (node, betweenness) with the exact Brandes dependency
+    sum restricted to the given ``sources`` (sources = all nodes ⇒ exact
+    betweenness; a hash-deterministic sample ⇒ the standard unbiased
+    estimator up to the n/k factor, which the caller applies).
+
+    Two distributed phases, both frontier-shaped (never all-pairs):
+
+    * **forward** — multi-source BFS carrying (src, node, dist, sigma) where
+      sigma = number of shortest s→node paths: per round one co-partitioned
+      expansion join (frontier × edges on the shared endpoint, partial
+      sigma-sum inside the partition) and one settle exchange (anti-join vs
+      the settled table, summing sigma across partitions).  Early-exits when
+      a round settles nothing.
+    * **backward** — dependency accumulation level by level, deepest first:
+      delta(u) = Σ_{successors w} sigma_u/sigma_w · (1 + delta(w)); each
+      round ships only the (1+delta)/sigma ratios of ONE level through the
+      edge table and multiplies by the predecessor level's sigma.  delta
+      tables for levels ≥ 1 union into the final per-node sum.
+
+    The state tables are (src, node)-keyed but co-partitioned on ``node``
+    alone, so the per-round shuffle width is O(frontier × avg-degree) rows
+    of four scalar columns — head sources salt themselves across partitions
+    because src rides as payload.  ``undirected_pairs=True`` halves the sum
+    (each unordered pair counted from both endpoints when sources = all
+    nodes — the NetworkX undirected convention).
+
+    Rows-only op (iterative; not SQL-expressible): exactness is gated by
+    tests/test_graph_ops.py::test_betweenness_* against a brute-force
+    all-pairs Brandes on deterministic fixtures.
+    """
+
+    def undirect(batch: pd.DataFrame) -> pd.DataFrame:
+        fwd = batch[[u, v]].rename(columns={u: "s", v: "d"})
+        rev = batch[[v, u]].rename(columns={v: "s", u: "d"})
+        out = pd.concat([fwd, rev], ignore_index=True).drop_duplicates()
+        out = out[out["s"] != out["d"]]
+        out["part"] = _part_series(out["s"], num_partitions)
+        out["kind"] = "e"
+        # placeholder payload columns so every union in the loops is
+        # schema-identical (src rides frontier rows only)
+        out["src"] = out["s"]
+        out["sigma"] = np.nan
+        return out[["s", "d", "part", "kind", "src", "sigma"]]
+
+    edges_tagged = edges.map_batches(undirect, batch_format="pandas").materialize()
+
+    src_df = pd.DataFrame({"src": pd.Series(sources)})
+    settled = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "src": src_df["src"],
+                "node": src_df["src"],
+                "dist": 0,
+                "sigma": np.float64(1.0),
+            }
+        )
+    ).materialize()
+
+    # ---- forward: BFS with path counting --------------------------------
+    deepest = 0
+    for h in range(max_hops):
+        frontier = settled.filter(expr=f"dist == {h}")
+        if frontier.count() == 0:
+            break
+        deepest = h
+
+        def tag_frontier(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "s": batch["node"],
+                    "d": batch["node"],
+                    "part": _part_series(batch["node"], num_partitions),
+                    "kind": "f",
+                    "src": batch["src"],
+                    "sigma": batch["sigma"],
+                }
+            )
+            return out
+
+        def expand(part: pd.DataFrame) -> pd.DataFrame:
+            fr = part[part["kind"] == "f"]
+            ed = part[part["kind"] == "e"]
+            if fr.empty or ed.empty:
+                return pd.DataFrame(
+                    {
+                        "src": pd.Series(dtype=fr["src"].dtype if not fr.empty else "object"),
+                        "node": pd.Series(dtype="object"),
+                        "sigma": pd.Series(dtype="float64"),
+                    }
+                )
+            hit = ed[["s", "d"]].merge(
+                fr[["s", "src", "sigma"]], on="s"
+            )
+            out = (
+                hit.groupby(["src", "d"], sort=False)["sigma"].sum().reset_index()
+            )
+            return out.rename(columns={"d": "node"})
+
+        candidates = (
+            edges_tagged.union(
+                frontier.map_batches(tag_frontier, batch_format="pandas")
+            )
+            .groupby("part")
+            .map_groups(expand, batch_format="pandas")
+        )
+
+        def tag_cand(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.copy()
+            out["dist"] = -1
+            out["kind"] = "c"
+            out["part"] = _part_series(out["node"], num_partitions)
+            return out[["src", "node", "dist", "sigma", "kind", "part"]]
+
+        def tag_settled(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["src", "node", "dist", "sigma"]].copy()
+            out["kind"] = "s"
+            out["part"] = _part_series(out["node"], num_partitions)
+            return out
+
+        def resolve(part: pd.DataFrame, new_dist: int = h + 1) -> pd.DataFrame:
+            old = part[part["kind"] == "s"][["src", "node", "dist", "sigma"]]
+            cand = part[part["kind"] == "c"]
+            if cand.empty:
+                return old
+            summed = (
+                cand.groupby(["src", "node"], sort=False)["sigma"].sum().reset_index()
+            )
+            seen = old.set_index(["src", "node"]).index
+            new = summed[~summed.set_index(["src", "node"]).index.isin(seen)].copy()
+            new["dist"] = new_dist
+            return pd.concat(
+                [old, new[["src", "node", "dist", "sigma"]]], ignore_index=True
+            )
+
+        settled = (
+            candidates.map_batches(tag_cand, batch_format="pandas")
+            .union(settled.map_batches(tag_settled, batch_format="pandas"))
+            .groupby("part")
+            .map_groups(resolve, batch_format="pandas")
+            .repartition(num_partitions)
+            .materialize()
+        )
+
+    # ---- backward: level-by-level dependency accumulation ----------------
+    delta_levels: list[ray.data.Dataset] = []
+    # delta at the deepest level is 0 (no successors)
+    delta_cur = settled.filter(expr=f"dist == {deepest}").map_batches(
+        lambda b: b[["src", "node", "sigma"]].assign(delta=np.float64(0.0)),
+        batch_format="pandas",
+    ).materialize()
+    if deepest >= 1:
+        delta_levels.append(delta_cur)
+
+    for lvl in range(deepest, 0, -1):
+        def tag_ratio(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "s": batch["node"],
+                    "d": batch["node"],
+                    "part": _part_series(batch["node"], num_partitions),
+                    "kind": "f",
+                    "src": batch["src"],
+                    "sigma": (1.0 + batch["delta"]) / batch["sigma"],  # ratio rides the sigma slot
+                }
+            )
+            return out
+
+        def push_ratio(part: pd.DataFrame) -> pd.DataFrame:
+            fr = part[part["kind"] == "f"]
+            ed = part[part["kind"] == "e"]
+            if fr.empty or ed.empty:
+                return pd.DataFrame(
+                    {
+                        "src": pd.Series(dtype=fr["src"].dtype if not fr.empty else "object"),
+                        "node": pd.Series(dtype="object"),
+                        "ratio": pd.Series(dtype="float64"),
+                    }
+                )
+            hit = ed[["s", "d"]].merge(fr[["s", "src", "sigma"]], on="s")
+            out = (
+                hit.groupby(["src", "d"], sort=False)["sigma"].sum().reset_index()
+            )
+            return out.rename(columns={"d": "node", "sigma": "ratio"})
+
+        ratios = (
+            edges_tagged.union(
+                delta_cur.map_batches(tag_ratio, batch_format="pandas")
+            )
+            .groupby("part")
+            .map_groups(push_ratio, batch_format="pandas")
+        )
+
+        def tag_r(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.copy()
+            out["kind"] = "r"
+            out["dist"] = -1
+            out["sigma"] = np.nan
+            out["part"] = _part_series(out["node"], num_partitions)
+            return out[["src", "node", "ratio", "dist", "kind", "part", "sigma"]]
+
+        def tag_prev(batch: pd.DataFrame, want: int = lvl - 1) -> pd.DataFrame:
+            out = batch[["src", "node", "dist", "sigma"]].copy()
+            out["ratio"] = np.nan
+            out["kind"] = "p"
+            out["part"] = _part_series(out["node"], num_partitions)
+            return out[["src", "node", "ratio", "dist", "kind", "part", "sigma"]]
+
+        prev_level = settled.filter(expr=f"dist == {lvl - 1}")
+
+        def mult(part: pd.DataFrame) -> pd.DataFrame:
+            r = part[part["kind"] == "r"]
+            p = part[part["kind"] == "p"]
+            if p.empty:
+                return pd.DataFrame(
+                    {
+                        "src": pd.Series(dtype="object"),
+                        "node": pd.Series(dtype="object"),
+                        "sigma": pd.Series(dtype="float64"),
+                        "delta": pd.Series(dtype="float64"),
+                    }
+                )
+            rs = (
+                r.groupby(["src", "node"], sort=False)["ratio"].sum().reset_index()
+                if not r.empty
+                else pd.DataFrame({"src": [], "node": [], "ratio": []})
+            )
+            out = p[["src", "node", "sigma"]].merge(rs, on=["src", "node"], how="left")
+            out["delta"] = out["sigma"] * out["ratio"].fillna(0.0)
+            return out[["src", "node", "sigma", "delta"]]
+
+        delta_cur = (
+            ratios.map_batches(tag_r, batch_format="pandas")
+            .union(prev_level.map_batches(tag_prev, batch_format="pandas"))
+            .groupby("part")
+            .map_groups(mult, batch_format="pandas")
+            .repartition(num_partitions)
+            .materialize()
+        )
+        if lvl - 1 >= 1:
+            delta_levels.append(delta_cur)
+
+    if not delta_levels:
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": pd.Series(dtype="object"),
+                          "betweenness": pd.Series(dtype="float64")})
+        )
+
+    all_delta = delta_levels[0]
+    for extra in delta_levels[1:]:
+        all_delta = all_delta.union(extra)
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    bc = partial_groupby_agg(
+        all_delta.map_batches(
+            lambda b: b[["node", "delta"]], batch_format="pandas"
+        ),
+        ["node"],
+        {"betweenness": ("delta", "sum")},
+        num_partitions=num_partitions,
+    )
+    if undirected_pairs:
+        bc = bc.map_batches(
+            lambda b: b.assign(betweenness=b["betweenness"] * 0.5),
+            batch_format="pandas",
+        )
+    return bc

@@ -581,3 +581,104 @@ def test_k_truss_matches_bruteforce(ray_session):
         assert got == _truss_reference(edge_list, k), f"k={k}"
     # k=6 on a 5-clique: empty
     assert k_truss(ds, k=6, num_partitions=4).count() == 0
+
+
+def _brandes_reference(edge_list, sources=None):
+    """Textbook single-machine Brandes: per-source BFS + dependency
+    accumulation; returns raw delta sums (no /2) restricted to sources."""
+    from collections import deque
+
+    adj = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    srcs = nodes if sources is None else sources
+    bc = {n: 0.0 for n in nodes}
+    for s in srcs:
+        order, pred = [], {n: [] for n in nodes}
+        sigma = {n: 0.0 for n in nodes}
+        dist = {n: -1 for n in nodes}
+        sigma[s], dist[s] = 1.0, 0
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            order.append(x)
+            for w in adj[x]:
+                if dist[w] < 0:
+                    dist[w] = dist[x] + 1
+                    q.append(w)
+                if dist[w] == dist[x] + 1:
+                    sigma[w] += sigma[x]
+                    pred[w].append(x)
+        delta = {n: 0.0 for n in nodes}
+        for w in reversed(order):
+            for p in pred[w]:
+                delta[p] += sigma[p] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_exact_all_sources(ray_session):
+    """sources = all nodes ⇒ the distributed Brandes equals the textbook
+    one exactly (float sums of small rationals — bit-comparable after
+    rounding).  Graph mixes a cycle, a bridge and a star so every code
+    path (multi-predecessor sigma, deep levels, leaves) is exercised."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.graph import betweenness
+
+    edge_list = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),  # 4-cycle
+        ("d", "e"),                                        # bridge
+        ("e", "f"), ("e", "g"), ("e", "h"),                # star
+        ("h", "i"), ("i", "j"),                            # tail
+    ]
+    nodes = sorted({x for e in edge_list for x in e})
+    ds = ray.data.from_pandas(pd.DataFrame(edge_list, columns=["u", "v"]))
+    got = betweenness(ds, nodes, num_partitions=4).to_pandas()
+    want = _brandes_reference(edge_list)
+    got_map = dict(zip(got["node"], got["betweenness"]))
+    for n in nodes:
+        assert abs(got_map.get(n, 0.0) - want[n]) < 1e-9, n
+
+
+def test_betweenness_sampled_sources(ray_session):
+    """A strict source subset equals the brute force restricted to the same
+    subset (the estimator's per-source terms are exact)."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.graph import betweenness
+
+    edge_list = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"), ("d", "e"),
+        ("e", "f"), ("c", "f"),
+    ]
+    srcs = ["a", "d"]
+    ds = ray.data.from_pandas(pd.DataFrame(edge_list, columns=["u", "v"]))
+    got = betweenness(ds, srcs, num_partitions=2).to_pandas()
+    want = _brandes_reference(edge_list, sources=srcs)
+    got_map = dict(zip(got["node"], got["betweenness"]))
+    for n in sorted({x for e in edge_list for x in e}):
+        assert abs(got_map.get(n, 0.0) - want[n]) < 1e-9, n
+
+
+def test_betweenness_undirected_halving(ray_session):
+    """undirected_pairs=True halves the all-sources sum (the NetworkX
+    convention for undirected graphs)."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.graph import betweenness
+
+    edge_list = [("a", "b"), ("b", "c")]
+    nodes = ["a", "b", "c"]
+    ds = ray.data.from_pandas(pd.DataFrame(edge_list, columns=["u", "v"]))
+    got = betweenness(
+        ds, nodes, num_partitions=2, undirected_pairs=True
+    ).to_pandas()
+    got_map = dict(zip(got["node"], got["betweenness"]))
+    assert abs(got_map["b"] - 1.0) < 1e-9  # one pair (a,c) through b
