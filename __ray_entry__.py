@@ -8312,6 +8312,24 @@ def q_reorder_intervals(sf_dir: str):
     return partitioned_final(days, ["o_custkey"], gaps, num_partitions=32)
 
 
+def q_pq_topk(sf_dir: str):
+    """Product-quantization ANN: distributed moment-partial codebook
+    training (zero shuffle), uint8 encode, ADC top-10 for the vec_id-0
+    query.  Rows-only (lossy by construction); cluster-recall and
+    determinism gated by tests/test_ops.py::test_pq_recall_and_determinism."""
+    import numpy as np
+    import ray.data
+
+    from esmarc_ray.ops.similarity import pq_encode, pq_search, pq_train
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    query = np.array(ds.filter(expr="vec_id == 0").take(1)[0]["embedding"])[None, :]
+    books = pq_train(ds, m=8, k_codes=32, n_iter=6, seed=7)
+    codes = pq_encode(ds, books).materialize()
+    out = pq_search(codes, books, query, k=10)
+    return out[["vec_id"]]
+
+
 def q_betweenness_top(sf_dir: str):
     """Approximate betweenness centrality of the part co-purchase graph:
     sampled-source Brandes (16 hash-deterministic sources = the smallest
@@ -8675,6 +8693,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reorder_intervals": q_reorder_intervals,
         # sampled-source Brandes (rows-only; brute-force-gated in pytest)
         "betweenness_top": q_betweenness_top,
+        # product-quantization ANN (rows-only; cluster-recall-gated)
+        "pq_topk": q_pq_topk,
     }
     # hash-oracled entries first (stable relative order), rows-only after:
     # the driver's correctness gate value-checks a prefix of this dict, so

