@@ -8312,6 +8312,25 @@ def q_reorder_intervals(sf_dir: str):
     return partitioned_final(days, ["o_custkey"], gaps, num_partitions=32)
 
 
+def q_image_features(sf_dir: str):
+    """Image structure features (Sobel edge density, gradient energy, luma
+    stats, histogram entropy) over the synthetic BMP images — the texture
+    leg of the interleaved media path.  Convolution feature math is not
+    SQL-expressible — rows-only; the DSP is gated by
+    tests/test_media.py::test_image_features_structure (planted patterns)."""
+    import ray.data
+
+    from esmarc_ray.ops.multimodal import image_features, synthetic_media_table
+
+    media = ray.data.from_arrow(synthetic_media_table(200, payloads="native"))
+    out = image_features(media).to_pandas()
+    out = out[out["image_ok"]].drop(columns=["image_ok"])
+    for c in out.columns:
+        if c not in ("media_id", "width", "height"):
+            out[c] = out[c].round(6)
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_pq_topk(sf_dir: str):
     """Product-quantization ANN: distributed moment-partial codebook
     training (zero shuffle), uint8 encode, ADC top-10 for the vec_id-0
@@ -8695,6 +8714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness_top": q_betweenness_top,
         # product-quantization ANN (rows-only; cluster-recall-gated)
         "pq_topk": q_pq_topk,
+        # Sobel/texture image features (rows-only; planted-pattern-gated)
+        "image_features": q_image_features,
     }
     # hash-oracled entries first (stable relative order), rows-only after:
     # the driver's correctness gate value-checks a prefix of this dict, so

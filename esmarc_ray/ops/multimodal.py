@@ -422,3 +422,103 @@ def audio_features(
         AudioFeatures, batch_size=batch_size, concurrency=concurrency,
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def image_features(
+    media: ray.data.Dataset,
+    *,
+    id_column: str = "media_id",
+    payload_column: str = "payload",
+    batch_size: int = 64,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Image structure features over BMP payloads — the texture/edge leg of
+    the interleaved media path (channel-moment features live in
+    :class:`MediaDecoder`): per image ``width``/``height``, ``mean_luma`` /
+    ``luma_std`` (BT.601 luminance mean and contrast), ``edge_density``
+    (fraction of interior pixels whose Sobel gradient magnitude exceeds
+    32/255 full scale), ``grad_mean`` (mean Sobel magnitude) and
+    ``hist_entropy`` (Shannon entropy of the 16-bin luma histogram, bits).
+    Undecodable payloads get ``image_ok=False`` dead-letter rows.
+
+    Actor-pool stage sized like every media stage (small batches cap peak
+    payload memory); per image the Sobel response is two vectorized
+    convolutions expressed as shifted-array sums — no Python pixel loops.
+    Feature correctness is gated by
+    tests/test_media.py::test_image_features_structure (flat field → zero
+    edges and entropy; period-4 stripes → near-total edge density; a single
+    step → edge density localized to the boundary).
+    """
+    import pyarrow as pa
+
+    from esmarc_ray.ops.media_codecs import decode_bmp, sniff_mime
+
+    class ImageFeatures:
+        @staticmethod
+        def _sobel_mag(luma: np.ndarray) -> np.ndarray:
+            # 3x3 Sobel via shifted slices on the padded plane (replicate
+            # edges); returns magnitude over the full plane
+            p = np.pad(luma, 1, mode="edge").astype(np.float64)
+            gx = (
+                (p[:-2, 2:] + 2.0 * p[1:-1, 2:] + p[2:, 2:])
+                - (p[:-2, :-2] + 2.0 * p[1:-1, :-2] + p[2:, :-2])
+            )
+            gy = (
+                (p[2:, :-2] + 2.0 * p[2:, 1:-1] + p[2:, 2:])
+                - (p[:-2, :-2] + 2.0 * p[:-2, 1:-1] + p[:-2, 2:])
+            )
+            return np.hypot(gx, gy)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_column).to_pylist()
+            payloads = batch.column(payload_column).to_pylist()
+            cols: dict[str, list] = {
+                "width": [], "height": [], "mean_luma": [], "luma_std": [],
+                "edge_density": [], "grad_mean": [], "hist_entropy": [],
+                "image_ok": [],
+            }
+            for p in payloads:
+                try:
+                    if sniff_mime(p) != "image/bmp":
+                        raise ValueError("not a BMP payload")
+                    px = decode_bmp(p).astype(np.float64)
+                    h, w = px.shape[:2]
+                    luma = (
+                        0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+                    )
+                    mag = self._sobel_mag(luma)
+                    # Sobel max response is 4·255 per axis; normalize to the
+                    # 0-255 luma scale before thresholding
+                    mag_scaled = mag / 4.0
+                    hist, _ = np.histogram(luma, bins=16, range=(0.0, 256.0))
+                    freq = hist / max(luma.size, 1)
+                    nz = freq[freq > 0]
+                    cols["width"].append(w)
+                    cols["height"].append(h)
+                    cols["mean_luma"].append(float(luma.mean()))
+                    cols["luma_std"].append(float(luma.std()))
+                    cols["edge_density"].append(
+                        float(np.mean(mag_scaled > 32.0))
+                    )
+                    cols["grad_mean"].append(float(mag_scaled.mean()))
+                    cols["hist_entropy"].append(
+                        float(-(nz * np.log2(nz)).sum())
+                    )
+                    cols["image_ok"].append(True)
+                except (ValueError, IndexError, struct.error):
+                    for k in cols:
+                        cols[k].append(False if k == "image_ok" else 0.0)
+            out = {id_column: pa.array(ids, pa.string())}
+            for k, vals in cols.items():
+                if k == "image_ok":
+                    out[k] = pa.array(vals, pa.bool_())
+                elif k in ("width", "height"):
+                    out[k] = pa.array([int(v) for v in vals], pa.int32())
+                else:
+                    out[k] = pa.array([float(v) for v in vals], pa.float64())
+            return pa.Table.from_pydict(out)
+
+    return media.map_batches(
+        ImageFeatures, batch_size=batch_size, concurrency=concurrency,
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

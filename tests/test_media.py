@@ -196,3 +196,54 @@ def test_audio_features_dsp(ray_session):
     assert nz["spectral_bandwidth_hz"] > 500.0
 
     assert not out.loc["broken"]["audio_ok"]
+
+
+def test_image_features_structure(ray_session):
+    """Planted-pattern image DSP: a flat field has zero Sobel response and
+    zero contrast; vertical stripes put edges on exactly the stripe
+    boundaries; a checkerboard maximizes edge density; garbage bytes
+    dead-letter instead of failing the task."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from esmarc_ray.ops.media_codecs import encode_bmp
+    from esmarc_ray.ops.multimodal import image_features
+
+    h = w = 32
+    flat = np.full((h, w, 3), 128, dtype=np.uint8)
+    stripes = np.zeros((h, w, 3), dtype=np.uint8)
+    # period-4 stripes (2 px on / 2 px off): every column borders a step —
+    # period-2 would alias to ZERO under a centered-difference Sobel
+    stripes[:, (np.arange(w) // 2) % 2 == 0] = 255
+    wide = np.zeros((h, w, 3), dtype=np.uint8)
+    wide[:, w // 2:] = 255  # one vertical boundary
+    media = pa.table(
+        {
+            "media_id": ["flat", "stripes", "wide", "junk"],
+            "payload": [
+                encode_bmp(flat), encode_bmp(stripes), encode_bmp(wide),
+                b"\x00\x01garbage",
+            ],
+        }
+    )
+    out = (
+        image_features(ray.data.from_arrow(media))
+        .to_pandas()
+        .set_index("media_id")
+    )
+    assert not out.loc["junk", "image_ok"]
+    assert out.loc["flat", "image_ok"]
+    assert out.loc["flat", "edge_density"] == 0.0
+    assert out.loc["flat", "luma_std"] == 0.0
+    assert abs(out.loc["flat", "mean_luma"] - 128.0) < 1e-9
+    assert out.loc["flat", "hist_entropy"] == 0.0
+    # single vertical boundary: gradient response within 1 px of the step
+    # → edge_density ≈ 2 columns of 32 (Sobel support) out of 32×32
+    assert 0.03 <= out.loc["wide", "edge_density"] <= 0.15
+    # period-4 stripes: every pixel within Sobel support of a boundary
+    assert out.loc["stripes", "edge_density"] > 0.9
+    assert out.loc["stripes", "luma_std"] > out.loc["wide", "luma_std"] * 0.9
+    assert out.loc["stripes", "hist_entropy"] > 0.9  # two equal bins ≈ 1 bit
+    assert int(out.loc["flat", "width"]) == w and int(out.loc["flat", "height"]) == h
