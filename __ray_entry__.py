@@ -8312,6 +8312,28 @@ def q_reorder_intervals(sf_dir: str):
     return partitioned_final(days, ["o_custkey"], gaps, num_partitions=32)
 
 
+def q_video_shots(sf_dir: str):
+    """Video shot-boundary detection over multi-frame BMV clips (the repo's
+    own length-prefixed-BMP container — real decode, zero external libs):
+    per clip mean |Δluma| between consecutive frames, boundary where it
+    exceeds the threshold.  Rows-only (convolution/tensor math); planted-cut
+    recovery gated by tests/test_media.py::test_shot_boundaries_planted."""
+    import ray.data
+
+    from esmarc_ray.ops.multimodal import shot_boundaries, synthetic_video_table
+
+    media = ray.data.from_arrow(synthetic_video_table(120, seed=9)).drop_columns(
+        ["cut_frames"]
+    )
+    out = shot_boundaries(media).to_pandas()
+    out = out[out["video_ok"]].drop(columns=["video_ok"])
+    out["boundaries"] = out["boundaries"].map(
+        lambda b: ",".join(str(int(x)) for x in b)
+    )
+    out["max_frame_diff"] = out["max_frame_diff"].round(6)
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_image_features(sf_dir: str):
     """Image structure features (Sobel edge density, gradient energy, luma
     stats, histogram entropy) over the synthetic BMP images — the texture
@@ -8716,6 +8738,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_topk": q_pq_topk,
         # Sobel/texture image features (rows-only; planted-pattern-gated)
         "image_features": q_image_features,
+        # BMV shot-boundary detection (rows-only; planted-cut-gated)
+        "video_shots": q_video_shots,
     }
     # hash-oracled entries first (stable relative order), rows-only after:
     # the driver's correctness gate value-checks a prefix of this dict, so

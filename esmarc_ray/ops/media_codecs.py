@@ -117,4 +117,48 @@ def sniff_mime(data: bytes) -> str | None:
         return "image/bmp"
     if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "audio/wav"
+    if len(data) >= 4 and data[:4] == BMV_MAGIC:
+        return "video/x-bmv"
     return None
+
+
+# --------------------------------------------------------------------------
+# BMV — a minimal multi-frame container over BMP frames (this repo's own
+# trivially-specified format, so the video path can exercise real decode +
+# frame math with zero external libs): magic b"\\x89BMV" (non-ASCII lead byte, cannot collide with BMP's "BM" + filesize), uint16 fps, uint32
+# frame count, then per frame uint32 length + a complete BMP payload.
+# --------------------------------------------------------------------------
+
+BMV_MAGIC = b"\x89BMV"
+_BMV_HEADER = struct.Struct("<4sHI")  # magic, fps, n_frames
+
+
+def encode_bmv(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Encode RGB uint8 frames as a BMV clip (each frame a full BMP)."""
+    if not frames:
+        raise ValueError("BMV needs at least one frame")
+    parts = [_BMV_HEADER.pack(BMV_MAGIC, fps, len(frames))]
+    for fr in frames:
+        payload = encode_bmp(fr)
+        parts.append(struct.pack("<I", len(payload)))
+        parts.append(payload)
+    return b"".join(parts)
+
+
+def decode_bmv(data: bytes) -> tuple[list[np.ndarray], int]:
+    """Decode a BMV clip → (list of RGB uint8 frames, fps)."""
+    if len(data) < _BMV_HEADER.size or data[:4] != BMV_MAGIC:
+        raise ValueError("not a BMV payload")
+    _, fps, n_frames = _BMV_HEADER.unpack_from(data, 0)
+    pos = _BMV_HEADER.size
+    frames = []
+    for _ in range(n_frames):
+        if pos + 4 > len(data):
+            raise ValueError("truncated BMV frame table")
+        (size,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if pos + size > len(data):
+            raise ValueError("truncated BMV frame payload")
+        frames.append(decode_bmp(data[pos:pos + size]))
+        pos += size
+    return frames, fps

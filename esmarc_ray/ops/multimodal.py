@@ -522,3 +522,121 @@ def image_features(
         ImageFeatures, batch_size=batch_size, concurrency=concurrency,
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def synthetic_video_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic BMV video clips with PLANTED scene structure: each clip
+    has 2–4 scenes of 3–6 frames; within a scene frames share a base color
+    plus a small per-frame deterministic perturbation (|Δluma| ≤ 4), across
+    a cut the base jumps by ≥ 80 luma — so shot boundaries are exactly
+    recoverable.  Ground truth rides along as ``cut_frames`` (JSON list of
+    first-frame-of-scene indexes, excluding 0)."""
+    import json
+
+    from esmarc_ray.ops.media_codecs import encode_bmv
+
+    rows = {"media_id": [], "payload": [], "n_frames": [], "cut_frames": []}
+    for i in range(n):
+        h = w = 16
+        n_scenes = 2 + (i * 7 + seed) % 3
+        frames, cuts = [], []
+        level = 20 + (i * 37) % 60
+        for s in range(n_scenes):
+            if s:
+                cuts.append(len(frames))
+                level = (level + 90 + (i + s * 13) % 40) % 200 + 28
+            n_f = 3 + (i + s * 5) % 4
+            for f in range(n_f):
+                jitter = ((i + s * 3 + f * 7) % 9) - 4  # |Δ| ≤ 4
+                px = np.full((h, w, 3), np.clip(level + jitter, 0, 255), np.uint8)
+                frames.append(px)
+        rows["media_id"].append(f"v{i:06d}")
+        rows["payload"].append(encode_bmv(frames, fps=10))
+        rows["n_frames"].append(len(frames))
+        rows["cut_frames"].append(json.dumps(cuts))
+    return pa.table(
+        {
+            "media_id": pa.array(rows["media_id"], pa.string()),
+            "payload": pa.array(rows["payload"], pa.binary()),
+            "n_frames": pa.array(rows["n_frames"], pa.int32()),
+            "cut_frames": pa.array(rows["cut_frames"], pa.string()),
+        }
+    )
+
+
+def shot_boundaries(
+    media: ray.data.Dataset,
+    *,
+    id_column: str = "media_id",
+    payload_column: str = "payload",
+    threshold: float = 24.0,
+    batch_size: int = 16,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Video shot-boundary detection over BMV clips: per clip the mean
+    absolute BT.601 luma difference between consecutive frames, a boundary
+    wherever it exceeds ``threshold`` (0–255 scale).  Emits one row per clip:
+    ``n_frames``, ``n_shots`` (= boundaries + 1), ``boundaries`` (list of
+    first-frame-of-shot indexes) and ``max_frame_diff``; undecodable
+    payloads get ``video_ok=False`` dead-letter rows.
+
+    Actor-pool stage (a clip's decoded frames live only inside one
+    ``__call__``; small batches cap peak frame memory).  The per-clip diff
+    is one vectorized (n_frames−1, H, W) tensor op.  Recovery of planted
+    cuts is gated by tests/test_media.py::test_shot_boundaries_planted.
+    """
+    import pyarrow as pa
+
+    from esmarc_ray.ops.media_codecs import decode_bmv, sniff_mime
+
+    class ShotDetect:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_column).to_pylist()
+            payloads = batch.column(payload_column).to_pylist()
+            cols: dict[str, list] = {
+                "n_frames": [], "n_shots": [], "boundaries": [],
+                "max_frame_diff": [], "video_ok": [],
+            }
+            for p in payloads:
+                try:
+                    if sniff_mime(p) != "video/x-bmv":
+                        raise ValueError("not a BMV payload")
+                    frames, _fps = decode_bmv(p)
+                    stack = np.stack(frames).astype(np.float64)
+                    luma = (
+                        0.299 * stack[..., 0]
+                        + 0.587 * stack[..., 1]
+                        + 0.114 * stack[..., 2]
+                    )
+                    if len(frames) > 1:
+                        diffs = np.abs(np.diff(luma, axis=0)).mean(axis=(1, 2))
+                        cut_idx = (np.nonzero(diffs > threshold)[0] + 1).tolist()
+                        max_diff = float(diffs.max())
+                    else:
+                        cut_idx, max_diff = [], 0.0
+                    cols["n_frames"].append(len(frames))
+                    cols["n_shots"].append(len(cut_idx) + 1)
+                    cols["boundaries"].append([int(c) for c in cut_idx])
+                    cols["max_frame_diff"].append(max_diff)
+                    cols["video_ok"].append(True)
+                except (ValueError, IndexError, struct.error):
+                    cols["n_frames"].append(0)
+                    cols["n_shots"].append(0)
+                    cols["boundaries"].append([])
+                    cols["max_frame_diff"].append(0.0)
+                    cols["video_ok"].append(False)
+            return pa.Table.from_pydict(
+                {
+                    id_column: pa.array(ids, pa.string()),
+                    "n_frames": pa.array(cols["n_frames"], pa.int32()),
+                    "n_shots": pa.array(cols["n_shots"], pa.int32()),
+                    "boundaries": pa.array(cols["boundaries"], pa.list_(pa.int32())),
+                    "max_frame_diff": pa.array(cols["max_frame_diff"], pa.float64()),
+                    "video_ok": pa.array(cols["video_ok"], pa.bool_()),
+                }
+            )
+
+    return media.map_batches(
+        ShotDetect, batch_size=batch_size, concurrency=concurrency,
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
