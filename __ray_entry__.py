@@ -8312,6 +8312,96 @@ def q_reorder_intervals(sf_dir: str):
     return partitioned_final(days, ["o_custkey"], gaps, num_partitions=32)
 
 
+def q_kn_bigram_probs(sf_dir: str):
+    """Kneser–Ney smoothed bigram probabilities (absolute discount 0.75)
+    for the top-20 heads × top-3 continuations — the actual LM estimate
+    built from the continuation tables: P_KN(w|h) = max(c−d,0)/c(h) +
+    d·N1+(h·)/c(h) · N1+(·w)/|bigram types|.  Pure count arithmetic, so the
+    WHOLE smoothing formula is SQL-re-derivable; every aggregate
+    (bigram counts, per-head totals/type counts, per-continuation type
+    counts, global type count) is combiner-shaped; only the 60-row result
+    reaches the driver."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, topk_per_group
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        h: list[str] = []
+        n: list[str] = []
+        for txt in batch["text"].fillna(""):
+            ws = txt.lower().split()
+            h.extend(ws[:-1])
+            n.extend(ws[1:])
+        out = pd.DataFrame({"head": h, "next": n})
+        return out.groupby(["head", "next"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    counts = partial_groupby_agg(
+        docs.map_batches(bigrams, batch_format="pandas"),
+        ["head", "next"],
+        {"n": ("n", "sum")},
+    ).materialize()
+
+    # per-head totals + continuation-type counts (rows of `counts` are
+    # distinct (head, next) pairs, so a row count IS N1+(h·))
+    head_stats = partial_groupby_agg(
+        counts, ["head"], {"tot": ("n", "sum"), "n1f": ("n", "count")}
+    ).materialize()
+    total_types = counts.count()
+
+    top_heads = (
+        head_stats.to_pandas()
+        .sort_values(["tot", "head"], ascending=[False, True])
+        .head(20)
+    )
+    head_set = set(top_heads["head"])
+
+    top3 = (
+        topk_per_group(
+            counts.map_batches(
+                lambda b: b[b["head"].isin(head_set)], batch_format="pandas"
+            ),
+            ["head"],
+            ["n", "next"],
+            3,
+        )
+        .to_pandas()
+    )
+
+    # N1+(·w) for just the ≤60 surviving continuations: broadcast the key
+    # set, distributed vectorized semi-join, tiny collect
+    next_set = set(top3["next"])
+    n1b = (
+        partial_groupby_agg(
+            counts.map_batches(
+                lambda b: b[b["next"].isin(next_set)], batch_format="pandas"
+            ),
+            ["next"],
+            {"n1b": ("next", "count")},
+        ).to_pandas()
+    )
+
+    out = top3.merge(top_heads[["head", "tot", "n1f"]], on="head").merge(
+        n1b, on="next"
+    )
+    d = 0.75
+    p = (
+        np.maximum(out["n"].astype("float64") - d, 0.0) / out["tot"]
+        + d * out["n1f"].astype("float64") / out["tot"]
+        * (out["n1b"].astype("float64") / float(total_types))
+    )
+    out["p_kn"] = np.floor(p * 1e6 + 0.5) / 1e6
+    out = out.sort_values(["head", "n", "next"], ascending=[True, False, True])
+    return out[["head", "next", "n", "p_kn"]].reset_index(drop=True)
+
+
 def q_video_shots(sf_dir: str):
     """Video shot-boundary detection over multi-frame BMV clips (the repo's
     own length-prefixed-BMP container — real decode, zero external libs):
@@ -8740,6 +8830,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": q_image_features,
         # BMV shot-boundary detection (rows-only; planted-cut-gated)
         "video_shots": q_video_shots,
+        # Kneser–Ney smoothed bigram LM estimates (full formula SQL-checked)
+        "kn_bigram_probs": q_kn_bigram_probs,
     }
     # hash-oracled entries first (stable relative order), rows-only after:
     # the driver's correctness gate value-checks a prefix of this dict, so
@@ -13194,6 +13286,51 @@ def oracle_sql() -> dict[str, str]:
                    max(len)::BIGINT AS longest_streak,
                    sum(len)::BIGINT AS n_active_days
             FROM runs GROUP BY user_id
+        """,
+        "kn_bigram_probs": r"""
+            WITH d AS (
+                SELECT list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                      '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            bg AS (
+                SELECT ws[i] AS head, ws[i + 1] AS next
+                FROM d, unnest(range(1, len(ws))) AS t(i)
+            ),
+            c AS (SELECT head, next, count(*) AS n FROM bg GROUP BY 1, 2),
+            hs AS (
+                SELECT head, sum(n) AS tot, count(*) AS n1f
+                FROM c GROUP BY 1
+            ),
+            heads AS (
+                SELECT head, tot, n1f FROM hs
+                ORDER BY tot DESC, head LIMIT 20
+            ),
+            types AS (SELECT count(*) AS nt FROM c),
+            ranked AS (
+                SELECT c.head, c.next, c.n,
+                       row_number() OVER (
+                           PARTITION BY c.head ORDER BY c.n DESC, c.next
+                       ) AS rank
+                FROM c JOIN heads USING (head)
+            ),
+            top3 AS (SELECT head, next, n FROM ranked WHERE rank <= 3),
+            nb AS (
+                SELECT c.next, count(*) AS n1b FROM c
+                WHERE c.next IN (SELECT next FROM top3)
+                GROUP BY 1
+            )
+            SELECT t.head, t.next, t.n,
+                   floor((greatest(t.n::DOUBLE - 0.75, 0) / h.tot
+                          + 0.75 * h.n1f::DOUBLE / h.tot
+                            * (nb.n1b::DOUBLE / ty.nt)) * 1e6 + 0.5) / 1e6
+                       AS p_kn
+            FROM top3 t
+            JOIN heads h USING (head)
+            JOIN nb USING (next)
+            CROSS JOIN types ty
+            ORDER BY t.head, t.n DESC, t.next
         """,
         "reorder_intervals": """
             WITH d AS (
