@@ -8312,6 +8312,23 @@ def q_reorder_intervals(sf_dir: str):
     return partitioned_final(days, ["o_custkey"], gaps, num_partitions=32)
 
 
+def q_mel_features(sf_dir: str):
+    """Log-mel filterbank energies (MFCC front end sans DCT) over the
+    synthetic WAV clips; filterbank memoized per actor.  Rows-only (FFT);
+    band localization gated by tests/test_media.py::test_mel_features_bands."""
+    import ray.data
+
+    from esmarc_ray.ops.multimodal import mel_features, synthetic_media_table
+
+    media = ray.data.from_arrow(synthetic_media_table(200, payloads="native"))
+    out = mel_features(media).to_pandas()
+    out = out[out["mel_ok"]].drop(columns=["mel_ok"])
+    out["mel"] = out["mel"].map(
+        lambda v: ",".join(f"{x:.4f}" for x in v)
+    )
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_kn_bigram_probs(sf_dir: str):
     """Kneser–Ney smoothed bigram probabilities (absolute discount 0.75)
     for the top-20 heads × top-3 continuations — the actual LM estimate
@@ -8832,6 +8849,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_shots": q_video_shots,
         # Kneser–Ney smoothed bigram LM estimates (full formula SQL-checked)
         "kn_bigram_probs": q_kn_bigram_probs,
+        # log-mel filterbank energies (rows-only; band-localization-gated)
+        "mel_features": q_mel_features,
     }
     # hash-oracled entries first (stable relative order), rows-only after:
     # the driver's correctness gate value-checks a prefix of this dict, so

@@ -640,3 +640,99 @@ def shot_boundaries(
         ShotDetect, batch_size=batch_size, concurrency=concurrency,
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def mel_features(
+    media: ray.data.Dataset,
+    *,
+    n_mels: int = 12,
+    fmin: float = 80.0,
+    fmax: float | None = None,
+    id_column: str = "media_id",
+    payload_column: str = "payload",
+    batch_size: int = 64,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Log-mel filterbank energies over WAV payloads — the MFCC front end
+    (sans DCT) used by every speech/audio model: rFFT power spectrum →
+    ``n_mels`` triangular filters spaced evenly on the mel scale
+    (HTK convention, mel = 2595·log10(1 + f/700)) → log10 band energies.
+    Emits ``mel_0..mel_{n-1}`` plus ``dominant_band`` (argmax) per clip;
+    undecodable payloads dead-letter with ``mel_ok=False``.
+
+    Actor-pool stage: the filterbank matrix depends only on (sample_rate,
+    n_fft) and is memoized per actor across batches — built once, applied
+    as one (n_bins × n_mels) matmul per clip.  Band localization of planted
+    tones is gated by tests/test_media.py::test_mel_features_bands.
+    """
+    import pyarrow as pa
+
+    from esmarc_ray.ops.media_codecs import decode_wav, sniff_mime
+
+    class MelFeatures:
+        def __init__(self):
+            self._banks: dict[tuple[int, int], np.ndarray] = {}
+
+        @staticmethod
+        def _mel(f: np.ndarray) -> np.ndarray:
+            return 2595.0 * np.log10(1.0 + f / 700.0)
+
+        @staticmethod
+        def _inv_mel(m: np.ndarray) -> np.ndarray:
+            return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+        def _bank(self, sr: int, n_bins: int, n: int) -> np.ndarray:
+            key = (sr, n_bins)
+            bank = self._banks.get(key)
+            if bank is None:
+                top = fmax if fmax is not None else sr / 2.0
+                pts = self._inv_mel(
+                    np.linspace(self._mel(np.array(fmin)), self._mel(np.array(top)), n_mels + 2)
+                )
+                freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+                bank = np.zeros((n_bins, n_mels))
+                for j in range(n_mels):
+                    lo, mid, hi = pts[j], pts[j + 1], pts[j + 2]
+                    up = (freqs - lo) / max(mid - lo, 1e-9)
+                    down = (hi - freqs) / max(hi - mid, 1e-9)
+                    bank[:, j] = np.clip(np.minimum(up, down), 0.0, 1.0)
+                self._banks[key] = bank
+            return bank
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_column).to_pylist()
+            payloads = batch.column(payload_column).to_pylist()
+            mels, dom, oks = [], [], []
+            for p in payloads:
+                try:
+                    if sniff_mime(p) != "audio/wav":
+                        raise ValueError("not a WAV payload")
+                    samples, sr = decode_wav(p)
+                    if not len(samples):
+                        raise ValueError("empty clip")
+                    x = samples.astype(np.float64) / 32768.0
+                    n = len(x)
+                    power = np.abs(np.fft.rfft(x)) ** 2
+                    bank = self._bank(sr, len(power), n)
+                    e = power @ bank
+                    loge = np.log10(e + 1e-12)
+                    mels.append(loge.astype(np.float64).tolist())
+                    dom.append(int(np.argmax(e)))
+                    oks.append(True)
+                except (ValueError, IndexError, struct.error):
+                    mels.append([0.0] * n_mels)
+                    dom.append(-1)
+                    oks.append(False)
+            return pa.Table.from_pydict(
+                {
+                    id_column: pa.array(ids, pa.string()),
+                    "mel": pa.array(mels, pa.list_(pa.float64())),
+                    "dominant_band": pa.array(dom, pa.int32()),
+                    "mel_ok": pa.array(oks, pa.bool_()),
+                }
+            )
+
+    return media.map_batches(
+        MelFeatures, batch_size=batch_size, concurrency=concurrency,
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

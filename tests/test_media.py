@@ -308,3 +308,43 @@ def test_shot_boundaries_planted(ray_session):
     )
     jout = shot_boundaries(junk).to_pandas()
     assert not jout["video_ok"].iloc[0] and jout["n_shots"].iloc[0] == 0
+
+
+def test_mel_features_bands(ray_session):
+    """Planted pure tones land in their mel band: dominant_band is the
+    filter whose triangle peak is nearest the tone (recomputed here from
+    the same HTK mel formula), and band index grows with frequency."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from esmarc_ray.ops.media_codecs import encode_wav
+    from esmarc_ray.ops.multimodal import mel_features
+
+    sr, n, n_mels, fmin = 8000, 8000, 12, 80.0
+
+    def mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+    def inv_mel(m):
+        return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+    peaks = inv_mel(np.linspace(mel(fmin), mel(sr / 2.0), n_mels + 2))[1:-1]
+    t = np.arange(n) / sr
+    tones = [float(peaks[1]), float(peaks[5]), float(peaks[9])]
+    rows_id, rows_payload = [], []
+    for i, f in enumerate(tones):
+        wav = encode_wav((np.sin(2 * np.pi * f * t) * 20000).astype(np.int16), sr)
+        rows_id.append(f"tone{i}")
+        rows_payload.append(wav)
+    rows_id.append("junk")
+    rows_payload.append(b"RIFFbroken")
+    media = ray.data.from_arrow(
+        pa.table({"media_id": pa.array(rows_id),
+                  "payload": pa.array(rows_payload, pa.binary())})
+    )
+    out = mel_features(media, n_mels=n_mels, fmin=fmin).to_pandas().set_index("media_id")
+    assert not out.loc["junk", "mel_ok"]
+    got = [int(out.loc[f"tone{i}", "dominant_band"]) for i in range(3)]
+    assert got == [1, 5, 9], got
+    assert all(len(out.loc[f"tone{i}", "mel"]) == n_mels for i in range(3))
