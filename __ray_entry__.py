@@ -8312,6 +8312,50 @@ def q_reorder_intervals(sf_dir: str):
     return partitioned_final(days, ["o_custkey"], gaps, num_partitions=32)
 
 
+def q_span_roundtrip_audit(sf_dir: str):
+    """North-rule per-row invariant, driver-visible: every document's span
+    sequence must survive decode→re-encode with (kind, text, media_ref,
+    order) equality (BASELINE.json input_hint).  One distributed pass:
+    per batch, spans → nested record (``batch_to_records``) → spans again
+    (``encode_record``), tuple-compared in order; the oracle pins the
+    expected outcome (all docs, zero violations) so any codec regression
+    flips the hash."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from esmarc_ray.codec import batch_to_records, encode_record
+    from esmarc_ray.io import read_documents
+
+    corpus = _span_corpus(_corpus_size_for(sf_dir))
+
+    def audit(batch: pa.Table) -> pd.DataFrame:
+        originals = batch.column("spans").to_pylist()
+        records = batch_to_records(batch)
+        bad = 0
+        for spans, (_doc_id, record) in zip(originals, records):
+            want = [
+                (s["kind"], s["text"], s["media_ref"])
+                for s in sorted(spans, key=lambda s: s["offset"])
+            ]
+            got = [
+                (s["kind"], s["text"], s["media_ref"])
+                for s in encode_record(record)
+            ]
+            bad += want != got
+        return pd.DataFrame({"n_docs": [len(records)], "n_violations": [bad]})
+
+    parts = (
+        read_documents(corpus).map_batches(audit, batch_format="pyarrow").to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_docs": [int(parts["n_docs"].sum())],
+            "n_violations": [int(parts["n_violations"].sum())],
+        }
+    )
+
+
 def q_mel_features(sf_dir: str):
     """Log-mel filterbank energies (MFCC front end sans DCT) over the
     synthetic WAV clips; filterbank memoized per actor.  Rows-only (FFT);
@@ -8851,6 +8895,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_bigram_probs": q_kn_bigram_probs,
         # log-mel filterbank energies (rows-only; band-localization-gated)
         "mel_features": q_mel_features,
+        # north-rule span-sequence invariant, hash-pinned to zero violations
+        "span_roundtrip_audit": q_span_roundtrip_audit,
     }
     # hash-oracled entries first (stable relative order), rows-only after:
     # the driver's correctness gate value-checks a prefix of this dict, so
@@ -13305,6 +13351,13 @@ def oracle_sql() -> dict[str, str]:
                    max(len)::BIGINT AS longest_streak,
                    sum(len)::BIGINT AS n_active_days
             FROM runs GROUP BY user_id
+        """,
+        "span_roundtrip_audit": """
+            -- the invariant oracle: the span corpus mirrors documents 1:1
+            -- (one span-doc per documents row) and the expected violation
+            -- count is pinned at ZERO — any codec asymmetry flips the hash
+            SELECT count(*) AS n_docs, 0::BIGINT AS n_violations
+            FROM documents
         """,
         "kn_bigram_probs": r"""
             WITH d AS (
