@@ -8543,7 +8543,10 @@ def q_betweenness_top(sf_dir: str):
         m = m[m["l_partkey_a"] < m["l_partkey_b"]]
         return m[["l_partkey_a", "l_partkey_b"]].drop_duplicates()
 
-    edges = partitioned_final(li, ["l_orderkey"], pairs, num_partitions=16)
+    # materialized: consumed twice (source selection + the BFS edge table)
+    edges = partitioned_final(
+        li, ["l_orderkey"], pairs, num_partitions=16
+    ).materialize()
 
     # deterministic sources: the 16 smallest node ids — per-block local
     # min-k partials, tiny driver merge (k × blocks rows)
