@@ -7092,6 +7092,53 @@ def q_lineage_report(sf_dir: str):
     return out_df
 
 
+def q_resume_audit(sf_dir: str):
+    """North-rule checkpoint/resume, driver-visible: run the PRODUCTION
+    pipeline, destroy one input shard's checkpoint, re-run — the resumed
+    run must rebuild exactly that shard, skip the others via their
+    ``_SUCCESS`` markers, and reproduce the clean run's triple content hash
+    and row count bit-for-bit.  The oracle pins the expected outcome, so a
+    broken marker/manifest path flips the hash."""
+    import shutil
+
+    import pandas as pd
+
+    from esmarc_ray.pipelines.kg import run_kg_pipeline
+
+    # dedicated 2-file corpus (the resumable shard unit is a group of input
+    # files, so the audit needs ≥ 2 files regardless of sf)
+    from esmarc_ray.corpus import CORPUS_VERSION, CorpusSpec, write_corpus
+
+    corpus_path = _CORPUS_CACHE / f"v{CORPUS_VERSION}-resume-n500-s42"
+    if not (corpus_path / "_COMPLETE").exists():
+        write_corpus(
+            str(corpus_path), CorpusSpec(n_docs=500, seed=42), rows_per_file=250
+        )
+        (corpus_path / "_COMPLETE").write_text("ok")
+    corpus = str(corpus_path)
+    out = _KG_ORACLE_DIR / "resume_run"
+    if out.exists():
+        shutil.rmtree(out)
+    m1 = run_kg_pipeline(corpus, str(out), num_shards=2)
+    shard_dirs = sorted((out / "docs").glob("shard=*"))
+    shutil.rmtree(shard_dirs[1])
+    m2 = run_kg_pipeline(corpus, str(out), num_shards=2)
+    statuses = [s["status"] for s in m2["shards"]]
+    return pd.DataFrame(
+        {
+            "n_shards": [len(statuses)],
+            "n_skipped": [sum(s == "skipped(resume)" for s in statuses)],
+            "n_rebuilt": [sum(s == "built" for s in statuses)],
+            "hash_stable": [
+                bool(m2["triples"]["content_hash"] == m1["triples"]["content_hash"])
+            ],
+            "rows_stable": [
+                bool(m2["triples"]["row_count"] == m1["triples"]["row_count"])
+            ],
+        }
+    )
+
+
 def q_pred_cooccurrence(sf_dir: str):
     """KG schema analysis: top-50 predicate pairs co-occurring on the same
     subject document, per entity class; DuckDB re-derives via a distinct
@@ -8705,6 +8752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": q_dsir_weights,
         "store_dedup": q_store_dedup,
         "lineage_report": q_lineage_report,
+        "resume_audit": q_resume_audit,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
@@ -11360,6 +11408,14 @@ def oracle_sql() -> dict[str, str]:
               '/tmp/esmarc_ray_kg_oracle/lineage_run/triples/shard=00000/*/*.parquet',
               hive_partitioning=true)
             GROUP BY entity_class ORDER BY entity_class
+        """,
+        # checkpoint/resume expected-outcome oracle: 3 shards, the resumed
+        # run skips 2 via markers and rebuilds exactly the destroyed one,
+        # with the triple content hash and row count reproduced
+        "resume_audit": """
+            SELECT 2::BIGINT AS n_shards, 1::BIGINT AS n_skipped,
+                   1::BIGINT AS n_rebuilt,
+                   true AS hash_stable, true AS rows_stable
         """,
         # incremental store dedup: the store holds every DISTINCT even-doc
         # text's md5 after the seed pass; kept = odd docs with unseen text,
