@@ -4656,6 +4656,57 @@ def q_k_anonymous_orders(sf_dir: str):
     return out[cols].sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_t_closeness(sf_dir: str):
+    """t-closeness report — the third leg of the privacy trio (k-anonymity
+    suppression and l-diversity gates already ship): per quasi-identifier
+    group (priority × order year), the total-variation distance between the
+    group's sensitive-attribute (order status) distribution and the global
+    one.  Counts fold as combiners; only the (groups × statuses) grid —
+    dozens of rows — reaches the driver."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate", "o_orderstatus"],
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "prio": batch["o_orderpriority"],
+                "yr": batch["o_orderdate"].dt.year.astype("int64"),
+                "st": batch["o_orderstatus"],
+            }
+        )
+
+    rows = orders.map_batches(prep, batch_format="pandas")
+    g = partial_groupby_agg(rows, ["prio", "yr", "st"], {"n": ("st", "count")}).to_pandas()
+
+    group_tot = g.groupby(["prio", "yr"], as_index=False)["n"].sum().rename(
+        columns={"n": "tot"}
+    )
+    status_tot = g.groupby("st", as_index=False)["n"].sum().rename(
+        columns={"n": "sn"}
+    )
+    grand = int(g["n"].sum())
+
+    grid = group_tot.merge(status_tot, how="cross")
+    grid = grid.merge(g, on=["prio", "yr", "st"], how="left").fillna({"n": 0})
+    grid["pg"] = grid["n"].astype("float64") / grid["tot"].astype("float64")
+    grid["p"] = grid["sn"].astype("float64") / float(grand)
+    grid["ad"] = np.abs(grid["pg"] - grid["p"])
+    out = grid.groupby(["prio", "yr"], as_index=False)["ad"].sum()
+    out["t_closeness"] = np.floor(0.5 * out["ad"] * 1e6 + 0.5) / 1e6
+    out = out.rename(columns={"prio": "o_orderpriority", "yr": "order_year"})
+    return out[["o_orderpriority", "order_year", "t_closeness"]].sort_values(
+        ["o_orderpriority", "order_year"]
+    ).reset_index(drop=True)
+
+
 def q_event_transitions(sf_dir: str):
     """Markov transition matrix of the event stream: per-user sequences
     ordered by (ts, event_id), k×k transition counts + row-normalized
@@ -8753,6 +8804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_dedup": q_store_dedup,
         "lineage_report": q_lineage_report,
         "resume_audit": q_resume_audit,
+        "t_closeness": q_t_closeness,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
@@ -11408,6 +11460,32 @@ def oracle_sql() -> dict[str, str]:
               '/tmp/esmarc_ray_kg_oracle/lineage_run/triples/shard=00000/*/*.parquet',
               hive_partitioning=true)
             GROUP BY entity_class ORDER BY entity_class
+        """,
+        "t_closeness": """
+            WITH o AS (
+                SELECT o_orderpriority AS prio,
+                       year(o_orderdate)::BIGINT AS yr,
+                       o_orderstatus AS st
+                FROM orders
+            ),
+            g AS (SELECT prio, yr, st, count(*) AS n FROM o GROUP BY 1, 2, 3),
+            gt AS (SELECT prio, yr, sum(n) AS tot FROM g GROUP BY 1, 2),
+            s AS (SELECT st, count(*) AS sn FROM o GROUP BY 1),
+            tot AS (SELECT count(*) AS gn FROM o),
+            grid AS (
+                SELECT gt.prio, gt.yr, s.st, gt.tot, s.sn, t.gn
+                FROM gt CROSS JOIN s CROSS JOIN tot t
+            ),
+            j AS (
+                SELECT grid.prio, grid.yr,
+                       abs(coalesce(g.n, 0)::DOUBLE / grid.tot
+                           - grid.sn::DOUBLE / grid.gn) AS ad
+                FROM grid LEFT JOIN g
+                  ON g.prio = grid.prio AND g.yr = grid.yr AND g.st = grid.st
+            )
+            SELECT prio AS o_orderpriority, yr AS order_year,
+                   floor(0.5 * sum(ad) * 1e6 + 0.5) / 1e6 AS t_closeness
+            FROM j GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # checkpoint/resume expected-outcome oracle: 3 shards, the resumed
         # run skips 2 via markers and rebuilds exactly the destroyed one,
