@@ -4656,6 +4656,46 @@ def q_k_anonymous_orders(sf_dir: str):
     return out[cols].sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_phrase_search(sf_dir: str):
+    """Exact-phrase retrieval (the positional-index query BM25 can't
+    answer): docs containing the token phrase "value table", with
+    non-overlapping occurrence counts.  Map-only vectorized scan over
+    space-padded text (the corpus is whitespace-tokenized, so token-boundary
+    padding IS the positional match); the oracle re-derives with LIKE +
+    replace-count on the identical padded string."""
+    import pandas as pd
+    import ray.data
+
+    phrase = "value table"
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        import re
+
+        padded = " " + batch["text"].fillna("") + " "
+        needle = " " + phrase + " "
+        # regex count = greedy-left NON-overlapping, the same consumption
+        # semantics as the oracle's replace()-based count
+        n = padded.str.count(re.escape(needle))
+        hit = n > 0
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"][hit], "n_occurrences": n[hit].astype("int64")}
+        )
+
+    out = docs.map_batches(scan, batch_format="pandas").to_pandas()
+    if out.empty:  # zero hits at tiny sf — keep the schema
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_occurrences": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_t_closeness(sf_dir: str):
     """t-closeness report — the third leg of the privacy trio (k-anonymity
     suppression and l-diversity gates already ship): per quasi-identifier
@@ -8805,6 +8845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineage_report": q_lineage_report,
         "resume_audit": q_resume_audit,
         "t_closeness": q_t_closeness,
+        "phrase_search": q_phrase_search,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
@@ -11460,6 +11501,20 @@ def oracle_sql() -> dict[str, str]:
               '/tmp/esmarc_ray_kg_oracle/lineage_run/triples/shard=00000/*/*.parquet',
               hive_partitioning=true)
             GROUP BY entity_class ORDER BY entity_class
+        """,
+        "phrase_search": """
+            WITH p AS (
+                SELECT doc_id, ' ' || coalesce(text, '') || ' ' AS x
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                       ((length(x) - length(replace(x, ' value table ', '')))
+                        / length(' value table '))::BIGINT AS n_occurrences
+                FROM p
+            )
+            SELECT doc_id, n_occurrences FROM c
+            WHERE n_occurrences > 0 ORDER BY doc_id
         """,
         "t_closeness": """
             WITH o AS (
