@@ -4656,6 +4656,46 @@ def q_k_anonymous_orders(sf_dir: str):
     return out[cols].sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_harmonic_centrality(sf_dir: str):
+    """Landmark-approximated harmonic centrality over the co-purchase
+    graph: harmonic(v) = Σ_landmarks 1/d(lm, v), d ≤ 3 hops, 8 smallest
+    nodes as deterministic landmarks.  Scored in INTEGER sixths
+    (6/1, 6/2, 6/3 per hop — lcm trick, same integer-exact discipline as
+    kg_hits) so the sum is associativity-proof and the DuckDB RECURSIVE
+    walk re-derives it bit-for-bit."""
+    import pandas as pd
+
+    from esmarc_ray.ops.graph import landmark_bfs
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    edges = _copurchase_edges(sf_dir).materialize()
+
+    def local_min_k(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = pd.unique(
+            pd.concat([batch["l_partkey_a"], batch["l_partkey_b"]])
+        )
+        return pd.DataFrame({"node": pd.Series(sorted(vals)[:8])})
+
+    partials = edges.map_batches(local_min_k, batch_format="pandas").to_pandas()
+    landmarks = sorted(partials["node"].unique())[:8]
+
+    hops = landmark_bfs(
+        edges, list(landmarks), u="l_partkey_a", v="l_partkey_b", max_hops=3
+    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        hit = batch[batch["hop"] >= 1].copy()
+        hit["h6"] = (6 // hit["hop"]).astype("int64")
+        return hit[["node", "h6"]]
+
+    out = partial_groupby_agg(
+        hops.map_batches(score, batch_format="pandas"),
+        ["node"],
+        {"harmonic_x6": ("h6", "sum")},
+    ).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_phrase_search(sf_dir: str):
     """Exact-phrase retrieval (the positional-index query BM25 can't
     answer): docs containing the token phrase "value table", with
@@ -8846,6 +8886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resume_audit": q_resume_audit,
         "t_closeness": q_t_closeness,
         "phrase_search": q_phrase_search,
+        "harmonic_centrality": q_harmonic_centrality,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
@@ -11501,6 +11542,33 @@ def oracle_sql() -> dict[str, str]:
               '/tmp/esmarc_ray_kg_oracle/lineage_run/triples/shard=00000/*/*.parquet',
               hive_partitioning=true)
             GROUP BY entity_class ORDER BY entity_class
+        """,
+        "harmonic_centrality": """
+            WITH RECURSIVE p AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey < 1000
+            ),
+            e0 AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM p a JOIN p b USING (l_orderkey)
+                WHERE a.l_partkey <> b.l_partkey
+            ),
+            lms AS (
+                SELECT u AS lm FROM (SELECT DISTINCT u FROM e0)
+                ORDER BY 1 LIMIT 8
+            ),
+            walk(lm, node, hop) AS (
+                SELECT lm, lm, 0 FROM lms
+                UNION
+                SELECT walk.lm, e0.v, walk.hop + 1 FROM walk
+                JOIN e0 ON e0.u = walk.node
+                WHERE walk.hop < 3
+            ),
+            d AS (
+                SELECT lm, node, min(hop) AS hop FROM walk GROUP BY 1, 2
+            )
+            SELECT node, sum(6 // hop)::BIGINT AS harmonic_x6
+            FROM d WHERE hop >= 1 GROUP BY node ORDER BY node
         """,
         "phrase_search": """
             WITH p AS (
