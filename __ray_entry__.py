@@ -4656,6 +4656,70 @@ def q_k_anonymous_orders(sf_dir: str):
     return out[cols].sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_association_rules(sf_dir: str):
+    """Market-basket association rules a→b over order baskets (both
+    directions of every pair with support ≥ 2): confidence = supp(ab)/
+    supp(a), lift = supp(ab)·N / (supp(a)·supp(b)) — the rule layer above
+    the frequent-itemset census.  Pair and item supports fold as combiners;
+    the item-support table (bounded by the part cutoff) broadcasts into the
+    final merge; identical float expression on both engines."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).filter(expr="l_orderkey < 3000")
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.drop_duplicates()
+        m = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] != m["l_partkey_b"]]
+        return m[["l_partkey_a", "l_partkey_b"]].rename(
+            columns={"l_partkey_a": "a", "l_partkey_b": "b"}
+        )
+
+    pair_supp = partial_groupby_agg(
+        partitioned_final(li, ["l_orderkey"], pairs, num_partitions=16),
+        ["a", "b"],
+        {"n_ab": ("a", "count")},
+    ).filter(expr="n_ab >= 2")
+
+    def items(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.drop_duplicates()
+        return d.groupby("l_partkey", as_index=False).size().rename(
+            columns={"l_partkey": "item", "size": "n"}
+        )
+
+    item_supp = partitioned_final(
+        li, ["l_orderkey"],
+        lambda p: items(p), num_partitions=16,
+    )
+    item_supp = partial_groupby_agg(item_supp, ["item"], {"n": ("n", "sum")}).to_pandas()
+    n_orders = int(
+        li.map_batches(
+            lambda b: pd.DataFrame({"o": b["l_orderkey"].unique()}),
+            batch_format="pandas",
+        ).to_pandas()["o"].nunique()
+    )
+
+    out = pair_supp.to_pandas()
+    out = out.merge(
+        item_supp.rename(columns={"item": "a", "n": "n_a"}), on="a"
+    ).merge(item_supp.rename(columns={"item": "b", "n": "n_b"}), on="b")
+    conf = out["n_ab"].astype("float64") / out["n_a"].astype("float64")
+    lift = (
+        out["n_ab"].astype("float64") * float(n_orders)
+        / (out["n_a"].astype("float64") * out["n_b"].astype("float64"))
+    )
+    out["confidence"] = np.floor(conf * 1e6 + 0.5) / 1e6
+    out["lift"] = np.floor(lift * 1e6 + 0.5) / 1e6
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    return out[["a", "b", "n_ab", "confidence", "lift"]]
+
+
 def q_harmonic_centrality(sf_dir: str):
     """Landmark-approximated harmonic centrality over the co-purchase
     graph: harmonic(v) = Σ_landmarks 1/d(lm, v), d ≤ 3 hops, 8 smallest
@@ -8887,6 +8951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_closeness": q_t_closeness,
         "phrase_search": q_phrase_search,
         "harmonic_centrality": q_harmonic_centrality,
+        "association_rules": q_association_rules,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
@@ -11542,6 +11607,30 @@ def oracle_sql() -> dict[str, str]:
               '/tmp/esmarc_ray_kg_oracle/lineage_run/triples/shard=00000/*/*.parquet',
               hive_partitioning=true)
             GROUP BY entity_class ORDER BY entity_class
+        """,
+        "association_rules": """
+            WITH b AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey < 3000
+            ),
+            pr AS (
+                SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n_ab
+                FROM b x JOIN b y USING (l_orderkey)
+                WHERE x.l_partkey <> y.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            it AS (SELECT l_partkey AS item, count(*) AS n FROM b GROUP BY 1),
+            no AS (SELECT count(DISTINCT l_orderkey) AS n FROM b)
+            SELECT pr.a, pr.b, pr.n_ab,
+                   floor(pr.n_ab::DOUBLE / ia.n * 1e6 + 0.5) / 1e6
+                       AS confidence,
+                   floor(pr.n_ab::DOUBLE * no.n / (ia.n::DOUBLE * ib.n)
+                         * 1e6 + 0.5) / 1e6 AS lift
+            FROM pr
+            JOIN it ia ON ia.item = pr.a
+            JOIN it ib ON ib.item = pr.b
+            CROSS JOIN no
+            ORDER BY pr.a, pr.b
         """,
         "harmonic_centrality": """
             WITH RECURSIVE p AS (
