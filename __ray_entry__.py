@@ -4656,6 +4656,57 @@ def q_k_anonymous_orders(sf_dir: str):
     return out[cols].sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_edge_betweenness_top(sf_dir: str):
+    """Edge betweenness (Girvan–Newman bridge detection) of the part
+    co-purchase graph: top-20 highest-flow edges from 16 deterministic
+    sources — the edges a community-detection cut removes first.
+    Rows-only (iterative); exactness gated by
+    tests/test_graph.py::test_edge_betweenness_* vs the textbook
+    accumulation."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.graph import edge_betweenness
+    from esmarc_ray.ops.relational import partitioned_final
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).filter(expr="l_orderkey < 3000")
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        m = part.merge(part, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        return m[["l_partkey_a", "l_partkey_b"]].drop_duplicates()
+
+    edges = partitioned_final(
+        li, ["l_orderkey"], pairs, num_partitions=16
+    ).materialize()
+
+    def local_min_k(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = pd.unique(
+            pd.concat([batch["l_partkey_a"], batch["l_partkey_b"]])
+        )
+        return pd.DataFrame({"node": pd.Series(sorted(vals)[:16])})
+
+    partials = edges.map_batches(local_min_k, batch_format="pandas").to_pandas()
+    sources = sorted(partials["node"].unique())[:16]
+
+    bc = edge_betweenness(
+        edges,
+        list(sources),
+        u="l_partkey_a",
+        v="l_partkey_b",
+        max_hops=6,
+        num_partitions=16,
+    ).to_pandas()
+    bc["betweenness"] = np.floor(bc["betweenness"] * 1e4 + 0.5) / 1e4
+    out = bc.sort_values(
+        ["betweenness", "a", "b"], ascending=[False, True, True]
+    ).head(20)
+    return out.reset_index(drop=True)
+
+
 def q_association_rules(sf_dir: str):
     """Market-basket association rules a→b over order baskets (both
     directions of every pair with support ≥ 2): confidence = supp(ab)/
@@ -8952,6 +9003,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q_phrase_search,
         "harmonic_centrality": q_harmonic_centrality,
         "association_rules": q_association_rules,
+        # Girvan–Newman bridge edges (rows-only; brute-force-gated)
+        "edge_betweenness_top": q_edge_betweenness_top,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,

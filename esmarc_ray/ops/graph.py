@@ -2732,6 +2732,28 @@ def betweenness(
     tests/test_graph_ops.py::test_betweenness_* against a brute-force
     all-pairs Brandes on deterministic fixtures.
     """
+    edges_tagged, settled, deepest = _brandes_forward(
+        edges, sources, u=u, v=v, max_hops=max_hops,
+        num_partitions=num_partitions,
+    )
+    return _brandes_backward_nodes(
+        edges_tagged, settled, deepest,
+        num_partitions=num_partitions, undirected_pairs=undirected_pairs,
+    )
+
+
+def _brandes_forward(
+    edges: ray.data.Dataset,
+    sources: list,
+    *,
+    u: str,
+    v: str,
+    max_hops: int,
+    num_partitions: int,
+):
+    """Shared Brandes forward phase: multi-source sigma-BFS.  Returns the
+    materialized tagged edge table, the settled (src, node, dist, sigma)
+    table and the deepest settled level."""
 
     def undirect(batch: pd.DataFrame) -> pd.DataFrame:
         fwd = batch[[u, v]].rename(columns={u: "s", v: "d"})
@@ -2845,6 +2867,17 @@ def betweenness(
             .materialize()
         )
 
+    return edges_tagged, settled, deepest
+
+
+def _brandes_backward_nodes(
+    edges_tagged: ray.data.Dataset,
+    settled: ray.data.Dataset,
+    deepest: int,
+    *,
+    num_partitions: int,
+    undirected_pairs: bool,
+) -> ray.data.Dataset:
     # ---- backward: level-by-level dependency accumulation ----------------
     delta_levels: list[ray.data.Dataset] = []
     # delta at the deepest level is 0 (no successors)
@@ -2960,6 +2993,206 @@ def betweenness(
             lambda b: b[["node", "delta"]], batch_format="pandas"
         ),
         ["node"],
+        {"betweenness": ("delta", "sum")},
+        num_partitions=num_partitions,
+    )
+    if undirected_pairs:
+        bc = bc.map_batches(
+            lambda b: b.assign(betweenness=b["betweenness"] * 0.5),
+            batch_format="pandas",
+        )
+    return bc
+
+
+def edge_betweenness(
+    edges: ray.data.Dataset,
+    sources: list,
+    *,
+    u: str = "u",
+    v: str = "v",
+    max_hops: int = 12,
+    num_partitions: int = 16,
+    undirected_pairs: bool = False,
+) -> ray.data.Dataset:
+    """Sampled-source Brandes EDGE betweenness — the Girvan–Newman
+    community-detection building block (the highest-flow edges are the
+    inter-community bridges to cut): returns (a, b, betweenness) per
+    undirected edge with a < b, where the flow on DAG edge (u→w) from
+    source s is sigma_u/sigma_w · (1 + delta(w)).
+
+    Shares the forward sigma-BFS with :func:`betweenness`
+    (``_brandes_forward``); the backward pass ships each level's
+    (1+delta)/sigma ratios through the edge table WITHOUT pre-aggregation
+    (each surviving row IS one edge's flow for one source), joins the
+    predecessor level's sigma, and emits per-edge flow rows alongside the
+    per-node delta sums that feed the next level.  Per-round shuffle width
+    is O(level-size × avg-degree) rows — wider than the node variant's
+    aggregated push by the degree factor, the price of per-edge attribution.
+
+    Rows-only op; exactness gated by
+    tests/test_graph.py::test_edge_betweenness_* against the textbook
+    accumulation.  ``undirected_pairs=True`` halves the sums (all-sources
+    undirected convention, as in NetworkX edge_betweenness_centrality).
+    """
+    from esmarc_ray.ops.relational import partial_groupby_agg
+
+    edges_tagged, settled, deepest = _brandes_forward(
+        edges, sources, u=u, v=v, max_hops=max_hops,
+        num_partitions=num_partitions,
+    )
+
+    edge_levels: list[ray.data.Dataset] = []
+    delta_cur = settled.filter(expr=f"dist == {deepest}").map_batches(
+        lambda b: b[["src", "node", "sigma"]].assign(delta=np.float64(0.0)),
+        batch_format="pandas",
+    ).materialize()
+
+    for lvl in range(deepest, 0, -1):
+        def tag_ratio(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "s": batch["node"],
+                    "d": batch["node"],
+                    "part": _part_series(batch["node"], num_partitions),
+                    "kind": "f",
+                    "src": batch["src"],
+                    "sigma": (1.0 + batch["delta"]) / batch["sigma"],
+                }
+            )
+
+        def push_edges(part: pd.DataFrame) -> pd.DataFrame:
+            fr = part[part["kind"] == "f"]
+            ed = part[part["kind"] == "e"]
+            if fr.empty or ed.empty:
+                return pd.DataFrame(
+                    {
+                        "src": pd.Series(dtype=fr["src"].dtype if not fr.empty else "object"),
+                        "node": pd.Series(dtype="object"),
+                        "v_node": pd.Series(dtype="object"),
+                        "ratio": pd.Series(dtype="float64"),
+                    }
+                )
+            hit = ed[["s", "d"]].merge(fr[["s", "src", "sigma"]], on="s")
+            # s = the level-lvl node w, d = its neighbor (candidate
+            # predecessor u); keep BOTH endpoints so the surviving row is
+            # the edge's flow
+            return hit.rename(
+                columns={"d": "node", "s": "v_node", "sigma": "ratio"}
+            )[["src", "node", "v_node", "ratio"]]
+
+        ratios = (
+            edges_tagged.union(
+                delta_cur.map_batches(tag_ratio, batch_format="pandas")
+            )
+            .groupby("part")
+            .map_groups(push_edges, batch_format="pandas")
+        )
+
+        def tag_r(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.copy()
+            out["kind"] = "r"
+            out["dist"] = -1
+            out["sigma"] = np.nan
+            out["part"] = _part_series(out["node"], num_partitions)
+            return out[["src", "node", "v_node", "ratio", "dist", "kind", "part", "sigma"]]
+
+        def tag_prev(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["src", "node", "dist", "sigma"]].copy()
+            out["v_node"] = out["node"]  # dtype placeholder
+            out["ratio"] = np.nan
+            out["kind"] = "p"
+            out["part"] = _part_series(out["node"], num_partitions)
+            return out[["src", "node", "v_node", "ratio", "dist", "kind", "part", "sigma"]]
+
+        prev_level = settled.filter(expr=f"dist == {lvl - 1}")
+
+        def mult(part: pd.DataFrame) -> pd.DataFrame:
+            r = part[part["kind"] == "r"]
+            p = part[part["kind"] == "p"]
+            if p.empty or r.empty:
+                if p.empty:
+                    return pd.DataFrame(
+                        {
+                            "src": pd.Series(dtype="object"),
+                            "node": pd.Series(dtype="object"),
+                            "v_node": pd.Series(dtype="object"),
+                            "sigma": pd.Series(dtype="float64"),
+                            "delta": pd.Series(dtype="float64"),
+                            "rk": pd.Series(dtype="object"),
+                        }
+                    )
+                out = p[["src", "node", "sigma"]].copy()
+                out["v_node"] = out["node"]
+                out["delta"] = 0.0
+                out["rk"] = "delta"
+                return out[["src", "node", "v_node", "sigma", "delta", "rk"]]
+            m = r[["src", "node", "v_node", "ratio"]].merge(
+                p[["src", "node", "sigma"]], on=["src", "node"]
+            )
+            m["flow"] = m["sigma"] * m["ratio"]
+            edges_out = pd.DataFrame(
+                {
+                    "src": m["src"],
+                    "node": m["node"],
+                    "v_node": m["v_node"],
+                    "sigma": np.nan,
+                    "delta": m["flow"],
+                    "rk": "edge",
+                }
+            )
+            dsum = (
+                m.groupby(["src", "node"], sort=False)["flow"].sum().reset_index()
+            )
+            # every predecessor-level node needs a delta row (0 if no flow)
+            allp = p[["src", "node", "sigma"]].merge(
+                dsum, on=["src", "node"], how="left"
+            )
+            delta_out = pd.DataFrame(
+                {
+                    "src": allp["src"],
+                    "node": allp["node"],
+                    "v_node": allp["node"],
+                    "sigma": allp["sigma"],
+                    "delta": allp["flow"].fillna(0.0),
+                    "rk": "delta",
+                }
+            )
+            return pd.concat([edges_out, delta_out], ignore_index=True)
+
+        combined = (
+            ratios.map_batches(tag_r, batch_format="pandas")
+            .union(prev_level.map_batches(tag_prev, batch_format="pandas"))
+            .groupby("part")
+            .map_groups(mult, batch_format="pandas")
+            .repartition(num_partitions)
+            .materialize()
+        )
+        edge_levels.append(combined.filter(expr="rk == 'edge'"))
+        delta_cur = combined.filter(expr="rk == 'delta'")
+
+    if not edge_levels:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="object"),
+                    "b": pd.Series(dtype="object"),
+                    "betweenness": pd.Series(dtype="float64"),
+                }
+            )
+        )
+
+    all_edges = edge_levels[0]
+    for extra in edge_levels[1:]:
+        all_edges = all_edges.union(extra)
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        a = np.minimum(batch["node"], batch["v_node"])
+        b = np.maximum(batch["node"], batch["v_node"])
+        return pd.DataFrame({"a": a, "b": b, "delta": batch["delta"]})
+
+    bc = partial_groupby_agg(
+        all_edges.map_batches(canon, batch_format="pandas"),
+        ["a", "b"],
         {"betweenness": ("delta", "sum")},
         num_partitions=num_partitions,
     )

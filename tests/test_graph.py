@@ -682,3 +682,88 @@ def test_betweenness_undirected_halving(ray_session):
     ).to_pandas()
     got_map = dict(zip(got["node"], got["betweenness"]))
     assert abs(got_map["b"] - 1.0) < 1e-9  # one pair (a,c) through b
+
+
+def _edge_brandes_reference(edge_list, sources=None):
+    """Textbook edge-betweenness accumulation (raw sums, no /2)."""
+    from collections import deque
+
+    adj = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    srcs = nodes if sources is None else sources
+    ebc = {}
+    for s in srcs:
+        order, pred = [], {n: [] for n in nodes}
+        sigma = {n: 0.0 for n in nodes}
+        dist = {n: -1 for n in nodes}
+        sigma[s], dist[s] = 1.0, 0
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            order.append(x)
+            for w in adj[x]:
+                if dist[w] < 0:
+                    dist[w] = dist[x] + 1
+                    q.append(w)
+                if dist[w] == dist[x] + 1:
+                    sigma[w] += sigma[x]
+                    pred[w].append(x)
+        delta = {n: 0.0 for n in nodes}
+        for w in reversed(order):
+            for p in pred[w]:
+                c = sigma[p] / sigma[w] * (1.0 + delta[w])
+                key = (min(p, w), max(p, w))
+                ebc[key] = ebc.get(key, 0.0) + c
+                delta[p] += c
+    return ebc
+
+
+def test_edge_betweenness_exact_all_sources(ray_session):
+    """All-sources distributed edge betweenness equals the textbook
+    accumulation on the cycle+bridge+star fixture; the bridge edge carries
+    the most flow (the Girvan-Newman cut signal)."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.graph import edge_betweenness
+
+    edge_list = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+        ("d", "e"),
+        ("e", "f"), ("e", "g"), ("e", "h"),
+        ("h", "i"), ("i", "j"),
+    ]
+    nodes = sorted({x for e in edge_list for x in e})
+    ds = ray.data.from_pandas(pd.DataFrame(edge_list, columns=["u", "v"]))
+    got = edge_betweenness(ds, nodes, num_partitions=4).to_pandas()
+    want = _edge_brandes_reference(edge_list)
+    got_map = {(r.a, r.b): r.betweenness for r in got.itertuples()}
+    assert set(got_map) == set(want)
+    for k in want:
+        assert abs(got_map[k] - want[k]) < 1e-9, k
+    # the bridge (d, e) splits the two communities — maximal flow
+    assert max(want, key=want.get) == ("d", "e")
+
+
+def test_edge_betweenness_sampled_sources(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.graph import edge_betweenness
+
+    edge_list = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"), ("d", "e"),
+        ("e", "f"), ("c", "f"),
+    ]
+    srcs = ["a", "f"]
+    ds = ray.data.from_pandas(pd.DataFrame(edge_list, columns=["u", "v"]))
+    got = edge_betweenness(ds, srcs, num_partitions=2).to_pandas()
+    want = _edge_brandes_reference(edge_list, sources=srcs)
+    got_map = {(r.a, r.b): r.betweenness for r in got.itertuples()}
+    for k, val in want.items():
+        assert abs(got_map.get(k, 0.0) - val) < 1e-9, k
+    for k in got_map:
+        assert k in want
