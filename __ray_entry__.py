@@ -4656,6 +4656,67 @@ def q_k_anonymous_orders(sf_dir: str):
     return out[cols].sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_interarrival_stats(sf_dir: str):
+    """Per-type inter-arrival statistics of each user's event stream (the
+    exponential-rate MLE inputs): gaps in exact integer MICROSECONDS between
+    consecutive same-(user, type) events, aggregated per type — integer
+    sums end to end, one float division at the edge.  Per-user segmentation
+    runs once per hash partition."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import partitioned_final
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+
+    def gaps(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "event_type", "ts", "event_id"])
+        us = part["ts"].values.astype("datetime64[us]").astype("int64")
+        key = (
+            part["user_id"].astype("string")
+            + "\x1f"
+            + part["event_type"].astype("string")
+        ).to_numpy()
+        gap = np.diff(us, prepend=us[:1])
+        valid = np.concatenate(([False], key[1:] == key[:-1]))
+        g = pd.DataFrame({"event_type": part["event_type"], "gap_us": gap})[valid]
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="string"),
+                    "n_gaps": pd.Series([], dtype="int64"),
+                    "sum_gap_us": pd.Series([], dtype="int64"),
+                    "max_gap_us": pd.Series([], dtype="int64"),
+                }
+            )
+        agg = g.groupby("event_type", as_index=False).agg(
+            n_gaps=("gap_us", "size"),
+            sum_gap_us=("gap_us", "sum"),
+            max_gap_us=("gap_us", "max"),
+        )
+        return agg
+
+    partials = partitioned_final(events, ["user_id"], gaps, num_partitions=32)
+    out = (
+        partials.to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(
+            n_gaps=("n_gaps", "sum"),
+            sum_gap_us=("sum_gap_us", "sum"),
+            max_gap_us=("max_gap_us", "max"),
+        )
+    )
+    out["mean_gap_s"] = np.floor(
+        out["sum_gap_us"].astype("float64") / out["n_gaps"].astype("float64")
+        / 1e6 * 1e4 + 0.5
+    ) / 1e4
+    out = out.astype({"n_gaps": "int64", "sum_gap_us": "int64", "max_gap_us": "int64"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_edge_betweenness_top(sf_dir: str):
     """Edge betweenness (Girvan–Newman bridge detection) of the part
     co-purchase graph: top-20 highest-flow edges from 16 deterministic
@@ -9005,6 +9066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "association_rules": q_association_rules,
         # Girvan–Newman bridge edges (rows-only; brute-force-gated)
         "edge_betweenness_top": q_edge_betweenness_top,
+        "interarrival_stats": q_interarrival_stats,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
@@ -11660,6 +11722,24 @@ def oracle_sql() -> dict[str, str]:
               '/tmp/esmarc_ray_kg_oracle/lineage_run/triples/shard=00000/*/*.parquet',
               hive_partitioning=true)
             GROUP BY entity_class ORDER BY entity_class
+        """,
+        "interarrival_stats": """
+            WITH g AS (
+                SELECT event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                       ) AS gap
+                FROM events
+            )
+            SELECT event_type,
+                   count(gap)::BIGINT AS n_gaps,
+                   sum(gap)::BIGINT AS sum_gap_us,
+                   max(gap)::BIGINT AS max_gap_us,
+                   floor(sum(gap)::DOUBLE / count(gap) / 1e6 * 1e4 + 0.5) / 1e4
+                       AS mean_gap_s
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
         "association_rules": """
             WITH b AS (
