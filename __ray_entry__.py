@@ -4726,23 +4726,13 @@ def q_edge_betweenness_top(sf_dir: str):
     accumulation."""
     import numpy as np
     import pandas as pd
-    import ray.data
 
     from esmarc_ray.ops.graph import edge_betweenness
-    from esmarc_ray.ops.relational import partitioned_final
 
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
-    ).filter(expr="l_orderkey < 3000")
-
-    def pairs(part: pd.DataFrame) -> pd.DataFrame:
-        m = part.merge(part, on="l_orderkey", suffixes=("_a", "_b"))
-        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
-        return m[["l_partkey_a", "l_partkey_b"]].drop_duplicates()
-
-    edges = partitioned_final(
-        li, ["l_orderkey"], pairs, num_partitions=16
-    ).materialize()
+    # globally-distinct simple graph — see q_betweenness_top: per-order
+    # dedup alone leaks cross-partition duplicate pairs and Brandes sigma
+    # counting is multiplicity-sensitive
+    edges = _dedup_copurchase_edges(sf_dir, cutoff=3000).materialize()
 
     def local_min_k(batch: pd.DataFrame) -> pd.DataFrame:
         vals = pd.unique(
@@ -8883,24 +8873,14 @@ def q_betweenness_top(sf_dir: str):
     rows-only; exactness gated by tests/test_graph.py::test_betweenness_*
     against the textbook Brandes."""
     import pandas as pd
-    import ray.data
 
     from esmarc_ray.ops.graph import betweenness
-    from esmarc_ray.ops.relational import partitioned_final
 
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
-    ).filter(expr="l_orderkey < 3000")
-
-    def pairs(part: pd.DataFrame) -> pd.DataFrame:
-        m = part.merge(part, on="l_orderkey", suffixes=("_a", "_b"))
-        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
-        return m[["l_partkey_a", "l_partkey_b"]].drop_duplicates()
-
-    # materialized: consumed twice (source selection + the BFS edge table)
-    edges = partitioned_final(
-        li, ["l_orderkey"], pairs, num_partitions=16
-    ).materialize()
+    # Brandes sigma path-counting is multiplicity-sensitive: the edge list
+    # MUST be a globally-distinct simple graph (per-order dedup alone leaks
+    # cross-partition duplicate pairs and turns this into multigraph
+    # centrality).  materialized: consumed twice (source selection + BFS).
+    edges = _dedup_copurchase_edges(sf_dir, cutoff=3000).materialize()
 
     # deterministic sources: the 16 smallest node ids — per-block local
     # min-k partials, tiny driver merge (k × blocks rows)
@@ -11832,8 +11812,8 @@ def oracle_sql() -> dict[str, str]:
                    floor(0.5 * sum(ad) * 1e6 + 0.5) / 1e6 AS t_closeness
             FROM j GROUP BY 1, 2 ORDER BY 1, 2
         """,
-        # checkpoint/resume expected-outcome oracle: 3 shards, the resumed
-        # run skips 2 via markers and rebuilds exactly the destroyed one,
+        # checkpoint/resume expected-outcome oracle: 2 shards, the resumed
+        # run skips 1 via markers and rebuilds exactly the destroyed one,
         # with the triple content hash and row count reproduced
         "resume_audit": """
             SELECT 2::BIGINT AS n_shards, 1::BIGINT AS n_skipped,

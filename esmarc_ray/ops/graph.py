@@ -2705,7 +2705,9 @@ def betweenness(
     edge list: returns (node, betweenness) with the exact Brandes dependency
     sum restricted to the given ``sources`` (sources = all nodes ⇒ exact
     betweenness; a hash-deterministic sample ⇒ the standard unbiased
-    estimator up to the n/k factor, which the caller applies).
+    estimator up to the n/k factor, which the caller applies).  Exactness
+    additionally requires ``max_hops`` ≥ the graph diameter — shortest
+    paths longer than ``max_hops`` are truncated.
 
     Two distributed phases, both frontier-shaped (never all-pairs):
 
@@ -2729,7 +2731,7 @@ def betweenness(
     nodes — the NetworkX undirected convention).
 
     Rows-only op (iterative; not SQL-expressible): exactness is gated by
-    tests/test_graph_ops.py::test_betweenness_* against a brute-force
+    tests/test_graph.py::test_betweenness_* against a brute-force
     all-pairs Brandes on deterministic fixtures.
     """
     edges_tagged, settled, deepest = _brandes_forward(
@@ -2867,6 +2869,13 @@ def _brandes_forward(
             .materialize()
         )
 
+    # True deepest settled level.  When the loop runs all max_hops rounds
+    # the final resolve settles nodes at dist == max_hops, which the
+    # pre-resolve `deepest` misses — without this their dependency
+    # contributions (and output rows) silently vanish from the backward
+    # pass.  Paths longer than max_hops remain truncated by construction;
+    # callers wanting exact Brandes must size max_hops ≥ graph diameter.
+    deepest = int(settled.max("dist"))
     return edges_tagged, settled, deepest
 
 

@@ -682,7 +682,10 @@ def mel_features(
             return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
 
         def _bank(self, sr: int, n_bins: int, n: int) -> np.ndarray:
-            key = (sr, n_bins)
+            # key on the FFT length n, not n_bins: n_bins = n//2+1 collides
+            # for clip lengths n and n+1 whose rfftfreq grids differ, which
+            # would make the bank depend on which clip an actor saw first
+            key = (sr, n)
             bank = self._banks.get(key)
             if bank is None:
                 top = fmax if fmax is not None else sr / 2.0
