@@ -73,16 +73,40 @@ def _kg_docs(sf_dir: str):
 
 
 def q_kg_triples(sf_dir: str):
-    """Full extracted triple table, every value hash-checked: the pipeline
-    output is mirrored to parquet and DuckDB re-reads the mirror — a
-    sink-fidelity oracle over ALL columns (subj/pred/obj/obj_kind/class/doc),
-    the same pattern as kg_jsonld_counts (two independent readers must agree
-    on every emitted value)."""
+    """Full extracted triple table, every value hash-checked against an
+    INDEPENDENT re-derivation: the PRE-flatten docs (doc_id, entity_class,
+    doc_json, error) are mirrored to parquet and the DuckDB oracle flattens
+    doc_json to (subj, pred, obj, obj_kind) itself with json_keys /
+    json_extract / unnest — it never sees the engine's triple emission.
+    Node objs are compared in canonical-minified JSON (sort_keys,
+    separators=(',',':')): doc_json is a sort_keys dump, so DuckDB's
+    order-preserving minified re-serialization of any nested value equals
+    Python's minified sort_keys dump (verified exhaustively at sf0.001)."""
+    import json as _json
+
+    import pandas as pd
+
     from esmarc_ray.stages.extract import docs_to_triples
 
-    triples = docs_to_triples(_kg_docs(sf_dir)).materialize()
-    _kg_oracle_table(sf_dir, "triples_full", triples)
-    return triples
+    docs = _kg_docs(sf_dir).materialize()
+    _kg_oracle_table(sf_dir, "docs_full", docs)
+
+    def minify_nodes(batch: pd.DataFrame) -> pd.DataFrame:
+        node = batch["obj_kind"] == "node"
+        if node.any():
+            batch.loc[node, "obj"] = batch.loc[node, "obj"].map(
+                lambda s: _json.dumps(
+                    _json.loads(s),
+                    sort_keys=True,
+                    ensure_ascii=False,
+                    separators=(",", ":"),
+                )
+            )
+        return batch
+
+    return docs_to_triples(docs).map_batches(
+        minify_nodes, batch_format="pandas"
+    ).materialize()
 
 
 def q_kg_incremental(sf_dir: str):
@@ -3743,7 +3767,15 @@ def q_tpch_q3(sf_dir: str):
     if n_keys <= 2_000_000:
         from esmarc_ray.ops.relational import broadcast_semi_join
 
-        keys = [r["c_custkey"] for r in cust.iter_rows()]
+        # collect the single narrow column as Arrow batches (zero-copy to
+        # numpy), never one Python row at a time on the driver
+        import numpy as np
+
+        chunks = [
+            b["c_custkey"].to_numpy(zero_copy_only=False)
+            for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536)
+        ]
+        keys = np.concatenate(chunks) if chunks else np.array([], dtype=np.int64)
         orders_bld = broadcast_semi_join(orders, keys, on="o_custkey")
     else:
         orders_bld = partitioned_semi_join(
@@ -10626,12 +10658,54 @@ def oracle_sql() -> dict[str, str]:
         # declared output-schema typing gate: DuckDB re-derives the
         # per-(class, pred) date-conformance counts from the mirrored triples
         "schema_typing": _schema_typing_oracle(),
-        # sink-fidelity oracle over the FULL triple table: DuckDB re-reads the
-        # mirror the Ray pipeline wrote — both readers must agree on every
-        # value of every column
+        # INDEPENDENT triple re-derivation: DuckDB flattens the PRE-flatten
+        # doc_json mirror itself (json_keys + lateral unnest + json_extract)
+        # — subj = @id fallback doc_id, one triple per array element,
+        # obj_kind node/literal by JSON type, _error docs as _error triples,
+        # _dropped skipped.  Node objs compare in canonical-minified JSON
+        # (doc_json is a sort_keys dump; DuckDB preserves key order and
+        # minifies, which equals Python's minified sort_keys dump).
         "kg_triples": """
-            SELECT subj, pred, obj, obj_kind, entity_class, doc_id
-            FROM read_parquet('/tmp/esmarc_ray_kg_oracle/triples_full/*.parquet')
+            WITH docs AS (
+                SELECT doc_id, entity_class, doc_json, error
+                FROM read_parquet('/tmp/esmarc_ray_kg_oracle/docs_full/*.parquet')
+            ),
+            good AS (
+                SELECT * FROM docs
+                WHERE entity_class NOT IN ('_dropped', '_error')
+            ),
+            kv AS (
+                SELECT doc_id, entity_class,
+                       coalesce(json_extract_string(doc_json, '$."@id"'),
+                                doc_id) AS subj,
+                       k AS pred,
+                       json_extract(doc_json, concat('$."', k, '"')) AS val
+                FROM good, unnest(json_keys(doc_json)) AS t(k)
+                WHERE k <> '@id'
+            ),
+            elems AS (
+                SELECT doc_id, entity_class, subj, pred, val AS el
+                FROM kv WHERE json_type(val) <> 'ARRAY'
+                UNION ALL
+                SELECT doc_id, entity_class, subj, pred,
+                       unnest(json_extract(val, '$[*]')) AS el
+                FROM kv WHERE json_type(val) = 'ARRAY'
+            ),
+            flat AS (
+                SELECT subj, pred,
+                       CASE WHEN json_type(el) IN ('OBJECT', 'ARRAY')
+                            THEN CAST(el AS VARCHAR)
+                            ELSE json_extract_string(el, '$') END AS obj,
+                       CASE WHEN json_type(el) IN ('OBJECT', 'ARRAY')
+                            THEN 'node' ELSE 'literal' END AS obj_kind,
+                       entity_class, doc_id
+                FROM elems
+                UNION ALL
+                SELECT doc_id AS subj, '_error' AS pred, error AS obj,
+                       'literal' AS obj_kind, entity_class, doc_id
+                FROM docs WHERE entity_class = '_error'
+            )
+            SELECT subj, pred, obj, obj_kind, entity_class, doc_id FROM flat
         """,
         # independent SQL re-derivation of the canonical merge: group the
         # PRE-merge keyed docs by canon_key; representative = min member

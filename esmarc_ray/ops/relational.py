@@ -290,8 +290,10 @@ def broadcast_semi_join(
     anti: bool = False,
 ) -> ray.data.Dataset:
     """Semi/anti join against a broadcast key collection — no shuffle; each
-    batch filters locally against the (small) key set."""
-    key_set = set(keys)
+    batch filters locally against the (small) key set.  ndarray keys are
+    kept as-is (pandas ``isin`` hashes an array vectorized); other
+    iterables are materialized to a set once here, not per batch."""
+    key_set = keys if isinstance(keys, np.ndarray) else set(keys)
 
     def filt(batch: pd.DataFrame) -> pd.DataFrame:
         mask = batch[on].isin(key_set)
