@@ -9280,7 +9280,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # every slot it reaches should carry the strong (DuckDB hash) gate —
     # rows-only ops keep their weaker rows-ran check either way
     oracled = set(oracle_sql())
-    ordered = {n: f for n, f in reg.items() if n in oracled}
+    oracled_names = [n for n in reg if n in oracled]
+    # ROTATE the oracled block per round so successive driver runs sample
+    # different 50-query windows instead of re-checking the same prefix
+    # forever: offset = (#completed rounds × 50) mod |oracled|, derived from
+    # the CORRECTNESS_r*.json files the driver leaves behind (overridable
+    # via GRAFT_QUERY_ROTATION).  Full sweeps (tools/check_contract.py) are
+    # order-insensitive.
+    import os as _os
+    import pathlib as _pathlib
+
+    try:
+        rot = _os.environ.get("GRAFT_QUERY_ROTATION")
+        if rot is None:
+            n_rounds = len(
+                list(_pathlib.Path(__file__).parent.glob("CORRECTNESS_r*.json"))
+            )
+            rot = n_rounds * 50
+        offset = int(rot) % max(1, len(oracled_names))
+    except Exception:
+        offset = 0
+    oracled_names = oracled_names[offset:] + oracled_names[:offset]
+    ordered = {n: reg[n] for n in oracled_names}
     ordered.update({n: f for n, f in reg.items() if n not in oracled})
     return ordered
 

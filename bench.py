@@ -88,6 +88,27 @@ def one_pass(entrymod, corpus: str, indexes_ref, out_dir: pathlib.Path) -> dict[
     kg_seconds = time.perf_counter() - t0
     timings["kg_end_to_end"] = round(kg_seconds, 3)
 
+    # PRODUCTION headline: the same fused pipeline consumed by the
+    # production sink — SORTED partitioned write + lineage manifest +
+    # _SUCCESS marker (materialize_shard, pipelines/kg.py:126-128).  The
+    # north-rule metric includes this sink; kg_end_to_end above is kept for
+    # round-over-round comparability of the pipeline minus the sort.
+    from esmarc_ray.stages.materialize import materialize_shard
+
+    prod_dir = out_dir.parent / f"{out_dir.name}-prod"
+    t0 = time.perf_counter()
+    docs_p = extract_docs(read_documents(corpus, override_num_blocks=NUM_CPUS * 3))
+    linked_p = link_entities(
+        docs_p, indexes_ref, concurrency=(max(1, NUM_CPUS - 2), NUM_CPUS),
+        combine_partitions=256,
+    )
+    canonical_p = canonicalize(linked_p, precombine="fused", num_partitions=256)
+    materialize_shard(
+        docs_to_triples(canonical_p), prod_dir / "shard=00000",
+        inputs=[corpus], sort=True,
+    )
+    timings["kg_production"] = round(time.perf_counter() - t0, 3)
+
     import pyarrow.parquet as pq
     import pyarrow.dataset as pads
 
@@ -146,19 +167,26 @@ def run_bench() -> dict:
         if name != "__n_triples"
     }
     kg_seconds = timings["kg_end_to_end"]
+    prod_seconds = timings["kg_production"]
     return {
-        "metric": "kg_end_to_end",
-        "value": kg_seconds,
+        # headline = the PRODUCTION pipeline (sorted materialize + lineage
+        # manifest — the north-rule sink); kg_end_to_end (same pipeline,
+        # plain partitioned write) rides in queries for continuity
+        "metric": "kg_production",
+        "value": prod_seconds,
         "unit": "sec",
         "queries": timings,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "n_docs": n_docs,
         "n_triples": n_triples,
-        "docs_per_sec": round(n_docs / kg_seconds, 1),
-        "triples_per_sec": round(n_triples / kg_seconds, 1),
+        "docs_per_sec": round(n_docs / prod_seconds, 1),
+        "triples_per_sec": round(n_triples / prod_seconds, 1),
+        "docs_per_sec_unsorted": round(n_docs / kg_seconds, 1),
+        "triples_per_sec_unsorted": round(n_triples / kg_seconds, 1),
         "reps": reps,
         "kg_all_reps_sec": [p["kg_end_to_end"] for p in all_passes],
+        "kg_production_all_reps_sec": [p["kg_production"] for p in all_passes],
     }
 
 

@@ -32,3 +32,66 @@ class EngineConfig:
 
 
 DEFAULT_CONFIG = EngineConfig()
+
+
+# -- shared shuffle-width knob ----------------------------------------------
+#
+# Every hash exchange in the engine (partitioned_final / partial_groupby_agg /
+# joins / canonicalize / LSH bucketing) sizes its partition count through this
+# one function instead of a frozen literal, so shuffle width scales with the
+# deployment instead of being pinned to the dev box:
+#
+#   1. explicit caller value wins (queries pin small counts for determinism),
+#   2. else ESMARC_NUM_PARTITIONS env var (cluster-wide operator knob),
+#   3. else a byte-derived count when the caller has a cheap size hint
+#      (~TARGET_PARTITION_BYTES per partition),
+#   4. else 2 × cluster CPUs — on a 256-node × 32-core cluster that is
+#      16384-way, not 64-way.
+
+TARGET_PARTITION_BYTES = 128 << 20
+_PARTITIONS_FLOOR = 8
+_PARTITIONS_CEIL = 65536
+
+
+def derive_partitions(
+    size_bytes: int | None = None,
+    *,
+    target_bytes: int = TARGET_PARTITION_BYTES,
+    lo: int = _PARTITIONS_FLOOR,
+    hi: int = _PARTITIONS_CEIL,
+) -> int:
+    import math
+    import os
+
+    env = os.environ.get("ESMARC_NUM_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    if size_bytes:
+        return max(lo, min(hi, math.ceil(size_bytes / target_bytes)))
+    cpus = 0
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    return max(lo, min(hi, 2 * cpus if cpus else 64))
+
+
+def dataset_size_hint(ds) -> int | None:
+    """``ds.size_bytes()`` ONLY when it is metadata-cheap — a materialized
+    dataset or an untransformed read (parquet footer estimate).  A lazy
+    transformed dataset would EXECUTE to answer, so return None instead and
+    let :func:`derive_partitions` fall back to the cluster-CPU heuristic."""
+    try:
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(ds, MaterializedDataset):
+            return ds.size_bytes()
+        dag = ds._plan._logical_plan.dag
+        if type(dag).__name__ in ("Read", "InputData", "FromArrow", "FromPandas"):
+            return ds.size_bytes()
+    except Exception:
+        pass
+    return None

@@ -36,6 +36,31 @@ _RE_ISO = re.compile(r"^(\d{4})-(\d{1,2})(?:-(\d{1,2}))?$")
 _RE_DOTTED = re.compile(r"^(?:(\d{1,2})\.)?(\d{1,2})\.(\d{4})$")
 _RE_MONTHNAME = re.compile(r"^(?:(\d{1,2})\.?\s+)?([a-zäöü]+)\.?\s+(\d{4})$")
 
+# -- long-tail formats (the `dateparser` library's observed MARC tail) -------
+#
+# Approximation markers strip before the regular parse ("ca. 1900",
+# "circa 1900", "um 1900", "c. 1900", "approx. 1900", "etwa 1900" — German
+# cataloguing convention); seasons resolve to their conventional starting
+# month at month precision; century terms ("18. Jh.", "19. Jahrhundert",
+# "18th century") resolve to the MID-century year at year precision — a
+# scalar stand-in for the range, chosen over the century start so the value
+# is unbiased for dating purposes.  All documented divergence policy per
+# SURVEY.md §7.3 (the real library is wall-clock/locale dependent and not
+# installable here).
+_RE_APPROX = re.compile(r"^(?:ca|c|circa|um|etwa|approx|approximately|about)\.?\s+(.+)$")
+_SEASONS = {
+    # German
+    "frühling": 3, "fruehling": 3, "frühjahr": 3, "fruehjahr": 3,
+    "sommer": 6, "herbst": 9, "winter": 12,
+    # English
+    "spring": 3, "summer": 6, "autumn": 9, "fall": 9,
+}
+_RE_SEASON = re.compile(r"^([a-zäöü]+)\s+(\d{4})$")
+_RE_CENTURY = re.compile(
+    r"^(\d{1,2})\.?\s*(?:jh|jhdt|jahrhundert|th\s+century|st\s+century|"
+    r"nd\s+century|rd\s+century)\.?$"
+)
+
 
 def parse_date_data(text: str) -> tuple[datetime.datetime | None, str | None]:
     """Parse ``text`` to (datetime, precision period); (None, None) on failure."""
@@ -71,6 +96,21 @@ def parse_date_data(text: str) -> tuple[datetime.datetime | None, str | None]:
             if day is not None:
                 return _mk(year, month, int(day)), "day"
             return _mk(year, month, 1), "month"
+
+    # -- long tail: approximation marker, season, century ------------------
+    m = _RE_APPROX.match(text)
+    if m:
+        return parse_date_data(m.group(1))
+
+    m = _RE_SEASON.match(text)
+    if m and m.group(1) in _SEASONS:
+        return _mk(int(m.group(2)), _SEASONS[m.group(1)], 1), "month"
+
+    m = _RE_CENTURY.match(text)
+    if m:
+        century = int(m.group(1))
+        if 1 <= century <= 21:
+            return _mk((century - 1) * 100 + 50, 1, 1), "year"
 
     return None, None
 

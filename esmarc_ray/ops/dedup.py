@@ -169,17 +169,43 @@ class _MinHasher:
         projected = (hashes[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
         return projected.min(axis=0)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        """flat_map-style: one output row per (doc, band)."""
-        out = {"doc_id": [], "band": [], "band_hash": []}
-        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
-            sig = self.signature(text)
+    def __call__(self, batch) -> pd.DataFrame:
+        """flat_map-style: one output row per (doc, band).
+
+        Accepts a pyarrow Table (preferred: one zero-copy → pylist
+        conversion) or a pandas frame; output columns are assembled with
+        numpy repeat/tile instead of per-row list appends.  Hash values are
+        bit-identical to the historical per-row path: crc32 over the exact
+        same band-chunk bytes of the same signatures."""
+        import pyarrow as pa
+
+        if isinstance(batch, pa.Table):
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+        else:
+            ids = batch["doc_id"].tolist()
+            texts = batch["text"].fillna("").tolist()
+        n = len(ids)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        for i, text in enumerate(texts):
+            sigs[i] = self.signature(text or "")
+        view = sigs.reshape(n, self.bands, self.rows_per_band)
+        band_hash = np.empty(n * self.bands, dtype=np.int64)
+        k = 0
+        for i in range(n):
+            row = view[i]
             for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                out["doc_id"].append(doc_id)
-                out["band"].append(band)
-                out["band_hash"].append(int(zlib.crc32(chunk.tobytes())))
-        return pd.DataFrame(out)
+                band_hash[k] = zlib.crc32(row[band].tobytes())
+                k += 1
+        return pd.DataFrame(
+            {
+                # note: no dtype=object — int ids must stay int64 so the
+                # emitted pair columns keep their historical dtype
+                "doc_id": pd.Series(ids).repeat(self.bands).reset_index(drop=True),
+                "band": np.tile(np.arange(self.bands, dtype=np.int64), n),
+                "band_hash": band_hash,
+            }
+        )
 
 
 import functools
@@ -207,6 +233,8 @@ def minhash_candidates(
     bands: int = 16,
     shingle_width: int = 3,
     concurrency: int | tuple[int, int] | None = None,
+    num_partitions: int | None = None,
+    max_bucket_size: int = 1000,
 ) -> ray.data.Dataset:
     """LSH candidate pairs: docs sharing any (band, band_hash) bucket.
 
@@ -216,14 +244,30 @@ def minhash_candidates(
     pool, or a (min, max) tuple to run it as an autoscaling actor pool
     (Ray rejects tuple concurrency on plain functions, so the tuple form
     routes through the ``_MinHasher`` callable class).
+
+    **Hot-bucket self-protection**: a degenerate band bucket (millions of
+    empty/boilerplate docs sharing one signature) would emit O(|bucket|²)
+    pairs.  Buckets larger than ``max_bucket_size`` fall back to a STAR
+    pattern — every member pairs with the bucket's smallest doc_id only —
+    bounding emission at O(|bucket|) while keeping the bucket one connected
+    component for downstream clustering.  Precision caveat: two members of
+    an oversized bucket that are near-dups of each other but NOT of the hub
+    lose their direct candidate edge; in practice oversized buckets are
+    boilerplate-identical, where the star is exact.  Gated by
+    tests/test_ops.py::test_minhash_hot_bucket_bounded (10k identical docs).
+
+    ``num_partitions=None`` derives the shuffle width from the input size /
+    cluster (esmarc_ray.config.derive_partitions) instead of freezing it.
     """
+    from esmarc_ray.config import dataset_size_hint, derive_partitions
     if isinstance(concurrency, tuple):
         bands_ds = docs.map_batches(
             _MinHasher,
             fn_constructor_kwargs={
                 "num_perm": num_perm, "bands": bands, "shingle_width": shingle_width,
             },
-            batch_format="pandas",
+            batch_format="pyarrow",
+            zero_copy_batch=True,
             concurrency=concurrency,
         )
     else:
@@ -231,13 +275,15 @@ def minhash_candidates(
             fn_kwargs={
                 "num_perm": num_perm, "bands": bands, "shingle_width": shingle_width,
             },
-            batch_format="pandas",
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
         if concurrency is not None:
             kwargs["concurrency"] = concurrency
         bands_ds = docs.map_batches(_signature_batch, **kwargs)
 
-    num_partitions = 64
+    if num_partitions is None:
+        num_partitions = derive_partitions(dataset_size_hint(docs))
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
         batch["part"] = (
@@ -251,6 +297,13 @@ def minhash_candidates(
         out_b: list = []
         for _, group in part.groupby(["band", "band_hash"], sort=False):
             ids = sorted(group["doc_id"].unique())
+            if len(ids) > max_bucket_size:
+                # oversized bucket: O(n) star to the smallest member instead
+                # of O(n²) all-pairs (see docstring)
+                hub = ids[0]
+                out_a.extend([hub] * (len(ids) - 1))
+                out_b.extend(ids[1:])
+                continue
             for i, a in enumerate(ids):
                 for b in ids[i + 1 :]:
                     out_a.append(a)
@@ -724,6 +777,8 @@ def embedding_near_dups(
     seed: int = 11,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
+    num_partitions: int | None = None,
+    max_bucket_size: int = 5000,
 ) -> ray.data.Dataset:
     """Cosine near-dup via random-hyperplane LSH + exact verify.
 
@@ -734,7 +789,16 @@ def embedding_near_dups(
     collides in one table with (1 - θ/π)^n_planes, and in ≥1 of T tables with
     1-(1-p)^T — at cosine 0.95 and (12 planes, 8 tables) that is ≈0.93.
     Candidate rows are (table, bucket, id); only ids+vectors shuffle.
+
+    Hot-bucket self-protection: a (table, bucket) group larger than
+    ``max_bucket_size`` (near-identical embedding pileup) would need an
+    O(|bucket|²) similarity matrix; it falls back to hub-star verification —
+    every member scored exactly against the bucket's smallest id only, O(n)
+    time and memory, connectivity preserved for downstream clustering.
+    ``num_partitions=None`` derives the shuffle width from input size /
+    cluster instead of freezing it.
     """
+    from esmarc_ray.config import dataset_size_hint, derive_partitions
     rngs = [np.random.RandomState(seed + t) for t in range(n_tables)]
     planes_per_table: list[np.ndarray | None] = [None] * n_tables
 
@@ -765,8 +829,26 @@ def embedding_near_dups(
         for _, group in part.groupby(["table", "bucket"], sort=False):
             if len(group) < 2:
                 continue
-            mat = np.stack(group["vec"].to_numpy())
             ids = group[id_column].to_numpy()
+            if len(ids) > max_bucket_size:
+                # oversized bucket: exact hub-star scoring, O(n) not O(n²)
+                order = np.argsort(ids)
+                ids = ids[order]
+                mat = np.stack(group["vec"].to_numpy()[order])
+                sims = mat[1:] @ mat[0]
+                keep = sims >= threshold
+                if keep.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "vec_a": np.full(int(keep.sum()), ids[0]),
+                                "vec_b": ids[1:][keep],
+                                "cosine": sims[keep],
+                            }
+                        )
+                    )
+                continue
+            mat = np.stack(group["vec"].to_numpy())
             sims = mat @ mat.T
             ii, jj = np.where(np.triu(sims, 1) >= threshold)
             if len(ii):
@@ -779,7 +861,8 @@ def embedding_near_dups(
                                  "cosine": pd.Series(dtype="float64")})
         return pd.concat(outs, ignore_index=True)
 
-    num_partitions = 64
+    if num_partitions is None:
+        num_partitions = derive_partitions(dataset_size_hint(embeddings))
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
         batch["part"] = (

@@ -37,7 +37,7 @@ def partial_groupby_agg(
     aggs: dict[str, tuple[str, str]],
     *,
     pre_map: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Partial/final groupby aggregation.
 
@@ -51,6 +51,7 @@ def partial_groupby_agg(
     pays per-group Python dispatch: ~2.5× slower at 15k groups, ruinous at
     web-scale key cardinalities).
     """
+    num_partitions = _resolve_partitions(num_partitions, ds)
     plan: list[tuple[str, str, str]] = []  # (out, src, fn)
     for out, (src, fn) in aggs.items():
         if fn == "mean":
@@ -121,13 +122,14 @@ def hash_join(
     *,
     right_on: tuple[str, ...] | None = None,
     join_type: str = "inner",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Both-sides-large join: hash-partitioned on the key (Ray's native
     ``Dataset.join``), each partition joined independently — use when the
     small side is too big to broadcast (otherwise prefer
     :func:`broadcast_join`, which moves nothing).  ``num_partitions`` bounds
     per-task memory at ~|side|/P and is the knob to raise with data size."""
+    num_partitions = _resolve_partitions(num_partitions, left)
     return left.join(
         right,
         join_type=join_type,
@@ -144,7 +146,7 @@ def partitioned_join(
     *,
     left_cols: list[str],
     right_cols: list[str],
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     how: str = "inner",
 ) -> ray.data.Dataset:
     """Equi-join as union → hash-partition groupby → per-partition pandas
@@ -168,6 +170,7 @@ def partitioned_join(
     other side.  Use pandas nullable ``Int64`` when a nullable int key is
     needed (SQL engines type-unify join inputs; this operator asks the
     caller to)."""
+    num_partitions = _resolve_partitions(num_partitions, left)
     if how == "full":
         how = "outer"
     all_payload = left_cols + right_cols
@@ -346,7 +349,7 @@ def partitioned_final(
     ds: ray.data.Dataset,
     keys: list[str],
     final_fn: Callable[[pd.DataFrame], pd.DataFrame],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Run a final/merge step once per hash-PARTITION of the keys instead of
     once per distinct key: replaces ``groupby(keys).map_groups(per_key_fn)``,
@@ -356,6 +359,7 @@ def partitioned_final(
     ``df.groupby`` — or a plain Python loop over groups when the per-key merge
     is irreducibly scalar: that loop runs inside ONE task, not one task per
     key)."""
+    num_partitions = _resolve_partitions(num_partitions, ds)
 
     def run(part: pd.DataFrame) -> pd.DataFrame:
         return final_fn(part.drop(columns="__part"))
@@ -365,6 +369,18 @@ def partitioned_final(
         .groupby("__part")
         .map_groups(run, batch_format="pandas")
     )
+
+
+def _resolve_partitions(num_partitions: int | None, ds=None) -> int:
+    """Shared shuffle-width resolution: an explicit caller value wins; None
+    routes through :func:`esmarc_ray.config.derive_partitions` (env knob →
+    byte-derived when the input's size is metadata-cheap → 2 × cluster CPUs)
+    so defaults scale with the deployment instead of freezing at 32/64."""
+    if num_partitions is not None:
+        return num_partitions
+    from esmarc_ray.config import dataset_size_hint, derive_partitions
+
+    return derive_partitions(dataset_size_hint(ds) if ds is not None else None)
 
 
 def _add_hash_part(keys: list[str], num_partitions: int):
@@ -391,7 +407,7 @@ def partitioned_semi_join(
     *,
     key_column: str | None = None,
     anti: bool = False,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Distributed semi/anti join: both sides hash-partition on the key; each
     partition filters its big-side rows against the local key set.  Unlike
@@ -399,6 +415,7 @@ def partitioned_semi_join(
     the driver — the scale path when the key set outgrows a broadcast (the
     filter-side analogue of :func:`partitioned_join`).
     """
+    num_partitions = _resolve_partitions(num_partitions, big)
     key_column = key_column or on
     big_cols = list(big.schema().names)
 
@@ -446,7 +463,7 @@ def partitioned_asof_join(
     direction: str = "backward",
     tolerance=None,
     suffix: str = "_right",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Distributed as-of join: both sides hash-partition on the ``by`` key,
     then each partition runs one local sorted ``pandas.merge_asof`` — the
@@ -472,6 +489,7 @@ def partitioned_asof_join(
     matches — null-key right rows are dropped, null-key LEFT rows are kept
     unmatched (routed through a reserved left-only partition).
     """
+    num_partitions = _resolve_partitions(num_partitions, left)
     left_cols = list(left.schema().names)
     right_cols = list(right.schema().names)
     right_payload = [c for c in right_cols if c not in (on, by)]
@@ -650,7 +668,7 @@ def grouped_quantile(
         out[out_name] = res.astype("float64")
         return out
 
-    num_partitions = 64
+    num_partitions = _resolve_partitions(None, ds)
     return (
         ds.select_columns(group_keys + [value_column])
         .map_batches(_add_hash_part(group_keys, num_partitions), batch_format="pandas")

@@ -32,16 +32,39 @@ _STOPWORDS = {
 _ALL_STOPWORDS = set().union(*_STOPWORDS.values())
 
 
-def _token_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    text = batch["text"].fillna("")
-    batch["n_tokens_ws"] = text.str.split().str.len().fillna(0).astype("int64")
-    batch["n_tokens_bpe"] = text.str.count(_BPE_RE).astype("int64")
-    batch["n_chars_actual"] = text.str.len().astype("int64")
-    return batch
+def _token_stats_batch(batch):
+    """Arrow-native token statistics: zero-copy batch, whitespace-token and
+    char counts via pyarrow.compute kernels (RE2 ``\\S+`` — the same regex
+    family the DuckDB oracle uses).  The BPE-ish count keeps the Python
+    ``re`` engine because its pattern needs a lookahead RE2 lacks; that one
+    column is a C-regex loop over ``to_pylist`` strings."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(batch, pd.DataFrame):  # back-compat for direct callers
+        text = batch["text"].fillna("")
+        batch["n_tokens_ws"] = text.str.split().str.len().fillna(0).astype("int64")
+        batch["n_tokens_bpe"] = text.str.count(_BPE_RE).astype("int64")
+        batch["n_chars_actual"] = text.str.len().astype("int64")
+        return batch
+
+    text = pc.fill_null(batch.column("text"), "")
+    n_ws = pc.count_substring_regex(text, r"\S+").cast(pa.int64())
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    bpe = pa.array(
+        [len(_BPE_RE.findall(t)) for t in text.to_pylist()], pa.int64()
+    )
+    return (
+        batch.append_column("n_tokens_ws", n_ws)
+        .append_column("n_tokens_bpe", bpe)
+        .append_column("n_chars_actual", n_chars)
+    )
 
 
 def token_stats(docs: ray.data.Dataset, **kwargs) -> ray.data.Dataset:
-    return docs.map_batches(_token_stats_batch, batch_format="pandas", **kwargs)
+    kwargs.setdefault("batch_format", "pyarrow")
+    kwargs.setdefault("zero_copy_batch", True)
+    return docs.map_batches(_token_stats_batch, **kwargs)
 
 
 def _quality_batch(batch: pd.DataFrame) -> pd.DataFrame:

@@ -153,46 +153,151 @@ def _make_add_part(num_partitions: int, n_salts: int | None):
 
 
 # shuffle-payload compression: the doc JSON dominates the canonicalize
-# exchange (~3.2 KB/doc raw, ~0.38 ratio at zlib-1, ~52+20 us/doc round
-# trip) — compressing at the map side and decompressing in the reducer cuts
-# the all-to-all bytes ~2.6x, which is network on a real cluster and shared
-# memory bandwidth on this host (the 8->32-slot saturation documented in
-# BASELINE.md)
+# exchange (~3.2 KB/doc raw) — the map side PACKS each batch's rows into one
+# super-row per destination partition: doc_json texts concatenate and
+# compress with ONE zlib call per (batch × part) while the narrow metadata
+# columns ride as list columns.  vs the earlier per-row codec this removes
+# the row-at-a-time Python zlib loop from the hottest exchange, compresses
+# ACROSS docs (repeated JSON keys/URIs amortize: measured ~0.23 vs ~0.38
+# per-doc ratio at level 1) and cuts shuffle row count by ~batch_size/P.
+# The reducer (_merge_partition) unpacks transparently.
 PAYLOAD_COMPRESS_LEVEL = 1
 
+_PACKED_FIXED = [
+    ("part", pa.int32()),
+    ("packed_blob", pa.binary()),
+    ("packed_lens", pa.list_(pa.int32())),
+    ("doc_id", pa.list_(pa.string())),
+    ("entity_class", pa.list_(pa.string())),
+    ("canon_key", pa.list_(pa.string())),
+    ("gnd_ids", pa.list_(pa.list_(pa.string()))),
+    ("error", pa.list_(pa.string())),
+]
 
-def _compress_payload(batch: pa.Table) -> pa.Table:
-    """doc_json:string → doc_blob:binary (zlib) for the shuffle boundary."""
-    if "doc_json" not in batch.schema.names:
+
+def _packed_schema(has_links: bool, has_salt: bool) -> pa.Schema:
+    fields = list(_PACKED_FIXED)
+    if has_salt:
+        fields.append(("salt", pa.list_(pa.int32())))
+    if has_links:
+        fields.append(("n_links_added", pa.list_(pa.int64())))
+    return pa.schema(fields)
+
+
+def _pack_compress(batch: pa.Table) -> pa.Table:
+    """Pack a part-keyed doc batch into one compressed super-row per
+    destination partition (see module comment above) — the map side of every
+    canonicalize exchange.  Requires the ``part`` column; no-op on batches
+    that lack it or are already packed."""
+    names = batch.schema.names
+    if "doc_json" not in names or "part" not in names or "packed_blob" in names:
         return batch
-    blobs = [
-        zlib.compress(s.encode(), PAYLOAD_COMPRESS_LEVEL)
-        for s in batch.column("doc_json").to_pylist()
-    ]
-    i = batch.schema.get_field_index("doc_json")
-    return batch.remove_column(i).add_column(
-        i, "doc_blob", pa.array(blobs, pa.binary())
-    )
+    has_links = "n_links_added" in names
+    has_salt = "salt" in names
+
+    import numpy as np
+
+    parts = batch.column("part").to_numpy()
+    doc_ids = batch.column("doc_id").to_pylist()
+    classes = batch.column("entity_class").to_pylist()
+    keys = batch.column("canon_key").to_pylist()
+    jsons = batch.column("doc_json").to_pylist()
+    gnds = batch.column("gnd_ids").to_pylist()
+    errors = batch.column("error").to_pylist()
+    salts = batch.column("salt").to_pylist() if has_salt else None
+    links = batch.column("n_links_added").to_pylist() if has_links else None
+
+    out: dict[str, list] = {
+        "part": [], "packed_blob": [], "packed_lens": [], "doc_id": [],
+        "entity_class": [], "canon_key": [], "gnd_ids": [], "error": [],
+    }
+    if has_salt:
+        out["salt"] = []
+    if has_links:
+        out["n_links_added"] = []
+
+    order = np.argsort(parts, kind="stable")
+    n = len(order)
+    start = 0
+    while start < n:
+        stop = start
+        p = parts[order[start]]
+        while stop < n and parts[order[stop]] == p:
+            stop += 1
+        idxs = order[start:stop]
+        texts = [jsons[i].encode() for i in idxs]
+        out["part"].append(int(p))
+        out["packed_blob"].append(
+            zlib.compress(b"".join(texts), PAYLOAD_COMPRESS_LEVEL)
+        )
+        out["packed_lens"].append([len(t) for t in texts])
+        out["doc_id"].append([doc_ids[i] for i in idxs])
+        out["entity_class"].append([classes[i] for i in idxs])
+        out["canon_key"].append([keys[i] for i in idxs])
+        out["gnd_ids"].append([gnds[i] for i in idxs])
+        out["error"].append([errors[i] for i in idxs])
+        if has_salt:
+            out["salt"].append([salts[i] for i in idxs])
+        if has_links:
+            out["n_links_added"].append([int(links[i] or 0) for i in idxs])
+        start = stop
+    return pa.Table.from_pydict(out, schema=_packed_schema(has_links, has_salt))
 
 
-def _combine_compress(batch: pa.Table) -> pa.Table:
-    """Batch-local combiner + payload compression — the map side of the
-    pre-combine plan's single exchange."""
-    return _compress_payload(_merge_partition(batch))
-
-
-def _decompress_payload(batch: pa.Table) -> pa.Table:
-    """Inverse of :func:`_compress_payload`; no-op on plain batches."""
-    if "doc_blob" not in batch.schema.names:
+def _unpack_rows(batch: pa.Table) -> pa.Table:
+    """Inverse of :func:`_pack_compress` — back to one plain row per doc
+    (part/salt columns retained).  No-op on plain batches."""
+    if "packed_blob" not in batch.schema.names:
         return batch
-    texts = [
-        zlib.decompress(b).decode()
-        for b in batch.column("doc_blob").to_pylist()
+    has_links = "n_links_added" in batch.schema.names
+    has_salt = "salt" in batch.schema.names
+    cols = _unpacked_lists(batch)
+    fields = [
+        ("doc_id", pa.string()), ("entity_class", pa.string()),
+        ("canon_key", pa.string()), ("doc_json", pa.string()),
+        ("gnd_ids", pa.list_(pa.string())), ("error", pa.string()),
+        ("part", pa.int32()),
     ]
-    i = batch.schema.get_field_index("doc_blob")
-    return batch.remove_column(i).add_column(
-        i, "doc_json", pa.array(texts, pa.string())
-    )
+    if has_salt:
+        fields.append(("salt", pa.int32()))
+    if has_links:
+        fields.append(("n_links_added", pa.int64()))
+    return pa.Table.from_pydict(cols, schema=pa.schema(fields))
+
+
+def _unpacked_lists(batch: pa.Table) -> dict[str, list]:
+    """Decompress a packed batch into plain per-doc Python column lists —
+    one zlib call per super-row, then offset slicing."""
+    has_links = "n_links_added" in batch.schema.names
+    has_salt = "salt" in batch.schema.names
+    out: dict[str, list] = {
+        "doc_id": [], "entity_class": [], "canon_key": [], "doc_json": [],
+        "gnd_ids": [], "error": [], "part": [],
+    }
+    if has_salt:
+        out["salt"] = []
+    if has_links:
+        out["n_links_added"] = []
+    for row in range(batch.num_rows):
+        blob = batch.column("packed_blob")[row].as_py()
+        lens = batch.column("packed_lens")[row].as_py()
+        text = zlib.decompress(blob)
+        pos = 0
+        for length in lens:
+            out["doc_json"].append(text[pos : pos + length].decode())
+            pos += length
+        k = len(lens)
+        out["doc_id"].extend(batch.column("doc_id")[row].as_py())
+        out["entity_class"].extend(batch.column("entity_class")[row].as_py())
+        out["canon_key"].extend(batch.column("canon_key")[row].as_py())
+        out["gnd_ids"].extend(batch.column("gnd_ids")[row].as_py())
+        out["error"].extend(batch.column("error")[row].as_py())
+        out["part"].extend([batch.column("part")[row].as_py()] * k)
+        if has_salt:
+            out["salt"].extend(batch.column("salt")[row].as_py())
+        if has_links:
+            out["n_links_added"].extend(batch.column("n_links_added")[row].as_py())
+    return out
 
 
 def _merge_partition(batch: pa.Table) -> pa.Table:
@@ -203,10 +308,10 @@ def _merge_partition(batch: pa.Table) -> pa.Table:
     via plain ``map_batches`` before any shuffle): same associative merge,
     zero-copy pass-through when a batch holds no duplicate keys.
 
-    Accepts either a plain ``doc_json`` batch or a compressed ``doc_blob``
-    one (the reduce side of a compressed exchange); always emits plain
-    ``doc_json``."""
-    batch = _decompress_payload(batch)
+    Accepts either a plain ``doc_json`` batch or a packed one (the reduce
+    side of a packed-compressed exchange, see :func:`_pack_compress`);
+    always emits plain ``doc_json``."""
+    batch = _unpack_rows(batch)
     names = batch.schema.names
     keys = batch.column("canon_key").to_pylist()
     if len(set(keys)) == len(keys):
@@ -279,6 +384,13 @@ def _partition_merge(
         _make_add_part(num_partitions, n_salts),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    ).map_batches(
+        # pack + compress per destination partition: the all-to-all moves
+        # one zlib-compressed super-row per (source batch × part) instead of
+        # per-doc payload rows (see _pack_compress)
+        _pack_compress,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     return keyed.groupby("part").map_groups(_merge_partition, batch_format="pyarrow")
 
@@ -308,6 +420,13 @@ def _split_merge(
     needs no driver state."""
     import pandas as pd
 
+    if has_part and "packed_blob" in combined.schema().names:
+        # fused-linker input arrives packed (one super-row per part); this
+        # plan filters per DOC, so unpack back to plain rows first — the
+        # dup-doc exchange below re-packs what actually shuffles
+        combined = combined.map_batches(
+            _unpack_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
     combined = combined.materialize()
 
     def local_counts(batch: pa.Table) -> "pd.DataFrame":
@@ -333,8 +452,12 @@ def _split_merge(
             _make_add_part(num_partitions, None), batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        return merge_in.groupby("part").map_groups(
-            _merge_partition, batch_format="pyarrow"
+        return (
+            merge_in.map_batches(
+                _pack_compress, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("part")
+            .map_groups(_merge_partition, batch_format="pyarrow")
         )
     dup_ref = ray.put(frozenset(r["canon_key"] for r in dup_keys.take_all()))
 
@@ -354,10 +477,6 @@ def _split_merge(
     bypass = combined.map_batches(
         split, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"dup_set": dup_ref, "keep_dup": False},
-    ).map_batches(
-        # bypass rows skip the merge reducer, so undo any shuffle-payload
-        # compression here (no-op on plain batches)
-        _decompress_payload, batch_format="pyarrow", zero_copy_batch=True,
     )
     if not ray.get(dup_ref):
         return bypass
@@ -370,8 +489,13 @@ def _split_merge(
             _make_add_part(num_partitions, None), batch_format="pyarrow",
             zero_copy_batch=True,
         )
-    merged = dup_docs.groupby("part").map_groups(
-        _merge_partition, batch_format="pyarrow"
+    merged = (
+        dup_docs.map_batches(
+            # only the dup docs cross the all-to-all — pack + compress them
+            _pack_compress, batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("part")
+        .map_groups(_merge_partition, batch_format="pyarrow")
     )
     return bypass.union(merged)
 
@@ -634,7 +758,7 @@ def canonicalize(
     n_salts: int | str = 16,
     salted: bool = True,
     precombine: bool | str = False,
-    num_partitions: int = 256,
+    num_partitions: int | None = None,
     closure: bool = False,
 ) -> ray.data.Dataset:
     """Canonical merge on ``canon_key``; three physical plans, same algebra:
@@ -661,7 +785,16 @@ def canonicalize(
     ``closure=True`` first rewrites keys through the sameAs/identifier
     connected components, so entities transitively linked via shared GND ids
     merge even when their direct keys differ (north rule's sameAs closure).
+
+    ``num_partitions=None`` derives the exchange width from the input size /
+    cluster (``esmarc_ray.config.derive_partitions``, floored at 256 so the
+    flagship merge never narrows below its tuned dev width) — the fused plan
+    must receive the SAME explicit N the linker used.
     """
+    if num_partitions is None:
+        from esmarc_ray.config import dataset_size_hint, derive_partitions
+
+        num_partitions = max(256, derive_partitions(dataset_size_hint(docs)))
     if precombine == "fused":
         if closure:
             raise ValueError("closure requires the un-partitioned doc stream; "
@@ -699,8 +832,11 @@ def canonicalize(
         mapping = closure_keys(live, num_partitions=max(16, num_partitions // 16))
         live = _rewrite_keys(live, mapping, num_partitions=max(16, num_partitions // 16))
     if precombine:
+        # batch-local combiner; the payload packing/compression happens
+        # inside _partition_merge after partition ids are assigned (Ray
+        # fuses the three map stages into one task)
         combined = live.map_batches(
-            _combine_compress, batch_format="pyarrow", zero_copy_batch=True
+            _merge_partition, batch_format="pyarrow", zero_copy_batch=True
         )
         return _partition_merge(combined, num_partitions=num_partitions, n_salts=None)
     if salted:

@@ -374,9 +374,9 @@ class EntityLinker:
         if self._combine_partitions is None:
             return table
         from esmarc_ray.stages.canonicalize import (
-            _compress_payload,
             _make_add_part,
             _merge_partition,
+            _pack_compress,
         )
 
         import pyarrow.compute as pc
@@ -384,10 +384,11 @@ class EntityLinker:
         live = table.filter(
             pc.invert(pc.is_in(table.column("entity_class"), value_set=pa.array(["_error", "_dropped"])))
         )
-        # compress the doc payload for the canonicalize exchange: these
-        # bytes cross the all-to-all next, and the reducer
-        # (_merge_partition) decompresses transparently
-        return _compress_payload(
+        # pack + compress the doc payload for the canonicalize exchange:
+        # one zlib super-row per destination partition crosses the
+        # all-to-all next, and the reducer (_merge_partition) unpacks
+        # transparently
+        return _pack_compress(
             _make_add_part(self._combine_partitions, None)(_merge_partition(live))
         )
 

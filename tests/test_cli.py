@@ -85,3 +85,58 @@ def test_cli_batch_jsonld(tmp_path):
     for f in ldj_files[:3]:
         for line in f.read_text().splitlines():
             assert json.loads(line).get("@id")
+
+
+def test_enrich_bot_chain_matches_fused_linker(ray_session, tmp_path):
+    """Chaining the five per-bot CLIs over stdin/stdout (the reference's
+    shell-pipeline surface, reference enrichment/entityfacts.py:193-256)
+    reproduces the fused EntityLinker actor pool's doc output byte-for-byte."""
+    import ray as _ray
+    from esmarc_ray.config import DEFAULT_CONFIG
+    from esmarc_ray.corpus import CorpusSpec, link_tables, write_corpus
+    from esmarc_ray.io import read_documents
+    from esmarc_ray.stages.extract import extract_docs
+    from esmarc_ray.stages.link import build_link_indexes, link_entities
+
+    spec = CorpusSpec(n_docs=120, seed=42)
+    corpus = tmp_path / "corpus"
+    write_corpus(str(corpus), spec, rows_per_file=60)
+
+    docs = extract_docs(read_documents(str(corpus)), DEFAULT_CONFIG)
+    live = docs.filter(
+        expr="entity_class != '_error' and entity_class != '_dropped'"
+    ).to_pandas()
+    indexes_ref = _ray.put(build_link_indexes(link_tables(spec)))
+    docs2 = extract_docs(read_documents(str(corpus)), DEFAULT_CONFIG)
+    linked = link_entities(docs2, indexes_ref, concurrency=2, batch_size=64)
+    linked_rows = linked.to_pandas()
+    linked_rows = linked_rows[
+        ~linked_rows["entity_class"].isin(["_error", "_dropped"])
+    ]
+    want = {
+        json.loads(dj)["@id"]: dj for dj in linked_rows["doc_json"]
+    }
+
+    input_ldj = "\n".join(live["doc_json"]) + "\n"
+    chain = " | ".join(
+        f"{sys.executable} -m esmarc_ray.enrich {bot} -stdin -pipeline "
+        f"-synthetic 120:42"
+        for bot in (
+            "entityfacts", "wikidata", "wikipedia_categories",
+            "gnd_sachgruppen", "geonames",
+        )
+    )
+    proc = subprocess.run(
+        chain, shell=True, input=input_ldj, capture_output=True, text=True,
+        timeout=300,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out_lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert len(out_lines) == len(live)
+    got = {json.loads(l)["@id"]: l for l in out_lines}
+    assert got == want
+    # at least one doc actually gained links through the chain
+    assert any(
+        "wikidata" in dj or "viaf" in dj for dj in got.values()
+    )

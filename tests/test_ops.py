@@ -868,6 +868,56 @@ def test_semantic_dedup_string_ids(ray_session):
     assert "v00" in set(kept.to_pandas()["vec_id"])
 
 
+def test_minhash_hot_bucket_bounded(ray_session):
+    """A degenerate LSH bucket (10k identical docs share every band bucket)
+    must emit O(n) star pairs, not O(n²) all-pairs: candidate count == n-1
+    (hub → every other member), all rooted at the smallest doc_id, and the
+    planted distinct doc still pairs with nothing."""
+    n = 10_000
+    rows = pd.DataFrame(
+        {
+            "doc_id": list(range(n)) + [n],
+            "text": ["the exact same boilerplate sentence " * 4] * n
+            + ["something entirely different about graph shuffles"],
+        }
+    )
+    docs = ray.data.from_pandas(rows)
+    pairs = dedup.minhash_candidates(docs, max_bucket_size=100).to_pandas()
+    # star: exactly n-1 pairs, every one (0, x)
+    assert len(pairs) == n - 1
+    assert (pairs["doc_a"] == 0).all()
+    assert set(pairs["doc_b"]) == set(range(1, n))
+
+
+def test_minhash_hot_bucket_cap_off_matches_small_case(dup_docs):
+    """Below the cap the pair set is unchanged — the planted-dup fixture
+    yields identical candidates with and without a (non-binding) cap."""
+    base = dedup.minhash_candidates(dup_docs).to_pandas()
+    capped = dedup.minhash_candidates(dup_docs, max_bucket_size=3).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b"]].to_numpy()))
+    assert key(base) != [] and key(base) == key(
+        dedup.minhash_candidates(dup_docs, max_bucket_size=1000).to_pandas()
+    )
+    # with a binding tiny cap the pair count can only shrink or hold
+    assert len(capped) <= len(base)
+
+
+def test_embedding_near_dups_hot_bucket_bounded(ray_session):
+    """5k identical embeddings: hub-star verification emits n-1 exact-cosine
+    pairs from the smallest vec_id instead of an O(n²) similarity matrix."""
+    import numpy as np
+
+    n = 5_000
+    vec = np.ones(8) / np.sqrt(8)
+    df = pd.DataFrame({"vec_id": range(n), "embedding": [vec] * n})
+    out = dedup.embedding_near_dups(
+        ray.data.from_pandas(df), threshold=0.9, max_bucket_size=100
+    ).to_pandas()
+    assert len(out) == n - 1
+    assert (out["vec_a"] == 0).all()
+    assert np.allclose(out["cosine"], 1.0)
+
+
 def test_minhash_candidates_tuple_concurrency(dup_docs):
     """The documented tuple form must still work now that the default
     signature stage is a plain task (tuples route through the actor class)."""
