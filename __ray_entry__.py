@@ -4688,6 +4688,133 @@ def q_k_anonymous_orders(sf_dir: str):
     return out[cols].sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_overlapping_orders(sf_dir: str):
+    """Same-customer overlapping order windows via the distributed
+    interval-OVERLAP join (range join, per-key plan): each order opens a
+    deterministic window [o_orderdate, o_orderdate + (o_orderkey%7 + 1)
+    days]; pairs of the same customer's windows that overlap (closed ends)
+    aggregate to (priority of the earlier-keyed order → pair count, total
+    whole-day overlap).  Oracle: DuckDB self-join with the raw inequality
+    predicate — the join algebra itself is what hash-checks."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import (
+        interval_overlap_join,
+        partial_groupby_agg,
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    _DAY = 86_400_000_000  # µs
+
+    def win(batch: pd.DataFrame, side: str) -> pd.DataFrame:
+        s = batch["o_orderdate"].astype("datetime64[us]").astype("int64")
+        e = s + (batch["o_orderkey"] % 7 + 1) * _DAY
+        out = pd.DataFrame(
+            {
+                f"k_{side}": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                f"s_{side}": s,
+                f"e_{side}": e,
+            }
+        )
+        if side == "a":
+            out["prio_a"] = batch["o_orderpriority"]
+        return out
+
+    left = orders.map_batches(lambda b: win(b, "a"), batch_format="pandas")
+    right = orders.map_batches(lambda b: win(b, "b"), batch_format="pandas")
+    joined = interval_overlap_join(
+        left,
+        right,
+        left_start="s_a",
+        left_end="e_a",
+        right_start="s_b",
+        right_end="e_b",
+        by="o_custkey",
+        left_cols=["k_a", "prio_a", "s_a", "e_a"],
+        right_cols=["k_b", "s_b", "e_b"],
+    )
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[batch["k_a"] < batch["k_b"]].copy()
+        ov = np.minimum(m["e_a"], m["e_b"]) - np.maximum(m["s_a"], m["s_b"])
+        m["overlap_days"] = (ov // _DAY).astype("int64")
+        return m[["prio_a", "k_a", "overlap_days"]]
+
+    agg = partial_groupby_agg(
+        joined.map_batches(pairs, batch_format="pandas"),
+        ["prio_a"],
+        {"n_pairs": ("k_a", "count"), "sum_overlap_days": ("overlap_days", "sum")},
+    ).to_pandas()
+    agg = agg.rename(columns={"prio_a": "o_orderpriority"})
+    return agg.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_open_window_events(sf_dir: str):
+    """Point-in-interval range join on the GLOBAL binned plan: every
+    purchase event opens a 30-minute window; every click joins the windows
+    containing it (bin width = window length ⇒ ≤2 bins per window, exactly
+    one per point, canonical-bin rule dedups pairs with no extra shuffle).
+    Output: histogram of open-window counts per click.  Oracle: DuckDB
+    inequality join re-derives the same histogram."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import (
+        interval_overlap_join,
+        partial_groupby_agg,
+    )
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+    _MIN30 = 30 * 60 * 1_000_000
+
+    def wf(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {"win_id": batch["event_id"], "w_s": s, "w_e": s + _MIN30}
+        )
+
+    def pf(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "click_id": batch["event_id"],
+                "c_ts": batch["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    wins = events.filter(expr="event_type == 'purchase'").map_batches(
+        wf, batch_format="pandas"
+    )
+    clicks = events.filter(expr="event_type == 'click'").map_batches(
+        pf, batch_format="pandas"
+    )
+    joined = interval_overlap_join(
+        wins,
+        clicks,
+        left_start="w_s",
+        left_end="w_e",
+        right_start="c_ts",
+        right_end=None,
+        bin_width="30min",
+        left_cols=["win_id"],
+        right_cols=["click_id"],
+    )
+    per_click = partial_groupby_agg(
+        joined, ["click_id"], {"n_open": ("win_id", "count")}
+    )
+    hist = partial_groupby_agg(
+        per_click, ["n_open"], {"n_clicks": ("click_id", "count")}
+    ).to_pandas()
+    return hist.sort_values("n_open").reset_index(drop=True)
+
+
 def q_interarrival_stats(sf_dir: str):
     """Per-type inter-arrival statistics of each user's event stream (the
     exponential-rate MLE inputs): gaps in exact integer MICROSECONDS between
@@ -9079,6 +9206,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Girvan–Newman bridge edges (rows-only; brute-force-gated)
         "edge_betweenness_top": q_edge_betweenness_top,
         "interarrival_stats": q_interarrival_stats,
+        # distributed interval-overlap join (range join): per-key plan and
+        # global binned canonical-bin plan
+        "overlapping_orders": q_overlapping_orders,
+        "open_window_events": q_open_window_events,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
@@ -11797,6 +11928,44 @@ def oracle_sql() -> dict[str, str]:
               '/tmp/esmarc_ray_kg_oracle/lineage_run/triples/shard=00000/*/*.parquet',
               hive_partitioning=true)
             GROUP BY entity_class ORDER BY entity_class
+        """,
+        # raw-inequality re-derivation of the distributed interval-overlap
+        # join (per-key plan): same deterministic windows, closed-end
+        # overlap predicate, whole-day overlap lengths
+        "overlapping_orders": """
+            WITH w AS (
+                SELECT o_orderkey AS k, o_custkey,
+                       o_orderpriority AS prio,
+                       o_orderdate AS s,
+                       o_orderdate + (o_orderkey % 7 + 1) * INTERVAL 1 DAY AS e
+                FROM orders
+            )
+            SELECT a.prio AS o_orderpriority,
+                   count(*)::BIGINT AS n_pairs,
+                   sum(date_diff('day', greatest(a.s, b.s),
+                                 least(a.e, b.e)))::BIGINT AS sum_overlap_days
+            FROM w a JOIN w b
+              ON a.o_custkey = b.o_custkey AND a.k < b.k
+             AND a.s <= b.e AND b.s <= a.e
+            GROUP BY 1 ORDER BY 1
+        """,
+        # raw-inequality re-derivation of the binned global plan
+        # (point-in-interval): purchase windows × click points
+        "open_window_events": """
+            WITH w AS (
+                SELECT ts AS s, ts + INTERVAL 30 MINUTE AS e
+                FROM events WHERE event_type = 'purchase'
+            ),
+            c AS (
+                SELECT event_id, ts FROM events WHERE event_type = 'click'
+            ),
+            per AS (
+                SELECT c.event_id, count(*)::BIGINT AS n_open
+                FROM c JOIN w ON w.s <= c.ts AND c.ts <= w.e
+                GROUP BY 1
+            )
+            SELECT n_open, count(*)::BIGINT AS n_clicks
+            FROM per GROUP BY 1 ORDER BY 1
         """,
         "interarrival_stats": """
             WITH g AS (

@@ -619,6 +619,138 @@ def broadcast_range_join(
     return big.map_batches(join, batch_format="pandas")
 
 
+def interval_overlap_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str | None = None,
+    by: str | None = None,
+    left_cols: list[str],
+    right_cols: list[str],
+    bin_width=None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed interval-OVERLAP join (the general "range join"):
+    emit (l, r) whenever ``l.start <= r.end AND r.start <= l.end`` (closed
+    ends), optionally only within equal ``by`` keys.  Unlike
+    :func:`broadcast_range_join` both sides are large Datasets and
+    intervals MAY overlap each other; ``right_end=None`` treats the right
+    side as points (``start == end``).
+
+    Physical plan — co-partition on ``(by, time-bin)``:
+
+    * every row replicates into each ``bin_width``-wide bin its interval
+      touches (points land in exactly one);
+    * partitions groupby-shuffle on ``hash(by, bin)``; each reducer merges
+      left×right per bin and filters the overlap predicate;
+    * a pair whose intervals share several bins would match once per shared
+      bin — the CANONICAL-BIN rule (emit only in the bin containing
+      ``max(l.start, r.start)``) makes every pair match exactly once with
+      NO dedup shuffle.
+
+    ``bin_width=None`` requires ``by`` and uses one bin per key (the
+    per-user/per-entity case where a key's rows fit in a task).  At scale
+    pick ``bin_width`` on the order of the typical interval length: the
+    replication factor is ~1 + len/width while the per-bin cross product
+    shrinks with the width.
+
+    Timestamps normalize to int64 microseconds on both sides;
+    ``bin_width`` accepts anything ``pd.Timedelta`` accepts (or an int in
+    the same unit as integer columns).  Payload column names must be
+    disjoint across sides.  Oracle pattern: a plain DuckDB inequality join
+    re-derives the result (see ``overlapping_orders`` / ``open_window_events``).
+    """
+    if bin_width is None and by is None:
+        raise ValueError("interval_overlap_join needs bin_width or by (or both)")
+    num_partitions = _resolve_partitions(num_partitions, left)
+
+    def _to_i64(series: pd.Series) -> pd.Series:
+        if pd.api.types.is_datetime64_any_dtype(series):
+            return series.astype("datetime64[us]").astype("int64")
+        return series.astype("int64")
+
+    width = None
+    if bin_width is not None:
+        if isinstance(bin_width, (int, np.integer)):
+            width = int(bin_width)
+        else:
+            width = int(pd.Timedelta(bin_width).value // 1000)  # ns → µs
+
+    out_left = list(left_cols)
+    out_right = list(right_cols)
+    all_cols = out_left + out_right
+    if by is not None and by not in all_cols:
+        all_cols = [by] + all_cols
+
+    def _prep(side: str, start: str, end: str | None, own: list[str]):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            s = _to_i64(batch[start])
+            e = s if end is None else _to_i64(batch[end])
+            df = pd.DataFrame({c: batch[c] for c in own})
+            if by is not None and by not in own:
+                df[by] = batch[by]
+            df["__s"], df["__e"] = s, e
+            if width is None:
+                df["__bin"] = 0
+            else:
+                b0 = (s // width).to_numpy()
+                b1 = (e // width).to_numpy()
+                reps = (b1 - b0 + 1).astype(np.int64)
+                take = np.repeat(np.arange(len(df)), reps)
+                offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+                df = df.iloc[take].reset_index(drop=True)
+                df["__bin"] = b0.repeat(reps) + (
+                    np.arange(len(take)) - offs.repeat(reps)
+                )
+            df["__side"] = side
+            key = df["__bin"].astype(str)
+            if by is not None:
+                key = df[by].astype(str) + "\x1f" + key
+            df["__part"] = (
+                pd.util.hash_pandas_object(key, index=False).to_numpy()
+                % num_partitions
+            ).astype("int32")
+            # unified union schema
+            for c in all_cols:
+                if c not in df.columns:
+                    df[c] = None
+            return df[all_cols + ["__s", "__e", "__bin", "__side", "__part"]]
+
+        return fn
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        lhs = part[part["__side"] == "l"]
+        rhs = part[part["__side"] == "r"]
+        if lhs.empty or rhs.empty:
+            return pd.DataFrame(columns=all_cols)
+        on = ["__bin"] + ([by] if by is not None else [])
+        # ordered-dedup: `by` may itself be a payload column of either side
+        keep_l = list(dict.fromkeys(on + out_left + ["__s", "__e"]))
+        keep_r = list(dict.fromkeys(on + out_right + ["__s", "__e"]))
+        m = lhs[keep_l].merge(
+            rhs[keep_r], on=on, suffixes=("", "__r")
+        )
+        if m.empty:
+            return pd.DataFrame(columns=all_cols)
+        ok = (m["__s"] <= m["__e__r"]) & (m["__s__r"] <= m["__e"])
+        if width is not None:
+            canon = np.maximum(m["__s"].to_numpy(), m["__s__r"].to_numpy()) // width
+            ok &= canon == m["__bin"].to_numpy()
+        return m.loc[ok, all_cols].reset_index(drop=True)
+
+    tagged = left.map_batches(
+        _prep("l", left_start, left_end, out_left), batch_format="pandas"
+    ).union(
+        right.map_batches(
+            _prep("r", right_start, right_end, out_right), batch_format="pandas"
+        )
+    )
+    return tagged.groupby("__part").map_groups(merge, batch_format="pandas")
+
+
 def grouped_quantile(
     ds: ray.data.Dataset,
     group_keys: list[str],

@@ -2981,3 +2981,53 @@ def test_pq_recall_and_determinism(ray_session):
     far = pq_search(codes, books, vecs[[0]], k=len(vecs))
     d_other = far[~far["vec_id"].isin(range(60))]["adc_d2"].min()
     assert d_other > d_home * 5
+
+
+def test_interval_overlap_join_binned_canonical_dedup(ray_session):
+    """Intervals spanning MANY bins must match each point exactly once
+    (canonical-bin rule), closed ends included, across both plans."""
+    left = pd.DataFrame(
+        {"iv": ["long", "short"], "s": [0, 95], "e": [1000, 105]}
+    )
+    right = pd.DataFrame({"pt": list(range(6)), "t": [0, 100, 1000, 1001, 95, 105]})
+    out = relational.interval_overlap_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        left_start="s", left_end="e", right_start="t", right_end=None,
+        bin_width=10, left_cols=["iv"], right_cols=["pt"],
+        num_partitions=4,
+    ).to_pandas()
+    got = sorted(map(tuple, out[["iv", "pt"]].to_numpy()))
+    # long [0,1000] covers t=0,100,1000,95,105 (1001 is outside; closed end
+    # keeps 1000); short [95,105] covers 100, 95, 105 — each pair ONCE
+    assert got == sorted(
+        [("long", 0), ("long", 1), ("long", 2), ("long", 4), ("long", 5),
+         ("short", 1), ("short", 4), ("short", 5)]
+    )
+
+
+def test_interval_overlap_join_by_plan_matches_bruteforce(ray_session):
+    """Per-key plan (by=, single bin) against a pandas brute force on random
+    deterministic intervals, interval×interval overlap."""
+    rng = np.random.RandomState(5)
+    n = 80
+    a = pd.DataFrame({
+        "ka": range(n), "g": rng.randint(0, 5, n),
+        "sa": rng.randint(0, 100, n),
+    })
+    a["ea"] = a["sa"] + rng.randint(0, 20, n)
+    b = pd.DataFrame({
+        "kb": range(n), "g": rng.randint(0, 5, n),
+        "sb": rng.randint(0, 100, n),
+    })
+    b["eb"] = b["sb"] + rng.randint(0, 20, n)
+    out = relational.interval_overlap_join(
+        ray.data.from_pandas(a), ray.data.from_pandas(b),
+        left_start="sa", left_end="ea", right_start="sb", right_end="eb",
+        by="g", left_cols=["ka"], right_cols=["kb"], num_partitions=4,
+    ).to_pandas()
+    got = sorted(map(tuple, out[["ka", "kb"]].to_numpy()))
+    brute = a.merge(b, on="g")
+    brute = brute[(brute["sa"] <= brute["eb"]) & (brute["sb"] <= brute["ea"])]
+    assert got == sorted(map(tuple, brute[["ka", "kb"]].to_numpy()))
+    assert len(got) > 100  # non-trivial
