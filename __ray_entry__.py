@@ -4815,6 +4815,36 @@ def q_open_window_events(sf_dir: str):
     return hist.sort_values("n_open").reset_index(drop=True)
 
 
+def q_deepwalk_corpus(sf_dir: str):
+    """DeepWalk-style walk corpus over the co-purchase graph: 2 walks of
+    length 6 from each of the 20 smallest nodes, with the SQL-expressible
+    hash step rule — the oracle's recursive CTE re-derives every walk
+    EXACTLY (full value-hash gate on a sampling op, which seeded-RNG walks
+    cannot offer)."""
+    import pandas as pd
+
+    from esmarc_ray.ops.graph import deterministic_walks
+
+    edges = _dedup_copurchase_edges(sf_dir, cutoff=500).materialize()
+
+    def local_min_k(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = pd.unique(
+            pd.concat([batch["l_partkey_a"], batch["l_partkey_b"]])
+        )
+        return pd.DataFrame({"node": pd.Series(sorted(vals)[:20])})
+
+    partials = edges.map_batches(local_min_k, batch_format="pandas").to_pandas()
+    starts = sorted(partials["node"].unique())[:20]
+
+    walks = deterministic_walks(
+        edges, list(starts),
+        u="l_partkey_a", v="l_partkey_b",
+        walk_len=6, walks_per_node=2, num_partitions=16,
+    ).to_pandas()
+    walks = walks.astype({"walk_id": "int64", "step": "int64", "node": "int64"})
+    return walks.sort_values(["walk_id", "step"]).reset_index(drop=True)
+
+
 def q_interarrival_stats(sf_dir: str):
     """Per-type inter-arrival statistics of each user's event stream (the
     exponential-rate MLE inputs): gaps in exact integer MICROSECONDS between
@@ -9210,6 +9240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global binned canonical-bin plan
         "overlapping_orders": q_overlapping_orders,
         "open_window_events": q_open_window_events,
+        # hash-step walk corpus, exactly re-derived by a recursive CTE
+        "deepwalk_corpus": q_deepwalk_corpus,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
@@ -11928,6 +11960,46 @@ def oracle_sql() -> dict[str, str]:
               '/tmp/esmarc_ray_kg_oracle/lineage_run/triples/shard=00000/*/*.parquet',
               hive_partitioning=true)
             GROUP BY entity_class ORDER BY entity_class
+        """,
+        # EXACT recursive re-derivation of the deterministic walk corpus:
+        # same undirected edge set, same sorted-neighbor indexing, same
+        # overflow-safe hash-mix step rule — every (walk_id, step, node)
+        # row must hash-match
+        "deepwalk_corpus": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey <> b.l_partkey
+                WHERE a.l_orderkey < 500 AND b.l_orderkey < 500
+            ),
+            adj AS (
+                SELECT s AS node, d AS nbr,
+                       row_number() OVER (PARTITION BY s ORDER BY d) - 1 AS rn,
+                       count(*) OVER (PARTITION BY s) AS deg
+                FROM e
+            ),
+            st AS (
+                SELECT node, row_number() OVER (ORDER BY node) - 1 AS idx
+                FROM (SELECT DISTINCT s AS node FROM e)
+                ORDER BY node LIMIT 20
+            ),
+            w0 AS (
+                SELECT (st.idx * 2 + j.j)::BIGINT AS walk_id,
+                       0::BIGINT AS step, st.node
+                FROM st CROSS JOIN (SELECT unnest([0, 1]) AS j) j
+            ),
+            walk(walk_id, step, node) AS (
+                SELECT walk_id, step, node FROM w0
+                UNION ALL
+                SELECT w.walk_id, w.step + 1, adj.nbr
+                FROM walk w JOIN adj ON adj.node = w.node
+                 AND adj.rn = ((w.walk_id * 1000003 + w.step) % 2147483647)
+                              * 2654435761 % adj.deg
+                WHERE w.step < 6
+            )
+            SELECT walk_id, step, node::BIGINT AS node
+            FROM walk ORDER BY walk_id, step
         """,
         # raw-inequality re-derivation of the distributed interval-overlap
         # join (per-key plan): same deterministic windows, closed-end

@@ -3211,3 +3211,114 @@ def edge_betweenness(
             batch_format="pandas",
         )
     return bc
+
+
+def deterministic_walks(
+    edges: ray.data.Dataset,
+    start_nodes: list,
+    *,
+    u: str = "u",
+    v: str = "v",
+    walk_len: int = 6,
+    walks_per_node: int = 2,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """DeepWalk-style walk-corpus generation with a FULLY REPRODUCIBLE
+    step rule: from node n at step t of walk w, the next node is
+
+        sorted_neighbors(n)[ ((w*1000003 + t) % 2147483647) * 2654435761
+                             % degree(n) ]
+
+    — a hash-mix any SQL engine can evaluate (no wraparound: the product is
+    < 2^63), so a DuckDB recursive CTE re-derives every walk EXACTLY and the
+    corpus is value-hash oracled, unlike seeded-RNG walks.  Uniformity is
+    hash-quality (node2vec p=q=1 shape); the point is a deterministic,
+    audit-able sampling corpus for embedding training.
+
+    Returns (walk_id, step, node) with walk_id = start-index ×
+    ``walks_per_node`` + j, step 0..walk_len.  Distributed as the standard
+    co-partitioned frontier loop: the undirected adjacency table is tagged
+    and materialized once; each round one exchange routes walk positions to
+    their node's partition, the reducer gathers the hash-chosen neighbor
+    from the node's SORTED neighbor run (CSR via sort + searchsorted —
+    vectorized, no Python loop over walks).
+    """
+
+    def undirect(batch: pd.DataFrame) -> pd.DataFrame:
+        fwd = batch[[u, v]].rename(columns={u: "s", v: "d"})
+        rev = batch[[v, u]].rename(columns={v: "s", u: "d"})
+        out = pd.concat([fwd, rev], ignore_index=True).drop_duplicates()
+        out = out[out["s"] != out["d"]]
+        out["part"] = _part_series(out["s"], num_partitions)
+        out["kind"] = "e"
+        out["walk_id"] = -1
+        out["step"] = -1
+        return out[["s", "d", "part", "kind", "walk_id", "step"]]
+
+    edges_tagged = edges.map_batches(undirect, batch_format="pandas").materialize()
+
+    rows = []
+    for i, n in enumerate(start_nodes):
+        for j in range(walks_per_node):
+            rows.append({"walk_id": i * walks_per_node + j, "step": 0, "node": n})
+    positions = ray.data.from_pandas(pd.DataFrame(rows)).materialize()
+    outputs = [positions]
+
+    for t in range(walk_len):
+        def tag_pos(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "s": batch["node"],
+                    "d": batch["node"],
+                    "part": _part_series(batch["node"], num_partitions),
+                    "kind": "w",
+                    "walk_id": batch["walk_id"],
+                    "step": batch["step"],
+                }
+            )
+
+        def advance(part: pd.DataFrame) -> pd.DataFrame:
+            ed = part[part["kind"] == "e"]
+            wk = part[part["kind"] == "w"]
+            if wk.empty or ed.empty:
+                return pd.DataFrame(
+                    {
+                        "walk_id": pd.Series(dtype="int64"),
+                        "step": pd.Series(dtype="int64"),
+                        "node": pd.Series(dtype=ed["d"].dtype if not ed.empty else "int64"),
+                    }
+                )
+            ed = ed.sort_values(["s", "d"], kind="stable")
+            nodes_arr = ed["s"].to_numpy()
+            nbrs = ed["d"].to_numpy()
+            uniq, starts = np.unique(nodes_arr, return_index=True)
+            starts = np.append(starts, len(nodes_arr))
+            cur = wk["s"].to_numpy()  # tag_pos routes the walk's node via "s"
+            pos = np.searchsorted(uniq, cur)
+            ok = (pos < len(uniq)) & (uniq[np.clip(pos, 0, len(uniq) - 1)] == cur)
+            wkk = wk[ok]
+            pos = pos[ok]
+            deg = starts[pos + 1] - starts[pos]
+            wid = wkk["walk_id"].to_numpy().astype(np.int64)
+            stp = wkk["step"].to_numpy().astype(np.int64)
+            h = ((wid * 1000003 + stp) % 2147483647) * 2654435761 % deg
+            nxt = nbrs[starts[pos] + h]
+            return pd.DataFrame(
+                {"walk_id": wid, "step": stp + 1, "node": nxt}
+            )
+
+        positions = (
+            edges_tagged.union(
+                positions.map_batches(tag_pos, batch_format="pandas")
+            )
+            .groupby("part")
+            .map_groups(advance, batch_format="pandas")
+            .repartition(num_partitions)
+            .materialize()
+        )
+        outputs.append(positions)
+
+    result = outputs[0]
+    for ds in outputs[1:]:
+        result = result.union(ds)
+    return result

@@ -767,3 +767,34 @@ def test_edge_betweenness_sampled_sources(ray_session):
         assert abs(got_map.get(k, 0.0) - val) < 1e-9, k
     for k in got_map:
         assert k in want
+
+
+def test_deterministic_walks_follow_edges(ray_session):
+    """Every consecutive step must traverse a real (undirected) edge, walks
+    start at their designated nodes, lengths are exact, and a rerun is
+    bit-identical (the hash step rule has no RNG state)."""
+    import pandas as pd
+
+    from esmarc_ray.ops.graph import deterministic_walks
+
+    edges_df = pd.DataFrame(
+        {"u": [1, 1, 2, 3, 4, 5], "v": [2, 3, 3, 4, 5, 1]}
+    )
+    edges = ray.data.from_pandas(edges_df)
+    out = deterministic_walks(
+        edges, [1, 2], walk_len=5, walks_per_node=3, num_partitions=4
+    ).to_pandas().sort_values(["walk_id", "step"]).reset_index(drop=True)
+    assert len(out) == 6 * 6  # 6 walks × (walk_len+1) rows
+    und = set(map(tuple, edges_df.to_numpy())) | set(
+        map(tuple, edges_df[["v", "u"]].to_numpy())
+    )
+    for wid, grp in out.groupby("walk_id"):
+        nodes = grp.sort_values("step")["node"].tolist()
+        assert nodes[0] == (1 if wid < 3 else 2)
+        assert len(nodes) == 6
+        for a, b in zip(nodes, nodes[1:]):
+            assert (a, b) in und, (wid, a, b)
+    rerun = deterministic_walks(
+        edges, [1, 2], walk_len=5, walks_per_node=3, num_partitions=4
+    ).to_pandas().sort_values(["walk_id", "step"]).reset_index(drop=True)
+    assert rerun.equals(out)
