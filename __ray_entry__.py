@@ -7578,6 +7578,60 @@ def q_lineage_report(sf_dir: str):
     return out_df
 
 
+def q_kg_materialize_audit(sf_dir: str):
+    """Sort-order + manifest audit of the PRODUCTION sink (the bench
+    headline's materialize_shard): writes the sf's triples with sort=True,
+    then a distributed per-file pass (one task per written file) verifies
+    every file is internally sorted by (entity_class, subj, pred) and the
+    lineage manifest's row_count equals the files' total.  Oracle: DuckDB
+    independently re-counts the written shard and pins zero violations /
+    manifest agreement — a broken sort or manifest flips the hash."""
+    import json as _json
+    import pathlib
+
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.stages.extract import docs_to_triples
+    from esmarc_ray.stages.materialize import materialize_shard
+
+    shard = _KG_ORACLE_DIR / "materialize_audit" / "shard=00000"
+    triples = docs_to_triples(_kg_docs(sf_dir))
+    manifest = materialize_shard(triples, shard, inputs=["audit"], sort=True)
+
+    files = sorted(str(p) for p in pathlib.Path(shard).rglob("*.parquet"))
+
+    def check(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        rows_l, viol_l = [], []
+        for path in batch["path"]:
+            # hive layout: entity_class is constant per file (directory key)
+            tbl = pq.read_table(path, columns=["subj", "pred"])
+            df = tbl.to_pandas()
+            key = list(zip(df["subj"], df["pred"]))
+            viol = sum(1 for a, b in zip(key, key[1:]) if b < a)
+            rows_l.append(len(df))
+            viol_l.append(viol)
+        return pd.DataFrame({"n_rows": rows_l, "n_violations": viol_l})
+
+    per_file = (
+        ray.data.from_items([{"path": p} for p in files])
+        .map_batches(check, batch_format="pandas", batch_size=1)
+        .to_pandas()
+    )
+    stored = _json.loads((pathlib.Path(shard) / "_manifest.json").read_text())
+    return pd.DataFrame(
+        {
+            "n_rows": [int(per_file["n_rows"].sum())],
+            "n_sort_violations": [int(per_file["n_violations"].sum())],
+            "manifest_rows_match": [
+                bool(stored["row_count"] == int(per_file["n_rows"].sum()))
+            ],
+        }
+    )
+
+
 def q_resume_audit(sf_dir: str):
     """North-rule checkpoint/resume, driver-visible: run the PRODUCTION
     pipeline, destroy one input shard's checkpoint, re-run — the resumed
@@ -9242,6 +9296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "open_window_events": q_open_window_events,
         # hash-step walk corpus, exactly re-derived by a recursive CTE
         "deepwalk_corpus": q_deepwalk_corpus,
+        # production-sink sort + manifest audit (the bench headline's sink)
+        "kg_materialize_audit": q_kg_materialize_audit,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
@@ -11960,6 +12016,16 @@ def oracle_sql() -> dict[str, str]:
               '/tmp/esmarc_ray_kg_oracle/lineage_run/triples/shard=00000/*/*.parquet',
               hive_partitioning=true)
             GROUP BY entity_class ORDER BY entity_class
+        """,
+        # production-sink audit: DuckDB re-counts the written shard
+        # independently; sort violations and manifest agreement pinned —
+        # a broken sort order or manifest path flips the hash
+        "kg_materialize_audit": """
+            SELECT (SELECT count(*) FROM read_parquet(
+                       '/tmp/esmarc_ray_kg_oracle/materialize_audit/shard=00000/*/*.parquet',
+                       hive_partitioning=true))::BIGINT AS n_rows,
+                   0::BIGINT AS n_sort_violations,
+                   true AS manifest_rows_match
         """,
         # EXACT recursive re-derivation of the deterministic walk corpus:
         # same undirected edge set, same sorted-neighbor indexing, same
