@@ -3693,6 +3693,145 @@ def q_graph_communities(sf_dir: str):
     )
 
 
+def q_community_modularity(sf_dir: str):
+    """Newman modularity Q of the LPA community assignment over the SIMPLE
+    co-purchase graph — the one-number quality score community detection is
+    judged by: Q = Σ_c e_c/m − Σ_c d_c²/(4m²).  Every term folds as
+    combiner-shaped partial aggregates (degree counts, per-community degree
+    sums, within-community edge counts); the driver holds scalars only.
+    The LPA labels mirror to parquet and the oracle re-derives Q from the
+    SAME edges + mirrored labels in SQL (the formula and the distributed
+    joins are what hash-check; label quality itself is gated by the planted
+    -clique LPA pytest)."""
+    import numpy as np
+    import pandas as pd
+
+    from esmarc_ray.ops.graph import label_propagation
+    from esmarc_ray.ops.relational import (
+        partial_groupby_agg,
+        partitioned_join,
+    )
+
+    edges = _dedup_copurchase_edges(sf_dir, cutoff=200).materialize()
+    labels = (
+        label_propagation(
+            edges, u="l_partkey_a", v="l_partkey_b", max_rounds=4,
+            num_partitions=8,
+        )
+        # LPA carries node/community as strings — restore the int key dtype
+        # so the degree join co-partitions AND compares correctly
+        .map_batches(
+            lambda b: b.astype({"node": "int64", "community": "int64"}),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    _kg_oracle_table(sf_dir, "lpa_labels", labels)
+
+    m = edges.count()
+
+    def both_ends(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat(
+                    [batch["l_partkey_a"], batch["l_partkey_b"]],
+                    ignore_index=True,
+                )
+            }
+        )
+
+    deg = partial_groupby_agg(
+        edges.map_batches(both_ends, batch_format="pandas"),
+        ["node"],
+        {"k": ("node", "count")},
+    )
+    degc = partitioned_join(
+        deg,
+        labels.map_batches(
+            lambda b: b.rename(columns={"community": "comm"}),
+            batch_format="pandas",
+        ),
+        on="node",
+        left_cols=["k"],
+        right_cols=["comm"],
+        num_partitions=8,
+    )
+    dc = partial_groupby_agg(degc, ["comm"], {"d": ("k", "sum")})
+    def fold_d2(b: pd.DataFrame) -> pd.DataFrame:
+        # empty shuffle partitions yield schema-less blocks — emit a
+        # constant-schema partial either way
+        val = (
+            float((b["d"].astype("float64") ** 2).sum())
+            if "d" in b.columns and len(b)
+            else 0.0
+        )
+        return pd.DataFrame({"d2": [val]})
+
+    sum_d2 = float(
+        sum(
+            r.get("d2", 0.0)
+            for r in dc.map_batches(fold_d2, batch_format="pandas").take_all()
+        )
+    )
+    n_comm = dc.count()
+
+    ca = partitioned_join(
+        edges.map_batches(
+            lambda b: b.rename(columns={"l_partkey_a": "node"}),
+            batch_format="pandas",
+        ),
+        labels.map_batches(
+            lambda b: b.rename(columns={"community": "ca"}),
+            batch_format="pandas",
+        ),
+        on="node",
+        left_cols=["l_partkey_b"],
+        right_cols=["ca"],
+        num_partitions=8,
+    )
+    cab = partitioned_join(
+        ca.map_batches(
+            # drop join 1's key first — renaming l_partkey_b onto "node"
+            # would otherwise duplicate the column label
+            lambda b: b.drop(columns=["node"]).rename(
+                columns={"l_partkey_b": "node"}
+            ),
+            batch_format="pandas",
+        ),
+        labels.map_batches(
+            lambda b: b.rename(columns={"community": "cb"}),
+            batch_format="pandas",
+        ),
+        on="node",
+        left_cols=["ca"],
+        right_cols=["cb"],
+        num_partitions=8,
+    )
+    def fold_ein(b: pd.DataFrame) -> pd.DataFrame:
+        val = (
+            int((b["ca"] == b["cb"]).sum())
+            if "ca" in b.columns and len(b)
+            else 0
+        )
+        return pd.DataFrame({"n": [val]})
+
+    e_in = int(
+        sum(
+            r.get("n", 0)
+            for r in cab.map_batches(fold_ein, batch_format="pandas").take_all()
+        )
+    )
+
+    q = e_in / m - sum_d2 / (4.0 * m * m)
+    return pd.DataFrame(
+        {
+            "modularity": [float(np.floor(q * 1e6 + 0.5) / 1e6)],
+            "n_communities": [int(n_comm)],
+            "m_edges": [int(m)],
+        }
+    )
+
+
 def q_orders_winsorized(sf_dir: str):
     import ray.data
 
@@ -9298,6 +9437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deepwalk_corpus": q_deepwalk_corpus,
         # production-sink sort + manifest audit (the bench headline's sink)
         "kg_materialize_audit": q_kg_materialize_audit,
+        # Newman modularity of the LPA communities (labels mirrored, Q
+        # formula re-derived in SQL)
+        "community_modularity": q_community_modularity,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
@@ -12016,6 +12158,44 @@ def oracle_sql() -> dict[str, str]:
               '/tmp/esmarc_ray_kg_oracle/lineage_run/triples/shard=00000/*/*.parquet',
               hive_partitioning=true)
             GROUP BY entity_class ORDER BY entity_class
+        """,
+        # Newman modularity re-derived from the SAME simple edge set + the
+        # mirrored LPA labels: identical float expression on both engines
+        "community_modularity": """
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                WHERE a.l_orderkey < 200 AND b.l_orderkey < 200
+            ),
+            l AS (
+                SELECT node, community FROM read_parquet(
+                    '/tmp/esmarc_ray_kg_oracle/lpa_labels/*.parquet')
+            ),
+            deg AS (
+                SELECT node, count(*) AS k
+                FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                GROUP BY 1
+            ),
+            dc AS (
+                SELECT l.community, sum(deg.k)::DOUBLE AS d
+                FROM deg JOIN l USING (node) GROUP BY 1
+            ),
+            scalars AS (
+                SELECT (SELECT count(*)::DOUBLE FROM e) AS m,
+                       (SELECT count(*)::DOUBLE FROM e
+                        JOIN l la ON la.node = e.a
+                        JOIN l lb ON lb.node = e.b
+                        WHERE la.community = lb.community) AS e_in,
+                       (SELECT sum(d * d) FROM dc) AS sum_d2,
+                       (SELECT count(*) FROM dc) AS n_comm
+            )
+            SELECT floor((e_in / m - sum_d2 / (4.0 * m * m)) * 1e6 + 0.5)
+                       / 1e6 AS modularity,
+                   n_comm::BIGINT AS n_communities,
+                   m::BIGINT AS m_edges
+            FROM scalars
         """,
         # production-sink audit: DuckDB re-counts the written shard
         # independently; sort violations and manifest agreement pinned —
