@@ -3693,6 +3693,73 @@ def q_graph_communities(sf_dir: str):
     )
 
 
+def q_ngram_novelty(sf_dir: str):
+    """Per-document n-gram NOVELTY — the curation signal behind 'is this
+    doc boilerplate or fresh content': for each doc the fraction of its
+    DISTINCT word-trigrams that appear in NO other document.  Pipeline:
+    per-batch distinct (doc, gram) emission → gram-frequency partial
+    groupby (count == document frequency since grams are per-doc distinct)
+    → partitioned join back → per-doc fold.  At 100-TB the gram column
+    would carry a 64-bit fingerprint instead of the string (fingerprints /
+    minhash family); the string rides here so the oracle can re-derive the
+    exact grams in SQL."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import (
+        partial_groupby_agg,
+        partitioned_join,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, gs = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            toks = text.split()
+            if len(toks) < 3:
+                continue
+            seen = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+            ids.extend([doc_id] * len(seen))
+            gs.extend(seen)
+        return pd.DataFrame({"doc_id": ids, "gram": gs})
+
+    dg = docs.map_batches(grams, batch_format="pandas")
+    df_freq = partial_groupby_agg(dg, ["gram"], {"df": ("doc_id", "count")})
+    joined = partitioned_join(
+        dg,
+        df_freq,
+        on="gram",
+        left_cols=["doc_id"],
+        right_cols=["df"],
+        num_partitions=16,
+    )
+
+    def per_doc(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("doc_id", sort=False)
+        out = g.size().rename("n_grams").reset_index()
+        out["n_novel"] = g["df"].apply(lambda s: int((s == 1).sum())).to_numpy()
+        return out
+
+    from esmarc_ray.ops.relational import partitioned_final
+
+    out = partitioned_final(
+        joined.select_columns(["doc_id", "df"]), ["doc_id"], per_doc,
+        num_partitions=16,
+    ).to_pandas()
+    out["novel_frac"] = (
+        (out["n_novel"] / out["n_grams"] * 1e6 + 0.5).apply(int) / 1e6
+    )
+    out = out.astype({"n_grams": "int64", "n_novel": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_grams", "n_novel", "novel_frac"]
+    ]
+
+
 def q_community_modularity(sf_dir: str):
     """Newman modularity Q of the LPA community assignment over the SIMPLE
     co-purchase graph — the one-number quality score community detection is
@@ -9440,6 +9507,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Newman modularity of the LPA communities (labels mirrored, Q
         # formula re-derived in SQL)
         "community_modularity": q_community_modularity,
+        # per-doc distinct-trigram novelty (boilerplate curation signal)
+        "ngram_novelty": q_ngram_novelty,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
@@ -12158,6 +12227,33 @@ def oracle_sql() -> dict[str, str]:
               '/tmp/esmarc_ray_kg_oracle/lineage_run/triples/shard=00000/*/*.parquet',
               hive_partitioning=true)
             GROUP BY entity_class ORDER BY entity_class
+        """,
+        # exact trigram re-derivation: same tokenization family as
+        # token_stats (trim + \s+), per-doc DISTINCT grams, document
+        # frequency, novelty fraction with the house rounding
+        "ngram_novelty": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+                FROM d, UNNEST(range(1, len(t) - 1)) AS r(i)
+                WHERE len(t) >= 3
+            ),
+            f AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+            p AS (
+                SELECT g.doc_id, count(*) AS n_grams,
+                       sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS n_novel
+                FROM g JOIN f USING (gram) GROUP BY 1
+            )
+            SELECT doc_id, n_grams::BIGINT AS n_grams,
+                   n_novel::BIGINT AS n_novel,
+                   floor(n_novel::DOUBLE / n_grams * 1e6 + 0.5) / 1e6
+                       AS novel_frac
+            FROM p ORDER BY doc_id
         """,
         # Newman modularity re-derived from the SAME simple edge set + the
         # mirrored LPA labels: identical float expression on both engines
