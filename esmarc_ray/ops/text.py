@@ -73,7 +73,15 @@ def _quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
     tokens = text.str.split()
     n_tokens = tokens.str.len().clip(lower=1)
     punct_ratio = text.str.count(_PUNCT_RE) / n_chars
-    stop_counts = tokens.map(lambda ts: sum(1 for t in ts if t.lower() in _ALL_STOPWORDS))
+    # vectorized membership: ONE explode + C-level isin instead of a Python
+    # loop per token (same per-token lowercase-in-set predicate)
+    exploded = tokens.explode().str.lower()
+    stop_counts = (
+        exploded.isin(_ALL_STOPWORDS)
+        .groupby(level=0)
+        .sum()
+        .reindex(batch.index, fill_value=0)
+    )
     stopword_ratio = stop_counts / n_tokens
     mean_word_len = (n_chars - n_tokens + 1) / n_tokens
     batch["punct_ratio"] = punct_ratio
@@ -97,10 +105,18 @@ def _langid_batch(batch: pd.DataFrame) -> pd.DataFrame:
     langs = sorted(_STOPWORDS)
     text = batch["text"].fillna("")
     tokens = text.str.lower().str.split()
+    # ONE explode; per-language C-level isin over the flat token series
+    # (identical membership counts to the historical per-row loop)
+    exploded = tokens.explode()
     scores = np.zeros((len(batch), len(langs)))
     for j, lang in enumerate(langs):
-        profile = _STOPWORDS[lang]
-        scores[:, j] = tokens.map(lambda ts: sum(1 for t in ts if t in profile)).to_numpy()
+        scores[:, j] = (
+            exploded.isin(_STOPWORDS[lang])
+            .groupby(level=0)
+            .sum()
+            .reindex(batch.index, fill_value=0)
+            .to_numpy()
+        )
     best = scores.argmax(axis=1)
     batch["lang_pred"] = [langs[j] if scores[i, j] > 0 else "und" for i, j in enumerate(best)]
     batch["lang_score"] = scores.max(axis=1) / tokens.str.len().clip(lower=1).to_numpy()
