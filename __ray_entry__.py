@@ -1147,6 +1147,89 @@ def q_er_clusters(sf_dir: str):
     return out.sort_values("id").reset_index(drop=True)
 
 
+def q_er_bcubed(sf_dir: str):
+    """B-cubed evaluation (Bagga & Baldwin) of entity-resolution output:
+    the LOOSE clustering (JW ≥ 0.90) scored against the STRICT one
+    (JW ≥ 0.94) as gold — per-item precision |C∩G|/|C| and recall
+    |C∩G|/|G| averaged over items, folded entirely from the
+    (response-cluster × gold-cluster) contingency counts: P = Σ n²/|C| / N,
+    R = Σ n²/|G| / N.  Distributed as two joins + partial groupbys; the
+    driver holds three scalars.  Oracle: both clusterings AND the metric
+    re-derive in SQL."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.pipelines.er import resolve_entities
+    from esmarc_ray.ops.relational import (
+        partial_groupby_agg,
+        partitioned_join,
+    )
+
+    def run(th: float):
+        parts = ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+        ).filter(expr="p_partkey < 300")
+        return resolve_entities(
+            parts, id_col="p_partkey", text_col="p_name", blocking="token",
+            jw_threshold=th, num_partitions=8,
+        )
+
+    gold = run(0.94).map_batches(
+        lambda b: b[["id", "canon_id"]].rename(columns={"canon_id": "cg"}),
+        batch_format="pandas",
+    ).materialize()
+    resp = run(0.90).map_batches(
+        lambda b: b[["id", "canon_id"]].rename(columns={"canon_id": "cr"}),
+        batch_format="pandas",
+    ).materialize()
+
+    both = partitioned_join(
+        gold, resp, on="id", left_cols=["cg"], right_cols=["cr"],
+        num_partitions=8,
+    ).materialize()
+    n_items = both.count()
+    ct = partial_groupby_agg(both, ["cg", "cr"], {"n": ("id", "count")})
+    sg = partial_groupby_agg(both, ["cg"], {"s_g": ("id", "count")})
+    sr = partial_groupby_agg(both, ["cr"], {"s_r": ("id", "count")})
+    ct2 = partitioned_join(
+        ct, sg, on="cg", left_cols=["cr", "n"], right_cols=["s_g"],
+        num_partitions=8,
+    )
+    ct3 = partitioned_join(
+        ct2, sr, on="cr", left_cols=["cg", "n", "s_g"], right_cols=["s_r"],
+        num_partitions=8,
+    )
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        if "n" not in b.columns or not len(b):
+            return pd.DataFrame({"p": [0.0], "r": [0.0]})
+        n = b["n"].astype("float64")
+        return pd.DataFrame(
+            {
+                "p": [float((n * n / b["s_r"]).sum())],
+                "r": [float((n * n / b["s_g"]).sum())],
+            }
+        )
+
+    parts_sum = ct3.map_batches(fold, batch_format="pandas").take_all()
+    p = sum(r.get("p", 0.0) for r in parts_sum) / n_items
+    r = sum(x.get("r", 0.0) for x in parts_sum) / n_items
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+
+    def rnd(x):
+        return float(np.floor(x * 1e6 + 0.5) / 1e6)
+
+    return pd.DataFrame(
+        {
+            "bcubed_precision": [rnd(p)],
+            "bcubed_recall": [rnd(r)],
+            "bcubed_f1": [rnd(f1)],
+            "n_items": [int(n_items)],
+        }
+    )
+
+
 def q_exact_substr_dedup(sf_dir: str):
     """ExactSubstr training-data dedup (Lee et al. ACL 2022) over the
     document corpus: every 8-token span occurring ≥2 times corpus-wide is
@@ -9509,6 +9592,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "community_modularity": q_community_modularity,
         # per-doc distinct-trigram novelty (boilerplate curation signal)
         "ngram_novelty": q_ngram_novelty,
+        # B-cubed cluster-agreement metric over two ER thresholds
+        "er_bcubed": q_er_bcubed,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
@@ -12227,6 +12312,84 @@ def oracle_sql() -> dict[str, str]:
               '/tmp/esmarc_ray_kg_oracle/lineage_run/triples/shard=00000/*/*.parquet',
               hive_partitioning=true)
             GROUP BY entity_class ORDER BY entity_class
+        """,
+        # B-cubed re-derived end-to-end: BOTH ER clusterings (strict gold,
+        # loose response) rebuilt by the same token-blocking + JW +
+        # recursive-closure chain as er_clusters, then the contingency
+        # P = Σn²/|C| / N, R = Σn²/|G| / N with the house rounding
+        "er_bcubed": """
+            WITH RECURSIVE recs AS (
+                SELECT CAST(p_partkey AS VARCHAR) AS id, p_name AS txt
+                FROM part WHERE p_partkey < 300
+            ),
+            toks AS (
+                SELECT DISTINCT * FROM (
+                    SELECT id, txt,
+                           unnest(string_split(txt, ' ')) AS tok
+                    FROM recs
+                ) WHERE tok <> ''
+            ),
+            cand AS (
+                SELECT DISTINCT a.id AS ida, b.id AS idb,
+                                a.txt AS ta, b.txt AS tb
+                FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+            ),
+            edg AS (
+                SELECT ida AS a, idb AS b FROM cand
+                WHERE jaro_winkler_similarity(ta, tb) >= 0.94
+            ),
+            undg AS (SELECT a, b FROM edg UNION SELECT b, a FROM edg),
+            reachg(n, m) AS (
+                SELECT a, b FROM undg
+                UNION
+                SELECT r.n, u.b FROM reachg r JOIN undg u ON r.m = u.a
+            ),
+            compg AS (
+                SELECT n AS id, least(n, min(m)) AS canon FROM reachg GROUP BY n
+            ),
+            g AS (
+                SELECT recs.id, coalesce(compg.canon, recs.id) AS cg
+                FROM recs LEFT JOIN compg ON recs.id = compg.id
+            ),
+            edr AS (
+                SELECT ida AS a, idb AS b FROM cand
+                WHERE jaro_winkler_similarity(ta, tb) >= 0.90
+            ),
+            undr AS (SELECT a, b FROM edr UNION SELECT b, a FROM edr),
+            reachr(n, m) AS (
+                SELECT a, b FROM undr
+                UNION
+                SELECT r.n, u.b FROM reachr r JOIN undr u ON r.m = u.a
+            ),
+            compr AS (
+                SELECT n AS id, least(n, min(m)) AS canon FROM reachr GROUP BY n
+            ),
+            rsp AS (
+                SELECT recs.id, coalesce(compr.canon, recs.id) AS cr
+                FROM recs LEFT JOIN compr ON recs.id = compr.id
+            ),
+            both_l AS (
+                SELECT g.id, g.cg, rsp.cr FROM g JOIN rsp USING (id)
+            ),
+            ct AS (
+                SELECT cg, cr, count(*)::DOUBLE AS n FROM both_l GROUP BY 1, 2
+            ),
+            sg AS (SELECT cg, count(*)::DOUBLE AS s_g FROM both_l GROUP BY 1),
+            sr AS (SELECT cr, count(*)::DOUBLE AS s_r FROM both_l GROUP BY 1),
+            scalars AS (
+                SELECT (SELECT count(*)::DOUBLE FROM both_l) AS nn,
+                       (SELECT sum(ct.n * ct.n / sr.s_r)
+                        FROM ct JOIN sr USING (cr)) AS pmass,
+                       (SELECT sum(ct.n * ct.n / sg.s_g)
+                        FROM ct JOIN sg USING (cg)) AS rmass
+            )
+            SELECT floor(pmass / nn * 1e6 + 0.5) / 1e6 AS bcubed_precision,
+                   floor(rmass / nn * 1e6 + 0.5) / 1e6 AS bcubed_recall,
+                   floor(2 * (pmass / nn) * (rmass / nn)
+                         / ((pmass / nn) + (rmass / nn)) * 1e6 + 0.5) / 1e6
+                       AS bcubed_f1,
+                   nn::BIGINT AS n_items
+            FROM scalars
         """,
         # exact trigram re-derivation: same tokenization family as
         # token_stats (trim + \s+), per-doc DISTINCT grams, document
