@@ -8680,6 +8680,72 @@ def q_scd2_user_type(sf_dir: str):
     return out.sort_values(["user_id", "version"]).reset_index(drop=True)
 
 
+def q_pit_dimension_join(sf_dir: str):
+    """Point-in-time (PIT) dimension join — the Kimball fact-to-SCD2
+    lookup: every event joins the user's dimension VERSION whose validity
+    interval contains its timestamp (valid_from inclusive, valid_to
+    exclusive, -1 = open), via the distributed interval-overlap join
+    (per-key plan; exclusive ends become closed µs ends, open ends a
+    sentinel).  Output: events per version ordinal — every event matches
+    exactly one version, which the oracle's count re-proves."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import (
+        interval_overlap_join,
+        partial_groupby_agg,
+        scd2_intervals,
+    )
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    dim = scd2_intervals(events, "user_id", "event_type", ["ts", "event_id"])
+
+    def dprep(b: pd.DataFrame) -> pd.DataFrame:
+        end = np.where(
+            b["valid_to_us"].to_numpy() == -1,
+            np.int64(1) << 62,
+            b["valid_to_us"].to_numpy() - 1,
+        )
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "version": b["version"],
+                "v_s": b["valid_from_us"].astype("int64"),
+                "v_e": end,
+            }
+        )
+
+    def eprep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "e_ts": b["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    joined = interval_overlap_join(
+        dim.map_batches(dprep, batch_format="pandas"),
+        events.map_batches(eprep, batch_format="pandas"),
+        left_start="v_s",
+        left_end="v_e",
+        right_start="e_ts",
+        right_end=None,
+        by="user_id",
+        left_cols=["version"],
+        right_cols=["event_id"],
+        num_partitions=16,
+    )
+    out = partial_groupby_agg(
+        joined, ["version"], {"n_events": ("event_id", "count")}
+    ).to_pandas()
+    out = out.astype({"version": "int64", "n_events": "int64"})
+    return out.sort_values("version").reset_index(drop=True)
+
+
 def q_jw_name_links(sf_dir: str):
     """Record-linkage join with the Jaro–Winkler verify (the classic
     name-matching metric): block customers × suppliers on nation, keep
@@ -9594,6 +9660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": q_ngram_novelty,
         # B-cubed cluster-agreement metric over two ER thresholds
         "er_bcubed": q_er_bcubed,
+        # Kimball fact→SCD2 point-in-time lookup via the interval join
+        "pit_dimension_join": q_pit_dimension_join,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
@@ -12312,6 +12380,36 @@ def oracle_sql() -> dict[str, str]:
               '/tmp/esmarc_ray_kg_oracle/lineage_run/triples/shard=00000/*/*.parquet',
               hive_partitioning=true)
             GROUP BY entity_class ORDER BY entity_class
+        """,
+        # PIT lookup re-derived: same SCD2 build (lag/lead windows), then a
+        # validity-range join — every event must land in exactly one version
+        "pit_dimension_join": """
+            WITH o AS (
+                SELECT user_id, event_type, ts, event_id,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+                FROM events
+            ),
+            chg AS (
+                SELECT user_id,
+                       epoch_us(ts) AS valid_from_us,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS version
+                FROM o WHERE prev IS NULL OR prev <> event_type
+            ),
+            dim AS (
+                SELECT user_id, version, valid_from_us,
+                       coalesce(lead(valid_from_us)
+                                OVER (PARTITION BY user_id ORDER BY version),
+                                -1) AS valid_to_us
+                FROM chg
+            )
+            SELECT d.version, count(*)::BIGINT AS n_events
+            FROM events e JOIN dim d
+              ON d.user_id = e.user_id
+             AND d.valid_from_us <= epoch_us(e.ts)
+             AND (d.valid_to_us = -1 OR epoch_us(e.ts) < d.valid_to_us)
+            GROUP BY 1 ORDER BY 1
         """,
         # B-cubed re-derived end-to-end: BOTH ER clusterings (strict gold,
         # loose response) rebuilt by the same token-blocking + JW +
