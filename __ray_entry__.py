@@ -8746,6 +8746,20 @@ def q_pit_dimension_join(sf_dir: str):
     return out.sort_values("version").reset_index(drop=True)
 
 
+def q_coreset_docs(sf_dir: str):
+    """Diversity coreset of the embedding table: 32 maximally-spread
+    vectors via the 2-round distributed greedy k-center sweep (block-local
+    farthest-point candidates → driver sweep over the pooled candidates
+    only).  Rows-only (sequential greedy); planted-cluster coverage and
+    determinism gated by tests/test_ops.py::test_kcenter_coreset_*."""
+    import ray.data
+
+    from esmarc_ray.ops.similarity import kcenter_coreset
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return kcenter_coreset(ds, 32)
+
+
 def q_jw_name_links(sf_dir: str):
     """Record-linkage join with the Jaro–Winkler verify (the classic
     name-matching metric): block customers × suppliers on nation, keep
@@ -9662,6 +9676,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_bcubed": q_er_bcubed,
         # Kimball fact→SCD2 point-in-time lookup via the interval join
         "pit_dimension_join": q_pit_dimension_join,
+        # greedy k-center diversity coreset (sequential greedy — rows-only;
+        # cluster-coverage gated in tests/test_ops.py)
+        "coreset_docs": q_coreset_docs,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,

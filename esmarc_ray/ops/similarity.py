@@ -853,3 +853,65 @@ def pq_search(
         for negd2, vid in sorted(heap, reverse=True):
             rows.append({"query_id": qi, id_column: vid, "adc_d2": -negd2})
     return pd.DataFrame(rows)
+
+
+def kcenter_coreset(
+    embeddings: ray.data.Dataset,
+    k: int,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    candidates_per_block: int | None = None,
+) -> pd.DataFrame:
+    """Greedy k-center CORESET selection — the diversity-sampling curation
+    step ("pick k maximally spread examples"): two-round distributed
+    approximation of farthest-point traversal.
+
+    Round 1 (distributed): every block runs the exact greedy farthest-point
+    sweep LOCALLY (seeded at its smallest id; k iterations of one
+    vectorized distance update each) and emits only its
+    ``candidates_per_block`` (default k) picks.  Round 2 (driver): the
+    exact greedy sweep over the pooled candidates (blocks × k rows — never
+    the corpus), seeded at the global smallest candidate id so the result
+    is deterministic and partition-invariant for the seed point.
+
+    This is the standard composable 2-round k-center scheme: each block's
+    local sweep is a 2-approximation of its own data's cover, and the
+    driver sweep over the union preserves the spread guarantee on the
+    pooled candidates.  Not SQL-expressible (sequential greedy) — gated by
+    tests/test_ops.py::test_kcenter_coreset_covers_planted_clusters.
+    """
+    cpb = candidates_per_block or k
+
+    def local_pick(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_column].to_numpy()
+        mat = np.stack(batch[vector_column].to_numpy()).astype(np.float64)
+        take = _greedy_kcenter(ids, mat, min(cpb, len(ids)))
+        return pd.DataFrame(
+            {id_column: ids[take], vector_column: list(mat[take])}
+        )
+
+    pool = embeddings.map_batches(local_pick, batch_format="pandas").to_pandas()
+    ids = pool[id_column].to_numpy()
+    mat = np.stack(pool[vector_column].to_numpy())
+    take = _greedy_kcenter(ids, mat, min(k, len(ids)))
+    out = pd.DataFrame({id_column: np.sort(ids[take])})
+    return out
+
+
+def _greedy_kcenter(ids: np.ndarray, mat: np.ndarray, k: int) -> np.ndarray:
+    """Exact greedy farthest-point traversal, seeded at the smallest id;
+    ties on distance break toward the smaller id (deterministic)."""
+    order = np.argsort(ids, kind="stable")
+    ids, inv = ids[order], order
+    mat = mat[order]
+    chosen = [0]
+    d2 = ((mat - mat[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        far = int(np.argmax(d2))  # argmax takes the FIRST max → smallest id
+        if d2[far] <= 0.0:
+            break
+        chosen.append(far)
+        nd2 = ((mat - mat[far]) ** 2).sum(axis=1)
+        d2 = np.minimum(d2, nd2)
+    return inv[np.array(chosen)]

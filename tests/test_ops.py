@@ -3031,3 +3031,30 @@ def test_interval_overlap_join_by_plan_matches_bruteforce(ray_session):
     brute = brute[(brute["sa"] <= brute["eb"]) & (brute["sb"] <= brute["ea"])]
     assert got == sorted(map(tuple, brute[["ka", "kb"]].to_numpy()))
     assert len(got) > 100  # non-trivial
+
+
+def test_kcenter_coreset_covers_planted_clusters(ray_session):
+    """5 well-separated planted clusters + one seed cluster: a k=8 coreset
+    must include at least one member of EVERY cluster (greedy k-center's
+    defining guarantee), and reruns are deterministic."""
+    rng = np.random.RandomState(3)
+    centers = np.eye(5) * 50.0
+    rows = []
+    vid = 0
+    for c in range(5):
+        for _ in range(40):
+            rows.append(
+                {"vec_id": vid, "embedding": centers[c] + rng.randn(5) * 0.1,
+                 "cluster": c}
+            )
+            vid += 1
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df[["vec_id", "embedding"]])
+    from esmarc_ray.ops import similarity
+
+    out = similarity.kcenter_coreset(ds, 8)
+    picked = set(out["vec_id"])
+    covered = set(df[df["vec_id"].isin(picked)]["cluster"])
+    assert covered == {0, 1, 2, 3, 4}
+    rerun = similarity.kcenter_coreset(ds, 8)
+    assert list(rerun["vec_id"]) == list(out["vec_id"])
