@@ -7921,6 +7921,55 @@ def q_kg_materialize_audit(sf_dir: str):
     )
 
 
+def q_triple_bucket_resume(sf_dir: str):
+    """Per-bucket resumability of the BUCKETED wide-phase sink
+    (materialize_buckets — the 100-TB shape): clean 4-bucket build, one
+    bucket destroyed, resumed run must skip 3 via markers, rebuild exactly
+    the destroyed one, and reproduce every per-bucket content hash / row
+    count.  The oracle pins the expected outcome — a broken marker,
+    manifest, or nondeterministic bucket routing flips the hash."""
+    import json as _json
+    import shutil
+
+    import pandas as pd
+
+    from esmarc_ray.stages.extract import docs_to_triples
+    from esmarc_ray.stages.materialize import materialize_buckets
+
+    out = _KG_ORACLE_DIR / "bucket_resume"
+    shutil.rmtree(out, ignore_errors=True)
+
+    def triples():
+        return docs_to_triples(_kg_docs(sf_dir))
+
+    clean = materialize_buckets(
+        triples(), out, num_buckets=4, resume=False, inputs=["audit"]
+    )
+    snap = {
+        k: (m["row_count"], m["content_hash"])
+        for k, m in clean["buckets"].items()
+    }
+    victim = next(k for k in range(4) if snap[str(k)][0] > 0)
+    shutil.rmtree(out / f"bucket={victim}")
+    resumed = materialize_buckets(
+        triples(), out, num_buckets=4, resume=True, inputs=["audit"]
+    )
+    stable = all(
+        (
+            lambda m: (m["row_count"], m["content_hash"]) == snap[str(k)]
+        )(_json.loads((out / f"bucket={k}" / "_manifest.json").read_text()))
+        for k in range(4)
+    )
+    return pd.DataFrame(
+        {
+            "n_buckets": [4],
+            "n_skipped": [len(resumed["skipped"])],
+            "n_rebuilt": [len(resumed["built"])],
+            "hashes_stable": [bool(stable)],
+        }
+    )
+
+
 def q_resume_audit(sf_dir: str):
     """North-rule checkpoint/resume, driver-visible: run the PRODUCTION
     pipeline, destroy one input shard's checkpoint, re-run — the resumed
@@ -9679,6 +9728,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # greedy k-center diversity coreset (sequential greedy — rows-only;
         # cluster-coverage gated in tests/test_ops.py)
         "coreset_docs": q_coreset_docs,
+        # bucketed wide-phase sink resumability (expected-outcome oracle)
+        "triple_bucket_resume": q_triple_bucket_resume,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
@@ -12767,6 +12818,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT prio AS o_orderpriority, yr AS order_year,
                    floor(0.5 * sum(ad) * 1e6 + 0.5) / 1e6 AS t_closeness
             FROM j GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # bucketed-sink resume expected-outcome oracle: 4 hash(subj)
+        # buckets, the resumed run skips 3 via markers, rebuilds exactly
+        # the destroyed one, every per-bucket content hash reproduced
+        "triple_bucket_resume": """
+            SELECT 4::BIGINT AS n_buckets, 3::BIGINT AS n_skipped,
+                   1::BIGINT AS n_rebuilt, true AS hashes_stable
         """,
         # checkpoint/resume expected-outcome oracle: 2 shards, the resumed
         # run skips 1 via markers and rebuilds exactly the destroyed one,

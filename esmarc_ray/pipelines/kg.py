@@ -31,7 +31,11 @@ from esmarc_ray.io import read_documents, write_table
 from esmarc_ray.stages.canonicalize import canonicalize
 from esmarc_ray.stages.extract import docs_to_triples, extract_docs
 from esmarc_ray.stages.link import build_link_indexes, link_entities
-from esmarc_ray.stages.materialize import materialize_shard, shard_is_complete
+from esmarc_ray.stages.materialize import (
+    materialize_buckets,
+    materialize_shard,
+    shard_is_complete,
+)
 
 
 def _input_shards(input_path: str, num_shards: int) -> list[list[str]]:
@@ -56,6 +60,7 @@ def run_kg_pipeline(
     link_concurrency: int | tuple[int, int] = (2, 8),
     jsonld: bool = False,
     query: "list | str | None" = None,
+    triple_shards: int = 1,
 ) -> dict:
     """Run (or resume) the full pipeline; returns the run manifest.
 
@@ -123,9 +128,18 @@ def run_kg_pipeline(
             "classes": sorted(files_manifest["entity_class"].unique().tolist()),
         }
     triples = docs_to_triples(canonical)
-    manifest = materialize_shard(
-        triples, triples_dir / "shard=00000", inputs=doc_files, sort=True
-    )
+    if triple_shards > 1:
+        # 100-TB wide-phase shape: per-bucket lineage + resumability — a
+        # resumed run drops completed buckets BEFORE the sort and rebuilds
+        # only the missing ones (see materialize_buckets)
+        manifest = materialize_buckets(
+            triples, triples_dir, num_buckets=triple_shards,
+            inputs=doc_files, sort=True, resume=resume,
+        )
+    else:
+        manifest = materialize_shard(
+            triples, triples_dir / "shard=00000", inputs=doc_files, sort=True
+        )
 
     run_manifest = {
         "input_path": input_path,

@@ -96,6 +96,131 @@ def materialize_shard(
     return manifest
 
 
+def _write_manifest(
+    shard_path: pathlib.Path, inputs: list[str] | None, write_seconds: float
+) -> dict:
+    """Distributed lineage-manifest pass + marker for one written dir:
+    per-block (count, class-count, xor-crc) partials folded driver-side —
+    the driver touches one small row per block, never the triples."""
+    counts: dict[str, int] = {}
+    content_hash = 0
+    n_rows = 0
+    if any(shard_path.rglob("*.parquet")):
+        partials = ray.data.read_parquet(str(shard_path)).map_batches(
+            _manifest_partial, batch_format="pyarrow"
+        )
+        for part in partials.take_all():
+            n_rows += part["n_rows"]
+            content_hash ^= part["xor_crc"]
+            for cls, cnt in json.loads(part["class_counts"]).items():
+                counts[cls] = counts.get(cls, 0) + cnt
+    manifest = {
+        "inputs": inputs or [],
+        "row_count": n_rows,
+        "rows_per_class": counts,
+        "content_hash": content_hash,
+        "metrics": {
+            "write_seconds": round(write_seconds, 3),
+            "bytes_written": sum(
+                f.stat().st_size for f in shard_path.rglob("*.parquet")
+            ),
+            "n_files": sum(1 for _ in shard_path.rglob("*.parquet")),
+        },
+    }
+    (shard_path / "_manifest.json").write_text(
+        json.dumps(manifest, indent=1, sort_keys=True)
+    )
+    (shard_path / "_SUCCESS").write_text(json.dumps({"rows": n_rows}))
+    return manifest
+
+
+def materialize_buckets(
+    triples: ray.data.Dataset,
+    out_dir: str | pathlib.Path,
+    *,
+    num_buckets: int = 16,
+    inputs: list[str] | None = None,
+    sort: bool = True,
+    resume: bool = True,
+) -> dict:
+    """Bucketed, PER-BUCKET-resumable production sink — the wide phase's
+    100-TB shape: output splits into ``num_buckets`` hash(subj) ranges,
+    each written sorted with its OWN lineage manifest + ``_SUCCESS``
+    marker, all in ONE pass (a single global sort on (bucket,
+    entity_class, subj, pred) then a hive write partitioned by
+    (bucket, entity_class)).
+
+    A resumed run drops completed buckets' rows BEFORE the sort, so the
+    expensive half of the wide phase (range exchange + write) scales with
+    the MISSING buckets only, and rebuilds exactly those; per-bucket
+    manifests make resumed output == clean output (gated by
+    tests/test_pipeline.py::test_bucketed_materialize_resume and the
+    ``triple_bucket_resume`` oracle).  Bucket assignment is the engine's
+    standard deterministic hash, so reruns route rows identically.
+    """
+    import time
+
+    import pandas as pd
+
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def bdir(k: int) -> pathlib.Path:
+        return out / f"bucket={k}"
+
+    done = [
+        k for k in range(num_buckets) if resume and shard_is_complete(bdir(k))
+    ]
+    todo = sorted(set(range(num_buckets)) - set(done))
+    status = {
+        "num_buckets": num_buckets,
+        "skipped": done,
+        "built": todo,
+        "buckets": {},
+    }
+    for k in done:
+        status["buckets"][str(k)] = json.loads(
+            (bdir(k) / "_manifest.json").read_text()
+        )
+    if not todo:
+        return status
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        subj = batch.column("subj").to_pandas().astype(str)
+        b = (
+            pd.util.hash_pandas_object(subj, index=False).to_numpy()
+            % num_buckets
+        ).astype("int32")
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    keyed = triples.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if done:
+        done_arr = pa.array(done, pa.int32())
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(batch.column("bucket"), value_set=done_arr))
+            return batch.filter(mask)
+
+        keyed = keyed.map_batches(
+            drop_done, batch_format="pyarrow", zero_copy_batch=True
+        )
+    for k in todo:
+        shutil.rmtree(bdir(k), ignore_errors=True)
+    t0 = time.perf_counter()
+    if sort:
+        keyed = keyed.sort(["bucket", "entity_class", "subj", "pred"])
+    write_table(keyed, str(out), partition_cols=["bucket", "entity_class"])
+    write_seconds = time.perf_counter() - t0
+    for k in todo:
+        bdir(k).mkdir(parents=True, exist_ok=True)  # empty bucket is valid
+        status["buckets"][str(k)] = _write_manifest(
+            bdir(k), inputs, write_seconds
+        )
+    return status
+
+
 def _class_counts(batch: pa.Table):
     grouped = batch.group_by("entity_class").aggregate([("entity_class", "count")])
     return (
