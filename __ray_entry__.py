@@ -8795,6 +8795,98 @@ def q_pit_dimension_join(sf_dir: str):
     return out.sort_values("version").reset_index(drop=True)
 
 
+def q_multitouch_attribution(sf_dir: str):
+    """Position-based multi-touch attribution (the 40/20/40 U-shape):
+    every purchase credits the user's clicks in the preceding hour —
+    single click 100%, two clicks 50/50, otherwise first 40%, last 40%,
+    middles sharing 20% — summed per click hour-of-day.  Purchases become
+    1-hour lookback windows joined to click points per user via the
+    interval-overlap join; ranking and weighting fold per purchase inside
+    one hash-partitioned reducer.  Oracle: SQL re-derives windows, ranks
+    and the exact weight expression."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import (
+        interval_overlap_join,
+        partial_groupby_agg,
+        partitioned_final,
+    )
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    _HOUR = 3_600_000_000
+
+    def wprep(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "purchase_id": b["event_id"],
+                # window is (t-1h, t): half-open both refs — closed ends
+                # here via +1/-1 µs so the SQL predicate matches exactly
+                "w_s": t - _HOUR + 1,
+                "w_e": t - 1,
+            }
+        )
+
+    def cprep(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {"user_id": b["user_id"], "click_id": b["event_id"], "c_ts": t}
+        )
+
+    wins = events.filter(expr="event_type == 'purchase'").map_batches(
+        wprep, batch_format="pandas"
+    )
+    clicks = events.filter(expr="event_type == 'click'").map_batches(
+        cprep, batch_format="pandas"
+    )
+    joined = interval_overlap_join(
+        wins, clicks,
+        left_start="w_s", left_end="w_e", right_start="c_ts", right_end=None,
+        by="user_id",
+        left_cols=["purchase_id"], right_cols=["click_id", "c_ts"],
+        num_partitions=16,
+    )
+
+    def credit(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, grp in part.groupby("purchase_id", sort=False):
+            grp = grp.sort_values(["c_ts", "click_id"])
+            k = len(grp)
+            if k == 1:
+                w = np.array([1.0])
+            elif k == 2:
+                w = np.array([0.5, 0.5])
+            else:
+                w = np.full(k, 0.2 / (k - 2))
+                w[0] = 0.4
+                w[-1] = 0.4
+            hours = (grp["c_ts"].to_numpy() // _HOUR) % 24
+            rows.append(pd.DataFrame({"click_hour": hours, "credit": w}))
+        if not rows:
+            return pd.DataFrame(
+                {"click_hour": pd.Series(dtype="int64"),
+                 "credit": pd.Series(dtype="float64")}
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    credits = partitioned_final(
+        joined, ["purchase_id"], credit, num_partitions=16
+    )
+    out = partial_groupby_agg(
+        credits, ["click_hour"], {"total_credit": ("credit", "sum")}
+    ).to_pandas()
+    out["total_credit"] = (out["total_credit"] * 1e6 + 0.5).apply(
+        lambda v: int(v) / 1e6
+    )
+    out = out.astype({"click_hour": "int64"})
+    return out.sort_values("click_hour").reset_index(drop=True)
+
+
 def q_coreset_docs(sf_dir: str):
     """Diversity coreset of the embedding table: 32 maximally-spread
     vectors via the 2-round distributed greedy k-center sweep (block-local
@@ -9730,6 +9822,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coreset_docs": q_coreset_docs,
         # bucketed wide-phase sink resumability (expected-outcome oracle)
         "triple_bucket_resume": q_triple_bucket_resume,
+        # U-shaped multi-touch attribution over the interval join
+        "multitouch_attribution": q_multitouch_attribution,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
@@ -12818,6 +12912,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT prio AS o_orderpriority, yr AS order_year,
                    floor(0.5 * sum(ad) * 1e6 + 0.5) / 1e6 AS t_closeness
             FROM j GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # multi-touch attribution re-derived: same integer-µs window
+        # bounds, same (ts, event_id) click ranking, same U-shape weight
+        # expression, same epoch-hour bucketing
+        "multitouch_attribution": """
+            WITH p AS (
+                SELECT event_id AS purchase_id, user_id,
+                       epoch_us(ts) AS t FROM events
+                WHERE event_type = 'purchase'
+            ),
+            c AS (
+                SELECT event_id AS click_id, user_id,
+                       epoch_us(ts) AS t FROM events
+                WHERE event_type = 'click'
+            ),
+            j AS (
+                SELECT p.purchase_id, c.click_id, c.t AS c_ts,
+                       row_number() OVER (PARTITION BY p.purchase_id
+                                          ORDER BY c.t, c.click_id) AS r,
+                       count(*) OVER (PARTITION BY p.purchase_id) AS k
+                FROM p JOIN c ON c.user_id = p.user_id
+                 AND c.t >= p.t - 3600000000 + 1 AND c.t <= p.t - 1
+            ),
+            w AS (
+                SELECT (c_ts // 3600000000) % 24 AS click_hour,
+                       CASE WHEN k = 1 THEN 1.0
+                            WHEN k = 2 THEN 0.5
+                            WHEN r = 1 OR r = k THEN 0.4
+                            ELSE 0.2 / (k - 2) END AS credit
+                FROM j
+            )
+            SELECT click_hour,
+                   floor(sum(credit) * 1e6 + 0.5) / 1e6 AS total_credit
+            FROM w GROUP BY 1 ORDER BY 1
         """,
         # bucketed-sink resume expected-outcome oracle: 4 hash(subj)
         # buckets, the resumed run skips 3 via markers, rebuilds exactly
