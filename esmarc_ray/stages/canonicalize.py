@@ -246,58 +246,59 @@ def _pack_compress(batch: pa.Table) -> pa.Table:
 
 def _unpack_rows(batch: pa.Table) -> pa.Table:
     """Inverse of :func:`_pack_compress` — back to one plain row per doc
-    (part/salt columns retained).  No-op on plain batches."""
+    (part/salt columns retained).  No-op on plain batches.
+
+    Metadata columns restore ZERO-COPY via Arrow list-flatten; only the
+    doc_json strings are rebuilt (decompress one blob per super-row, slice
+    by offsets)."""
     if "packed_blob" not in batch.schema.names:
         return batch
+    import numpy as np
+    import pyarrow.compute as pc
+
     has_links = "n_links_added" in batch.schema.names
     has_salt = "salt" in batch.schema.names
-    cols = _unpacked_lists(batch)
-    fields = [
-        ("doc_id", pa.string()), ("entity_class", pa.string()),
-        ("canon_key", pa.string()), ("doc_json", pa.string()),
-        ("gnd_ids", pa.list_(pa.string())), ("error", pa.string()),
-        ("part", pa.int32()),
+
+    def flat(name: str):
+        return pc.list_flatten(batch.column(name))
+
+    lens = pc.list_value_length(batch.column("doc_id")).to_numpy(
+        zero_copy_only=False
+    )
+    part = pa.array(
+        np.repeat(batch.column("part").to_numpy(zero_copy_only=False), lens),
+        pa.int32(),
+    )
+    texts: list[str] = []
+    blobs = batch.column("packed_blob").to_pylist()
+    lens_lists = batch.column("packed_lens").to_pylist()
+    for blob, row_lens in zip(blobs, lens_lists):
+        raw = zlib.decompress(blob)
+        pos = 0
+        for length in row_lens:
+            texts.append(raw[pos : pos + length].decode())
+            pos += length
+
+    arrays = [
+        flat("doc_id"),
+        flat("entity_class"),
+        flat("canon_key"),
+        pa.array(texts, pa.string()),
+        flat("gnd_ids"),
+        flat("error"),
+        part,
+    ]
+    names = [
+        "doc_id", "entity_class", "canon_key", "doc_json", "gnd_ids",
+        "error", "part",
     ]
     if has_salt:
-        fields.append(("salt", pa.int32()))
+        arrays.append(flat("salt").cast(pa.int32()))
+        names.append("salt")
     if has_links:
-        fields.append(("n_links_added", pa.int64()))
-    return pa.Table.from_pydict(cols, schema=pa.schema(fields))
-
-
-def _unpacked_lists(batch: pa.Table) -> dict[str, list]:
-    """Decompress a packed batch into plain per-doc Python column lists —
-    one zlib call per super-row, then offset slicing."""
-    has_links = "n_links_added" in batch.schema.names
-    has_salt = "salt" in batch.schema.names
-    out: dict[str, list] = {
-        "doc_id": [], "entity_class": [], "canon_key": [], "doc_json": [],
-        "gnd_ids": [], "error": [], "part": [],
-    }
-    if has_salt:
-        out["salt"] = []
-    if has_links:
-        out["n_links_added"] = []
-    for row in range(batch.num_rows):
-        blob = batch.column("packed_blob")[row].as_py()
-        lens = batch.column("packed_lens")[row].as_py()
-        text = zlib.decompress(blob)
-        pos = 0
-        for length in lens:
-            out["doc_json"].append(text[pos : pos + length].decode())
-            pos += length
-        k = len(lens)
-        out["doc_id"].extend(batch.column("doc_id")[row].as_py())
-        out["entity_class"].extend(batch.column("entity_class")[row].as_py())
-        out["canon_key"].extend(batch.column("canon_key")[row].as_py())
-        out["gnd_ids"].extend(batch.column("gnd_ids")[row].as_py())
-        out["error"].extend(batch.column("error")[row].as_py())
-        out["part"].extend([batch.column("part")[row].as_py()] * k)
-        if has_salt:
-            out["salt"].extend(batch.column("salt")[row].as_py())
-        if has_links:
-            out["n_links_added"].extend(batch.column("n_links_added")[row].as_py())
-    return out
+        arrays.append(flat("n_links_added").cast(pa.int64()))
+        names.append("n_links_added")
+    return pa.Table.from_arrays(arrays, names=names)
 
 
 def _merge_partition(batch: pa.Table) -> pa.Table:
