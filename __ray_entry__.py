@@ -7418,6 +7418,23 @@ def q_media_decode(sf_dir: str):
     )
 
 
+def q_audio_resample(sf_dir: str):
+    """Audio sample-rate normalization (8 kHz → 16 kHz linear resample +
+    re-encode) over the synthetic WAV clips — the normalize-before-training
+    stage of an audio corpus.  Rows-only (DSP); tone preservation gated by
+    tests/test_media.py::test_audio_resample_preserves_tone."""
+    import numpy as np
+    import ray.data
+
+    from esmarc_ray.ops.multimodal import audio_resample, synthetic_media_table
+
+    media = ray.data.from_arrow(synthetic_media_table(200, payloads="native"))
+    out = audio_resample(media, 16000).to_pandas()
+    out = out[out["resample_ok"]].drop(columns=["payload", "resample_ok"])
+    out["rms_ratio"] = np.floor(out["rms_ratio"] * 1e6 + 0.5) / 1e6
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_audio_features(sf_dir: str):
     """Audio DSP features (RMS, ZCR, rFFT spectral centroid / bandwidth /
     rolloff) over the synthetic WAV clips — the audio leg of the interleaved
@@ -9824,6 +9841,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triple_bucket_resume": q_triple_bucket_resume,
         # U-shaped multi-touch attribution over the interval join
         "multitouch_attribution": q_multitouch_attribution,
+        # audio sample-rate normalization (rows-only; tone-preservation
+        # gated in tests/test_media.py)
+        "audio_resample": q_audio_resample,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,

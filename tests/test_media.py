@@ -348,3 +348,35 @@ def test_mel_features_bands(ray_session):
     got = [int(out.loc[f"tone{i}", "dominant_band"]) for i in range(3)]
     assert got == [1, 5, 9], got
     assert all(len(out.loc[f"tone{i}", "mel"]) == n_mels for i in range(3))
+
+
+def test_audio_resample_preserves_tone(ray_session):
+    """A planted sine's dominant frequency must survive 8k→16k linear
+    resampling; sample count doubles and RMS stays ~constant."""
+    import numpy as np
+
+    from esmarc_ray.ops.media_codecs import decode_wav, encode_wav
+    from esmarc_ray.ops.multimodal import audio_resample
+
+    sr, freq, n = 8000, 440.0, 8000
+    t = np.arange(n) / sr
+    wav = encode_wav((np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16), sr)
+    media = ray.data.from_arrow(
+        pa.table({"media_id": ["a"], "payload": pa.array([wav], pa.binary())})
+    )
+    out = audio_resample(media, 16000).to_pandas()
+    row = out.iloc[0]
+    assert row["resample_ok"] and row["orig_sr"] == sr
+    assert row["n_samples_out"] == 2 * n
+    assert 0.95 < row["rms_ratio"] < 1.05
+    y, sr2 = decode_wav(row["payload"])
+    assert sr2 == 16000
+    spec = np.abs(np.fft.rfft(y.astype(np.float64)))
+    peak_hz = np.fft.rfftfreq(len(y), 1 / sr2)[int(np.argmax(spec[1:])) + 1]
+    assert abs(peak_hz - freq) < 3.0
+    # garbage payload dead-letters
+    bad = ray.data.from_arrow(
+        pa.table({"media_id": ["b"], "payload": pa.array([b"nope"], pa.binary())})
+    )
+    outb = audio_resample(bad, 16000).to_pandas()
+    assert not outb.iloc[0]["resample_ok"]
