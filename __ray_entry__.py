@@ -7418,6 +7418,23 @@ def q_media_decode(sf_dir: str):
     )
 
 
+def q_image_resize(sf_dir: str):
+    """Image normalization (bilinear resize to 24×24 + BMP re-encode) over
+    the synthetic BMP images — the resize-before-training stage.  Rows-only
+    (interpolation); exactness on affine content gated by
+    tests/test_media.py::test_image_resize_bilinear."""
+    import numpy as np
+    import ray.data
+
+    from esmarc_ray.ops.multimodal import image_resize, synthetic_media_table
+
+    media = ray.data.from_arrow(synthetic_media_table(200, payloads="native"))
+    out = image_resize(media, (24, 24)).to_pandas()
+    out = out[out["resize_ok"]].drop(columns=["payload", "resize_ok"])
+    out["mean_abs_delta"] = np.floor(out["mean_abs_delta"] * 1e6 + 0.5) / 1e6
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_audio_resample(sf_dir: str):
     """Audio sample-rate normalization (8 kHz → 16 kHz linear resample +
     re-encode) over the synthetic WAV clips — the normalize-before-training
@@ -9844,6 +9861,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # audio sample-rate normalization (rows-only; tone-preservation
         # gated in tests/test_media.py)
         "audio_resample": q_audio_resample,
+        # bilinear image normalization (rows-only; ramp-exactness gated)
+        "image_resize": q_image_resize,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,

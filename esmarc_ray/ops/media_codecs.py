@@ -77,6 +77,27 @@ def resize_nearest(pixels: np.ndarray, size: tuple[int, int]) -> np.ndarray:
     return pixels[rows][:, cols]
 
 
+def resize_bilinear(pixels: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """Deterministic bilinear resize to ``(height, width)`` — the
+    anti-aliased sibling of :func:`resize_nearest` (pixel-center aligned,
+    edge-clamped; pure numpy gathers, no Python loop)."""
+    h, w = size
+    src_h, src_w = pixels.shape[:2]
+    ys = np.clip((np.arange(h) + 0.5) * src_h / h - 0.5, 0, src_h - 1)
+    xs = np.clip((np.arange(w) + 0.5) * src_w / w - 0.5, 0, src_w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, src_h - 1)
+    x1 = np.minimum(x0 + 1, src_w - 1)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    p = pixels.astype(np.float64)
+    top = p[y0][:, x0] * (1 - fx) + p[y0][:, x1] * fx
+    bot = p[y1][:, x0] * (1 - fx) + p[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.clip(np.round(out), 0, 255).astype(pixels.dtype)
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     """``int16`` mono samples → RIFF/WAVE PCM bytes."""
     samples = np.ascontiguousarray(samples, dtype=np.int16)

@@ -380,3 +380,38 @@ def test_audio_resample_preserves_tone(ray_session):
     )
     outb = audio_resample(bad, 16000).to_pandas()
     assert not outb.iloc[0]["resample_ok"]
+
+
+def test_image_resize_bilinear(ray_session):
+    """Bilinear resize of a linear ramp reproduces the ramp (interpolation
+    is exact on affine content); nearest does not; garbage dead-letters."""
+    import numpy as np
+
+    from esmarc_ray.ops.media_codecs import decode_bmp, encode_bmp, resize_bilinear
+    from esmarc_ray.ops.multimodal import image_resize
+
+    # horizontal ramp 0..255 over 32 cols, 3 channels
+    ramp = np.tile(
+        np.linspace(0, 255, 32, dtype=np.float64)[None, :, None], (16, 1, 3)
+    ).astype(np.uint8)
+    up = resize_bilinear(ramp, (16, 64))
+    # interior columns must be monotone and close to the analytic ramp
+    got = up[8, :, 0].astype(np.float64)
+    expect = np.clip((np.arange(64) + 0.5) * 32 / 64 - 0.5, 0, 31) * (255 / 31)
+    # ≤1.5: uint8 quantization of the source ramp (±0.5) + output rounding
+    assert np.abs(got - expect).max() <= 1.5
+
+    media = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": ["a", "b"],
+                "payload": pa.array([encode_bmp(ramp), b"junk"], pa.binary()),
+            }
+        )
+    )
+    out = image_resize(media, (8, 16)).to_pandas().set_index("media_id")
+    assert out.loc["a", "resize_ok"] and not out.loc["b", "resize_ok"]
+    assert out.loc["a", "orig_width"] == 32
+    dec = decode_bmp(out.loc["a", "payload"])
+    assert dec.shape[:2] == (8, 16)
+    assert out.loc["a", "mean_abs_delta"] > 0  # bilinear ≠ nearest on a ramp
