@@ -127,7 +127,10 @@ def one_pass(entrymod, corpus: str, indexes_ref, out_dir: pathlib.Path) -> dict[
                  "doc_chunks", "weighted_sample_docs", "events_trailing_7d",
                  # round-3 session ops: exact kNN graph (blocked matmul) and
                  # the 3-table join chain (semi-join + pre-agg + equi-join)
-                 "knn_graph", "tpch_q3"):
+                 "knn_graph", "tpch_q3",
+                 # round-4: interval-overlap join family (binned global
+                 # point-in-interval + per-key attribution fold)
+                 "open_window_events", "multitouch_attribution"):
         t0 = time.perf_counter()
         result = queries[name](SF_DIR)
         if hasattr(result, "count"):
