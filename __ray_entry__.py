@@ -7418,6 +7418,69 @@ def q_media_decode(sf_dir: str):
     )
 
 
+def q_theilsen_trend(sf_dir: str):
+    """Theil–Sen robust trend per event type: the MEDIAN of all pairwise
+    slopes of the (day, daily-count) series, plus the median-residual
+    intercept — the outlier-proof alternative to the OLS trend
+    (event_type_ols).  Daily counts fold as combiners; the O(days²) slope
+    matrix is per-group numpy inside one hash-partitioned reducer (30-ish
+    days per type — the pair blowup is bounded by the calendar, not the
+    corpus).  Oracle: identical pair set + DuckDB median (interpolated,
+    same as numpy)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import (
+        partial_groupby_agg,
+        partitioned_final,
+    )
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    _DAY = 86_400_000_000
+
+    def day_col(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "day": b["ts"].astype("datetime64[us]").astype("int64") // _DAY,
+            }
+        )
+
+    daily = partial_groupby_agg(
+        events.map_batches(day_col, batch_format="pandas"),
+        ["event_type", "day"],
+        {"c": ("day", "count")},
+    )
+
+    def theil_sen(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, grp in part.groupby("event_type", sort=False):
+            grp = grp.sort_values("day")
+            x = grp["day"].to_numpy(dtype=np.float64)
+            c = grp["c"].to_numpy(dtype=np.float64)
+            i, j = np.triu_indices(len(x), k=1)
+            slopes = (c[j] - c[i]) / (x[j] - x[i])
+            slope = float(np.median(slopes))
+            icept = float(np.median(c - slope * x))
+            rows.append(
+                {
+                    "event_type": etype,
+                    "ts_slope": float(np.floor(slope * 1e6 + 0.5) / 1e6),
+                    "ts_intercept": float(np.floor(icept * 1e6 + 0.5) / 1e6),
+                    "n_days": int(len(x)),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out = partitioned_final(
+        daily, ["event_type"], theil_sen, num_partitions=4
+    ).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_image_resize(sf_dir: str):
     """Image normalization (bilinear resize to 24×24 + BMP re-encode) over
     the synthetic BMP images — the resize-before-training stage.  Rows-only
@@ -9863,6 +9926,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_resample": q_audio_resample,
         # bilinear image normalization (rows-only; ramp-exactness gated)
         "image_resize": q_image_resize,
+        # Theil–Sen robust trend (median of pairwise slopes)
+        "theilsen_trend": q_theilsen_trend,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
@@ -12951,6 +13016,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT prio AS o_orderpriority, yr AS order_year,
                    floor(0.5 * sum(ad) * 1e6 + 0.5) / 1e6 AS t_closeness
             FROM j GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Theil–Sen re-derived: same integer epoch-day grid, identical
+        # pairwise-slope set, DuckDB interpolated median == numpy median
+        "theilsen_trend": """
+            WITH d AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                       count(*)::DOUBLE AS c
+                FROM events GROUP BY 1, 2
+            ),
+            p AS (
+                SELECT a.event_type,
+                       (b.c - a.c) / (b.day - a.day)::DOUBLE AS s
+                FROM d a JOIN d b USING (event_type)
+                WHERE a.day < b.day
+            ),
+            sl AS (
+                SELECT event_type, median(s) AS slope FROM p GROUP BY 1
+            ),
+            ic AS (
+                SELECT d.event_type,
+                       median(d.c - sl.slope * d.day) AS icept,
+                       count(*) AS n_days
+                FROM d JOIN sl USING (event_type) GROUP BY 1
+            )
+            SELECT sl.event_type,
+                   floor(sl.slope * 1e6 + 0.5) / 1e6 AS ts_slope,
+                   floor(ic.icept * 1e6 + 0.5) / 1e6 AS ts_intercept,
+                   ic.n_days::BIGINT AS n_days
+            FROM sl JOIN ic USING (event_type)
+            ORDER BY 1
         """,
         # multi-touch attribution re-derived: same integer-µs window
         # bounds, same (ts, event_id) click ranking, same U-shape weight
