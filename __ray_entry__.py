@@ -7481,6 +7481,64 @@ def q_theilsen_trend(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_mann_kendall(sf_dir: str):
+    """Mann–Kendall monotone-trend test per event type over the daily-count
+    series: S = Σ_{i<j} sign(c_j − c_i) (integer-exact) and Kendall's
+    τ = S / (n(n−1)/2) — the nonparametric companion of the Theil–Sen
+    slope.  Same combiner-daily-counts + bounded per-group pair matrix
+    shape; oracle re-derives the identical pair signs."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.ops.relational import (
+        partial_groupby_agg,
+        partitioned_final,
+    )
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    _DAY = 86_400_000_000
+
+    def day_col(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "day": b["ts"].astype("datetime64[us]").astype("int64") // _DAY,
+            }
+        )
+
+    daily = partial_groupby_agg(
+        events.map_batches(day_col, batch_format="pandas"),
+        ["event_type", "day"],
+        {"c": ("day", "count")},
+    )
+
+    def mk(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, grp in part.groupby("event_type", sort=False):
+            grp = grp.sort_values("day")
+            c = grp["c"].to_numpy(dtype=np.int64)
+            i, j = np.triu_indices(len(c), k=1)
+            s = int(np.sign(c[j] - c[i]).sum())
+            n = len(c)
+            tau = s / (n * (n - 1) / 2) if n > 1 else 0.0
+            rows.append(
+                {
+                    "event_type": etype,
+                    "mk_s": s,
+                    "n_days": n,
+                    "kendall_tau": float(np.floor(tau * 1e6 + 0.5) / 1e6),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out = partitioned_final(daily, ["event_type"], mk, num_partitions=4).to_pandas()
+    out = out.astype({"mk_s": "int64", "n_days": "int64"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_image_resize(sf_dir: str):
     """Image normalization (bilinear resize to 24×24 + BMP re-encode) over
     the synthetic BMP images — the resize-before-training stage.  Rows-only
@@ -9928,6 +9986,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": q_image_resize,
         # Theil–Sen robust trend (median of pairwise slopes)
         "theilsen_trend": q_theilsen_trend,
+        # Mann–Kendall monotone-trend test (integer-exact S, Kendall tau)
+        "mann_kendall": q_mann_kendall,
         "pred_cooccurrence": q_pred_cooccurrence,
         "nb_lang_scores": q_nb_lang_scores,
         "bm25_topk": q_bm25_topk,
@@ -13016,6 +13076,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT prio AS o_orderpriority, yr AS order_year,
                    floor(0.5 * sum(ad) * 1e6 + 0.5) / 1e6 AS t_closeness
             FROM j GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Mann–Kendall re-derived: same day grid, identical pair signs,
+        # integer-exact S, tau with the house rounding
+        "mann_kendall": """
+            WITH d AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                       count(*)::BIGINT AS c
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT a.event_type,
+                       sum(sign(b.c - a.c))::BIGINT AS mk_s
+                FROM d a JOIN d b USING (event_type)
+                WHERE a.day < b.day
+                GROUP BY 1
+            ),
+            n AS (SELECT event_type, count(*)::BIGINT AS n_days FROM d GROUP BY 1)
+            SELECT s.event_type, s.mk_s, n.n_days,
+                   floor(s.mk_s::DOUBLE / (n.n_days * (n.n_days - 1) / 2.0)
+                         * 1e6 + 0.5) / 1e6 AS kendall_tau
+            FROM s JOIN n USING (event_type)
+            ORDER BY 1
         """,
         # Theil–Sen re-derived: same integer epoch-day grid, identical
         # pairwise-slope set, DuckDB interpolated median == numpy median
