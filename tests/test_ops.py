@@ -3058,3 +3058,31 @@ def test_kcenter_coreset_covers_planted_clusters(ray_session):
     assert covered == {0, 1, 2, 3, 4}
     rerun = similarity.kcenter_coreset(ds, 8)
     assert list(rerun["vec_id"]) == list(out["vec_id"])
+
+
+def test_interval_overlap_join_by_plus_bins_matches_bruteforce(ray_session):
+    """The combined mode (by= AND bin_width=) — per-key temporal binning —
+    must equal the brute force, with canonical-bin dedup across bins."""
+    rng = np.random.RandomState(11)
+    n = 120
+    a = pd.DataFrame({
+        "ka": range(n), "g": rng.randint(0, 4, n),
+        "sa": rng.randint(0, 1000, n),
+    })
+    a["ea"] = a["sa"] + rng.randint(0, 300, n)  # spans many 50-wide bins
+    b = pd.DataFrame({
+        "kb": range(n), "g": rng.randint(0, 4, n),
+        "sb": rng.randint(0, 1000, n),
+    })
+    b["eb"] = b["sb"] + rng.randint(0, 300, n)
+    out = relational.interval_overlap_join(
+        ray.data.from_pandas(a), ray.data.from_pandas(b),
+        left_start="sa", left_end="ea", right_start="sb", right_end="eb",
+        by="g", bin_width=50, left_cols=["ka"], right_cols=["kb"],
+        num_partitions=4,
+    ).to_pandas()
+    got = sorted(map(tuple, out[["ka", "kb"]].to_numpy()))
+    brute = a.merge(b, on="g")
+    brute = brute[(brute["sa"] <= brute["eb"]) & (brute["sb"] <= brute["ea"])]
+    want = sorted(map(tuple, brute[["ka", "kb"]].to_numpy()))
+    assert got == want and len(got) > 500
