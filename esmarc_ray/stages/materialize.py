@@ -6,6 +6,14 @@ shard writes to its own directory with a lineage manifest and an atomic
 ``_SUCCESS`` checkpoint marker; a resumed run skips shards whose marker
 validates, so resumed output == clean-run output (tested).
 
+The lineage manifest (per-class row counts + order-insensitive content hash)
+is computed ON the write path: :class:`ManifestParquetSink` is a Ray
+``Datasink`` whose write tasks return per-(partition, file) stat partials
+alongside writing the hive-partitioned parquet, and the driver folds those
+tiny partials into the manifest.  One pass over the triples — at 100 TB the
+output is written once and never re-read for lineage (the previous design
+re-read the entire freshly-written shard to compute the same numbers).
+
 Layout::
 
     out_dir/
@@ -27,55 +35,126 @@ import zlib
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+from ray.data import Datasink
 
-from esmarc_ray.io import write_table
+from esmarc_ray.io import HAVE_LANCE, write_table
 
 
-def materialize_shard(
-    triples: ray.data.Dataset,
-    shard_dir: str | pathlib.Path,
-    *,
-    inputs: list[str] | None = None,
-    sort: bool = True,
-    format: str = "parquet",
-) -> dict:
-    """Sort + partition-write one shard's triples; manifest then marker.
+def _xor_crc(batch: pa.Table) -> int:
+    """Order-insensitive content hash of a triple block.
 
-    An existing (necessarily incomplete or stale) shard dir is wiped first —
-    the write is idempotent, never appending like the reference sink does.
+    Matches the historical driver-side definition exactly (crc32 over
+    ``subj\\x1fpred\\x1fobj``, xor-folded), so manifests stay byte-identical
+    across the write-path rewrite.  The row join is vectorized in Arrow;
+    only the crc itself loops, over the block's pre-joined bytes.
     """
-    import time
-
-    shard_path = pathlib.Path(shard_dir)
-    if shard_path.exists():
-        shutil.rmtree(shard_path)
-    shard_path.mkdir(parents=True, exist_ok=True)
-    t_start = time.perf_counter()
-    if sort:
-        triples = triples.sort(["entity_class", "subj", "pred"])
-    write_table(
-        triples,
-        str(shard_path),
-        format=format,
-        partition_cols=["entity_class"],
+    joined = pc.binary_join_element_wise(
+        pc.fill_null(pc.cast(batch.column("subj"), pa.string()), "None"),
+        pc.fill_null(pc.cast(batch.column("pred"), pa.string()), "None"),
+        pc.fill_null(pc.cast(batch.column("obj"), pa.string()), "None"),
+        "\x1f",
     )
-    write_seconds = time.perf_counter() - t_start
+    xor_crc = 0
+    for buf in joined.cast(pa.binary()).to_pylist():
+        xor_crc ^= zlib.crc32(buf)
+    return xor_crc
 
-    # Lineage manifest: per-class row counts + an order-insensitive content
-    # hash.  Computed as distributed per-block partials (count, class counts,
-    # xor-crc) folded driver-side — the driver touches only ~one small row per
-    # block, never the triples themselves, so the manifest pass scales with
-    # the write instead of becoming a single-threaded re-read of the shard.
+
+def _class_counts(batch: pa.Table) -> dict[str, int]:
+    grouped = batch.group_by("entity_class").aggregate([("entity_class", "count")])
+    return dict(
+        zip(
+            (str(c) for c in grouped.column("entity_class").to_pylist()),
+            grouped.column("entity_class_count").to_pylist(),
+        )
+    )
+
+
+class ManifestParquetSink(Datasink):
+    """Hive-partitioned parquet sink whose write tasks ALSO return the
+    lineage-manifest partials (row count, per-class counts, xor-crc) for
+    every (partition value, file) they write.
+
+    This fuses the manifest pass into the write: the driver folds one small
+    dict per written file instead of re-reading the whole output.  File
+    names are deterministic per (task_idx, block, partition combo), so a
+    retried write task overwrites its own files rather than duplicating.
+    """
+
+    def __init__(
+        self,
+        out_dir: str | pathlib.Path,
+        partition_cols: list[str],
+    ) -> None:
+        self.out_dir = str(out_dir)
+        self.partition_cols = list(partition_cols)
+        self.partials: list[dict] = []
+
+    def write(self, blocks, ctx) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        results: list[dict] = []
+        base = pathlib.Path(self.out_dir)
+        for bi, block in enumerate(blocks):
+            if not isinstance(block, pa.Table):
+                block = pa.Table.from_pandas(block)
+            if block.num_rows == 0:
+                continue
+            combos = block.group_by(self.partition_cols).aggregate([])
+            for j in range(combos.num_rows):
+                mask = None
+                part: dict[str, object] = {}
+                for col in self.partition_cols:
+                    val = combos.column(col)[j]
+                    part[col] = val.as_py()
+                    m = pc.equal(block.column(col), val)
+                    mask = m if mask is None else pc.and_(mask, m)
+                sub = block.filter(mask)
+                part_dir = base.joinpath(
+                    *(f"{c}={part[c]}" for c in self.partition_cols)
+                )
+                part_dir.mkdir(parents=True, exist_ok=True)
+                path = part_dir / f"part-{ctx.task_idx:05d}-{bi}-{j}.parquet"
+                pq.write_table(sub.drop_columns(self.partition_cols), path)
+                if "entity_class" in part:
+                    counts = {str(part["entity_class"]): sub.num_rows}
+                elif "entity_class" in sub.column_names:
+                    counts = _class_counts(sub)
+                else:
+                    counts = {}
+                results.append(
+                    {
+                        "part": part,
+                        "n_rows": sub.num_rows,
+                        "class_counts": counts,
+                        "xor_crc": _xor_crc(sub),
+                    }
+                )
+        return results
+
+    def on_write_complete(self, write_result) -> None:
+        self.partials = [
+            p for task_ret in write_result.write_returns for p in task_ret
+        ]
+
+
+def _fold_manifest(
+    partials: list[dict],
+    shard_path: pathlib.Path,
+    inputs: list[str] | None,
+    write_seconds: float,
+) -> dict:
+    """Fold per-file write partials into one shard's manifest + marker.
+
+    The driver touches one small dict per written file, never the triples.
+    """
     counts: dict[str, int] = {}
     content_hash = 0
     n_rows = 0
-    partials = ray.data.read_parquet(str(shard_path)).map_batches(
-        _manifest_partial, batch_format="pyarrow"
-    )
-    for part in partials.take_all():
+    for part in partials:
         n_rows += part["n_rows"]
         content_hash ^= part["xor_crc"]
-        for cls, cnt in json.loads(part["class_counts"]).items():
+        for cls, cnt in part["class_counts"].items():
             counts[cls] = counts.get(cls, 0) + cnt
     manifest = {
         "inputs": inputs or [],
@@ -91,47 +170,82 @@ def materialize_shard(
             "n_files": sum(1 for _ in shard_path.rglob("*.parquet")),
         },
     }
-    (shard_path / "_manifest.json").write_text(json.dumps(manifest, indent=1, sort_keys=True))
-    (shard_path / "_SUCCESS").write_text(json.dumps({"rows": n_rows}))
-    return manifest
-
-
-def _write_manifest(
-    shard_path: pathlib.Path, inputs: list[str] | None, write_seconds: float
-) -> dict:
-    """Distributed lineage-manifest pass + marker for one written dir:
-    per-block (count, class-count, xor-crc) partials folded driver-side —
-    the driver touches one small row per block, never the triples."""
-    counts: dict[str, int] = {}
-    content_hash = 0
-    n_rows = 0
-    if any(shard_path.rglob("*.parquet")):
-        partials = ray.data.read_parquet(str(shard_path)).map_batches(
-            _manifest_partial, batch_format="pyarrow"
-        )
-        for part in partials.take_all():
-            n_rows += part["n_rows"]
-            content_hash ^= part["xor_crc"]
-            for cls, cnt in json.loads(part["class_counts"]).items():
-                counts[cls] = counts.get(cls, 0) + cnt
-    manifest = {
-        "inputs": inputs or [],
-        "row_count": n_rows,
-        "rows_per_class": counts,
-        "content_hash": content_hash,
-        "metrics": {
-            "write_seconds": round(write_seconds, 3),
-            "bytes_written": sum(
-                f.stat().st_size for f in shard_path.rglob("*.parquet")
-            ),
-            "n_files": sum(1 for _ in shard_path.rglob("*.parquet")),
-        },
-    }
     (shard_path / "_manifest.json").write_text(
         json.dumps(manifest, indent=1, sort_keys=True)
     )
     (shard_path / "_SUCCESS").write_text(json.dumps({"rows": n_rows}))
     return manifest
+
+
+def _read_back_partials(shard_path: pathlib.Path) -> list[dict]:
+    """Fallback partial computation for sinks that can't return write stats
+    (the lance path): a distributed read-back pass producing the same
+    partial dicts the parquet sink returns from its write tasks."""
+    if not any(shard_path.rglob("*.parquet")):
+        return []
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_rows": [batch.num_rows],
+                "class_counts": [json.dumps(_class_counts(batch))],
+                "xor_crc": pa.array([_xor_crc(batch)], type=pa.uint64()),
+            }
+        )
+
+    rows = (
+        ray.data.read_parquet(str(shard_path))
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    return [
+        {
+            "part": {},
+            "n_rows": r["n_rows"],
+            "class_counts": json.loads(r["class_counts"]),
+            "xor_crc": r["xor_crc"],
+        }
+        for r in rows
+    ]
+
+
+def materialize_shard(
+    triples: ray.data.Dataset,
+    shard_dir: str | pathlib.Path,
+    *,
+    inputs: list[str] | None = None,
+    sort: bool = True,
+    format: str = "parquet",
+) -> dict:
+    """Sort + partition-write one shard's triples; manifest then marker.
+
+    An existing (necessarily incomplete or stale) shard dir is wiped first —
+    the write is idempotent, never appending like the reference sink does.
+    The manifest partials come back from the write tasks themselves (see
+    :class:`ManifestParquetSink`), so the shard is written once and never
+    re-read.
+    """
+    import time
+
+    shard_path = pathlib.Path(shard_dir)
+    if shard_path.exists():
+        shutil.rmtree(shard_path)
+    shard_path.mkdir(parents=True, exist_ok=True)
+    t_start = time.perf_counter()
+    if sort:
+        triples = triples.sort(["entity_class", "subj", "pred"])
+    if format == "lance" and HAVE_LANCE:
+        write_table(
+            triples, str(shard_path), format=format,
+            partition_cols=["entity_class"],
+        )
+        partials = _read_back_partials(shard_path)
+    else:
+        sink = ManifestParquetSink(shard_path, ["entity_class"])
+        triples.write_datasink(sink)
+        partials = sink.partials
+    write_seconds = time.perf_counter() - t_start
+    return _fold_manifest(partials, shard_path, inputs, write_seconds)
 
 
 def materialize_buckets(
@@ -148,7 +262,8 @@ def materialize_buckets(
     each written sorted with its OWN lineage manifest + ``_SUCCESS``
     marker, all in ONE pass (a single global sort on (bucket,
     entity_class, subj, pred) then a hive write partitioned by
-    (bucket, entity_class)).
+    (bucket, entity_class), whose write tasks return the per-bucket
+    manifest partials — no read-back pass).
 
     A resumed run drops completed buckets' rows BEFORE the sort, so the
     expensive half of the wide phase (range exchange + write) scales with
@@ -211,50 +326,18 @@ def materialize_buckets(
     t0 = time.perf_counter()
     if sort:
         keyed = keyed.sort(["bucket", "entity_class", "subj", "pred"])
-    write_table(keyed, str(out), partition_cols=["bucket", "entity_class"])
+    sink = ManifestParquetSink(out, ["bucket", "entity_class"])
+    keyed.write_datasink(sink)
     write_seconds = time.perf_counter() - t0
+    by_bucket: dict[int, list[dict]] = {}
+    for part in sink.partials:
+        by_bucket.setdefault(int(part["part"]["bucket"]), []).append(part)
     for k in todo:
         bdir(k).mkdir(parents=True, exist_ok=True)  # empty bucket is valid
-        status["buckets"][str(k)] = _write_manifest(
-            bdir(k), inputs, write_seconds
+        status["buckets"][str(k)] = _fold_manifest(
+            by_bucket.get(k, []), bdir(k), inputs, write_seconds
         )
     return status
-
-
-def _class_counts(batch: pa.Table):
-    grouped = batch.group_by("entity_class").aggregate([("entity_class", "count")])
-    return (
-        grouped.column("entity_class").to_pylist(),
-        grouped.column("entity_class_count").to_pylist(),
-    )
-
-
-def _manifest_partial(batch: pa.Table) -> pa.Table:
-    """One-row (n_rows, class_counts, xor_crc) partial per block.
-
-    The xor-crc matches the historical driver-side definition exactly
-    (crc32 over ``subj\\x1fpred\\x1fobj``, xor-folded — order-insensitive),
-    so manifests stay byte-identical across the distributed rewrite.  The
-    row join is vectorized in Arrow; only the crc itself loops, over the
-    block's pre-joined bytes.
-    """
-    joined = pc.binary_join_element_wise(
-        pc.fill_null(pc.cast(batch.column("subj"), pa.string()), "None"),
-        pc.fill_null(pc.cast(batch.column("pred"), pa.string()), "None"),
-        pc.fill_null(pc.cast(batch.column("obj"), pa.string()), "None"),
-        "\x1f",
-    )
-    xor_crc = 0
-    for buf in joined.cast(pa.binary()).to_pylist():
-        xor_crc ^= zlib.crc32(buf)
-    classes, cnts = _class_counts(batch)
-    return pa.table(
-        {
-            "n_rows": [batch.num_rows],
-            "class_counts": [json.dumps(dict(zip(classes, cnts)))],
-            "xor_crc": pa.array([xor_crc], type=pa.uint64()),
-        }
-    )
 
 
 def shard_is_complete(shard_dir: str | pathlib.Path) -> bool:
