@@ -188,60 +188,74 @@ def _pack_compress(batch: pa.Table) -> pa.Table:
     """Pack a part-keyed doc batch into one compressed super-row per
     destination partition (see module comment above) — the map side of every
     canonicalize exchange.  Requires the ``part`` column; no-op on batches
-    that lack it or are already packed."""
+    that lack it or are already packed.
+
+    Fully vectorized: one Arrow ``take`` gathers every column into
+    part-sorted order, the metadata list columns are built zero-copy from
+    the run offsets (``ListArray.from_arrays``), and the doc_json payload is
+    sliced per run straight out of the string column's UTF-8 data buffer
+    (Arrow string offsets ARE the byte offsets) — no per-row Python gather
+    anywhere; only the zlib call itself runs once per (batch × part)."""
     names = batch.schema.names
     if "doc_json" not in names or "part" not in names or "packed_blob" in names:
         return batch
     has_links = "n_links_added" in names
     has_salt = "salt" in names
+    schema = _packed_schema(has_links, has_salt)
+    if batch.num_rows == 0:
+        return schema.empty_table()
 
     import numpy as np
 
-    parts = batch.column("part").to_numpy()
-    doc_ids = batch.column("doc_id").to_pylist()
-    classes = batch.column("entity_class").to_pylist()
-    keys = batch.column("canon_key").to_pylist()
-    jsons = batch.column("doc_json").to_pylist()
-    gnds = batch.column("gnd_ids").to_pylist()
-    errors = batch.column("error").to_pylist()
-    salts = batch.column("salt").to_pylist() if has_salt else None
-    links = batch.column("n_links_added").to_pylist() if has_links else None
+    parts = batch.column("part").to_numpy(zero_copy_only=False)
+    order = np.argsort(parts, kind="stable")
+    sorted_tbl = batch.take(pa.array(order, pa.int64()))
+    parts_sorted = parts[order]
+    n = len(parts_sorted)
+    run_starts = np.flatnonzero(np.diff(parts_sorted)) + 1
+    offsets = np.concatenate(([0], run_starts, [n])).astype(np.int32)
+    part_vals = parts_sorted[offsets[:-1]].astype(np.int32)
 
-    out: dict[str, list] = {
-        "part": [], "packed_blob": [], "packed_lens": [], "doc_id": [],
-        "entity_class": [], "canon_key": [], "gnd_ids": [], "error": [],
+    sj = sorted_tbl.column("doc_json")
+    if isinstance(sj, pa.ChunkedArray):
+        sj = sj.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_string(sj.type) else np.int32
+    str_offs = np.frombuffer(sj.buffers()[1], dtype=off_dtype)[
+        sj.offset : sj.offset + len(sj) + 1
+    ]
+    data = memoryview(sj.buffers()[2])
+    row_lens = np.diff(str_offs).astype(np.int32)
+    blobs = [
+        zlib.compress(
+            data[str_offs[a] : str_offs[b]], PAYLOAD_COMPRESS_LEVEL
+        )
+        for a, b in zip(offsets[:-1], offsets[1:])
+    ]
+
+    off_arr = pa.array(offsets, pa.int32())
+
+    def runs(values: pa.Array | pa.ChunkedArray) -> pa.ListArray:
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        return pa.ListArray.from_arrays(off_arr, values)
+
+    columns = {
+        "part": pa.array(part_vals, pa.int32()),
+        "packed_blob": pa.array(blobs, pa.binary()),
+        "packed_lens": runs(pa.array(row_lens, pa.int32())),
+        "doc_id": runs(sorted_tbl.column("doc_id")),
+        "entity_class": runs(sorted_tbl.column("entity_class")),
+        "canon_key": runs(sorted_tbl.column("canon_key")),
+        "gnd_ids": runs(sorted_tbl.column("gnd_ids")),
+        "error": runs(sorted_tbl.column("error")),
     }
     if has_salt:
-        out["salt"] = []
+        columns["salt"] = runs(sorted_tbl.column("salt").cast(pa.int32()))
     if has_links:
-        out["n_links_added"] = []
-
-    order = np.argsort(parts, kind="stable")
-    n = len(order)
-    start = 0
-    while start < n:
-        stop = start
-        p = parts[order[start]]
-        while stop < n and parts[order[stop]] == p:
-            stop += 1
-        idxs = order[start:stop]
-        texts = [jsons[i].encode() for i in idxs]
-        out["part"].append(int(p))
-        out["packed_blob"].append(
-            zlib.compress(b"".join(texts), PAYLOAD_COMPRESS_LEVEL)
+        columns["n_links_added"] = runs(
+            pc.fill_null(sorted_tbl.column("n_links_added"), 0).cast(pa.int64())
         )
-        out["packed_lens"].append([len(t) for t in texts])
-        out["doc_id"].append([doc_ids[i] for i in idxs])
-        out["entity_class"].append([classes[i] for i in idxs])
-        out["canon_key"].append([keys[i] for i in idxs])
-        out["gnd_ids"].append([gnds[i] for i in idxs])
-        out["error"].append([errors[i] for i in idxs])
-        if has_salt:
-            out["salt"].append([salts[i] for i in idxs])
-        if has_links:
-            out["n_links_added"].append([int(links[i] or 0) for i in idxs])
-        start = stop
-    return pa.Table.from_pydict(out, schema=_packed_schema(has_links, has_salt))
+    return pa.Table.from_pydict(columns, schema=schema)
 
 
 def _unpack_rows(batch: pa.Table) -> pa.Table:
