@@ -632,6 +632,9 @@ def interval_overlap_join(
     right_cols: list[str],
     bin_width=None,
     num_partitions: int | None = None,
+    skew_threshold: int | None = 100_000,
+    hot_key_widths: dict | None = None,
+    hot_bins: int | None = None,
 ) -> ray.data.Dataset:
     """Distributed interval-OVERLAP join (the general "range join"):
     emit (l, r) whenever ``l.start <= r.end AND r.start <= l.end`` (closed
@@ -657,6 +660,21 @@ def interval_overlap_join(
     replication factor is ~1 + len/width while the per-bin cross product
     shrinks with the width.
 
+    SKEW GUARD (by-only mode): one hot key (one user with millions of
+    events) would otherwise land its entire row set in a single reducer
+    task.  Before planning, a cheap heavy-hitter scan (per-block top-key
+    counts + per-key time span, folded driver-side — never the rows) finds
+    keys whose combined row count exceeds ``skew_threshold``; each hot key
+    auto-switches to the binned plan with its OWN width (span /
+    ``hot_bins``), spreading it over ~``hot_bins`` reducers while cold keys
+    keep the cheap single-bin route.  Both plans are exact, so the guard is
+    purely a straggler defense — mis-estimation can't change the result
+    (gated by the planted hot-key test in tests/test_ops.py).
+    ``skew_threshold=None`` disables the scan; ``hot_key_widths`` supplies
+    the {key: width} map directly (skipping the extra pass over the
+    inputs, which re-executes their upstream — pass it when upstreams are
+    expensive and key stats are already known).
+
     Timestamps normalize to int64 microseconds on both sides;
     ``bin_width`` accepts anything ``pd.Timedelta`` accepts (or an int in
     the same unit as integer columns).  Payload column names must be
@@ -679,6 +697,45 @@ def interval_overlap_join(
         else:
             width = int(pd.Timedelta(bin_width).value // 1000)  # ns → µs
 
+    def _hot_scan(side: ray.data.Dataset, start: str, end: str | None):
+        """Per-block (key, count, min-start, max-end) partials, top 256
+        keys by count per block — the driver folds a few small rows per
+        block, never the data."""
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            s = _to_i64(batch[start])
+            e = s if end is None else _to_i64(batch[end])
+            agg = (
+                pd.DataFrame({"k": batch[by], "s": s, "e": e})
+                .groupby("k", sort=False)
+                .agg(n=("s", "size"), mn=("s", "min"), mx=("e", "max"))
+                .reset_index()
+                .nlargest(256, "n")
+            )
+            return agg
+
+        return side.map_batches(partial, batch_format="pandas").take_all()
+
+    if width is None and hot_key_widths is None and skew_threshold is not None:
+        folded: dict = {}
+        for row in _hot_scan(left, left_start, left_end) + _hot_scan(
+            right, right_start, right_end
+        ):
+            n, mn, mx = folded.get(row["k"], (0, row["mn"], row["mx"]))
+            folded[row["k"]] = (
+                n + int(row["n"]), min(mn, row["mn"]), max(mx, row["mx"])
+            )
+        hot = sorted(
+            ((n, k, mn, mx) for k, (n, mn, mx) in folded.items()
+             if n >= skew_threshold),
+            reverse=True,
+        )[:64]
+        bins = hot_bins or max(8, num_partitions)
+        hot_key_widths = {
+            k: max(1, int(mx - mn) // bins + 1) for _, k, mn, mx in hot
+        }
+    hot_widths = hot_key_widths or {}
+
     out_left = list(left_cols)
     out_right = list(right_cols)
     all_cols = out_left + out_right
@@ -693,18 +750,38 @@ def interval_overlap_join(
             if by is not None and by not in own:
                 df[by] = batch[by]
             df["__s"], df["__e"] = s, e
-            if width is None:
-                df["__bin"] = 0
-            else:
-                b0 = (s // width).to_numpy()
-                b1 = (e // width).to_numpy()
+
+            def replicate(sub: pd.DataFrame, wk: int) -> pd.DataFrame:
+                b0 = (sub["__s"] // wk).to_numpy()
+                b1 = (sub["__e"] // wk).to_numpy()
                 reps = (b1 - b0 + 1).astype(np.int64)
-                take = np.repeat(np.arange(len(df)), reps)
+                take = np.repeat(np.arange(len(sub)), reps)
                 offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
-                df = df.iloc[take].reset_index(drop=True)
-                df["__bin"] = b0.repeat(reps) + (
+                sub = sub.iloc[take].reset_index(drop=True)
+                sub["__bin"] = b0.repeat(reps) + (
                     np.arange(len(take)) - offs.repeat(reps)
                 )
+                sub["__w"] = wk
+                return sub
+
+            if width is not None:
+                df = replicate(df, width)
+            elif hot_widths:
+                w = (
+                    df[by]
+                    .map(hot_widths)
+                    .fillna(0)
+                    .astype("int64")
+                    .to_numpy()
+                )
+                cold = df[w == 0].copy()
+                cold["__bin"], cold["__w"] = 0, 0
+                pieces = [cold]
+                for wk in np.unique(w[w > 0]):
+                    pieces.append(replicate(df[w == wk], int(wk)))
+                df = pd.concat(pieces, ignore_index=True)
+            else:
+                df["__bin"], df["__w"] = 0, 0
             df["__side"] = side
             key = df["__bin"].astype(str)
             if by is not None:
@@ -717,7 +794,9 @@ def interval_overlap_join(
             for c in all_cols:
                 if c not in df.columns:
                     df[c] = None
-            return df[all_cols + ["__s", "__e", "__bin", "__side", "__part"]]
+            return df[
+                all_cols + ["__s", "__e", "__bin", "__w", "__side", "__part"]
+            ]
 
         return fn
 
@@ -728,7 +807,7 @@ def interval_overlap_join(
             return pd.DataFrame(columns=all_cols)
         on = ["__bin"] + ([by] if by is not None else [])
         # ordered-dedup: `by` may itself be a payload column of either side
-        keep_l = list(dict.fromkeys(on + out_left + ["__s", "__e"]))
+        keep_l = list(dict.fromkeys(on + out_left + ["__s", "__e", "__w"]))
         keep_r = list(dict.fromkeys(on + out_right + ["__s", "__e"]))
         m = lhs[keep_l].merge(
             rhs[keep_r], on=on, suffixes=("", "__r")
@@ -736,9 +815,16 @@ def interval_overlap_join(
         if m.empty:
             return pd.DataFrame(columns=all_cols)
         ok = (m["__s"] <= m["__e__r"]) & (m["__s__r"] <= m["__e"])
-        if width is not None:
-            canon = np.maximum(m["__s"].to_numpy(), m["__s__r"].to_numpy()) // width
-            ok &= canon == m["__bin"].to_numpy()
+        # canonical-bin dedup for binned rows (__w > 0): per-row width so
+        # static bin_width and per-hot-key widths share one rule; cold rows
+        # (__w == 0, single bin) never replicate so nothing to dedup
+        w = m["__w"].to_numpy()
+        binned = w > 0
+        if binned.any():
+            canon = np.maximum(
+                m["__s"].to_numpy(), m["__s__r"].to_numpy()
+            ) // np.where(binned, w, 1)
+            ok &= ~binned | (canon == m["__bin"].to_numpy())
         return m.loc[ok, all_cols].reset_index(drop=True)
 
     tagged = left.map_batches(

@@ -3086,3 +3086,48 @@ def test_interval_overlap_join_by_plus_bins_matches_bruteforce(ray_session):
     brute = brute[(brute["sa"] <= brute["eb"]) & (brute["sb"] <= brute["ea"])]
     want = sorted(map(tuple, brute[["ka", "kb"]].to_numpy()))
     assert got == want and len(got) > 500
+
+
+def test_interval_overlap_join_hot_key_skew_guard(ray_session):
+    """Planted hot key in by-only mode: one user with ~4000 events among
+    tiny keys trips the skew guard (threshold lowered for the test), the
+    hot key auto-switches to per-key binning spread over many reducer
+    bins, and the result still equals the brute force exactly."""
+    rng = np.random.RandomState(7)
+    n_hot = 4000
+    hot = pd.DataFrame({
+        "ka": range(n_hot), "g": 999,
+        "sa": rng.randint(0, 1_000_000, n_hot),
+    })
+    hot["ea"] = hot["sa"] + rng.randint(0, 50, n_hot)
+    small = pd.DataFrame({
+        "ka": range(n_hot, n_hot + 60), "g": rng.randint(0, 6, 60),
+        "sa": rng.randint(0, 1000, 60),
+    })
+    small["ea"] = small["sa"] + rng.randint(0, 30, 60)
+    a = pd.concat([hot, small], ignore_index=True)
+    b = pd.DataFrame({
+        "kb": range(5000),
+        "g": np.where(np.arange(5000) < 4500, 999, rng.randint(0, 6, 5000)),
+        "t": rng.randint(0, 1_000_000, 5000),
+    })
+    out = relational.interval_overlap_join(
+        ray.data.from_pandas(a), ray.data.from_pandas(b),
+        left_start="sa", left_end="ea", right_start="t", right_end=None,
+        by="g", left_cols=["ka"], right_cols=["kb"],
+        num_partitions=8, skew_threshold=1000,
+    ).to_pandas()
+    got = sorted(map(tuple, out[["ka", "kb"]].to_numpy()))
+    brute = a.merge(b, on="g")
+    brute = brute[(brute["sa"] <= brute["t"]) & (brute["t"] <= brute["ea"])]
+    want = sorted(map(tuple, brute[["ka", "kb"]].to_numpy()))
+    assert got == want and len(got) > 0
+    # explicit hot-width path (skips the scan) must agree bit-for-bit —
+    # the per-key binned plan really runs and really dedups canonically
+    explicit = relational.interval_overlap_join(
+        ray.data.from_pandas(a), ray.data.from_pandas(b),
+        left_start="sa", left_end="ea", right_start="t", right_end=None,
+        by="g", left_cols=["ka"], right_cols=["kb"],
+        num_partitions=8, hot_key_widths={999: 5000},
+    ).to_pandas()
+    assert sorted(map(tuple, explicit[["ka", "kb"]].to_numpy())) == want
