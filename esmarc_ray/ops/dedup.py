@@ -285,51 +285,95 @@ def minhash_candidates(
     if num_partitions is None:
         num_partitions = derive_partitions(dataset_size_hint(docs))
 
-    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["part"] = (
-            (batch["band"].astype("int64") * 2654435761 + batch["band_hash"])
-            % num_partitions
-        ).astype("int32")
-        return batch
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        out_a: list = []
-        out_b: list = []
-        for _, group in part.groupby(["band", "band_hash"], sort=False):
-            ids = sorted(group["doc_id"].unique())
-            if len(ids) > max_bucket_size:
-                # oversized bucket: O(n) star to the smallest member instead
-                # of O(n²) all-pairs (see docstring)
-                hub = ids[0]
-                out_a.extend([hub] * (len(ids) - 1))
-                out_b.extend(ids[1:])
+    def add_part(batch: pa.Table) -> pa.Table:
+        band = batch.column("band").to_numpy(zero_copy_only=False)
+        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        part = ((band * 2654435761 + bh) % num_partitions).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    def partition_pairs(part: pa.Table) -> pa.Table:
+        """Vectorized bucket → pair expansion: dedupe + sort puts each
+        (band, band_hash) bucket into a contiguous ascending-doc_id run;
+        pair index arrays are built per RUN-SIZE class with one
+        triu_indices broadcast each (no per-group Python loop), then one
+        Arrow take gathers the doc ids.  Ascending runs make doc_a < doc_b
+        by construction — same output as the historical row loop."""
+        tbl = part.group_by(["band", "band_hash", "doc_id"]).aggregate([])
+        tbl = tbl.sort_by(
+            [("band", "ascending"), ("band_hash", "ascending"),
+             ("doc_id", "ascending")]
+        )
+        band = tbl.column("band").to_numpy(zero_copy_only=False)
+        bh = tbl.column("band_hash").to_numpy(zero_copy_only=False)
+        ids = tbl.column("doc_id")
+        if len(band) == 0:
+            return pa.table({"doc_a": ids, "doc_b": ids})
+        change = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.concatenate(
+            [[0], np.flatnonzero(change) + 1, [len(band)]]
+        ).astype(np.int64)
+        sizes = np.diff(starts)
+        run_starts = starts[:-1]
+        ia_parts: list[np.ndarray] = []
+        ib_parts: list[np.ndarray] = []
+        for s in np.unique(sizes):
+            if s < 2:
                 continue
-            for i, a in enumerate(ids):
-                for b in ids[i + 1 :]:
-                    out_a.append(a)
-                    out_b.append(b)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+            s = int(s)
+            origins = run_starts[sizes == s]
+            if s > max_bucket_size:
+                # oversized bucket: O(n) star to the smallest member
+                # instead of O(n²) all-pairs (see docstring)
+                ia_parts.append(np.repeat(origins, s - 1))
+                ib_parts.append(
+                    (origins[:, None] + np.arange(1, s)).ravel()
+                )
+            else:
+                i, j = np.triu_indices(s, 1)
+                ia_parts.append((origins[:, None] + i).ravel())
+                ib_parts.append((origins[:, None] + j).ravel())
+        if not ia_parts:
+            empty = ids.take(pa.array([], pa.int64()))
+            return pa.table({"doc_a": empty, "doc_b": empty})
+        ia = pa.array(np.concatenate(ia_parts), pa.int64())
+        ib = pa.array(np.concatenate(ib_parts), pa.int64())
+        return pa.table({"doc_a": ids.take(ia), "doc_b": ids.take(ib)})
 
     pairs = (
-        bands_ds.map_batches(add_part, batch_format="pandas")
+        bands_ds.map_batches(
+            add_part, batch_format="pyarrow", zero_copy_batch=True
+        )
         .groupby("part")
-        .map_groups(partition_pairs, batch_format="pandas")
+        .map_groups(partition_pairs, batch_format="pyarrow")
     )
 
-    def add_pair_part(batch: pd.DataFrame) -> pd.DataFrame:
-        key = batch["doc_a"].astype(str) + "\x1f" + batch["doc_b"].astype(str)
-        batch["part"] = (
-            pd.util.hash_pandas_object(key, index=False).to_numpy() % num_partitions
-        ).astype("int32")
-        return batch
+    def add_pair_part(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(batch.column("doc_a"), pa.string()),
+            pc.cast(batch.column("doc_b"), pa.string()),
+            "\x1f",
+        )
+        h = pd.util.hash_pandas_object(
+            pd.Series(key.to_pandas()), index=False
+        ).to_numpy()
+        return batch.append_column(
+            "part", pa.array((h % num_partitions).astype(np.int32))
+        )
 
-    def distinct_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        return part.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["part"])
+    def distinct_pairs(part: pa.Table) -> pa.Table:
+        return part.group_by(["doc_a", "doc_b"]).aggregate([]).select(
+            ["doc_a", "doc_b"]
+        )
 
     return (
-        pairs.map_batches(add_pair_part, batch_format="pandas")
+        pairs.map_batches(
+            add_pair_part, batch_format="pyarrow", zero_copy_batch=True
+        )
         .groupby("part")
-        .map_groups(distinct_pairs, batch_format="pandas")
+        .map_groups(distinct_pairs, batch_format="pyarrow")
     )
 
 
