@@ -239,14 +239,13 @@ def q_kg_pred_coverage(sf_dir: str):
         src.map_batches(local_dedup, batch_format="pandas"),
         ["doc_id"],
         per_part,
-        num_partitions=32,
     )
 
     def merge(part: pd.DataFrame) -> pd.DataFrame:
         return part.groupby(["entity_class", "pred"], as_index=False)["n"].sum()
 
     counts = partitioned_final(
-        per_pred, ["entity_class", "pred"], merge, num_partitions=8
+        per_pred, ["entity_class", "pred"], merge
     ).to_pandas()
     sentinel = counts["pred"] == "\x1f__total__"
     totals = counts[sentinel][["entity_class", "n"]].rename(columns={"n": "total"})
@@ -277,7 +276,7 @@ def q_kg_subj_degree_hist(sf_dir: str):
         )
         return deg.groupby("out_degree", as_index=False).size()
 
-    per = partitioned_final(src, ["subj"], per_subj, num_partitions=32)
+    per = partitioned_final(src, ["subj"], per_subj)
 
     def merge(part: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -286,7 +285,7 @@ def q_kg_subj_degree_hist(sf_dir: str):
             .rename(columns={"size": "n_subjects"})
         )
 
-    return partitioned_final(per, ["out_degree"], merge, num_partitions=8)
+    return partitioned_final(per, ["out_degree"], merge)
 
 
 def q_kg_obj_len_stats(sf_dir: str):
@@ -320,7 +319,6 @@ def q_kg_obj_len_stats(sf_dir: str):
 
     return partitioned_final(
         src.map_batches(partial, batch_format="pandas"), ["pred"], final,
-        num_partitions=8,
     )
 
 
@@ -443,7 +441,7 @@ def q_kg_dangling_refs(sf_dir: str):
             __n=("__n", "sum"), __d=("__d", "sum")
         )
 
-    partials = partitioned_final(tagged, ["uri"], per_part, num_partitions=32)
+    partials = partitioned_final(tagged, ["uri"], per_part)
     out = partial_groupby_agg(
         partials,
         ["pred", "ref_class"],
@@ -484,7 +482,7 @@ def q_kg_functional_violations(sf_dir: str):
             __n=("__n", "sum"), __m=("__m", "sum")
         )
 
-    partials = partitioned_final(src, ["subj"], per_part, num_partitions=32)
+    partials = partitioned_final(src, ["subj"], per_part)
     out = partial_groupby_agg(
         partials,
         ["pred"],
@@ -891,7 +889,6 @@ def q_kg_sameas_symmetry(sf_dir: str):
             src.map_batches(pair_rows, batch_format="pandas"),
             ["key"],
             per_part,
-            num_partitions=32,
         ),
         ["cls"],
         {"n_edges": ("n_edges", "sum"), "n_asymmetric": ("n_asym", "sum")},
@@ -983,7 +980,6 @@ def q_copurchase_assortativity(sf_dir: str):
         _copurchase_edges(sf_dir),
         ["l_partkey_a", "l_partkey_b"],
         lambda p: p.drop_duplicates(),
-        num_partitions=16,
     )
     return degree_assortativity(edges, u="l_partkey_a", v="l_partkey_b")
 
@@ -997,7 +993,6 @@ def _dedup_copurchase_edges(sf_dir: str, cutoff: int = 500):
         _copurchase_edges(sf_dir, cutoff=cutoff),
         ["l_partkey_a", "l_partkey_b"],
         lambda p: p.drop_duplicates(),
-        num_partitions=16,
     )
 
 
@@ -1089,7 +1084,7 @@ def q_ppr_related_parts(sf_dir: str):
         ),
         batch_format="pandas",
     )
-    ranks = pagerank(both, n_iter=8, num_partitions=16, seeds=seeds)
+    ranks = pagerank(both, n_iter=8, seeds=seeds)
 
     def round_rank(batch: pd.DataFrame) -> pd.DataFrame:
         batch["rank"] = batch["rank"].round(10)
@@ -1141,7 +1136,7 @@ def q_er_clusters(sf_dir: str):
     ).filter(expr="p_partkey < 300")
     out = resolve_entities(
         parts, id_col="p_partkey", text_col="p_name", blocking="token",
-        jw_threshold=0.94, num_partitions=8,
+        jw_threshold=0.94,
     ).to_pandas()
     out["cluster_size"] = out["cluster_size"].astype("int64")
     return out.sort_values("id").reset_index(drop=True)
@@ -1172,7 +1167,7 @@ def q_er_bcubed(sf_dir: str):
         ).filter(expr="p_partkey < 300")
         return resolve_entities(
             parts, id_col="p_partkey", text_col="p_name", blocking="token",
-            jw_threshold=th, num_partitions=8,
+            jw_threshold=th,
         )
 
     gold = run(0.94).map_batches(
@@ -1186,7 +1181,6 @@ def q_er_bcubed(sf_dir: str):
 
     both = partitioned_join(
         gold, resp, on="id", left_cols=["cg"], right_cols=["cr"],
-        num_partitions=8,
     ).materialize()
     n_items = both.count()
     ct = partial_groupby_agg(both, ["cg", "cr"], {"n": ("id", "count")})
@@ -1194,11 +1188,9 @@ def q_er_bcubed(sf_dir: str):
     sr = partial_groupby_agg(both, ["cr"], {"s_r": ("id", "count")})
     ct2 = partitioned_join(
         ct, sg, on="cg", left_cols=["cr", "n"], right_cols=["s_g"],
-        num_partitions=8,
     )
     ct3 = partitioned_join(
         ct2, sr, on="cr", left_cols=["cg", "n", "s_g"], right_cols=["s_r"],
-        num_partitions=8,
     )
 
     def fold(b: pd.DataFrame) -> pd.DataFrame:
@@ -1246,7 +1238,7 @@ def q_exact_substr_dedup(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     out = duplicate_span_removal(
-        docs, width=8, min_count=2, num_partitions=32
+        docs, width=8, min_count=2
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -1289,7 +1281,6 @@ def q_kg_path_query(sf_dir: str):
         src.map_batches(own_gnd_rows, batch_format="pandas"),
         ["subj"],
         lambda p: p.groupby("subj", as_index=False, sort=False)["g"].min(),
-        num_partitions=16,
     ).materialize()
 
     def pairs_of(pred: str) -> ray.data.Dataset:
@@ -1309,7 +1300,6 @@ def q_kg_path_query(sf_dir: str):
             "subj",
             left_cols=["o"],
             right_cols=["g"],
-            num_partitions=16,
         ).map_batches(
             lambda b: pd.DataFrame({"s": b["g"], "o": b["o"]}),
             batch_format="pandas",
@@ -1319,7 +1309,6 @@ def q_kg_path_query(sf_dir: str):
         pairs_of,
         ("plus", ("alt", "parent", "children", "sibling", "spouse")),
         max_depth=8,
-        num_partitions=16,
     ).to_pandas()
     if not len(out):
         return pd.DataFrame({"s": pd.Series(dtype="str"), "o": pd.Series(dtype="str")})
@@ -1354,7 +1343,7 @@ def q_hyperball_anf(sf_dir: str):
             batch_format="pandas",
         )
     )
-    out = hyperball(edges, p=7, max_t=10, num_partitions=16)
+    out = hyperball(edges, p=7, max_t=10)
     out["nf"] = out["nf"].round(2)
     out["coverage"] = out["coverage"].round(6)
     return out
@@ -1544,7 +1533,7 @@ def q_kg_build_diff(sf_dir: str):
     def distinct(part: pd.DataFrame) -> pd.DataFrame:
         return part.drop_duplicates()
 
-    full = partitioned_final(src, key, distinct, num_partitions=32)
+    full = partitioned_final(src, key, distinct)
 
     def old_half(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["doc_id"].astype("int64").to_numpy().astype(np.uint64)
@@ -1780,7 +1769,6 @@ def q_kg_ispartof_closure(sf_dir: str):
         src.map_batches(edges_fn, batch_format="pandas"),
         ["s", "d"],
         lambda p: p.drop_duplicates(),
-        num_partitions=16,
     ).materialize()
 
     def add_depth(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1802,7 +1790,6 @@ def q_kg_ispartof_closure(sf_dir: str):
             "s",
             left_cols=["start"],
             right_cols=["d"],
-            num_partitions=16,
         ).map_batches(
             lambda b, dep=depth: pd.DataFrame(
                 {"start": b["start"], "node": b["d"], "depth": dep,
@@ -1829,7 +1816,6 @@ def q_kg_ispartof_closure(sf_dir: str):
             ),
             ["start", "node"],
             dedup_new,
-            num_partitions=16,
         ).materialize()
         if frontier.count() == 0:
             break
@@ -1871,7 +1857,7 @@ def q_kg_namespace_gate(sf_dir: str):
             __n=("__n", "sum"), __ok=("__ok", "sum")
         )
 
-    partials = partitioned_final(src, ["subj"], per_part, num_partitions=16)
+    partials = partitioned_final(src, ["subj"], per_part)
     out = partial_groupby_agg(
         partials,
         ["entity_class"],
@@ -1982,7 +1968,7 @@ def q_events_ewma(sf_dir: str):
                 )
         return pd.DataFrame(rows)
 
-    out = partitioned_final(daily, ["event_type"], fold, num_partitions=8)
+    out = partitioned_final(daily, ["event_type"], fold)
     return out.to_pandas().sort_values(
         ["event_type", "day_idx"]
     ).reset_index(drop=True)
@@ -2046,7 +2032,7 @@ def q_events_holt(sf_dir: str):
                 )
         return pd.DataFrame(rows)
 
-    out = partitioned_final(daily, ["event_type"], fold, num_partitions=8)
+    out = partitioned_final(daily, ["event_type"], fold)
     return out.to_pandas().sort_values(
         ["event_type", "day_idx"]
     ).reset_index(drop=True)
@@ -2158,7 +2144,7 @@ def q_frequent_triples(sf_dir: str):
         return part.drop_duplicates()
 
     baskets = partitioned_final(
-        li, ["l_orderkey"], basket_dedup, num_partitions=16
+        li, ["l_orderkey"], basket_dedup
     ).materialize()
 
     def pairs(part: pd.DataFrame) -> pd.DataFrame:
@@ -2168,7 +2154,7 @@ def q_frequent_triples(sf_dir: str):
         return g.rename(columns={"size": "n"})
 
     pair_counts = partial_groupby_agg(
-        partitioned_final(baskets, ["l_orderkey"], pairs, num_partitions=16),
+        partitioned_final(baskets, ["l_orderkey"], pairs),
         ["l_partkey_a", "l_partkey_b"],
         {"n": ("n", "sum")},
     ).to_pandas()
@@ -2201,7 +2187,7 @@ def q_frequent_triples(sf_dir: str):
         return out
 
     tri_counts = partial_groupby_agg(
-        partitioned_final(baskets, ["l_orderkey"], triples, num_partitions=16),
+        partitioned_final(baskets, ["l_orderkey"], triples),
         ["p1", "p2", "p3"],
         {"n": ("n", "sum")},
     ).to_pandas()
@@ -2271,7 +2257,7 @@ def q_cusum_changepoints(sf_dir: str):
             rows, columns=["event_type", "day_idx", "cusum"]
         )
 
-    out = partitioned_final(daily, ["event_type"], fold, num_partitions=8)
+    out = partitioned_final(daily, ["event_type"], fold)
     df = out.to_pandas()
     if df.empty:
         df = pd.DataFrame(
@@ -2343,7 +2329,7 @@ def q_events_acf(sf_dir: str):
                 )
         return pd.DataFrame(rows, columns=["event_type", "lag", "acf"])
 
-    df = partitioned_final(daily, ["event_type"], fold, num_partitions=8).to_pandas()
+    df = partitioned_final(daily, ["event_type"], fold).to_pandas()
     if df.empty:
         df = pd.DataFrame(
             {
@@ -2659,7 +2645,7 @@ def q_pair_lift(sf_dir: str):
     ).filter(expr="l_orderkey < 6000")
 
     baskets = partitioned_final(
-        li, ["l_orderkey"], lambda p: p.drop_duplicates(), num_partitions=16
+        li, ["l_orderkey"], lambda p: p.drop_duplicates()
     ).materialize()
     n_baskets = int(
         partial_groupby_agg(
@@ -2674,7 +2660,7 @@ def q_pair_lift(sf_dir: str):
         return g.rename(columns={"size": "n"})
 
     pair_counts = partial_groupby_agg(
-        partitioned_final(baskets, ["l_orderkey"], pairs, num_partitions=16),
+        partitioned_final(baskets, ["l_orderkey"], pairs),
         ["l_partkey_a", "l_partkey_b"],
         {"n_ab": ("n", "sum")},
     ).to_pandas()
@@ -2917,7 +2903,6 @@ def q_rich_club(sf_dir: str):
         _copurchase_edges(sf_dir),
         ["l_partkey_a", "l_partkey_b"],
         lambda p: p.drop_duplicates(),
-        num_partitions=16,
     ).materialize()
 
     def endpoint_counts(batch: pd.DataFrame) -> pd.DataFrame:
@@ -2932,7 +2917,6 @@ def q_rich_club(sf_dir: str):
         lambda p: p.groupby("node", as_index=False)["cnt"].sum().rename(
             columns={"cnt": "deg"}
         ),
-        num_partitions=16,
     ).materialize()
 
     def rekey(old: str, new: str):
@@ -2944,7 +2928,6 @@ def q_rich_club(sf_dir: str):
         "node",
         left_cols=["l_partkey_b"],
         right_cols=["du"],
-        num_partitions=16,
     ).map_batches(rekey("node", "l_partkey_a"), batch_format="pandas")
     with_both = partitioned_join(
         with_du.map_batches(rekey("l_partkey_b", "node"), batch_format="pandas"),
@@ -2952,7 +2935,6 @@ def q_rich_club(sf_dir: str):
         "node",
         left_cols=["l_partkey_a", "du"],
         right_cols=["dv"],
-        num_partitions=16,
     )
 
     def edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -3027,7 +3009,6 @@ def q_brand_homophily(sf_dir: str):
         _copurchase_edges(sf_dir),
         ["l_partkey_a", "l_partkey_b"],
         lambda p: p.drop_duplicates(),
-        num_partitions=16,
     ).materialize()
 
     part = ray.data.read_parquet(
@@ -3045,7 +3026,6 @@ def q_brand_homophily(sf_dir: str):
         "p_partkey",
         left_cols=["l_partkey_b"],
         right_cols=["brand_a"],
-        num_partitions=16,
     ).map_batches(rekey("p_partkey", "l_partkey_a"), batch_format="pandas")
     with_both = partitioned_join(
         with_ba.map_batches(
@@ -3055,7 +3035,6 @@ def q_brand_homophily(sf_dir: str):
         "p_partkey",
         left_cols=["l_partkey_a", "brand_a"],
         right_cols=["brand_b"],
-        num_partitions=16,
     )
 
     def partials(batch: pd.DataFrame) -> pd.DataFrame:
@@ -3223,7 +3202,7 @@ def q_kg_two_hop(sf_dir: str):
         j["__n"] = 1
         return j.groupby(["pred1", "pred2"], as_index=False)["__n"].sum()
 
-    partials = partitioned_final(tagged, ["uri"], per_part, num_partitions=32)
+    partials = partitioned_final(tagged, ["uri"], per_part)
     out = partial_groupby_agg(
         partials, ["pred1", "pred2"], {"n_paths": ("__n", "sum")}
     ).to_pandas()
@@ -3426,7 +3405,7 @@ def q_priority_revenue(sf_dir: str):
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
     joined = hash_join(
-        lineitem, orders, on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=16
+        lineitem, orders, on=("l_orderkey",), right_on=("o_orderkey",)
     )
     out = partial_groupby_agg(
         joined,
@@ -3476,12 +3455,11 @@ def q_customers_no_urgent(sf_dir: str):
             f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
         ).filter(expr="o_orderpriority == '1-URGENT'"),
         ["o_custkey"],
-        num_partitions=16,
     )
     customers = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
     return partitioned_semi_join(
         customers, custkeys, on="c_custkey", key_column="o_custkey",
-        anti=True, num_partitions=16,
+        anti=True,
     )
 
 
@@ -3508,7 +3486,7 @@ def q_purchase_last_click(sf_dir: str):
         )
     )
     out = partitioned_asof_join(
-        purchases, clicks, on="ts", by="user_id", num_partitions=16
+        purchases, clicks, on="ts", by="user_id"
     ).to_pandas()
     out["click_id"] = out["click_id"].fillna(-1).astype("int64")
     # the union's null-filled side leaves event_id object-typed; restore int
@@ -3691,7 +3669,6 @@ def q_bfs_hops(sf_dir: str):
     src = edges.min("l_partkey_a")
     out = bfs_hops(
         edges, [src], u="l_partkey_a", v="l_partkey_b", max_hops=3,
-        num_partitions=16,
     )
 
     def rename(batch: pd.DataFrame) -> pd.DataFrame:
@@ -3722,7 +3699,7 @@ def _copurchase_edges(sf_dir: str, cutoff: int = 1000):
         m = m[m["l_partkey_a"] < m["l_partkey_b"]]
         return m[["l_partkey_a", "l_partkey_b"]].drop_duplicates()
 
-    return partitioned_final(li, ["l_orderkey"], pairs, num_partitions=16)
+    return partitioned_final(li, ["l_orderkey"], pairs)
 
 
 def q_degree_hist(sf_dir: str):
@@ -3736,7 +3713,6 @@ def q_degree_hist(sf_dir: str):
         _copurchase_edges(sf_dir),
         ["l_partkey_a", "l_partkey_b"],
         lambda p: p.drop_duplicates(),
-        num_partitions=16,
     )
     return degree_histogram(edges, u="l_partkey_a", v="l_partkey_b")
 
@@ -3753,7 +3729,6 @@ def q_kcore_nodes(sf_dir: str):
         _copurchase_edges(sf_dir, cutoff=500),
         ["l_partkey_a", "l_partkey_b"],
         lambda p: p.drop_duplicates(),
-        num_partitions=16,
     )
     return k_core(edges, 12, u="l_partkey_a", v="l_partkey_b")
 
@@ -3769,7 +3744,7 @@ def q_graph_communities(sf_dir: str):
 
     edges = _copurchase_edges(sf_dir)
     labels = label_propagation(
-        edges, u="l_partkey_a", v="l_partkey_b", max_rounds=4, num_partitions=8
+        edges, u="l_partkey_a", v="l_partkey_b", max_rounds=4
     )
     return partial_groupby_agg(
         labels, ["community"], {"n_nodes": ("node", "count")}
@@ -3819,7 +3794,6 @@ def q_ngram_novelty(sf_dir: str):
         on="gram",
         left_cols=["doc_id"],
         right_cols=["df"],
-        num_partitions=16,
     )
 
     def per_doc(part: pd.DataFrame) -> pd.DataFrame:
@@ -3832,7 +3806,6 @@ def q_ngram_novelty(sf_dir: str):
 
     out = partitioned_final(
         joined.select_columns(["doc_id", "df"]), ["doc_id"], per_doc,
-        num_partitions=16,
     ).to_pandas()
     out["novel_frac"] = (
         (out["n_novel"] / out["n_grams"] * 1e6 + 0.5).apply(int) / 1e6
@@ -3866,7 +3839,6 @@ def q_community_modularity(sf_dir: str):
     labels = (
         label_propagation(
             edges, u="l_partkey_a", v="l_partkey_b", max_rounds=4,
-            num_partitions=8,
         )
         # LPA carries node/community as strings — restore the int key dtype
         # so the degree join co-partitions AND compares correctly
@@ -3904,7 +3876,6 @@ def q_community_modularity(sf_dir: str):
         on="node",
         left_cols=["k"],
         right_cols=["comm"],
-        num_partitions=8,
     )
     dc = partial_groupby_agg(degc, ["comm"], {"d": ("k", "sum")})
     def fold_d2(b: pd.DataFrame) -> pd.DataFrame:
@@ -3937,7 +3908,6 @@ def q_community_modularity(sf_dir: str):
         on="node",
         left_cols=["l_partkey_b"],
         right_cols=["ca"],
-        num_partitions=8,
     )
     cab = partitioned_join(
         ca.map_batches(
@@ -3955,7 +3925,6 @@ def q_community_modularity(sf_dir: str):
         on="node",
         left_cols=["ca"],
         right_cols=["cb"],
-        num_partitions=8,
     )
     def fold_ein(b: pd.DataFrame) -> pd.DataFrame:
         val = (
@@ -4069,7 +4038,6 @@ def q_tpch_q3(sf_dir: str):
     else:
         orders_bld = partitioned_semi_join(
             orders, cust, on="o_custkey", key_column="c_custkey",
-            num_partitions=32,
         )
     joined = partitioned_join(
         li_rev,
@@ -4077,7 +4045,6 @@ def q_tpch_q3(sf_dir: str):
         on="o_orderkey",
         left_cols=["rev"],
         right_cols=["o_orderdate"],
-        num_partitions=32,
     )
     agg = partial_groupby_agg(
         joined, ["o_orderkey", "o_orderdate"], {"revenue": ("rev", "sum")}
@@ -4127,7 +4094,7 @@ def q_sssp_dist(sf_dir: str):
             ["l_partkey_a", "l_partkey_b"], as_index=False
         ).size()
 
-    partials = partitioned_final(li, ["l_orderkey"], order_pairs, num_partitions=16)
+    partials = partitioned_final(li, ["l_orderkey"], order_pairs)
     pairs = partial_groupby_agg(
         partials, ["l_partkey_a", "l_partkey_b"], {"cnt": ("size", "sum")}
     )
@@ -4141,7 +4108,7 @@ def q_sssp_dist(sf_dir: str):
     src = wedges.min("l_partkey_a")
     out = sssp(
         wedges, [src], u="l_partkey_a", v="l_partkey_b", weight="w",
-        max_rounds=4, num_partitions=16,
+        max_rounds=4,
     )
 
     def fmt(batch: pd.DataFrame) -> pd.DataFrame:
@@ -4530,7 +4497,7 @@ def q_jaccard_dup_clusters(sf_dir: str):
         )
 
     comp = connected_components(
-        pairs.map_batches(to_edges, batch_format="pandas"), num_partitions=8
+        pairs.map_batches(to_edges, batch_format="pandas")
     ).to_pandas()
     if comp.empty:
         return pd.DataFrame(columns=["doc_id", "cluster_id"])
@@ -5128,7 +5095,7 @@ def q_deepwalk_corpus(sf_dir: str):
     walks = deterministic_walks(
         edges, list(starts),
         u="l_partkey_a", v="l_partkey_b",
-        walk_len=6, walks_per_node=2, num_partitions=16,
+        walk_len=6, walks_per_node=2,
     ).to_pandas()
     walks = walks.astype({"walk_id": "int64", "step": "int64", "node": "int64"})
     return walks.sort_values(["walk_id", "step"]).reset_index(drop=True)
@@ -5177,7 +5144,7 @@ def q_interarrival_stats(sf_dir: str):
         )
         return agg
 
-    partials = partitioned_final(events, ["user_id"], gaps, num_partitions=32)
+    partials = partitioned_final(events, ["user_id"], gaps)
     out = (
         partials.to_pandas()
         .groupby("event_type", as_index=False)
@@ -5227,7 +5194,6 @@ def q_edge_betweenness_top(sf_dir: str):
         u="l_partkey_a",
         v="l_partkey_b",
         max_hops=6,
-        num_partitions=16,
     ).to_pandas()
     bc["betweenness"] = np.floor(bc["betweenness"] * 1e4 + 0.5) / 1e4
     out = bc.sort_values(
@@ -5262,7 +5228,7 @@ def q_association_rules(sf_dir: str):
         )
 
     pair_supp = partial_groupby_agg(
-        partitioned_final(li, ["l_orderkey"], pairs, num_partitions=16),
+        partitioned_final(li, ["l_orderkey"], pairs),
         ["a", "b"],
         {"n_ab": ("a", "count")},
     ).filter(expr="n_ab >= 2")
@@ -5275,7 +5241,7 @@ def q_association_rules(sf_dir: str):
 
     item_supp = partitioned_final(
         li, ["l_orderkey"],
-        lambda p: items(p), num_partitions=16,
+        lambda p: items(p),
     )
     item_supp = partial_groupby_agg(item_supp, ["item"], {"n": ("n", "sum")}).to_pandas()
     n_orders = int(
@@ -5484,7 +5450,7 @@ def q_item_cooc_sim(sf_dir: str):
         return m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False).size()
 
     pair_counts = partial_groupby_agg(
-        partitioned_final(li, ["l_orderkey"], order_pairs, num_partitions=16),
+        partitioned_final(li, ["l_orderkey"], order_pairs),
         ["l_partkey_a", "l_partkey_b"],
         {"n_ab": ("size", "sum")},
     )
@@ -5493,7 +5459,7 @@ def q_item_cooc_sim(sf_dir: str):
     # under the l_orderkey hash, so per-partition dedup is exact
     item_counts = partial_groupby_agg(
         partitioned_final(
-            li, ["l_orderkey"], lambda p: p.drop_duplicates(), num_partitions=16
+            li, ["l_orderkey"], lambda p: p.drop_duplicates()
         ),
         ["l_partkey"],
         {"n": ("l_orderkey", "count")},
@@ -5637,7 +5603,7 @@ def q_event_trigrams(sf_dir: str):
             "trigram", as_index=False
         ).size()
 
-    partials = partitioned_final(events, ["user_id"], per_user, num_partitions=32)
+    partials = partitioned_final(events, ["user_id"], per_user)
     return partial_groupby_agg(partials, ["trigram"], {"n": ("size", "sum")})
 
 
@@ -5694,7 +5660,7 @@ def q_revenue_gini(sf_dir: str):
         orders, ["o_custkey"], {"rev": ("o_totalprice", "sum")}
     ).materialize()
     ranked = global_rank(
-        custrev, ["rev", "o_custkey"], out_name="i", num_partitions=16
+        custrev, ["rev", "o_custkey"], out_name="i"
     )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -5809,7 +5775,7 @@ def q_user_time_weighted_value(sf_dir: str):
         g["twa_value"] = np.floor(g["__wv"] / g["__w"] * 1e6 + 0.5) / 1e6
         return g[["user_id", "twa_value"]]
 
-    return partitioned_final(events, ["user_id"], per_user, num_partitions=32)
+    return partitioned_final(events, ["user_id"], per_user)
 
 
 def q_price_skewness(sf_dir: str):
@@ -5924,7 +5890,7 @@ def q_part_return_rates(sf_dir: str):
         ) / 1e6
         return part[["l_partkey", "n", "return_rate"]]
 
-    return partitioned_final(counts, ["l_partkey"], rate, num_partitions=16)
+    return partitioned_final(counts, ["l_partkey"], rate)
 
 
 def q_hapax_rate(sf_dir: str):
@@ -5963,7 +5929,7 @@ def q_hapax_rate(sf_dir: str):
         g["hapax_rate"] = np.floor(g["hapax"] / g["vocab"] * 1e6 + 0.5) / 1e6
         return g[["lang", "vocab", "hapax_rate"]]
 
-    return partitioned_final(counts, ["lang"], rate, num_partitions=8)
+    return partitioned_final(counts, ["lang"], rate)
 
 
 def q_user_peak_hour(sf_dir: str):
@@ -6005,10 +5971,9 @@ def q_clustering_coeff(sf_dir: str):
         _copurchase_edges(sf_dir),
         ["l_partkey_a", "l_partkey_b"],
         lambda p: p.drop_duplicates(),
-        num_partitions=16,
     ).materialize()  # reused: triangle pass + degree pass
     n_tri = triangle_count(
-        edges, u="l_partkey_a", v="l_partkey_b", num_partitions=16
+        edges, u="l_partkey_a", v="l_partkey_b"
     )
 
     def endpoints(batch: pd.DataFrame) -> pd.DataFrame:
@@ -6065,7 +6030,7 @@ def q_status_mix_monthly(sf_dir: str):
         part["share"] = np.floor(part["n"] / tot * 1e6 + 0.5) / 1e6
         return part[["month", "status", "share"]]
 
-    return partitioned_final(counts, ["month"], share, num_partitions=8)
+    return partitioned_final(counts, ["month"], share)
 
 
 def q_ship_leadtime_stats(sf_dir: str):
@@ -6100,7 +6065,6 @@ def q_ship_leadtime_stats(sf_dir: str):
         on="o_orderkey",
         left_cols=["l_shipdate"],
         right_cols=["o_orderdate", "o_orderpriority"],
-        num_partitions=32,
     )
 
     def days(batch: pd.DataFrame) -> pd.DataFrame:
@@ -6159,7 +6123,6 @@ def q_trade_flows(sf_dir: str):
         on="o_custkey",
         left_cols=["o_orderkey"],
         right_cols=["c_nationkey"],
-        num_partitions=32,
     )
 
     li = ray.data.read_parquet(
@@ -6181,7 +6144,6 @@ def q_trade_flows(sf_dir: str):
         on="o_orderkey",
         left_cols=["l_suppkey", "rev"],
         right_cols=["c_nationkey"],
-        num_partitions=32,
     )
 
     supp = ray.data.read_parquet(
@@ -6253,7 +6215,7 @@ def q_part_supplier_hhi(sf_dir: str):
         out["hhi"] = np.floor(out["hhi"] * 1e6 + 0.5) / 1e6
         return out[["l_partkey", "n_supp", "hhi"]]
 
-    return partitioned_final(ps, ["l_partkey"], per_part, num_partitions=32)
+    return partitioned_final(ps, ["l_partkey"], per_part)
 
 
 def q_session_length_hist(sf_dir: str):
@@ -6293,8 +6255,8 @@ def q_session_length_hist(sf_dir: str):
             .rename(columns={"size": "n_sessions"})
         )
 
-    per = partitioned_final(events, ["user_id"], per_user, num_partitions=32)
-    return partitioned_final(per, ["session_len"], merge, num_partitions=8)
+    per = partitioned_final(events, ["user_id"], per_user)
+    return partitioned_final(per, ["session_len"], merge)
 
 
 def q_log_price_params(sf_dir: str):
@@ -6423,7 +6385,6 @@ def q_rfm_segments(sf_dir: str):
             order_by=[metric, "o_custkey"],
             ntile=5,
             ntile_name=name,
-            num_partitions=1,
         ).to_pandas()[["o_custkey", name]]
         out = ranked if out is None else out.merge(ranked, on="o_custkey")
     out["rfm_code"] = (out["r"] * 100 + out["f"] * 10 + out["m"]).astype("int64")
@@ -6627,7 +6588,6 @@ def q_pareto_deciles(sf_dir: str):
         order_by=["neg_rev", "o_custkey"],
         ntile=10,
         ntile_name="decile",
-        num_partitions=1,
     )
     agg = partial_groupby_agg(
         ranked, ["decile"],
@@ -6675,7 +6635,6 @@ def q_dup_rate_by_source(sf_dir: str):
     joined = partitioned_join(
         hashed, counts, on="h",
         left_cols=["doc_id", "source"], right_cols=["n"],
-        num_partitions=16,
     )
 
     def per_source(part: pd.DataFrame) -> pd.DataFrame:
@@ -6688,7 +6647,7 @@ def q_dup_rate_by_source(sf_dir: str):
         ).reset_index()
         return out
 
-    agg = partitioned_final(joined, ["source"], per_source, num_partitions=8)
+    agg = partitioned_final(joined, ["source"], per_source)
     out = agg.to_pandas().groupby("source", as_index=False).sum()
     out["dup_rate"] = np.floor(out["n_duped"] / out["n_docs"] * 1e6 + 0.5) / 1e6
     return out[["source", "n_docs", "dup_rate"]].sort_values(
@@ -6785,7 +6744,7 @@ def q_eval_sample_per_lang(sf_dir: str):
         return out[["doc_id", "lang"]]
 
     staged = docs.map_batches(tag, batch_format="pandas")
-    return partitioned_final(staged, ["lang"], per_part, num_partitions=8)
+    return partitioned_final(staged, ["lang"], per_part)
 
 
 def q_benford_digits(sf_dir: str):
@@ -7090,7 +7049,7 @@ def q_pack_sequences(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     counted = token_stats(docs).select_columns(["doc_id", "n_tokens_ws"])
     out = pack_sequences(
-        counted, budget_tokens=2048, token_column="n_tokens_ws", num_partitions=16
+        counted, budget_tokens=2048, token_column="n_tokens_ws"
     ).to_pandas()
     return out[["part", "seq_idx", "n_docs", "total_tokens"]].sort_values(
         ["part", "seq_idx"]
@@ -7476,7 +7435,7 @@ def q_theilsen_trend(sf_dir: str):
         return pd.DataFrame(rows)
 
     out = partitioned_final(
-        daily, ["event_type"], theil_sen, num_partitions=4
+        daily, ["event_type"], theil_sen
     ).to_pandas()
     return out.sort_values("event_type").reset_index(drop=True)
 
@@ -7534,7 +7493,7 @@ def q_mann_kendall(sf_dir: str):
             )
         return pd.DataFrame(rows)
 
-    out = partitioned_final(daily, ["event_type"], mk, num_partitions=4).to_pandas()
+    out = partitioned_final(daily, ["event_type"], mk).to_pandas()
     out = out.astype({"mk_s": "int64", "n_days": "int64"})
     return out.sort_values("event_type").reset_index(drop=True)
 
@@ -7634,7 +7593,6 @@ def q_price_equidepth_hist(sf_dir: str):
         order_by=["o_totalprice", "o_orderkey"],
         ntile=10,
         ntile_name="bucket",
-        num_partitions=1,
     )
     hist = partial_groupby_agg(
         ranked,
@@ -8266,7 +8224,7 @@ def q_source_quota(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
     return quota_per_group(
-        docs, ["source"], 40, id_column="doc_id", seed=42, num_partitions=16
+        docs, ["source"], 40, id_column="doc_id", seed=42
     )
 
 
@@ -8334,7 +8292,7 @@ def q_urgent_low_outer(sf_dir: str):
     out = partitioned_join(
         urgent, low, "o_custkey",
         left_cols=["n_urgent"], right_cols=["n_low"],
-        how="outer", num_partitions=16,
+        how="outer",
     ).to_pandas()
     import pandas as pd
 
@@ -8452,7 +8410,6 @@ def q_order_price_dense_rank(sf_dir: str):
         partition_by="o_orderpriority",
         order_by=["price_k", "o_orderkey"],
         dense_rank_name="dr",
-        num_partitions=16,
     )
 
 
@@ -8497,7 +8454,7 @@ def q_kg_pagerank_top(sf_dir: str):
 
     ranks = pagerank(
         triples.map_batches(to_edges, batch_format="pandas"),
-        n_iter=8, num_partitions=16,
+        n_iter=8,
     )
 
     def round_rank(batch: pd.DataFrame) -> pd.DataFrame:
@@ -8568,7 +8525,7 @@ def q_priority_revenue_skew(sf_dir: str):
     joined = skew_join(
         lineitem, orders, "l_orderkey",
         left_cols=["l_extendedprice"], right_cols=["o_orderpriority"],
-        hot_k=64, hot_min_count=7, num_partitions=16,
+        hot_k=64, hot_min_count=7,
     )
     out = partial_groupby_agg(
         joined, ["o_orderpriority"], {"revenue": ("l_extendedprice", "sum")}
@@ -8676,7 +8633,6 @@ def q_events_trailing_7d(sf_dir: str):
     return range_window(
         events, "user_id", "ts", "value",
         span=pd.Timedelta(days=7), fn="sum", out_name="win_sum",
-        num_partitions=16,
     )
 
 
@@ -8704,7 +8660,6 @@ def q_fuzzy_name_links(sf_dir: str):
         customer, supplier,
         block_on="nationkey", left_text="c_name", right_text="s_name",
         threshold=0.4, left_cols=["c_custkey"], right_cols=["s_suppkey"],
-        num_partitions=16,
     ).select_columns(["c_custkey", "s_suppkey", "similarity"])
 
 
@@ -8732,7 +8687,7 @@ def q_edit_distance_links(sf_dir: str):
         customer, supplier,
         block_on="nationkey", left_text="c_name", right_text="s_name",
         threshold=7, left_cols=["c_custkey"], right_cols=["s_suppkey"],
-        num_partitions=16, metric="levenshtein", sim_name="edit_dist",
+        metric="levenshtein", sim_name="edit_dist",
     ).to_pandas()
     # the union-schema join leaves key columns object-dtyped — restore ints
     out = out.astype({"c_custkey": "int64", "s_suppkey": "int64"})
@@ -8783,7 +8738,7 @@ def q_fellegi_sunter_links(sf_dir: str):
              "w_agree": 2.7726, "w_disagree": -1.5581},
         ],
         left_cols=["c_custkey"], right_cols=["s_suppkey"],
-        upper=4.0, lower=0.0, num_partitions=16,
+        upper=4.0, lower=0.0,
     ).filter(expr="decision != 'non_link'").to_pandas()
     out = out.astype({"c_custkey": "int64", "s_suppkey": "int64"})
     return (
@@ -8834,7 +8789,6 @@ def q_kg_bgp_match(sf_dir: str):
             ("?a", "contributor", "?d"),
         ],
         obj_column="objv",
-        num_partitions=16,
     ).to_pandas()
     if out.empty:  # an empty Dataset drops its schema on to_pandas
         out = pd.DataFrame({c: pd.Series(dtype="object") for c in "abtd"})
@@ -8941,7 +8895,6 @@ def q_pit_dimension_join(sf_dir: str):
         by="user_id",
         left_cols=["version"],
         right_cols=["event_id"],
-        num_partitions=16,
     )
     out = partial_groupby_agg(
         joined, ["version"], {"n_events": ("event_id", "count")}
@@ -9004,7 +8957,6 @@ def q_multitouch_attribution(sf_dir: str):
         left_start="w_s", left_end="w_e", right_start="c_ts", right_end=None,
         by="user_id",
         left_cols=["purchase_id"], right_cols=["click_id", "c_ts"],
-        num_partitions=16,
     )
 
     def credit(part: pd.DataFrame) -> pd.DataFrame:
@@ -9029,9 +8981,7 @@ def q_multitouch_attribution(sf_dir: str):
             )
         return pd.concat(rows, ignore_index=True)
 
-    credits = partitioned_final(
-        joined, ["purchase_id"], credit, num_partitions=16
-    )
+    credits = partitioned_final(joined, ["purchase_id"], credit)
     out = partial_groupby_agg(
         credits, ["click_hour"], {"total_credit": ("credit", "sum")}
     ).to_pandas()
@@ -9083,7 +9033,7 @@ def q_jw_name_links(sf_dir: str):
         customer, supplier,
         block_on="nationkey", left_text="c_name", right_text="s_name",
         threshold=0.8, left_cols=["c_custkey"], right_cols=["s_suppkey"],
-        num_partitions=16, metric="jaro_winkler", sim_name="jw",
+        metric="jaro_winkler", sim_name="jw",
     ).to_pandas()
     if out.empty:
         out = pd.DataFrame(
@@ -9179,7 +9129,7 @@ def q_zipf_slope(sf_dir: str):
         }
     )
     out = theilsen_slope(
-        ray.data.from_pandas(pts), ["corpus"], "x", "y", num_partitions=2
+        ray.data.from_pandas(pts), ["corpus"], "x", "y"
     ).to_pandas()
     return out.sort_values("corpus").reset_index(drop=True)
 
@@ -9256,9 +9206,9 @@ def q_copurchase_triangles(sf_dir: str):
         m = m[m["l_partkey_a"] < m["l_partkey_b"]]
         return m[["l_partkey_a", "l_partkey_b"]].drop_duplicates()
 
-    edges = partitioned_final(li, ["l_orderkey"], pairs, num_partitions=16)
+    edges = partitioned_final(li, ["l_orderkey"], pairs)
     n = triangle_count(
-        edges, u="l_partkey_a", v="l_partkey_b", num_partitions=16
+        edges, u="l_partkey_a", v="l_partkey_b"
     )
     return pd.DataFrame({"n_triangles": [n]})
 
@@ -9284,9 +9234,9 @@ def q_copurchase_ktruss(sf_dir: str):
         m = m[m["l_partkey_a"] < m["l_partkey_b"]]
         return m[["l_partkey_a", "l_partkey_b"]].drop_duplicates()
 
-    edges = partitioned_final(li, ["l_orderkey"], pairs, num_partitions=16)
+    edges = partitioned_final(li, ["l_orderkey"], pairs)
     out = k_truss(
-        edges, k=4, u="l_partkey_a", v="l_partkey_b", num_partitions=16
+        edges, k=4, u="l_partkey_a", v="l_partkey_b"
     ).to_pandas()
     if not len(out):
         return pd.DataFrame({"a": pd.Series(dtype="str"), "b": pd.Series(dtype="str")})
@@ -9374,7 +9324,7 @@ def q_purchase_next_click(sf_dir: str):
     )
     out = partitioned_asof_join(
         purchases, clicks, on="ts", by="user_id",
-        direction="forward", tolerance=pd.Timedelta(hours=1), num_partitions=16,
+        direction="forward", tolerance=pd.Timedelta(hours=1),
     ).to_pandas()
     out["click_id"] = out["click_id"].fillna(-1).astype("int64")
     out["event_id"] = out["event_id"].astype("int64")
@@ -9421,7 +9371,7 @@ def q_orders_diff(sf_dir: str):
         bump_even, batch_format="pandas"
     )
     return diff_datasets(
-        left, right, ["o_orderkey"], ["o_totalprice"], num_partitions=16
+        left, right, ["o_orderkey"], ["o_totalprice"]
     )
 
 
@@ -9438,7 +9388,7 @@ def q_source_token_quota(sf_dir: str):
     )
     return token_quota_per_group(
         docs, ["source"], 4_000,
-        token_column="n_chars", id_column="doc_id", num_partitions=16,
+        token_column="n_chars", id_column="doc_id",
     ).select_columns(["doc_id", "source", "n_chars"])
 
 
@@ -9500,7 +9450,7 @@ def q_user_streaks(sf_dir: str):
             {"longest_streak": "int64", "n_active_days": "int64"}
         )
 
-    return partitioned_final(days, ["user_id"], streaks, num_partitions=32)
+    return partitioned_final(days, ["user_id"], streaks)
 
 
 def q_reorder_intervals(sf_dir: str):
@@ -9561,7 +9511,7 @@ def q_reorder_intervals(sf_dir: str):
         )
         return out.reset_index(drop=True)
 
-    return partitioned_final(days, ["o_custkey"], gaps, num_partitions=32)
+    return partitioned_final(days, ["o_custkey"], gaps)
 
 
 def q_span_roundtrip_audit(sf_dir: str):
@@ -9809,7 +9759,6 @@ def q_betweenness_top(sf_dir: str):
         u="l_partkey_a",
         v="l_partkey_b",
         max_hops=8,
-        num_partitions=16,
     ).to_pandas()
     bc["betweenness"] = np.floor(bc["betweenness"] * 1e4 + 0.5) / 1e4
     out = bc.sort_values(

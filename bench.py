@@ -49,70 +49,80 @@ def corpus_for(sf_dir: str) -> tuple[str, int]:
     return str(out), n_docs
 
 
-def one_pass(entrymod, corpus: str, indexes_ref, out_dir: pathlib.Path) -> dict[str, float]:
-    """One timed pass over the headline KG pipeline + secondary queries."""
+def one_pass(
+    entrymod, corpus: str, indexes_ref, out_dir: pathlib.Path,
+    headline_only: bool = False,
+) -> dict[str, float]:
+    """One timed pass over the headline KG pipeline + secondary queries.
+
+    ``headline_only`` (set by --scaling's subprocess legs) runs ONLY the
+    production headline — the scaling criterion measures exactly that
+    metric, and skipping the plain write + the 19 secondaries cuts each
+    leg's wall time to the measurement itself.
+    """
     from esmarc_ray.io import read_documents
     from esmarc_ray.stages.canonicalize import canonicalize
     from esmarc_ray.stages.extract import docs_to_triples, extract_docs
     from esmarc_ray.stages.link import link_entities
+    from esmarc_ray.stages.materialize import materialize_shard
 
     if out_dir.exists():
         shutil.rmtree(out_dir)
 
     timings: dict[str, float] = {}
 
-    # headline: full KG pipeline, consumed by a partitioned write
-    t0 = time.perf_counter()
-    # split the read into ~3 blocks per CPU so every stage upstream of the
-    # canonicalize shuffle runs wide (files carry 2048-row groups to allow it)
-    # Ray fuses extract (the dominant per-doc mapping stage) INTO the linker
-    # actor pool, so the pool must be allowed to span every CPU — capping it at
-    # NUM_CPUS//2 idled half the machine on the hottest operator
-    docs = extract_docs(read_documents(corpus, override_num_blocks=NUM_CPUS * 3))
-    # High MIN matters: the autoscaling pool ramps too slowly from a low
-    # minimum (measured ~11 effective actors of 32 with min=2); keep 2 CPUs
-    # of headroom so the task-pool read/shuffle stages can't be starved.
-    # min leaves ≥1 CPU free at any N: a pool whose MINIMUM claims every CPU
-    # can permanently starve the upstream task-pool read (deadlock)
-    # fused pre-combine: the batch-local merge combiner + hash-partition id
-    # run INSIDE the linker actors (Ray never fuses a task stage after an
-    # actor pool, so a separate combine stage would trail on the ~2 CPUs the
-    # pool leaves free AND pay an extra object-store pass of the payload)
-    linked = link_entities(
-        docs, indexes_ref, concurrency=(max(1, NUM_CPUS - 2), NUM_CPUS),
-        combine_partitions=256,
-    )
-    canonical = canonicalize(linked, precombine="fused", num_partitions=256)
-    triples = docs_to_triples(canonical)
-    triples.write_parquet(str(out_dir), partition_cols=["entity_class"])
-    kg_seconds = time.perf_counter() - t0
-    timings["kg_end_to_end"] = round(kg_seconds, 3)
+    def fused_triples():
+        # split the read into ~3 blocks per CPU so every stage upstream of
+        # the canonicalize shuffle runs wide (files carry 2048-row groups).
+        # Ray fuses extract (the dominant per-doc mapping stage) INTO the
+        # linker actor pool, so the pool must be allowed to span every CPU —
+        # capping it at NUM_CPUS//2 idled half the machine on the hottest
+        # operator.  High MIN matters: the autoscaling pool ramps too slowly
+        # from a low minimum (measured ~11 effective actors of 32 with
+        # min=2); keep 2 CPUs of headroom so the task-pool read/shuffle
+        # stages can't be starved (a pool whose MINIMUM claims every CPU can
+        # permanently deadlock the upstream task-pool read).  Fused
+        # pre-combine: the batch-local merge combiner + hash-partition id
+        # run INSIDE the linker actors (Ray never fuses a task stage after
+        # an actor pool, so a separate combine stage would trail on the ~2
+        # CPUs the pool leaves free AND pay an extra object-store pass).
+        docs = extract_docs(
+            read_documents(corpus, override_num_blocks=NUM_CPUS * 3)
+        )
+        linked = link_entities(
+            docs, indexes_ref, concurrency=(max(1, NUM_CPUS - 2), NUM_CPUS),
+            combine_partitions=256,
+        )
+        canonical = canonicalize(
+            linked, precombine="fused", num_partitions=256
+        )
+        return docs_to_triples(canonical)
+
+    if not headline_only:
+        # continuity headline: full KG pipeline, plain partitioned write
+        t0 = time.perf_counter()
+        fused_triples().write_parquet(
+            str(out_dir), partition_cols=["entity_class"]
+        )
+        timings["kg_end_to_end"] = round(time.perf_counter() - t0, 3)
 
     # PRODUCTION headline: the same fused pipeline consumed by the
     # production sink — SORTED partitioned write + lineage manifest +
-    # _SUCCESS marker (materialize_shard, pipelines/kg.py:126-128).  The
-    # north-rule metric includes this sink; kg_end_to_end above is kept for
+    # _SUCCESS marker (materialize_shard, pipelines/kg.py).  The north-rule
+    # metric includes this sink; kg_end_to_end above is kept for
     # round-over-round comparability of the pipeline minus the sort.
-    from esmarc_ray.stages.materialize import materialize_shard
-
     prod_dir = out_dir.parent / f"{out_dir.name}-prod"
     t0 = time.perf_counter()
-    docs_p = extract_docs(read_documents(corpus, override_num_blocks=NUM_CPUS * 3))
-    linked_p = link_entities(
-        docs_p, indexes_ref, concurrency=(max(1, NUM_CPUS - 2), NUM_CPUS),
-        combine_partitions=256,
-    )
-    canonical_p = canonicalize(linked_p, precombine="fused", num_partitions=256)
-    materialize_shard(
-        docs_to_triples(canonical_p), prod_dir / "shard=00000",
+    manifest = materialize_shard(
+        fused_triples(), prod_dir / "shard=00000",
         inputs=[corpus], sort=True,
     )
     timings["kg_production"] = round(time.perf_counter() - t0, 3)
-
-    import pyarrow.parquet as pq
-    import pyarrow.dataset as pads
-
-    n_triples = pads.dataset(str(out_dir), format="parquet", partitioning="hive").count_rows()
+    # triple count comes free from the sink's lineage manifest (identical
+    # to the plain write's count — same pipeline)
+    timings["__n_triples"] = manifest["row_count"]
+    if headline_only:
+        return timings
 
     # secondary pipelines over the driver's generic tables
     queries = entrymod.queries()
@@ -137,7 +147,6 @@ def one_pass(entrymod, corpus: str, indexes_ref, out_dir: pathlib.Path) -> dict[
             result.count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    timings["__n_triples"] = n_triples
     return timings
 
 
@@ -159,8 +168,12 @@ def run_bench() -> dict:
     spec = CorpusSpec(n_docs=n_docs, seed=42)
     indexes_ref = ray.put(build_link_indexes(link_tables(spec)))
     out_dir = SCRATCH / f"triples-{NUM_CPUS}"
+    headline_only = bool(os.environ.get("GRAFT_HEADLINE_ONLY"))
 
-    all_passes = [one_pass(entrymod, corpus, indexes_ref, out_dir) for _ in range(reps)]
+    all_passes = [
+        one_pass(entrymod, corpus, indexes_ref, out_dir, headline_only)
+        for _ in range(reps)
+    ]
     ray.shutdown()
 
     n_triples = all_passes[-1].pop("__n_triples")
@@ -169,9 +182,8 @@ def run_bench() -> dict:
         for name in all_passes[-1]
         if name != "__n_triples"
     }
-    kg_seconds = timings["kg_end_to_end"]
     prod_seconds = timings["kg_production"]
-    return {
+    out = {
         # headline = the PRODUCTION pipeline (sorted materialize + lineage
         # manifest — the north-rule sink); kg_end_to_end (same pipeline,
         # plain partitioned write) rides in queries for continuity
@@ -185,12 +197,15 @@ def run_bench() -> dict:
         "n_triples": n_triples,
         "docs_per_sec": round(n_docs / prod_seconds, 1),
         "triples_per_sec": round(n_triples / prod_seconds, 1),
-        "docs_per_sec_unsorted": round(n_docs / kg_seconds, 1),
-        "triples_per_sec_unsorted": round(n_triples / kg_seconds, 1),
         "reps": reps,
-        "kg_all_reps_sec": [p["kg_end_to_end"] for p in all_passes],
         "kg_production_all_reps_sec": [p["kg_production"] for p in all_passes],
     }
+    if not headline_only:
+        kg_seconds = timings["kg_end_to_end"]
+        out["docs_per_sec_unsorted"] = round(n_docs / kg_seconds, 1)
+        out["triples_per_sec_unsorted"] = round(n_triples / kg_seconds, 1)
+        out["kg_all_reps_sec"] = [p["kg_end_to_end"] for p in all_passes]
+    return out
 
 
 def run_scaling() -> dict:
@@ -219,7 +234,7 @@ def run_scaling() -> dict:
         for _ in range(reps):
             # the scaling loop owns the reps; one pass per subprocess
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
-                       GRAFT_BENCH_REPS="1")
+                       GRAFT_BENCH_REPS="1", GRAFT_HEADLINE_ONLY="1")
             proc = subprocess.run(
                 [sys.executable, __file__], env=env, capture_output=True, text=True,
                 timeout=3600,

@@ -95,3 +95,24 @@ def dataset_size_hint(ds) -> int | None:
     except Exception:
         pass
     return None
+
+
+def derive_width(fn):
+    """Decorator for partitioned operators: resolve ``num_partitions=None``
+    (now the default on every such op) through :func:`derive_partitions` at
+    call time, so the shared shuffle-width ladder (explicit caller value →
+    ``ESMARC_NUM_PARTITIONS`` → 2 × cluster CPUs) governs every exchange
+    unless a caller pins a width deliberately."""
+    import functools
+    import inspect
+
+    sig = inspect.signature(fn)
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        bound = sig.bind_partial(*args, **kwargs)
+        if bound.arguments.get("num_partitions") is None:
+            bound.arguments["num_partitions"] = derive_partitions()
+        return fn(*bound.args, **bound.kwargs)
+
+    return wrapper

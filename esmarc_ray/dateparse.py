@@ -32,9 +32,13 @@ _MONTHS = {
 }
 
 _RE_YEAR = re.compile(r"^(\d{3,4})$")
-_RE_ISO = re.compile(r"^(\d{4})-(\d{1,2})(?:-(\d{1,2}))?$")
-_RE_DOTTED = re.compile(r"^(?:(\d{1,2})\.)?(\d{1,2})\.(\d{4})$")
+_RE_ISO = re.compile(r"^(\d{4})[-/](\d{1,2})(?:[-/](\d{1,2}))?$")
+_RE_DOTTED = re.compile(r"^(?:(\d{1,2})\.\s*)?(\d{1,2})\.\s*(\d{4})$")
 _RE_MONTHNAME = re.compile(r"^(?:(\d{1,2})\.?\s+)?([a-zäöü]+)\.?\s+(\d{4})$")
+# English comma style ("May 3, 1905") and year-first ("1905 May") — both in
+# the real library's default English repertoire
+_RE_MONTH_DAY_YEAR = re.compile(r"^([a-zäöü]+)\.?\s+(\d{1,2}),?\s+(\d{4})$")
+_RE_YEAR_MONTH = re.compile(r"^(\d{4})\s+([a-zäöü]+)\.?$")
 
 # -- long-tail formats (the `dateparser` library's observed MARC tail) -------
 #
@@ -47,7 +51,10 @@ _RE_MONTHNAME = re.compile(r"^(?:(\d{1,2})\.?\s+)?([a-zäöü]+)\.?\s+(\d{4})$")
 # is unbiased for dating purposes.  All documented divergence policy per
 # SURVEY.md §7.3 (the real library is wall-clock/locale dependent and not
 # installable here).
-_RE_APPROX = re.compile(r"^(?:ca|c|circa|um|etwa|approx|approximately|about)\.?\s+(.+)$")
+_RE_APPROX = re.compile(
+    r"^(?:ca|c|circa|um|etwa|approx|approximately|about|im\s+jahre?|anno)"
+    r"\.?\s+(.+)$"
+)
 _SEASONS = {
     # German
     "frühling": 3, "fruehling": 3, "frühjahr": 3, "fruehjahr": 3,
@@ -67,6 +74,12 @@ def parse_date_data(text: str) -> tuple[datetime.datetime | None, str | None]:
     if not isinstance(text, str):
         return None, None
     text = text.strip().strip(".").strip().lower()
+    # cataloguing uncertainty decorations: "[1850]", "1850?" — strip the
+    # wrapper, keep the precision of what's inside (the real library's
+    # behavior for these MARC 260$c conventions)
+    if len(text) >= 2 and text[0] == "[" and text[-1] == "]":
+        text = text[1:-1].strip()
+    text = text.rstrip("?").strip()
     if not text:
         return None, None
 
@@ -96,6 +109,18 @@ def parse_date_data(text: str) -> tuple[datetime.datetime | None, str | None]:
             if day is not None:
                 return _mk(year, month, int(day)), "day"
             return _mk(year, month, 1), "month"
+
+    m = _RE_MONTH_DAY_YEAR.match(text)
+    if m:
+        month = _MONTHS.get(m.group(1))
+        if month:
+            return _mk(int(m.group(3)), month, int(m.group(2))), "day"
+
+    m = _RE_YEAR_MONTH.match(text)
+    if m:
+        month = _MONTHS.get(m.group(2))
+        if month:
+            return _mk(int(m.group(1)), month, 1), "month"
 
     # -- long tail: approximation marker, season, century ------------------
     m = _RE_APPROX.match(text)

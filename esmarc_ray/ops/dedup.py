@@ -24,18 +24,21 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from esmarc_ray.config import derive_width
+
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 # -- exact ---------------------------------------------------------------------
 
 
+@derive_width
 def exact_dedup(
     docs: ray.data.Dataset,
     key_column: str = "text",
     id_column: str = "doc_id",
     *,
-    num_partitions: int = 128,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Keep the smallest ``id_column`` row per distinct ``key_column`` value.
 
@@ -408,7 +411,8 @@ def verify_jaccard(
     return confirmed
 
 
-def _distinct_on(ds: ray.data.Dataset, columns: list[str], num_partitions: int = 64) -> ray.data.Dataset:
+@derive_width
+def _distinct_on(ds: ray.data.Dataset, columns: list[str], num_partitions: int | None = None) -> ray.data.Dataset:
     """Distributed DISTINCT over ``columns`` (hash-partitioned, one reducer
     per partition) — ``Dataset.unique`` collects to the driver, this doesn't."""
 
@@ -452,13 +456,14 @@ def shingle_table(
     return docs.map_batches(compute, batch_format="pandas")
 
 
+@derive_width
 def verify_jaccard_ds(
     docs: ray.data.Dataset,
     pairs: ray.data.Dataset,
     *,
     threshold: float = 0.8,
     shingle_width: int = 3,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Distributed exact n-gram-Jaccard verification of candidate pairs.
 
@@ -723,13 +728,14 @@ def simhash_signatures(docs: ray.data.Dataset, **kwargs) -> ray.data.Dataset:
     return docs.map_batches(add_sig, batch_format="pandas", **kwargs)
 
 
+@derive_width
 def hamming_near_dups(
     sigs: ray.data.Dataset,
     *,
     id_column: str = "doc_id",
     sig_column: str = "simhash",
     max_hamming: int = 3,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Near-dup pairs over ANY 64-bit signature column (SimHash text
     fingerprints, perceptual image hashes, …): candidate generation by
@@ -1109,6 +1115,7 @@ def _pair_intersections(
     )
 
 
+@derive_width
 def jaccard_pairs(
     docs: ray.data.Dataset,
     *,
@@ -1116,7 +1123,7 @@ def jaccard_pairs(
     id_column: str = "doc_id",
     text_column: str = "text",
     max_doc_freq: int | None = None,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """EXACT token-set Jaccard similarity pairs ≥ ``threshold`` — the
     hash-verified anchor of the near-dup family (see
@@ -1142,6 +1149,7 @@ def jaccard_pairs(
     return summed.map_batches(finalize, batch_format="pandas")
 
 
+@derive_width
 def containment_pairs(
     docs: ray.data.Dataset,
     *,
@@ -1149,7 +1157,7 @@ def containment_pairs(
     id_column: str = "doc_id",
     text_column: str = "text",
     max_doc_freq: int | None = None,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """EXACT token-set CONTAINMENT pairs: ``|A∩B| / min(|A|, |B|)`` ≥
     ``threshold`` — catches excerpt/quote duplication (a short doc fully
@@ -1199,6 +1207,7 @@ def _unionfind_drop_ids(edges) -> set:
     return {x for x in parent if find(x) != x}
 
 
+@derive_width
 def jaccard_dedup(
     docs: ray.data.Dataset,
     *,
@@ -1206,7 +1215,7 @@ def jaccard_dedup(
     id_column: str = "doc_id",
     text_column: str = "text",
     max_doc_freq: int | None = None,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     broadcast_pair_limit: int = 100_000,
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """EXACT near-dup removal: :func:`jaccard_pairs` → connected components
@@ -1258,6 +1267,7 @@ def jaccard_dedup(
     return deduped, pairs
 
 
+@derive_width
 def duplicate_window_spans(
     docs: ray.data.Dataset,
     *,
@@ -1267,7 +1277,7 @@ def duplicate_window_spans(
     stride: int = 16,
     min_docs: int = 2,
     top_k: int = 100,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Exact duplicate-substring detection, window-sampled: the signal from
     "Deduplicating Training Data Makes Language Models Better" (Lee et al.
@@ -1315,13 +1325,14 @@ def duplicate_window_spans(
     return _det_topk(counts, top_k, "n_docs", ["win"])
 
 
+@derive_width
 def ppjoin_pairs(
     docs: ray.data.Dataset,
     *,
     threshold: float = 0.8,
     id_column: str = "doc_id",
     text_column: str = "text",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Prefix-filtered set-similarity join (the PPJoin idea, Xiao et al.
     2008): returns EXACTLY the rows of :func:`jaccard_pairs` — (doc_a,

@@ -28,6 +28,9 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from esmarc_ray.config import derive_width
+
+
 _EMPTY = {"node": pd.Series(dtype="object"), "label": pd.Series(dtype="object")}
 
 # pagerank-internal sentinel row: \x1f cannot appear in str()-derived node
@@ -80,12 +83,13 @@ def _min_by_node(ds: ray.data.Dataset, num_partitions: int) -> ray.data.Dataset:
     )
 
 
+@derive_width
 def connected_components(
     edges: ray.data.Dataset,
     *,
     u: str = "u",
     v: str = "v",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     max_rounds: int = 8,
 ) -> ray.data.Dataset:
     """Connected components of the undirected graph given by ``edges``.
@@ -209,6 +213,7 @@ def connected_components(
     )
 
 
+@derive_width
 def pagerank(
     edges: ray.data.Dataset,
     *,
@@ -216,7 +221,7 @@ def pagerank(
     v: str = "v",
     damping: float = 0.85,
     n_iter: int = 10,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     seeds: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Distributed PageRank over a directed edge list — entity importance in
@@ -456,12 +461,13 @@ def pagerank(
     return ranks
 
 
+@derive_width
 def triangle_count(
     edges: ray.data.Dataset,
     *,
     u: str = "u",
     v: str = "v",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> int:
     """Global triangle count of the undirected simple graph in ``edges``.
 
@@ -605,11 +611,12 @@ def triangle_count(
     return int(sum(row["n"] for row in matched.take_all()))
 
 
+@derive_width
 def predicate_cooccurrence(
     triples: ray.data.Dataset,
     k: int = 50,
     *,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Top-k predicate pairs that co-occur on the same subject document,
     per entity class — the KG schema-analysis view (which properties travel
@@ -663,6 +670,7 @@ def predicate_cooccurrence(
     return _det_topk(totals, k, "n_docs", ["entity_class", "pred_a", "pred_b"])
 
 
+@derive_width
 def bfs_hops(
     edges: ray.data.Dataset,
     sources: list,
@@ -670,7 +678,7 @@ def bfs_hops(
     u: str = "u",
     v: str = "v",
     max_hops: int = 3,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Multi-source BFS hop distances over the undirected edge list: returns
     (node, hops) for every node reachable within ``max_hops`` of any source,
@@ -762,12 +770,13 @@ def bfs_hops(
     return settled
 
 
+@derive_width
 def degree_histogram(
     edges: ray.data.Dataset,
     *,
     u: str = "u",
     v: str = "v",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Degree distribution (degree, n_nodes) of the undirected simple graph
     given as distinct edge pairs.
@@ -803,13 +812,14 @@ def degree_histogram(
     return partitioned_final(per, ["degree"], final, num_partitions=8)
 
 
+@derive_width
 def label_propagation(
     edges: ray.data.Dataset,
     *,
     u: str = "u",
     v: str = "v",
     max_rounds: int = 8,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Community detection by synchronous label propagation (LPA): every node
     starts labeled with itself; each round it adopts the MODE of its
@@ -910,6 +920,7 @@ def label_propagation(
     return labels.map_batches(rename, batch_format="pandas")
 
 
+@derive_width
 def sssp(
     edges: ray.data.Dataset,
     sources: list,
@@ -918,7 +929,7 @@ def sssp(
     v: str = "v",
     weight: str = "w",
     max_rounds: int = 4,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Multi-source shortest WEIGHTED paths (non-negative weights) over the
     undirected edge list: distributed Bellman-Ford with frontier pruning.
@@ -1032,6 +1043,7 @@ def sssp(
     return settled.map_batches(drop_flag, batch_format="pandas")
 
 
+@derive_width
 def k_core(
     edges: ray.data.Dataset,
     k: int,
@@ -1039,7 +1051,7 @@ def k_core(
     u: str = "u",
     v: str = "v",
     max_rounds: int = 20,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """k-core decomposition: the maximal subgraph in which every node has
     degree ≥ k (the standard dense-community / spam-cluster extractor).
@@ -1103,12 +1115,13 @@ def k_core(
     )
 
 
+@derive_width
 def degree_assortativity(
     edges: ray.data.Dataset,
     *,
     u: str = "u",
     v: str = "v",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> "pd.DataFrame":
     """Degree assortativity coefficient (Newman 2002: the Pearson
     correlation of endpoint degrees over the orientation list — every
@@ -1195,6 +1208,7 @@ def degree_assortativity(
     )
 
 
+@derive_width
 def landmark_bfs(
     edges: ray.data.Dataset,
     landmarks: list,
@@ -1202,7 +1216,7 @@ def landmark_bfs(
     u: str = "u",
     v: str = "v",
     max_hops: int = 4,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     small_graph_limit: int = 200_000,
 ) -> ray.data.Dataset:
     """Per-landmark BFS distances — the landmark (distance-sketch) labeling
@@ -1387,13 +1401,14 @@ def _landmark_bfs_rounds(
     return settled
 
 
+@derive_width
 def wl_refine(
     edges: ray.data.Dataset,
     *,
     u: str = "u",
     v: str = "v",
     rounds: int = 2,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Weisfeiler-Lehman label refinement (1-WL / color refinement): nodes
     start as their degree, then each round every node's new label is
@@ -1494,12 +1509,13 @@ def wl_refine(
     )
 
 
+@derive_width
 def per_node_triangles(
     edges: ray.data.Dataset,
     *,
     u: str = "u",
     v: str = "v",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Per-node triangle counts + degrees of the undirected simple graph —
     the inputs of the LOCAL clustering coefficient 2T(v)/(deg(v)(deg(v)−1)).
@@ -1680,6 +1696,7 @@ def per_node_triangles(
     return out.map_batches(finish, batch_format="pandas")
 
 
+@derive_width
 def bgp_match(
     triples: "ray.data.Dataset",
     patterns: "list[tuple[str, str, str]]",
@@ -1687,7 +1704,7 @@ def bgp_match(
     subj_column: str = "subj",
     pred_column: str = "pred",
     obj_column: str = "obj",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Basic-graph-pattern matcher — the SPARQL join core: each pattern is a
     ``(subject, predicate, object)`` triple whose terms are either variables
@@ -1753,6 +1770,7 @@ def bgp_match(
     return bindings
 
 
+@derive_width
 def link_prediction_scores(
     edges: ray.data.Dataset,
     *,
@@ -1761,7 +1779,7 @@ def link_prediction_scores(
     min_common: int = 2,
     top_k: int = 100,
     max_center_degree: int | None = None,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> pd.DataFrame:
     """Link-prediction scores for NON-adjacent node pairs of a simple
     undirected graph: common-neighbor count, Adamic-Adar (sum of
@@ -1968,12 +1986,13 @@ def link_prediction_scores(
     )
 
 
+@derive_width
 def butterfly_count(
     edges: ray.data.Dataset,
     *,
     u: str = "u",
     v: str = "v",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> pd.DataFrame:
     """Butterfly (bipartite 4-cycle) census of the bipartite graph in
     ``edges`` — THE cohesion primitive of bipartite networks (Wang et al.,
@@ -2054,6 +2073,7 @@ def butterfly_count(
     )
 
 
+@derive_width
 def hyperball(
     edges: ray.data.Dataset,
     *,
@@ -2061,7 +2081,7 @@ def hyperball(
     v: str = "v",
     p: int = 7,
     max_t: int = 12,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> pd.DataFrame:
     """HyperBall approximate neighborhood function (Boldi & Vigna, "In-Core
     Computation of Geometric Centralities with HyperBall", 2013): one tiny
@@ -2231,12 +2251,13 @@ def hyperball(
     )
 
 
+@derive_width
 def path_eval(
     pairs_of,
     path,
     *,
     max_depth: int = 8,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """SPARQL 1.1 property-path evaluator over edge relations: returns the
     DISTINCT (s, o) pair set the path expression denotes.
@@ -2388,13 +2409,14 @@ def path_eval(
     return ev(path)
 
 
+@derive_width
 def k_truss(
     edges: ray.data.Dataset,
     *,
     k: int = 4,
     u: str = "u",
     v: str = "v",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     max_rounds: int = 16,
 ) -> ray.data.Dataset:
     """k-truss decomposition: the maximal subgraph in which every edge is
@@ -2597,6 +2619,7 @@ def k_truss(
     return und
 
 
+@derive_width
 def hits_scores(
     edges: ray.data.Dataset,
     *,
@@ -2604,7 +2627,7 @@ def hits_scores(
     dst: str = "dst",
     rounds: int = 2,
     top_k: int = 20,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Unnormalized integer HITS (Kleinberg 1999): with ``a⁽⁰⁾ = 1`` on every
     node, ``h⁽ᵏ⁾ = A a⁽ᵏ⁻¹⁾`` and ``a⁽ᵏ⁾ = Aᵀ h⁽ᵏ⁾`` — every score after any
@@ -2691,6 +2714,7 @@ def hits_scores(
     return _topk(hubs, "hub").union(_topk(auths, "authority"))
 
 
+@derive_width
 def betweenness(
     edges: ray.data.Dataset,
     sources: list,
@@ -2698,7 +2722,7 @@ def betweenness(
     u: str = "u",
     v: str = "v",
     max_hops: int = 12,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     undirected_pairs: bool = False,
 ) -> ray.data.Dataset:
     """Sampled-source Brandes betweenness centrality over the undirected
@@ -3013,6 +3037,7 @@ def _brandes_backward_nodes(
     return bc
 
 
+@derive_width
 def edge_betweenness(
     edges: ray.data.Dataset,
     sources: list,
@@ -3020,7 +3045,7 @@ def edge_betweenness(
     u: str = "u",
     v: str = "v",
     max_hops: int = 12,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     undirected_pairs: bool = False,
 ) -> ray.data.Dataset:
     """Sampled-source Brandes EDGE betweenness — the Girvan–Newman
@@ -3213,6 +3238,7 @@ def edge_betweenness(
     return bc
 
 
+@derive_width
 def deterministic_walks(
     edges: ray.data.Dataset,
     start_nodes: list,
@@ -3221,7 +3247,7 @@ def deterministic_walks(
     v: str = "v",
     walk_len: int = 6,
     walks_per_node: int = 2,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """DeepWalk-style walk-corpus generation with a FULLY REPRODUCIBLE
     step rule: from node n at step t of walk w, the next node is

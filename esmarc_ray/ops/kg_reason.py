@@ -20,14 +20,18 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+
 from esmarc_ray.ops.relational import partial_groupby_agg, partitioned_final
 
+from esmarc_ray.config import derive_width
 
+
+@derive_width
 def void_stats(
     triples: ray.data.Dataset,
     *,
     class_column: str = "entity_class",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """VoID-style dataset statistics per entity class: triple count and
     exact distinct subject / predicate / object counts — the standard RDF
@@ -114,13 +118,14 @@ def subclass_closure(edges: list[tuple[str, str]]) -> dict[str, list[str]]:
     return {t: sorted(s) for t, s in supers.items()}
 
 
+@derive_width
 def rdfs_type_counts(
     triples: ray.data.Dataset,
     taxonomy_edges: list[tuple[str, str]],
     *,
     type_pred: str = "@type",
     class_column: str = "entity_class",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """RDFS subClassOf materialization, counted: every subject's direct
     ``@type`` expands to all transitive supertypes (reflexive), and the op
@@ -209,12 +214,13 @@ def inverse_triples(
     return triples.map_batches(invert, batch_format="pandas")
 
 
+@derive_width
 def shacl_cardinality_report(
     triples: ray.data.Dataset,
     shapes: list[dict],
     *,
     class_column: str = "entity_class",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """SHACL-lite cardinality validation: each shape is
     ``{"entity_class": C, "pred": P, "min_count": m, "max_count": M}``
@@ -343,13 +349,14 @@ def shacl_cardinality_report(
     ).reset_index(drop=True)
 
 
+@derive_width
 def property_table(
     triples: ray.data.Dataset,
     preds: list[str],
     *,
     entity_class: str | None = None,
     class_column: str = "entity_class",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """RDF property-table transform: the row-store layout triple stores build
     for star-query speed — one row per subject, one column per requested
@@ -391,11 +398,12 @@ def property_table(
     )
 
 
+@derive_width
 def entity_summaries(
     triples: ray.data.Dataset,
     k: int = 3,
     *,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Entity summarization: per subject keep the ``k`` globally-RAREST
     facts (predicate frequency ascending, then pred/obj lexicographic

@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from esmarc_ray.config import derive_width
+
 
 def _round_half_up(values, n_digits: int):
     """Half-AWAY-FROM-ZERO rounding (the ANSI-SQL / DuckDB ``round()``
@@ -537,6 +539,7 @@ def partitioned_asof_join(
     return tagged.groupby("__part").map_groups(merge, batch_format="pandas")
 
 
+@derive_width
 def running_window(
     ds: ray.data.Dataset,
     *,
@@ -545,7 +548,7 @@ def running_window(
     value_column: str,
     out_name: str = "running_value",
     fn: str = "sum",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Cumulative window aggregate per partition key — the
     ``sum(x) OVER (PARTITION BY k ORDER BY o)`` idiom.
@@ -1455,6 +1458,7 @@ def zorder_code(
     return ds.map_batches(code, batch_format="pandas")
 
 
+@derive_width
 def resample_ffill(
     ds: ray.data.Dataset,
     *,
@@ -1464,7 +1468,7 @@ def resample_ffill(
     order_tiebreak: list[str] | None = None,
     out_day: str = "day",
     out_value: str = "value_ffill",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Daily resample with forward fill per key — the gap-filling pass of a
     time-series feature pipeline: one row per key per calendar day across
@@ -1575,6 +1579,7 @@ def category_drift(
     )
 
 
+@derive_width
 def frequent_pairs(
     ds: ray.data.Dataset,
     *,
@@ -1582,7 +1587,7 @@ def frequent_pairs(
     item_column: str,
     min_support: int = 2,
     k: int = 50,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Frequent co-occurring item pairs (the level-2 Apriori pass of
     market-basket / co-click mining): support counts of unordered DISTINCT
@@ -1911,12 +1916,13 @@ def arg_max_by(
     return best.map_batches(project, batch_format="pandas")
 
 
+@derive_width
 def intersect_distinct(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     columns: list[str],
     *,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """SQL ``INTERSECT`` (distinct rows present on both sides).  Both sides
     dedup locally per batch, hash-partition on the row key, and each
@@ -1924,12 +1930,13 @@ def intersect_distinct(
     return _set_op(left, right, columns, keep_matched=True, num_partitions=num_partitions)
 
 
+@derive_width
 def except_distinct(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     columns: list[str],
     *,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """SQL ``EXCEPT`` (distinct left rows absent from right); same
     partitioned plan as :func:`intersect_distinct`."""
@@ -2046,6 +2053,7 @@ def stratified_sample(
     return ds.map_batches(sample, batch_format="pandas")
 
 
+@derive_width
 def window_rank(
     ds: ray.data.Dataset,
     *,
@@ -2056,7 +2064,7 @@ def window_rank(
     ntile_name: str = "ntile",
     percent_rank_name: str | None = None,
     dense_rank_name: str | None = None,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """``row_number()`` (optionally ``ntile(k)`` and ``percent_rank()``) per
     partition — the ranking window idiom.  Keys hash-bucket into
@@ -2124,12 +2132,13 @@ def window_rank(
     )
 
 
+@derive_width
 def k_anonymize(
     ds: ray.data.Dataset,
     quasi_columns: list[str],
     k: int,
     *,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """k-anonymity suppression — the privacy gate of a training-data
     pipeline: drop every row whose quasi-identifier combination occurs in
@@ -2179,13 +2188,14 @@ def k_anonymize(
     return kept.drop_columns(["__qi"])
 
 
+@derive_width
 def l_diversify(
     ds: ray.data.Dataset,
     quasi_columns: list[str],
     sensitive_column: str,
     l_distinct: int,
     *,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """l-diversity suppression (Machanavajjhala et al. 2007) — the privacy
     gate k-anonymity misses: a 50-row QI group whose rows all share ONE
@@ -2326,13 +2336,14 @@ def mann_whitney_u(
     )
 
 
+@derive_width
 def event_transitions(
     ds: ray.data.Dataset,
     *,
     partition_by: str = "user_id",
     order_by: list[str] | None = None,
     type_column: str = "event_type",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Markov transition matrix over per-key event sequences: counts and
     probabilities of ``event_type -> next event_type`` steps, where "next"
@@ -2387,6 +2398,7 @@ def event_transitions(
     )
 
 
+@derive_width
 def window_lag(
     ds: ray.data.Dataset,
     *,
@@ -2395,7 +2407,7 @@ def window_lag(
     value_column: str,
     offset: int = 1,
     out_name: str = "lag_value",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """``lag(value, offset) OVER (PARTITION BY k ORDER BY o)`` — the
     previous-event lookup of an event pipeline (deltas, time-since-last).
@@ -2421,6 +2433,7 @@ def window_lag(
     )
 
 
+@derive_width
 def moving_window(
     ds: ray.data.Dataset,
     partition_by: str,
@@ -2431,7 +2444,7 @@ def moving_window(
     fn: str = "mean",
     out_name: str = "moving_value",
     round_to: int | None = 4,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """ROWS-frame window aggregate: ``fn(value) OVER (PARTITION BY k ORDER BY
     o ROWS BETWEEN preceding PRECEDING AND CURRENT ROW)`` — the moving
@@ -2467,13 +2480,14 @@ def moving_window(
     )
 
 
+@derive_width
 def grouped_mode(
     ds: ray.data.Dataset,
     group_keys: list[str],
     value_column: str,
     *,
     out_name: str = "mode",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Deterministic per-group mode: the most frequent value, ties broken by
     the smallest value.  Two combiner-shaped reductions: (keys, value) counts
@@ -2516,6 +2530,7 @@ def grouped_mode(
     return best.map_batches(project, batch_format="pandas")
 
 
+@derive_width
 def grouped_string_agg(
     ds: ray.data.Dataset,
     group_keys: list[str],
@@ -2523,7 +2538,7 @@ def grouped_string_agg(
     *,
     sep: str = ",",
     out_name: str = "agg",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Ordered ``string_agg``: per group, the values joined by ``sep`` in
     sorted order (sorted => deterministic across block arrivals, which is what
@@ -2550,13 +2565,14 @@ def grouped_string_agg(
     )
 
 
+@derive_width
 def sessionize(
     events: ray.data.Dataset,
     *,
     user_column: str = "user_id",
     ts_column: str = "ts",
     gap: pd.Timedelta | float = 1800.0,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Session windows per user: a new session starts when the gap to the
     previous event exceeds ``gap``.  Users hash-bucket into
@@ -2609,13 +2625,14 @@ def sessionize(
     )
 
 
+@derive_width
 def global_rank(
     ds: ray.data.Dataset,
     order_by: list[str],
     *,
     descending: bool = False,
     out_name: str = "global_rank",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     sample_rows: int = 10_000,
 ) -> ray.data.Dataset:
     """Dataset-wide ``ROW_NUMBER() OVER (ORDER BY ...)`` without a global
@@ -2684,6 +2701,7 @@ def global_rank(
     return parted.groupby("__part").map_groups(rank_partition, batch_format="pandas")
 
 
+@derive_width
 def grouped_entropy(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -2691,7 +2709,7 @@ def grouped_entropy(
     *,
     out_name: str = "entropy",
     round_to: int | None = 6,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Shannon entropy (log2) of ``value_column``'s distribution per key
     group — the distribution-skew probe of a data-quality pipeline (e.g.
@@ -2724,6 +2742,7 @@ def grouped_entropy(
     )
 
 
+@derive_width
 def quota_per_group(
     ds: ray.data.Dataset,
     group_keys: list[str],
@@ -2731,7 +2750,7 @@ def quota_per_group(
     *,
     id_column: str,
     seed: int = 42,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Per-group quota cap — web-corpus curation's "at most ``k`` docs per
     domain/source" step.  Rows are chosen deterministically by
@@ -2911,6 +2930,7 @@ def melt(
     return ds.map_batches(unpivot, batch_format="pandas")
 
 
+@derive_width
 def skew_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -2920,7 +2940,7 @@ def skew_join(
     right_cols: list[str],
     hot_k: int = 32,
     hot_min_count: int = 1000,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Skew-aware inner equi-join: identical RESULT to
     :func:`partitioned_join`, different PLAN for head keys.
@@ -2981,11 +3001,12 @@ def skew_join(
     return cold.union(hot)
 
 
+@derive_width
 def profile_columns(
     ds: ray.data.Dataset,
     columns: list[str],
     *,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> pd.DataFrame:
     """Data-profiling summary: one row per column with (n, n_null,
     n_distinct, min, max) — the schema-sanity pass before a big pipeline
@@ -3041,6 +3062,7 @@ def profile_columns(
     )
 
 
+@derive_width
 def range_window(
     ds: ray.data.Dataset,
     partition_by: str,
@@ -3051,7 +3073,7 @@ def range_window(
     fn: str = "sum",
     out_name: str = "range_value",
     round_to: int | None = 4,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """RANGE-frame window aggregate: ``fn(value) OVER (PARTITION BY k ORDER
     BY ts RANGE BETWEEN span PRECEDING AND CURRENT ROW)`` — the trailing-
@@ -3100,6 +3122,7 @@ def range_window(
     )
 
 
+@derive_width
 def blocked_fuzzy_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -3112,7 +3135,7 @@ def blocked_fuzzy_join(
     right_cols: list[str],
     sim_name: str = "similarity",
     round_to: int = 6,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     metric: str = "jaccard",
 ) -> ray.data.Dataset:
     """Record-linkage join: equality BLOCKING on ``block_on`` (the classic
@@ -3205,6 +3228,7 @@ def _jaro_winkler(a: str, b: str) -> float:
     return jaro
 
 
+@derive_width
 def fellegi_sunter_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -3215,7 +3239,7 @@ def fellegi_sunter_join(
     right_cols: list[str],
     upper: float,
     lower: float,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Fellegi–Sunter probabilistic record linkage (the classical ER scoring
     model behind Splink/RecordLinkage): equality blocking on ``block_on``,
@@ -3344,13 +3368,14 @@ def expectations(
     )
 
 
+@derive_width
 def diff_datasets(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     key_cols: list[str],
     compare_cols: list[str],
     *,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Data diff between two runs/stores: classify every key as ``added``
     (right only), ``removed`` (left only), ``changed`` (present in both,
@@ -3412,6 +3437,7 @@ def diff_datasets(
     return partial_groupby_agg(partials, ["status"], {"n": ("n", "sum")})
 
 
+@derive_width
 def token_quota_per_group(
     ds: ray.data.Dataset,
     group_keys: list[str],
@@ -3420,7 +3446,7 @@ def token_quota_per_group(
     token_column: str,
     id_column: str,
     seed: int = 42,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Token-budgeted per-group cap — the data-MIXING variant of
     :func:`quota_per_group`: each group (source/domain) keeps docs in
@@ -3518,12 +3544,13 @@ def funnel_counts(
     )
 
 
+@derive_width
 def cohort_retention(
     events: ray.data.Dataset,
     *,
     user_column: str = "user_id",
     ts_column: str = "ts",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Weekly cohort-retention matrix: users are cohorted by the ISO week of
     their first event; each cell counts the cohort's users active
@@ -3574,12 +3601,13 @@ def cohort_retention(
     )
 
 
+@derive_width
 def new_users_daily(
     events: ray.data.Dataset,
     *,
     user_column: str = "user_id",
     ts_column: str = "ts",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Daily new-user counts plus the running cumulative distinct-user total
     (the "cumulative distinct over time" ask SQL windows can't express
@@ -3679,6 +3707,7 @@ def temperature_sample(
     return ds.map_batches(keep, batch_format="pandas")
 
 
+@derive_width
 def grouped_winsorize(
     ds: ray.data.Dataset,
     group_column: str,
@@ -3688,7 +3717,7 @@ def grouped_winsorize(
     p_hi: float = 0.95,
     out_name: str = "winsorized",
     round_to: int | None = 2,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Per-group winsorization: every value clipped to its group's
     [p_lo, p_hi] ``percentile_cont`` bounds — the standard outlier-taming
@@ -3739,6 +3768,7 @@ def grouped_winsorize(
     return ds.map_batches(clip, batch_format="pandas")
 
 
+@derive_width
 def conversion_lag(
     events: ray.data.Dataset,
     from_type: str,
@@ -3748,7 +3778,7 @@ def conversion_lag(
     ts_column: str = "ts",
     type_column: str = "event_type",
     bucket_hours: int = 24,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Conversion-lag histogram: for every user whose FIRST ``from_type``
     event precedes their FIRST ``to_type`` event, the lag bucketed into
@@ -3798,6 +3828,7 @@ def conversion_lag(
     return partitioned_final(per, ["lag_bucket"], final, num_partitions=8)
 
 
+@derive_width
 def grouped_quantiles_multi(
     ds: ray.data.Dataset,
     group_keys: list[str],
@@ -3805,7 +3836,7 @@ def grouped_quantiles_multi(
     qs: list[float],
     *,
     out_name: str = "quantile",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Exact per-group ``percentile_cont`` for MANY quantiles in ONE shuffle
     + ONE per-partition sort — the tail-latency dashboard shape
@@ -4072,13 +4103,14 @@ def skyline_2d(
     )
 
 
+@derive_width
 def theilsen_slope(
     ds: ray.data.Dataset,
     group_keys: list[str],
     x_column: str,
     y_column: str,
     *,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Per-group Theil–Sen trend estimator: the MEDIAN of all pairwise
     slopes (y_j − y_i)/(x_j − x_i), i<j — the robust regression slope
@@ -4111,6 +4143,7 @@ def theilsen_slope(
     return partitioned_final(ds, group_keys, per_part, num_partitions)
 
 
+@derive_width
 def sorted_neighborhood_join(
     ds: ray.data.Dataset,
     *,
@@ -4120,7 +4153,7 @@ def sorted_neighborhood_join(
     window: int = 3,
     threshold: float = 0.5,
     chunk: int = 512,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Sorted-neighborhood record linkage (the OTHER classic ER blocking,
     complementing equality blocking in :func:`blocked_fuzzy_join`): records
@@ -4186,6 +4219,7 @@ def sorted_neighborhood_join(
     )
 
 
+@derive_width
 def scd2_intervals(
     ds: ray.data.Dataset,
     key: str,
@@ -4193,7 +4227,7 @@ def scd2_intervals(
     order_by: list[str],
     *,
     ts_column: str | None = None,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Slowly-changing-dimension type-2 build from an event stream: per key,
     order by ``order_by``, keep only rows where ``attr_column`` CHANGES, and
@@ -4232,11 +4266,12 @@ def scd2_intervals(
     )
 
 
+@derive_width
 def fd_check(
     ds: ray.data.Dataset,
     fds: "list[tuple[list[str], str]]",
     *,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Functional-dependency discovery/audit (the data-profiling pass behind
     key detection and normalization): for each candidate ``lhs -> rhs``,
@@ -4292,6 +4327,7 @@ def _distinct_on(ds: ray.data.Dataset, columns: list[str], num_partitions: int):
     return _d(ds, columns, num_partitions)
 
 
+@derive_width
 def ks_statistic(
     ds: ray.data.Dataset,
     group_column: str,
@@ -4299,7 +4335,7 @@ def ks_statistic(
     group_a: str,
     group_b: str,
     *,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     round_to: int = 6,
 ) -> ray.data.Dataset:
     """Exact two-sample Kolmogorov–Smirnov statistic — the distribution-drift
@@ -4377,6 +4413,7 @@ def ks_statistic(
     )
 
 
+@derive_width
 def canopy_clusters(
     ds: ray.data.Dataset,
     *,
@@ -4384,7 +4421,7 @@ def canopy_clusters(
     text_col: str,
     t1: float = 0.35,
     t2: float = 0.7,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Canopy clustering (McCallum-Nigam-Ungar 2000): cheap-distance
     pre-blocking for entity resolution.  Returns (id, canopy) rows — a

@@ -28,6 +28,9 @@ from typing import Callable
 import pandas as pd
 import ray.data
 
+from esmarc_ray.config import derive_width
+
+
 _SCHEMA_PATH = pathlib.Path(__file__).resolve().parent.parent / "data" / "output_schema.json"
 
 # entity_class -> pred -> subfield -> es_type (reference mapping/*.json)
@@ -84,8 +87,9 @@ def _extract_values(df: pd.DataFrame, sub_by_key: dict[str, str]) -> pd.DataFram
     return hit
 
 
+@derive_width
 def schema_typing_report(
-    triples: ray.data.Dataset, *, num_partitions: int = 4
+    triples: ray.data.Dataset, *, num_partitions: int | None = None
 ) -> ray.data.Dataset:
     """Per-(entity_class, pred) conformance counts against the declared
     output schema: n_triples, n_node (JSON-object shaped), n_value (declared

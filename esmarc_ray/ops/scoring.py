@@ -15,6 +15,9 @@ import zlib
 import pandas as pd
 import ray.data
 
+from esmarc_ray.config import derive_width
+
+
 KEY_COLS = ["doc_id", "pred", "obj"]
 
 
@@ -27,11 +30,12 @@ def _tag(ds: ray.data.Dataset, side: str) -> ray.data.Dataset:
     return ds.map_batches(add_side, batch_format="pandas")
 
 
+@derive_width
 def triple_pr(
     ours: ray.data.Dataset,
     reference: ray.data.Dataset,
     *,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> pd.DataFrame:
     """Per-predicate precision/recall of ``ours`` against ``reference``.
 

@@ -17,6 +17,9 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from esmarc_ray.config import derive_width
+
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-9, None)
@@ -541,6 +544,7 @@ def quantize_embeddings(
     return embeddings.map_batches(quant, batch_format="pandas")
 
 
+@derive_width
 def als_factorize(
     ratings: ray.data.Dataset,
     *,
@@ -551,7 +555,7 @@ def als_factorize(
     iterations: int = 5,
     reg: float = 0.1,
     seed: int = 42,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Distributed Alternating Least Squares matrix factorization
     (Zhou et al. 2008, "Large-scale Parallel Collaborative Filtering") —

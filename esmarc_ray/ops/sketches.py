@@ -27,6 +27,9 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from esmarc_ray.config import derive_width
+
+
 _HLL_P = 12
 _HLL_M = 1 << _HLL_P
 
@@ -203,6 +206,7 @@ def bloom_build(
     return merged
 
 
+@derive_width
 def bloom_semi_join(
     big: ray.data.Dataset,
     keys: ray.data.Dataset,
@@ -212,7 +216,7 @@ def bloom_semi_join(
     anti: bool = False,
     n_bits: int = 1 << 23,
     n_hashes: int = 4,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """EXACT semi/anti join with a Bloom prefilter: the big side tests each
     row against the broadcast filter batch-locally, so only *maybe-member*

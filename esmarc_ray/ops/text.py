@@ -19,6 +19,9 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from esmarc_ray.config import derive_width
+
+
 # GPT-2-style pre-tokenizer regex, simplified (public knowledge)
 _BPE_RE = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?\d+| ?[^\sA-Za-z\d]+|\s+(?!\S)|\s+")
 _PUNCT_RE = re.compile(r"[^\w\s]")
@@ -266,13 +269,14 @@ def _shingle_set(text: str, width: int) -> set[str]:
     }
 
 
+@derive_width
 def pack_sequences(
     docs: ray.data.Dataset,
     *,
     budget_tokens: int,
     id_column: str = "doc_id",
     token_column: str = "n_tokens",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Greedy sample packing: group documents into training sequences whose
     token counts sum to ≤ ``budget_tokens`` (docs longer than the budget get
@@ -913,13 +917,14 @@ def json_extract(
     return ds.map_batches(extract, batch_format="pandas")
 
 
+@derive_width
 def paragraph_dedup(
     docs: ray.data.Dataset,
     *,
     id_column: str = "doc_id",
     text_column: str = "text",
     sep: str = "\n\n",
-    num_partitions: int = 128,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Corpus-wide exact paragraph dedup (the CCNet / RefinedWeb curation
     step): every paragraph that already appeared in a lower-(doc_id, position)
@@ -1404,13 +1409,14 @@ def bpe_encode(
     return docs.map_batches(batch_fn, batch_format="pandas")
 
 
+@derive_width
 def length_batch_plan(
     docs: ray.data.Dataset,
     *,
     token_budget: int = 4096,
     text_column: str = "text",
     id_column: str = "doc_id",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Length-bucketed batching plan for training: documents bucket by
     ``floor(log2(n_tokens))`` so a batch's sequences stay within a 2×
@@ -1492,6 +1498,7 @@ def compression_ratio(
     return docs.map_batches(ratio, batch_format="pandas")
 
 
+@derive_width
 def split_ngram_overlap(
     docs: ray.data.Dataset,
     *,
@@ -1499,7 +1506,7 @@ def split_ngram_overlap(
     text_column: str = "text",
     lang_column: str = "lang",
     split_column: str = "split",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Train→test n-gram overlap report: for every language, the share of
     the TEST split's distinct word ``ngram``-grams that also occur anywhere
@@ -1572,13 +1579,14 @@ def split_ngram_overlap(
     return out.sort_values("lang").reset_index(drop=True)
 
 
+@derive_width
 def dictionary_mentions(
     docs: "ray.data.Dataset",
     names: list[str],
     *,
     text_column: str = "text",
     id_column: str = "doc_id",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Broadcast-dictionary mention tagging — the batched mention-detection
     shape of a KG pipeline (the reference scans record strings against its
@@ -1733,12 +1741,13 @@ def flesch_scores(
     return docs.map_batches(score, batch_format="pandas")
 
 
+@derive_width
 def bpe_train(
     docs: ray.data.Dataset,
     *,
     text_col: str = "text",
     n_merges: int = 20,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> pd.DataFrame:
     """Learn the top-``n_merges`` byte-pair-encoding merges of the corpus
     (Sennrich et al. 2016) — tokenizer training as a data-pipeline stage.
@@ -1876,6 +1885,7 @@ def bpe_train(
     return out
 
 
+@derive_width
 def duplicate_span_removal(
     docs: ray.data.Dataset,
     *,
@@ -1883,7 +1893,7 @@ def duplicate_span_removal(
     text_column: str = "text",
     width: int = 8,
     min_count: int = 2,
-    num_partitions: int = 128,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Exact duplicated-substring removal at token granularity (the
     ExactSubstr curation step of Lee et al., "Deduplicating Training Data

@@ -24,7 +24,10 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+
 from esmarc_ray.ops.relational import partial_groupby_agg
+
+from esmarc_ray.config import derive_width
 
 
 def _epoch_seconds(ts: pd.Series) -> np.ndarray:
@@ -89,6 +92,7 @@ def sliding_window(
     return partial_groupby_agg(events, ["window_start"] + keys, aggs, pre_map=expand)
 
 
+@derive_width
 def watermark_filter(
     events: ray.data.Dataset,
     *,
@@ -96,7 +100,7 @@ def watermark_filter(
     arrival_by: list[str] | None = None,
     delay: str = "1 hours",
     out_column: str = "late",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Streaming watermark / late-data flagging over a replayable stream:
     events are "processed" in ``arrival_by`` order; the watermark after each
@@ -192,6 +196,7 @@ def watermark_filter(
     )
 
 
+@derive_width
 def debounce(
     ds: "ray.data.Dataset",
     keys: list[str],
@@ -199,7 +204,7 @@ def debounce(
     *,
     gap_us: int,
     order_tiebreak: list[str] | None = None,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Debounce / rate-limit dedup over an event stream: within each key
     group (ordered by time), an event survives only if the PREVIOUS event of
@@ -227,6 +232,7 @@ def debounce(
     return partitioned_final(ds, keys, final, num_partitions=num_partitions)
 
 
+@derive_width
 def funnel_steps(
     ds: "ray.data.Dataset",
     user_column: str,
@@ -234,7 +240,7 @@ def funnel_steps(
     ts_column: str,
     steps: list[str],
     *,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Ordered funnel analysis: for each user, step k counts only if an
     event of ``steps[k]`` happens STRICTLY AFTER the user's step-(k-1)

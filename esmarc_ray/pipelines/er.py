@@ -29,7 +29,11 @@ from __future__ import annotations
 import pandas as pd
 import ray.data
 
+from esmarc_ray.config import derive_width
 
+
+
+@derive_width
 def resolve_entities(
     ds: ray.data.Dataset,
     *,
@@ -39,7 +43,7 @@ def resolve_entities(
     t1: float = 0.5,
     t2: float = 0.75,
     jw_threshold: float = 0.88,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Run the blocked ER pipeline; returns (id, canon_id, cluster_size).
 

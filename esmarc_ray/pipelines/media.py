@@ -39,6 +39,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from esmarc_ray.config import derive_width
+
+
 
 def _media_batch(batch: pa.Table) -> pa.Table:
     spans = batch.column("spans").combine_chunks()
@@ -243,11 +246,12 @@ def doc_media_features(
     )
 
 
+@derive_width
 def interleave_chunks(
     docs: ray.data.Dataset,
     *,
     chunk_tokens: int = 64,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Media-aware context-window assembly over the interleaved span table:
     walk each document's spans in offset order, cut a new window every

@@ -38,6 +38,8 @@ import ray.data
 
 from esmarc_ray.values import merge_value
 
+from esmarc_ray.config import derive_width
+
 MERGEABLE = ("sameAs", "about", "mentions", "_merged_from")
 
 
@@ -515,10 +517,11 @@ def _split_merge(
     return bypass.union(merged)
 
 
+@derive_width
 def closure_keys(
     docs: ray.data.Dataset,
     *,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     max_rounds: int = 8,
 ) -> ray.data.Dataset:
     """sameAs-closure key rewrite: (canon_key, canon_root) for every key that
@@ -860,8 +863,9 @@ def canonicalize(
     return _partition_merge(live, num_partitions=num_partitions, n_salts=None)
 
 
+@derive_width
 def dedup_triples(
-    triples: ray.data.Dataset, *, num_partitions: int = 128
+    triples: ray.data.Dataset, *, num_partitions: int | None = None
 ) -> ray.data.Dataset:
     """Exact (subj, pred, obj) dedup — hash-partitioned; deterministic winner
     (smallest doc_id) per key, one reducer call per partition."""
