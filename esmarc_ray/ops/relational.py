@@ -702,8 +702,9 @@ def interval_overlap_join(
 
     def _hot_scan(side: ray.data.Dataset, start: str, end: str | None):
         """Per-block (key, count, min-start, max-end) partials, top 256
-        keys by count per block — the driver folds a few small rows per
-        block, never the data."""
+        keys by count per block — the driver folds a few small frames
+        (``to_pandas`` of the partials, never per-row ``take_all``, whose
+        ~1 ms/row pandas-row conversion dwarfed the scan itself)."""
 
         def partial(batch: pd.DataFrame) -> pd.DataFrame:
             s = _to_i64(batch[start])
@@ -717,20 +718,33 @@ def interval_overlap_join(
             )
             return agg
 
-        return side.map_batches(partial, batch_format="pandas").take_all()
+        return side.map_batches(partial, batch_format="pandas").to_pandas()
 
     if width is None and hot_key_widths is None and skew_threshold is not None:
-        folded: dict = {}
-        for row in _hot_scan(left, left_start, left_end) + _hot_scan(
-            right, right_start, right_end
-        ):
-            n, mn, mx = folded.get(row["k"], (0, row["mn"], row["mx"]))
-            folded[row["k"]] = (
-                n + int(row["n"]), min(mn, row["mn"]), max(mx, row["mx"])
-            )
+        # The scan is a second pass over both inputs; materialize them so
+        # the join's own consumption reuses the computed blocks instead of
+        # re-executing the upstream pipelines (they are about to be
+        # exchanged anyway — the object store spills if they don't fit).
+        left = left.materialize()
+        right = right.materialize()
+        stats = pd.concat(
+            [
+                _hot_scan(left, left_start, left_end),
+                _hot_scan(right, right_start, right_end),
+            ],
+            ignore_index=True,
+        )
+        folded_df = (
+            stats.groupby("k", sort=False)
+            .agg(n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+            .reset_index()
+        ) if len(stats) else stats
         hot = sorted(
-            ((n, k, mn, mx) for k, (n, mn, mx) in folded.items()
-             if n >= skew_threshold),
+            (
+                (int(r.n), r.k, r.mn, r.mx)
+                for r in folded_df.itertuples(index=False)
+                if int(r.n) >= skew_threshold
+            ),
             reverse=True,
         )[:64]
         bins = hot_bins or max(8, num_partitions)
