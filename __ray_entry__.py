@@ -1052,9 +1052,12 @@ def q_ppr_related_parts(sf_dir: str):
     """Random-walk-with-restart relatedness: personalized PageRank over the
     co-purchase graph seeded at the 2 smallest part ids — "parts related to
     these seeds" ranked by walk proximity (the KG related-entities
-    primitive).  Teleport and dangling mass go only to the seeds.
-    Iterative → rows-only for the driver; the operator equals the dense
-    RWR iteration in tests/test_graph.py."""
+    primitive).  Teleport and dangling mass go only to the seeds (the
+    undirected orientation list makes the dangling term identically zero).
+    Oracle: a DuckDB recursive CTE runs the same 8 synchronous power
+    iterations (aggregation in the recursive member = one iteration per
+    step); both sides round to 10 decimals.  The operator also equals the
+    dense RWR iteration in tests/test_graph.py."""
     import pandas as pd
 
     from esmarc_ray.ops.graph import pagerank
@@ -3719,9 +3722,11 @@ def q_degree_hist(sf_dir: str):
 
 def q_kcore_nodes(sf_dir: str):
     """12-core of the (l_orderkey<500) co-purchase simple graph (iterative
-    distributed peeling, converges in <=3 rounds on this graph; rows-only —
-    the fixpoint is not SQL-expressible; planted-clique peeling is
-    pytest-gated in tests/test_graph.py)."""
+    distributed peeling, converges in <=3 rounds on this graph).  Oracle: a
+    DuckDB recursive CTE peels the same graph — the recursive member keeps
+    nodes whose degree over both-endpoints-alive edges stays >= 12 (the
+    working table may be referenced per endpoint); planted-clique peeling
+    is additionally pytest-gated in tests/test_graph.py."""
     from esmarc_ray.ops.graph import k_core
     from esmarc_ray.ops.relational import partitioned_final
 
@@ -13282,6 +13287,78 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Apriori level-2 re-derived with a distinct self-join; integer
         # support, same (n desc, a, b) deterministic top-k order
+        # Personalized PageRank re-derived EXACTLY by a recursive CTE with
+        # aggregation in the recursive member (DuckDB working-table
+        # semantics = one synchronous power iteration per recursion step).
+        # The graph is undirected (both orientations), so dangling mass is
+        # zero and the engine's update reduces to
+        #   rank' = 0.85 * Σ_in rank/deg + [seed]·0.15/2.
+        # Literals are cast to DOUBLE: the recursive union's column type is
+        # pinned by the base member, and a bare 0.5 is DECIMAL(2,1), which
+        # silently rounds every iterate to one decimal place.  Both sides
+        # round to 10 decimals before the sort, absorbing summation-order
+        # float noise.
+        "ppr_related_parts": """
+            WITH RECURSIVE
+            d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                  WHERE l_orderkey < 500),
+            e0 AS (SELECT DISTINCT d1.l_partkey AS a, d2.l_partkey AS b
+                   FROM d d1 JOIN d d2 ON d1.l_orderkey = d2.l_orderkey
+                    AND d1.l_partkey < d2.l_partkey),
+            ed AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+            dg AS (SELECT u, count(*)::DOUBLE AS deg FROM ed GROUP BY u),
+            seeds AS (SELECT u FROM (SELECT DISTINCT u FROM ed) ORDER BY u LIMIT 2),
+            pr AS (
+              SELECT 0 AS iter, u AS node,
+                     CASE WHEN u IN (SELECT u FROM seeds)
+                          THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE)
+                     END AS rank
+              FROM (SELECT DISTINCT u FROM ed)
+              UNION ALL
+              SELECT p.iter + 1, e.v,
+                     CAST(0.85 AS DOUBLE) * SUM(p.rank / g.deg)
+                     + CASE WHEN e.v IN (SELECT u FROM seeds)
+                            THEN CAST(0.075 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END
+              FROM pr p
+              JOIN ed e ON e.u = p.node
+              JOIN dg g ON g.u = p.node
+              WHERE p.iter < 8
+              GROUP BY p.iter, e.v
+            )
+            SELECT CAST(node AS VARCHAR) AS node, round(rank, 10) AS rank
+            FROM pr WHERE iter = 8
+            ORDER BY rank DESC, CAST(node AS VARCHAR) LIMIT 20
+        """,
+        # k-core peeling as a recursive CTE: alive_{i+1} = degrees over the
+        # edges whose BOTH endpoints survived round i with degree >= k
+        # (DuckDB permits multiple references to the working table).  After
+        # the fixpoint the surviving rows repeat unchanged up to the
+        # iteration bound, so the bound only needs to exceed the rounds to
+        # convergence (<=3 on this graph; engine cap is 20 rounds too).
+        "kcore_nodes": """
+            WITH RECURSIVE
+            d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                  WHERE l_orderkey < 500),
+            e0 AS (SELECT DISTINCT d1.l_partkey AS a, d2.l_partkey AS b
+                   FROM d d1 JOIN d d2 ON d1.l_orderkey = d2.l_orderkey
+                    AND d1.l_partkey < d2.l_partkey),
+            ed AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+            alive AS (
+              SELECT 0 AS iter, u AS node, count(*)::BIGINT AS degree
+              FROM ed GROUP BY u
+              UNION ALL
+              SELECT x.iter + 1, e.u, count(*)::BIGINT
+              FROM ed e
+              JOIN alive x ON x.node = e.u AND x.degree >= 12
+              JOIN alive y ON y.node = e.v AND y.degree >= 12
+                          AND y.iter = x.iter
+              WHERE x.iter < 20
+              GROUP BY x.iter, e.u
+            )
+            SELECT node, degree FROM alive
+            WHERE iter = (SELECT max(iter) FROM alive) AND degree >= 12
+        """,
         "copurchase_pairs": """
             WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
             p AS (
