@@ -8554,9 +8554,12 @@ def q_doc_chunks(sf_dir: str):
 
 def q_doc_perplexity(sf_dir: str):
     """CCNet-style quality signal: bigram LM trained distributed on the
-    corpus (deterministic min-count threshold), broadcast once, every doc
-    scored with interpolated backoff.  Model-dependent arithmetic →
-    rows-only; separation behavior is pytest-gated."""
+    corpus (deterministic min-count threshold + lexicographic head cut),
+    broadcast once, every doc scored with interpolated backoff.  Oracle:
+    the LM is pure relational arithmetic, so DuckDB re-derives counts,
+    truncation, backoff mixture and the per-doc log-sum end-to-end; both
+    sides round to 3 decimals, absorbing summation-order / libm ulp noise
+    (separation behavior additionally pytest-gated)."""
     import ray
     import ray.data
 
@@ -8569,7 +8572,7 @@ def q_doc_perplexity(sf_dir: str):
     scored = perplexity_score(docs, model_ref)
 
     def round_ppl(batch):
-        batch["ppl"] = batch["ppl"].round(6)
+        batch["ppl"] = batch["ppl"].round(3)
         return batch
 
     return scored.map_batches(round_ppl, batch_format="pandas")
@@ -9221,9 +9224,10 @@ def q_copurchase_triangles(sf_dir: str):
 def q_copurchase_ktruss(sf_dir: str):
     """4-truss core of the part co-purchase graph: every surviving edge sits
     in ≥ 2 triangles — the cohesive-cluster extraction one notch stronger
-    than k-core.  Iterative peel (per-round degree-ordered wedge support +
-    hash-partitioned filter) is not SQL-expressible — rows-only; peel
-    correctness gated by tests/test_graph.py::test_k_truss_matches_bruteforce."""
+    than k-core.  Oracle: a DuckDB recursive CTE repeats the peel (edge
+    survives iff >= 2 common neighbors within the previous round's edge
+    set); peel correctness additionally gated by
+    tests/test_graph.py::test_k_truss_matches_bruteforce."""
     import pandas as pd
     import ray.data
 
@@ -13287,6 +13291,149 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Apriori level-2 re-derived with a distinct self-join; integer
         # support, same (n desc, a, b) deterministic top-k order
+        # 4-truss peel re-derived by a recursive CTE: an edge survives a
+        # round iff its endpoints share >= 2 common neighbors within the
+        # PREVIOUS round's surviving edge set (working-table semantics; the
+        # correlated count decorrelates into one wedge join per round).
+        # Node ids are VARCHAR-normalized exactly like the engine's
+        # undirect step (string least/greatest).  Post-fixpoint iterations
+        # repeat the stable rows, so rows at max(iter) are the truss.
+        "copurchase_ktruss": """
+            WITH RECURSIVE
+            d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                  WHERE l_orderkey < 1500),
+            p AS (SELECT DISTINCT d1.l_partkey AS pa, d2.l_partkey AS pb
+                  FROM d d1 JOIN d d2 ON d1.l_orderkey = d2.l_orderkey
+                   AND d1.l_partkey < d2.l_partkey),
+            e0 AS (SELECT DISTINCT
+                     least(CAST(pa AS VARCHAR), CAST(pb AS VARCHAR)) AS a,
+                     greatest(CAST(pa AS VARCHAR), CAST(pb AS VARCHAR)) AS b
+                   FROM p),
+            alive AS (
+              SELECT 0 AS iter, a, b FROM e0
+              UNION ALL
+              SELECT e.iter + 1, e.a, e.b
+              FROM alive e
+              WHERE e.iter < 16 AND 2 <= (
+                SELECT count(*) FROM
+                  (SELECT a AS u, b AS v FROM alive WHERE iter = e.iter
+                   UNION ALL
+                   SELECT b, a FROM alive WHERE iter = e.iter) x
+                  JOIN
+                  (SELECT a AS u, b AS v FROM alive WHERE iter = e.iter
+                   UNION ALL
+                   SELECT b, a FROM alive WHERE iter = e.iter) y
+                  ON x.v = y.v
+                WHERE x.u = e.a AND y.u = e.b
+              )
+            )
+            SELECT a, b FROM alive
+            WHERE iter = (SELECT max(iter) FROM alive)
+        """,
+        # Winnowing document fingerprints re-derived byte-for-byte: the
+        # polynomial rolling 8-gram hash (weights 257^7..257^0, SUM in
+        # HUGEINT then mod 2^64 — numpy's per-term uint64 wraparound equals
+        # one final mod), windowed min-16 via a ROWS frame, XOR of DISTINCT
+        # window minima via bit_xor(DISTINCT).  Preconditions (hold for the
+        # whole synthetic corpus, asserted offline): ASCII text (codepoint
+        # == byte), no NULLs, every doc >= 8 bytes (the crc32 short-doc
+        # fallback never fires — crc32 has no SQL equivalent).
+        "fingerprints": r"""
+            WITH
+            b AS (
+              SELECT doc_id, i, ascii(substr(text, i, 1))::HUGEINT AS byte,
+                     len(text) AS L
+              FROM documents, unnest(range(1, len(text) + 1)) AS t(i)
+            ),
+            w(off, wt) AS (
+              VALUES (0, 74051159531521793::HUGEINT),
+                     (1, 288136807515649::HUGEINT),
+                     (2, 1121154893057::HUGEINT), (3, 4362470401::HUGEINT),
+                     (4, 16974593::HUGEINT), (5, 66049::HUGEINT),
+                     (6, 257::HUGEINT), (7, 1::HUGEINT)
+            ),
+            g AS (
+              SELECT b.doc_id, b.i AS j,
+                     (sum(b2.byte * w.wt)
+                      % 18446744073709551616::HUGEINT)::UBIGINT AS h,
+                     any_value(b.L) AS L
+              FROM b
+              JOIN w ON TRUE
+              JOIN b b2 ON b2.doc_id = b.doc_id AND b2.i = b.i + w.off
+              WHERE b.i + 7 <= b.L
+              GROUP BY b.doc_id, b.i
+            ),
+            m AS (
+              SELECT doc_id, j, L - 7 AS n,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY j
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 15 FOLLOWING) AS mn
+              FROM g
+            )
+            SELECT doc_id,
+                   CASE WHEN any_value(n) <= 16 THEN min(mn)
+                        ELSE bit_xor(DISTINCT CASE WHEN j <= n - 15
+                                                   THEN mn END)
+                   END AS fingerprint
+            FROM m GROUP BY doc_id
+        """,
+        # The bigram-LM perplexity score re-derived end-to-end: unigram /
+        # bigram counts with the engine's min_count=5 threshold and
+        # deterministic head cut (ORDER BY n DESC, term — inactive at this
+        # vocab size but mirrored anyway), interpolated backoff
+        # 0.8·bi + 0.15·uni + 0.05·floor with exp(ln(·)) kept so the
+        # arithmetic path matches the engine's stored-logprob round-trip,
+        # per-doc Σln(p) over adjacent token pairs via ordinal self-join.
+        # Docs with < 2 tokens (incl. NULL/blank text) get the floor
+        # perplexity exp(-ln(1/total)).  Both sides round to 3 decimals.
+        # Tokenization is lower + whitespace-run split (ASCII \s matches the
+        # corpus; Python str.split's Unicode classes never fire here).
+        "doc_perplexity": r"""
+            WITH
+            tok AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+                     generate_subscripts(
+                       string_split_regex(trim(lower(text)), '\s+'), 1) AS ord,
+                     len(string_split_regex(trim(lower(text)), '\s+')) AS k
+              FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+            ),
+            totals AS (SELECT count(*)::DOUBLE AS total FROM tok),
+            uni AS (
+              SELECT w, count(*)::DOUBLE AS n FROM tok GROUP BY w
+              HAVING count(*) >= 5 ORDER BY count(*) DESC, w LIMIT 100000
+            ),
+            bi AS (
+              SELECT t1.w AS w1, t2.w AS w2, count(*)::DOUBLE AS n
+              FROM tok t1 JOIN tok t2
+                ON t1.doc_id = t2.doc_id AND t2.ord = t1.ord + 1
+              GROUP BY t1.w, t2.w
+              HAVING count(*) >= 5
+              ORDER BY count(*) DESC, t1.w, t2.w LIMIT 500000
+            ),
+            bim AS (SELECT b.w1, b.w2, exp(ln(b.n / u.n)) AS p_bi
+                    FROM bi b JOIN uni u ON u.w = b.w1),
+            pairs AS (
+              SELECT t1.doc_id, t1.k,
+                     0.8 * COALESCE(bm.p_bi, 0.0)
+                     + 0.15 * COALESCE(
+                         exp(ln(u.n / (SELECT total FROM totals))), 0.0)
+                     + 0.05 * exp(ln(1.0 / (SELECT total FROM totals))) AS p
+              FROM tok t1
+              JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.ord = t1.ord + 1
+              LEFT JOIN bim bm ON bm.w1 = t1.w AND bm.w2 = t2.w
+              LEFT JOIN uni u ON u.w = t2.w
+            ),
+            scored AS (
+              SELECT doc_id, exp(-SUM(ln(p)) / (any_value(k) - 1)) AS ppl
+              FROM pairs GROUP BY doc_id
+            )
+            SELECT doc_id, round(ppl, 3) AS ppl FROM scored
+            UNION ALL
+            SELECT d.doc_id, round(exp(-ln(1.0 / (SELECT total FROM totals))), 3)
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM scored)
+        """,
         # Personalized PageRank re-derived EXACTLY by a recursive CTE with
         # aggregation in the recursive member (DuckDB working-table
         # semantics = one synchronous power iteration per recursion step).

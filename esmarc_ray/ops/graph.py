@@ -2433,8 +2433,9 @@ def k_truss(
     (≤ max_rounds).  Support recomputation per round is the simple
     scale-correct plan (all stages hash-partitioned; the decrement-
     propagation variant trades shuffles for round count and only wins on
-    adversarial peel chains).  Iterative peel is not SQL-expressible —
-    gated by tests/test_graph.py::test_k_truss_matches_bruteforce.
+    adversarial peel chains).  Gated by
+    tests/test_graph.py::test_k_truss_matches_bruteforce and (via
+    ``copurchase_ktruss``) a recursive-CTE DuckDB oracle repeating the peel.
     """
     from esmarc_ray.ops.dedup import _distinct_on
     from esmarc_ray.ops.relational import (
