@@ -8442,14 +8442,19 @@ def q_lineitem_melt(sf_dir: str):
 def q_kg_pagerank_top(sf_dir: str):
     """Entity importance in the constructed KG: PageRank over the
     subj → obj @id reference edges of the emitted triples (top 20).
-    Iterative → rows-only for the driver; the operator itself is verified
-    against dense power iteration in tests/test_graph.py."""
+    Oracle: the triple table is mirrored to parquet and DuckDB re-derives
+    the edges (same first-@id regex over the node objs) AND the full 8
+    synchronous power iterations — including the dangling-mass
+    redistribution — in a recursive CTE; both sides round to 10 decimals.
+    The operator is additionally verified against dense power iteration in
+    tests/test_graph.py."""
     import pandas as pd
 
     from esmarc_ray.ops.graph import pagerank
     from esmarc_ray.stages.extract import docs_to_triples
 
-    triples = docs_to_triples(_kg_docs(sf_dir))
+    triples = docs_to_triples(_kg_docs(sf_dir)).materialize()
+    _kg_oracle_table(sf_dir, "pagerank_src", triples)
 
     def to_edges(batch: pd.DataFrame) -> pd.DataFrame:
         nodes = batch[batch["obj_kind"] == "node"]
@@ -13291,6 +13296,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Apriori level-2 re-derived with a distinct self-join; integer
         # support, same (n desc, a, b) deterministic top-k order
+        # Directed KG PageRank re-derived end-to-end from the mirrored
+        # triple table: DuckDB re-extracts the subj → obj @id edges with
+        # the engine's first-match regex, then runs the same 8 synchronous
+        # power iterations in a recursive CTE — dangling mass (nodes with
+        # no out-edges) folds into the uniform base term each round via a
+        # second working-table reference.  DOUBLE casts pin the recursive
+        # union's column type; both sides round to 10 decimals.
+        "kg_pagerank_top": """
+            WITH RECURSIVE
+            tr AS (SELECT subj, obj, obj_kind FROM read_parquet(
+                     '/tmp/esmarc_ray_kg_oracle/pagerank_src/*.parquet')),
+            e2 AS (
+              SELECT u, v FROM (
+                SELECT subj AS u,
+                       regexp_extract(obj, '"@id": "([^"]+)"', 1) AS v
+                FROM tr WHERE obj_kind = 'node'
+              ) WHERE v <> ''
+            ),
+            nodes AS (SELECT DISTINCT node FROM
+                        (SELECT u AS node FROM e2
+                         UNION ALL SELECT v FROM e2)),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+            dg AS (SELECT u, count(*)::DOUBLE AS deg FROM e2 GROUP BY u),
+            pr AS (
+              SELECT 0 AS iter, node,
+                     CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+              FROM nodes
+              UNION ALL
+              SELECT i.iter + 1, n.node,
+                     (CAST(0.15 AS DOUBLE)
+                      + CAST(0.85 AS DOUBLE) * COALESCE(d.dang, 0))
+                     / (SELECT n FROM nn)
+                     + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, 0)
+              FROM (SELECT DISTINCT iter FROM pr) i
+              CROSS JOIN nodes n
+              LEFT JOIN (SELECT e2.v AS node, SUM(p.rank / g.deg) AS contrib
+                         FROM pr p
+                         JOIN e2 ON e2.u = p.node
+                         JOIN dg g ON g.u = p.node
+                         GROUP BY e2.v) c ON c.node = n.node
+              LEFT JOIN (SELECT SUM(p2.rank) AS dang FROM pr p2
+                         WHERE p2.node NOT IN (SELECT u FROM dg)) d ON TRUE
+              WHERE i.iter < 8
+            )
+            SELECT node, round(rank, 10) AS rank FROM pr WHERE iter = 8
+            ORDER BY rank DESC, node LIMIT 20
+        """,
         # 4-truss peel re-derived by a recursive CTE: an edge survives a
         # round iff its endpoints share >= 2 common neighbors within the
         # PREVIOUS round's surviving edge set (working-table semantics; the
