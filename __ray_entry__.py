@@ -13296,6 +13296,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Apriori level-2 re-derived with a distinct self-join; integer
         # support, same (n desc, a, b) deterministic top-k order
+        # The n-gram-heuristic language ID re-derived exactly: the four
+        # 12-word stopword profiles are inlined as VALUES (they are fixed
+        # package constants), votes count token occurrences WITH
+        # multiplicity (join, not semi-join), and the engine's
+        # argmax-over-sorted-langs tie-break is ORDER BY votes DESC, lang.
+        # Docs with zero stopword hits (or blank text) predict 'und'.
+        "langid_pred": r"""
+            WITH
+            sw(lang, w) AS (VALUES
+              ('de','auf'), ('de','das'), ('de','den'), ('de','der'),
+              ('de','die'), ('de','für'), ('de','in'), ('de','ist'),
+              ('de','mit'), ('de','und'), ('de','von'), ('de','zu'),
+              ('en','a'), ('en','and'), ('en','as'), ('en','for'),
+              ('en','in'), ('en','is'), ('en','of'), ('en','on'),
+              ('en','that'), ('en','the'), ('en','to'), ('en','with'),
+              ('es','con'), ('es','de'), ('es','el'), ('es','en'),
+              ('es','es'), ('es','la'), ('es','los'), ('es','por'),
+              ('es','que'), ('es','un'), ('es','una'), ('es','y'),
+              ('fr','dans'), ('fr','de'), ('fr','est'), ('fr','et'),
+              ('fr','la'), ('fr','le'), ('fr','les'), ('fr','pour'),
+              ('fr','que'), ('fr','sur'), ('fr','un'), ('fr','une')),
+            tok AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+              FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+            ),
+            cnt AS (
+              SELECT t.doc_id, s.lang, count(*) AS n
+              FROM tok t JOIN sw s ON s.w = t.w
+              GROUP BY t.doc_id, s.lang
+            ),
+            best AS (
+              SELECT doc_id, lang FROM cnt
+              QUALIFY row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY n DESC, lang) = 1
+            )
+            SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
+            FROM documents d LEFT JOIN best b USING (doc_id)
+        """,
         # Directed KG PageRank re-derived end-to-end from the mirrored
         # triple table: DuckDB re-extracts the subj → obj @id edges with
         # the engine's first-match regex, then runs the same 8 synchronous
