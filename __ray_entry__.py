@@ -5170,8 +5170,10 @@ def q_interarrival_stats(sf_dir: str):
 def q_edge_betweenness_top(sf_dir: str):
     """Edge betweenness (Girvan–Newman bridge detection) of the part
     co-purchase graph: top-20 highest-flow edges from 16 deterministic
-    sources — the edges a community-detection cut removes first.
-    Rows-only (iterative); exactness gated by
+    sources — the edges a community-detection cut removes first.  Oracle:
+    the max_hops=6 truncation unrolls into per-level SQL CTEs with
+    per-edge flow attribution (_brandes_betweenness_sql mode='edge');
+    exactness additionally gated by
     tests/test_graph.py::test_edge_betweenness_* vs the textbook
     accumulation."""
     import numpy as np
@@ -9741,9 +9743,11 @@ def q_pq_topk(sf_dir: str):
 def q_betweenness_top(sf_dir: str):
     """Approximate betweenness centrality of the part co-purchase graph:
     sampled-source Brandes (16 hash-deterministic sources = the smallest
-    part keys in the edge set), top-20 nodes.  Iterative frontier algebra —
-    rows-only; exactness gated by tests/test_graph.py::test_betweenness_*
-    against the textbook Brandes."""
+    part keys in the edge set), top-20 nodes.  Oracle: the max_hops=8
+    truncation unrolls Brandes into explicit per-level SQL CTEs — forward
+    sigma-BFS + backward dependency ratios — assembled by
+    _brandes_betweenness_sql; exactness additionally gated by
+    tests/test_graph.py::test_betweenness_* against the textbook Brandes."""
     import pandas as pd
 
     from esmarc_ray.ops.graph import betweenness
@@ -10176,6 +10180,116 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ordered = {n: reg[n] for n in oracled_names}
     ordered.update({n: f for n, f in reg.items() if n not in oracled})
     return ordered
+
+
+def _brandes_betweenness_sql(cutoff: int = 3000, n_sources: int = 16,
+                             max_hops: int = 8, mode: str = "node") -> str:
+    """Assemble the unrolled sampled-source Brandes oracle.
+
+    The engine truncates BFS at ``max_hops``, so the whole algorithm
+    unrolls into explicit per-level CTEs — no recursion: forward levels
+    l0..l8 carry (src, node, sigma = #shortest paths, anti-joined against
+    the cumulative settled set), backward deltas d8..d1 apply
+    delta(v) = sigma_v · Σ_{w ∈ next level, (v,w) ∈ E} (1+delta_w)/sigma_w.
+    An empty deeper level contributes zero ratios, which reproduces the
+    engine's "delta at the true deepest level is 0" base case for any
+    actual depth ≤ max_hops.  The final half-up rounding mirrors the
+    engine's floor(x·1e4 + 0.5)/1e4 expression verbatim so the doubles are
+    bit-identical, not just display-equal."""
+    parts = [f"""
+        d AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+              WHERE l_orderkey < {cutoff}),
+        p AS MATERIALIZED (SELECT DISTINCT d1.l_partkey AS a, d2.l_partkey AS b
+              FROM d d1 JOIN d d2 ON d1.l_orderkey = d2.l_orderkey
+               AND d1.l_partkey < d2.l_partkey),
+        ed AS MATERIALIZED (
+              SELECT a AS s, b AS t FROM p UNION ALL SELECT b, a FROM p),
+        srcs AS (SELECT node FROM
+                   (SELECT DISTINCT a AS node FROM p
+                    UNION SELECT b FROM p)
+                 ORDER BY node LIMIT {n_sources}),
+        l0 AS MATERIALIZED (SELECT node AS src, node,
+                CAST(1.0 AS DOUBLE) AS sigma FROM srcs),
+        s0 AS MATERIALIZED (SELECT src, node FROM l0)"""]
+    # every level CTE is MATERIALIZED: the chained s0..s8 / l0..l8 DAG
+    # otherwise inlines multiplicatively (s8 inlines s7 inlines s6 ...)
+    # and the planner blows up exponentially
+    for h in range(max_hops):
+        parts.append(f"""
+        c{h + 1} AS MATERIALIZED (
+                SELECT l{h}.src, ed.t AS node, SUM(l{h}.sigma) AS sigma
+                FROM l{h} JOIN ed ON ed.s = l{h}.node
+                GROUP BY l{h}.src, ed.t),
+        l{h + 1} AS MATERIALIZED (SELECT c{h + 1}.* FROM c{h + 1}
+                WHERE NOT EXISTS (SELECT 1 FROM s{h}
+                                  WHERE s{h}.src = c{h + 1}.src
+                                    AND s{h}.node = c{h + 1}.node)),
+        s{h + 1} AS MATERIALIZED (SELECT src, node FROM s{h}
+                UNION ALL SELECT src, node FROM l{h + 1})""")
+    parts.append(f"""
+        d{max_hops} AS MATERIALIZED (
+               SELECT src, node, sigma, CAST(0.0 AS DOUBLE) AS delta
+               FROM l{max_hops})""")
+    if mode == "node":
+        for lvl in range(max_hops, 0, -1):
+            parts.append(f"""
+        r{lvl} AS MATERIALIZED (SELECT d{lvl}.src, ed.t AS node,
+                      SUM((1.0 + d{lvl}.delta) / d{lvl}.sigma) AS ratio
+               FROM d{lvl} JOIN ed ON ed.s = d{lvl}.node
+               GROUP BY d{lvl}.src, ed.t),
+        d{lvl - 1} AS MATERIALIZED (
+               SELECT l{lvl - 1}.src, l{lvl - 1}.node, l{lvl - 1}.sigma,
+                      l{lvl - 1}.sigma * COALESCE(r{lvl}.ratio, 0.0) AS delta
+               FROM l{lvl - 1} LEFT JOIN r{lvl}
+                 ON r{lvl}.src = l{lvl - 1}.src
+                AND r{lvl}.node = l{lvl - 1}.node)""")
+        union = "\n            UNION ALL ".join(
+            f"SELECT node, delta FROM d{lvl}" for lvl in range(1, max_hops + 1)
+        )
+        parts.append(f"""
+        bc AS (SELECT node, SUM(delta) AS b FROM (
+            {union}
+        ) GROUP BY node)""")
+        return (
+            "WITH " + ",".join(parts)
+            + """
+        SELECT node, floor(b * 10000 + 0.5) / 10000 AS betweenness
+        FROM bc ORDER BY betweenness DESC, node LIMIT 20"""
+        )
+    # mode == "edge": per-edge flow attribution — each (source, DAG edge
+    # u→w) row carries flow = sigma_u · ((1+delta_w)/sigma_w) (association
+    # mirrors the engine: the ratio is formed first, then scaled)
+    for lvl in range(max_hops, 0, -1):
+        parts.append(f"""
+        f{lvl} AS MATERIALIZED (
+               SELECT l{lvl - 1}.src, l{lvl - 1}.node AS un, w.node AS wn,
+                      l{lvl - 1}.sigma
+                      * ((1.0 + w.delta) / w.sigma) AS flow
+               FROM d{lvl} w
+               JOIN ed ON ed.s = w.node
+               JOIN l{lvl - 1} ON l{lvl - 1}.src = w.src
+                              AND l{lvl - 1}.node = ed.t),
+        d{lvl - 1} AS MATERIALIZED (
+               SELECT l{lvl - 1}.src, l{lvl - 1}.node, l{lvl - 1}.sigma,
+                      COALESCE(fs.fsum, 0.0) AS delta
+               FROM l{lvl - 1} LEFT JOIN
+                 (SELECT src, un, SUM(flow) AS fsum FROM f{lvl}
+                  GROUP BY src, un) fs
+                 ON fs.src = l{lvl - 1}.src AND fs.un = l{lvl - 1}.node)""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT un, wn, flow FROM f{lvl}" for lvl in range(1, max_hops + 1)
+    )
+    parts.append(f"""
+        bc AS (SELECT least(un, wn) AS a, greatest(un, wn) AS b,
+                      SUM(flow) AS bsum FROM (
+            {union}
+        ) GROUP BY least(un, wn), greatest(un, wn))""")
+    return (
+        "WITH " + ",".join(parts)
+        + """
+        SELECT a, b, floor(bsum * 10000 + 0.5) / 10000 AS betweenness
+        FROM bc ORDER BY betweenness DESC, a, b LIMIT 20"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -13296,6 +13410,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Apriori level-2 re-derived with a distinct self-join; integer
         # support, same (n desc, a, b) deterministic top-k order
+        # Sampled-source Brandes betweenness: the engine's max_hops=8
+        # truncation unrolls the whole algorithm into explicit per-level
+        # CTEs (see _brandes_betweenness_sql) — forward sigma-BFS with
+        # cumulative anti-joins, backward (1+delta)/sigma ratio pushes.
+        "betweenness_top": _brandes_betweenness_sql(),
+        # Same unrolled Brandes, edge-flow attribution (Girvan–Newman):
+        # per-edge flow rows sum per undirected (least, greatest) pair
+        "edge_betweenness_top": _brandes_betweenness_sql(
+            max_hops=6, mode="edge"),
         # The n-gram-heuristic language ID re-derived exactly: the four
         # 12-word stopword profiles are inlined as VALUES (they are fixed
         # package constants), votes count token occurrences WITH
