@@ -3740,14 +3740,19 @@ def q_kcore_nodes(sf_dir: str):
 
 def q_graph_communities(sf_dir: str):
     """Label-propagation community sizes over the co-purchase graph —
-    deterministic min-tiebreak LPA (rows-only: not SQL-expressible;
-    planted-clique recovery is pytest-gated in tests/test_graph.py)."""
+    deterministic min-tiebreak LPA over the globally-distinct simple graph
+    (vote multiplicity is edge-multiplicity-sensitive, so the per-order
+    dedup alone would leak partitioning into the votes).  Oracle: a
+    recursive CTE repeats the 4 synchronous rounds exactly — neighbor
+    votes + self vote, mode with lexicographic-min tie-break via QUALIFY.
+    Planted-clique recovery is additionally pytest-gated in
+    tests/test_graph.py."""
     import pandas as pd
 
     from esmarc_ray.ops.graph import label_propagation
     from esmarc_ray.ops.relational import partial_groupby_agg
 
-    edges = _copurchase_edges(sf_dir)
+    edges = _dedup_copurchase_edges(sf_dir, cutoff=1000)
     labels = label_propagation(
         edges, u="l_partkey_a", v="l_partkey_b", max_rounds=4
     )
@@ -13410,6 +13415,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Apriori level-2 re-derived with a distinct self-join; integer
         # support, same (n desc, a, b) deterministic top-k order
+        # Min-tiebreak mode LPA re-derived exactly: 4 synchronous rounds in
+        # a recursive CTE — votes = neighbor labels + one self vote, winner
+        # = highest count then lexicographic-min label (QUALIFY row_number
+        # inside the recursive member), then community sizes.
+        "graph_communities": """
+            WITH RECURSIVE
+            d AS MATERIALIZED (
+                  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                  WHERE l_orderkey < 1000),
+            p AS MATERIALIZED (
+                  SELECT DISTINCT d1.l_partkey AS a, d2.l_partkey AS b
+                  FROM d d1 JOIN d d2 ON d1.l_orderkey = d2.l_orderkey
+                   AND d1.l_partkey < d2.l_partkey),
+            ed AS MATERIALIZED (
+                  SELECT CAST(a AS VARCHAR) AS s, CAST(b AS VARCHAR) AS t
+                  FROM p
+                  UNION ALL
+                  SELECT CAST(b AS VARCHAR), CAST(a AS VARCHAR) FROM p),
+            lab AS (
+              SELECT 0 AS iter, s AS node, s AS label
+              FROM (SELECT DISTINCT s FROM ed)
+              UNION ALL
+              SELECT iter + 1, node, label FROM (
+                SELECT iter, node, label, count(*) AS n
+                FROM (
+                  SELECT p2.iter, ed.t AS node, p2.label
+                  FROM lab p2 JOIN ed ON ed.s = p2.node
+                  UNION ALL
+                  SELECT p2.iter, p2.node, p2.label FROM lab p2
+                ) votes
+                GROUP BY iter, node, label
+              )
+              QUALIFY row_number() OVER (PARTITION BY node
+                                         ORDER BY n DESC, label) = 1
+                  AND iter < 4
+            )
+            SELECT label AS community, count(*)::BIGINT AS n_nodes
+            FROM lab WHERE iter = 4 GROUP BY label
+        """,
         # Sampled-source Brandes betweenness: the engine's max_hops=8
         # truncation unrolls the whole algorithm into explicit per-level
         # CTEs (see _brandes_betweenness_sql) — forward sigma-BFS with
