@@ -41,7 +41,9 @@ DEFAULT_CONFIG = EngineConfig()
 # one function instead of a frozen literal, so shuffle width scales with the
 # deployment instead of being pinned to the dev box:
 #
-#   1. explicit caller value wins (queries pin small counts for determinism),
+#   1. explicit caller value wins (ops whose OUTPUT embeds the partition id
+#      — pack_sequences, canopy_clusters, TransE — keep pinned defaults so
+#      results don't vary with cluster size),
 #   2. else ESMARC_NUM_PARTITIONS env var (cluster-wide operator knob),
 #   3. else a byte-derived count when the caller has a cheap size hint
 #      (~TARGET_PARTITION_BYTES per partition),
@@ -101,8 +103,11 @@ def derive_width(fn):
     """Decorator for partitioned operators: resolve ``num_partitions=None``
     (now the default on every such op) through :func:`derive_partitions` at
     call time, so the shared shuffle-width ladder (explicit caller value →
-    ``ESMARC_NUM_PARTITIONS`` → 2 × cluster CPUs) governs every exchange
-    unless a caller pins a width deliberately."""
+    ``ESMARC_NUM_PARTITIONS`` → byte-derived when the first Dataset
+    argument has a metadata-cheap size → 2 × cluster CPUs) governs every
+    exchange unless a caller pins a width deliberately.  Only applied to
+    ops whose OUTPUT is partition-invariant — partition-id-emitting ops
+    (pack_sequences, canopy_clusters, TransE) keep pinned defaults."""
     import functools
     import inspect
 
@@ -112,7 +117,12 @@ def derive_width(fn):
     def wrapper(*args, **kwargs):
         bound = sig.bind_partial(*args, **kwargs)
         if bound.arguments.get("num_partitions") is None:
-            bound.arguments["num_partitions"] = derive_partitions()
+            hint = None
+            for val in bound.arguments.values():
+                if hasattr(val, "map_batches"):  # first Dataset argument
+                    hint = dataset_size_hint(val)
+                    break
+            bound.arguments["num_partitions"] = derive_partitions(hint)
         return fn(*bound.args, **bound.kwargs)
 
     return wrapper

@@ -701,10 +701,18 @@ def interval_overlap_join(
             width = int(pd.Timedelta(bin_width).value // 1000)  # ns → µs
 
     def _hot_scan(side: ray.data.Dataset, start: str, end: str | None):
-        """Per-block (key, count, min-start, max-end) partials, top 256
+        """Per-block (key, count, min-start, max-end) partials, top 1024
         keys by count per block — the driver folds a few small frames
         (``to_pandas`` of the partials, never per-row ``take_all``, whose
-        ~1 ms/row pandas-row conversion dwarfed the scan itself)."""
+        ~1 ms/row pandas-row conversion dwarfed the scan itself).
+
+        Coverage is heuristically capped (top-1024 per block, top-64 hot
+        keys overall): a key hot enough to straggle a reducer appears in
+        nearly every block and survives the per-block cut, but a key spread
+        thinly below other locally-hotter keys can be undercounted and stay
+        on the cold path.  That miss costs SPEED only — both plans are
+        exact — and the caps bound the driver fold to O(blocks · 1024)
+        rows regardless of key cardinality."""
 
         def partial(batch: pd.DataFrame) -> pd.DataFrame:
             s = _to_i64(batch[start])
@@ -714,17 +722,35 @@ def interval_overlap_join(
                 .groupby("k", sort=False)
                 .agg(n=("s", "size"), mn=("s", "min"), mx=("e", "max"))
                 .reset_index()
-                .nlargest(256, "n")
+                .nlargest(1024, "n")
             )
             return agg
 
         return side.map_batches(partial, batch_format="pandas").to_pandas()
 
     if width is None and hot_key_widths is None and skew_threshold is not None:
+        # Cheap small-input gate: a hot key needs >= skew_threshold rows
+        # across BOTH sides, so if the combined row count is provably below
+        # the threshold no key can trip — skip the scan AND the
+        # materialization and keep the original streaming plan.  limit()
+        # executes only enough blocks to produce its cap, so the probe is
+        # O(threshold) rows on huge inputs and a full (cheap) pass on small
+        # ones.
+        n_left = left.limit(skew_threshold).count()
+        n_right = (
+            right.limit(skew_threshold - n_left).count()
+            if n_left < skew_threshold else 0
+        )
+        if n_left + n_right < skew_threshold:
+            skew_threshold = None
+    if width is None and hot_key_widths is None and skew_threshold is not None:
         # The scan is a second pass over both inputs; materialize them so
         # the join's own consumption reuses the computed blocks instead of
         # re-executing the upstream pipelines (they are about to be
         # exchanged anyway — the object store spills if they don't fit).
+        # At 100 TB this pins/spills both inputs; callers with cheap
+        # upstreams that prefer a second streaming pass can pass
+        # ``hot_key_widths={}`` (skip the guard) or tune skew_threshold.
         left = left.materialize()
         right = right.materialize()
         stats = pd.concat(
@@ -4427,7 +4453,6 @@ def ks_statistic(
     )
 
 
-@derive_width
 def canopy_clusters(
     ds: ray.data.Dataset,
     *,
@@ -4435,12 +4460,18 @@ def canopy_clusters(
     text_col: str,
     t1: float = 0.35,
     t2: float = 0.7,
-    num_partitions: int | None = None,
+    num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Canopy clustering (McCallum-Nigam-Ungar 2000): cheap-distance
     pre-blocking for entity resolution.  Returns (id, canopy) rows — a
     record can land in SEVERAL canopies (loose threshold ``t1``), and only
     records inside a canopy are ever compared by the expensive ER stage.
+
+    ``num_partitions`` stays a PINNED default (not the derive_partitions
+    ladder): the per-partition greedy local-center pass is not
+    partition-invariant (a record suppressed by a neighbor in one
+    partitioning becomes a center in another), so a cluster-size-derived
+    width would change the canopies across machines.
 
     Cheap distance = 1 - token-set Jaccard of the lowercased word tokens.
     ``t1`` (loose, join a canopy) > ``t2`` (tight, stop being a candidate

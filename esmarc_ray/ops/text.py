@@ -269,14 +269,13 @@ def _shingle_set(text: str, width: int) -> set[str]:
     }
 
 
-@derive_width
 def pack_sequences(
     docs: ray.data.Dataset,
     *,
     budget_tokens: int,
     id_column: str = "doc_id",
     token_column: str = "n_tokens",
-    num_partitions: int | None = None,
+    num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """Greedy sample packing: group documents into training sequences whose
     token counts sum to ≤ ``budget_tokens`` (docs longer than the budget get
@@ -287,6 +286,11 @@ def pack_sequences(
     global coordination, and the ≤1 underfilled tail sequence per partition
     is the price of shardability (exactly how a multi-node packer must work
     at 100 TB; a globally optimal bin-packing would serialize the corpus).
+
+    ``num_partitions`` stays a PINNED default (not the derive_partitions
+    ladder): the partition id is part of the OUTPUT (``part`` column, and
+    packing is partition-local), so a cluster-size-derived width would make
+    the packing differ across machines.  Raise it explicitly for big runs.
 
     Output: one row per packed sequence —
     (part, seq_idx, n_docs, total_tokens, doc_ids:list).

@@ -107,11 +107,22 @@ class ManifestParquetSink(Datasink):
                 for col in self.partition_cols:
                     val = combos.column(col)[j]
                     part[col] = val.as_py()
-                    m = pc.equal(block.column(col), val)
+                    # pc.equal(col, null) is all-null and filter() treats
+                    # null as false — a null partition value would silently
+                    # drop its rows; route it through is_null like hive's
+                    # __HIVE_DEFAULT_PARTITION__ instead
+                    if part[col] is None:
+                        m = pc.is_null(block.column(col))
+                    else:
+                        m = pc.equal(block.column(col), val)
                     mask = m if mask is None else pc.and_(mask, m)
                 sub = block.filter(mask)
                 part_dir = base.joinpath(
-                    *(f"{c}={part[c]}" for c in self.partition_cols)
+                    *(
+                        f"{c}=__HIVE_DEFAULT_PARTITION__"
+                        if part[c] is None else f"{c}={part[c]}"
+                        for c in self.partition_cols
+                    )
                 )
                 part_dir.mkdir(parents=True, exist_ok=True)
                 path = part_dir / f"part-{ctx.task_idx:05d}-{bi}-{j}.parquet"
@@ -177,12 +188,29 @@ def _fold_manifest(
     return manifest
 
 
-def _read_back_partials(shard_path: pathlib.Path) -> list[dict]:
+def _read_back_partials(
+    shard_path: pathlib.Path, format: str = "parquet"
+) -> list[dict]:
     """Fallback partial computation for sinks that can't return write stats
     (the lance path): a distributed read-back pass producing the same
-    partial dicts the parquet sink returns from its write tasks."""
-    if not any(shard_path.rglob("*.parquet")):
-        return []
+    partial dicts the parquet sink returns from its write tasks.
+
+    The glob must match the sink's actual on-disk format — globbing
+    ``*.parquet`` under a lance dataset finds nothing and would fold into
+    a row_count=0 manifest whose ``_SUCCESS`` marker then VALIDATES,
+    making a resumed run permanently skip the shard as "complete"."""
+    if format == "lance":
+        if not (shard_path / "_versions").exists() and not any(
+            shard_path.rglob("*.lance")
+        ):
+            raise RuntimeError(
+                f"lance read-back found no dataset under {shard_path}"
+            )
+        reader = ray.data.read_lance(str(shard_path))
+    else:
+        if not any(shard_path.rglob("*.parquet")):
+            return []
+        reader = ray.data.read_parquet(str(shard_path))
 
     def partial(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -193,11 +221,7 @@ def _read_back_partials(shard_path: pathlib.Path) -> list[dict]:
             }
         )
 
-    rows = (
-        ray.data.read_parquet(str(shard_path))
-        .map_batches(partial, batch_format="pyarrow")
-        .take_all()
-    )
+    rows = reader.map_batches(partial, batch_format="pyarrow").take_all()
     return [
         {
             "part": {},
@@ -239,7 +263,7 @@ def materialize_shard(
             triples, str(shard_path), format=format,
             partition_cols=["entity_class"],
         )
-        partials = _read_back_partials(shard_path)
+        partials = _read_back_partials(shard_path, format="lance")
     else:
         sink = ManifestParquetSink(shard_path, ["entity_class"])
         triples.write_datasink(sink)

@@ -3131,3 +3131,14 @@ def test_interval_overlap_join_hot_key_skew_guard(ray_session):
         num_partitions=8, hot_key_widths={999: 5000},
     ).to_pandas()
     assert sorted(map(tuple, explicit[["ka", "kb"]].to_numpy())) == want
+    # width SMALLER than the interval lengths (40 < up-to-50): nearly every
+    # hot interval replicates across 2+ bins, so a canonical-bin dedup
+    # regression (double-emitting multi-bin pairs) cannot hide in the
+    # boundary-straddler tail the wide-width leg leaves (~1% replication)
+    narrow = relational.interval_overlap_join(
+        ray.data.from_pandas(a), ray.data.from_pandas(b),
+        left_start="sa", left_end="ea", right_start="t", right_end=None,
+        by="g", left_cols=["ka"], right_cols=["kb"],
+        num_partitions=8, hot_key_widths={999: 40},
+    ).to_pandas()
+    assert sorted(map(tuple, narrow[["ka", "kb"]].to_numpy())) == want

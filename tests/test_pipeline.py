@@ -702,3 +702,32 @@ def test_bucketed_materialize_resume(ray_session, corpus_dir, tmp_path):
 
     back = _ray.data.read_parquet(str(out)).count()
     assert back == total
+
+
+def test_materialize_shard_keeps_null_partition_rows(ray_session, tmp_path):
+    """Regression: a null partition-column value must not be silently
+    dropped by the write-path sink (pc.equal(col, null) is all-null and
+    filter() treats null as false) — it lands in the hive default
+    partition and counts in the manifest."""
+    import pandas as pd
+    import ray.data
+
+    from esmarc_ray.stages.materialize import materialize_shard
+
+    triples = ray.data.from_pandas(pd.DataFrame({
+        "entity_class": ["resources", None, "persons"],
+        "subj": ["a", "b", "c"],
+        "pred": ["p", "p", "p"],
+        "obj": ["1", "2", "3"],
+    }))
+    manifest = materialize_shard(
+        triples, tmp_path / "shard=00000", sort=True
+    )
+    assert manifest["row_count"] == 3
+    assert sum(manifest["rows_per_class"].values()) == 3
+    null_dir = (
+        tmp_path / "shard=00000" / "entity_class=__HIVE_DEFAULT_PARTITION__"
+    )
+    assert any(null_dir.rglob("*.parquet"))
+    back = ray.data.read_parquet(str(tmp_path / "shard=00000")).to_pandas()
+    assert len(back) == 3 and set(back["subj"]) == {"a", "b", "c"}
