@@ -1360,7 +1360,10 @@ def q_kg_transe_scores(sf_dir: str):
     entity-keyed shuffles per epoch; the driver holds |predicates|·dim
     floats.  Iterative SGD is not SQL-expressible — rows-only here; the
     learning signal is gated by tests/test_graph.py::
-    test_transe_separates_clusters (planted clusters, AUC ≥ 0.9)."""
+    test_transe_separates_clusters (planted clusters, AUC ≥ 0.9).
+    Determinism caveat (verified by the round-5 4-vs-32-CPU hash scan):
+    scores vary with block boundaries (mean-gradient accumulation order),
+    so results are reproducible per cluster size, not across sizes."""
     import pandas as pd
     import ray.data
 

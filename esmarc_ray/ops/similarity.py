@@ -871,6 +871,11 @@ def kcenter_coreset(
     step ("pick k maximally spread examples"): two-round distributed
     approximation of farthest-point traversal.
 
+    Determinism caveat (verified by the round-5 4-vs-32-CPU hash scan):
+    the block-local candidate pools follow block BOUNDARIES, so the chosen
+    coreset is reproducible per cluster size, not across sizes — the
+    coverage guarantee (pytest-gated) holds under any blocking.
+
     Round 1 (distributed): every block runs the exact greedy farthest-point
     sweep LOCALLY (seeded at its smallest id; k iterations of one
     vectorized distance update each) and emits only its
